@@ -1,0 +1,540 @@
+"""The declarative constraint DSL.
+
+A ``Constraint`` is *data* — column references plus parameters — not free
+code (contrast the reference's ``eval``-dispatched custom-check functions,
+/root/reference/proj/main.py:286-301). The compiler (``compile.py``) turns a
+``Suite`` of constraints into:
+
+- ONE fused DataFrame pass for all row-level constraints (each check is a
+  struct column of a single ``select``; Spark parallelizes by partition —
+  this replaces the reference's per-check ``multiprocessing`` fan-out,
+  proj/core/functions.py:35-58), and
+- one join stage per join-level constraint (uniqueness, lookup RI,
+  dup-vs-production, row containment), unioned into the violations output.
+
+Check inventory and error_type vocabulary mirror the reference's core
+checks (proj/core/core.py:18-56); severities follow its error/warning
+routing (checkScale → warnings, proj/core/core.py:51-55).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from smcchecker_spark import exprs
+
+ERROR = "error"
+WARNING = "warning"
+
+# Exact reference error_type vocabulary (FIXTURES.md §6)
+ERR_DTYPE = "Invalid Datatype"
+ERR_DUP_SESSION = "Duplicated Rows"
+ERR_DUP_PROD = "Duplicate"
+ERR_LOOKUP = "Lookup List Fail"
+ERR_NOT_NULL = "Missing Required Data"
+ERR_RANGE = "Value out of range"
+ERR_TOO_LONG = "Value too long"
+# New vocabulary for north-star constraints with no reference analogue
+ERR_REGEX = "Invalid Format"
+ERR_LOGIC = "Logic Error"
+
+
+@dataclass(frozen=True)
+class Constraint:
+    """Base row-level constraint: emits a violation predicate + message."""
+
+    column: str
+    severity: str = ERROR
+    is_core: bool = True
+
+    @property
+    def name(self) -> str:
+        return f"{type(self).__name__.lower()}_{self.column}"
+
+    @property
+    def columns_label(self) -> str:
+        return self.column
+
+    @property
+    def error_type(self) -> str:
+        raise NotImplementedError
+
+    def violation_expr(self, df: DataFrame) -> Column:
+        raise NotImplementedError
+
+    def message_expr(self, df: DataFrame) -> Column:
+        return F.lit(self.message())
+
+    def message(self) -> str:
+        raise NotImplementedError
+
+    # Optional whole-column precondition: the check only runs if the
+    # precondition holds over the entire table (reference analogue: the
+    # all-values-parse gate before checkIntegers, proj/core/metadata.py:237-245).
+    def precondition_expr(self, df: DataFrame) -> Optional[Column]:
+        return None
+
+
+@dataclass(frozen=True)
+class NotNull(Constraint):
+    """Missing Required Data — NULL / '' / 'nan' (proj/core/metadata.py:188-222)."""
+
+    @property
+    def error_type(self) -> str:
+        return ERR_NOT_NULL
+
+    def violation_expr(self, df: DataFrame) -> Column:
+        return exprs.is_empty(df[self.column])
+
+    def message(self) -> str:
+        return (
+            f"There is an empty value here, but the column {self.column} "
+            "requires a value in all rows"
+        )
+
+
+@dataclass(frozen=True)
+class Dtype(Constraint):
+    """Invalid Datatype (proj/core/metadata.py:8-59, functions.py:62-75)."""
+
+    dtype: str = "str"  # int | float | str | timestamp
+
+    @property
+    def name(self) -> str:
+        return f"dtype_{self.column}"
+
+    @property
+    def error_type(self) -> str:
+        return ERR_DTYPE
+
+    def violation_expr(self, df: DataFrame) -> Column:
+        return exprs.dtype_violation(df[self.column], self.dtype)
+
+    def message(self) -> str:
+        return f'The value here is not valid for the datatype "{self.dtype}"'
+
+
+@dataclass(frozen=True)
+class MaxLength(Constraint):
+    """Value too long — len(str(x)) > n, nulls pass (functions.py:168-172)."""
+
+    max_length: int = 0
+
+    @property
+    def error_type(self) -> str:
+        return ERR_TOO_LONG
+
+    def violation_expr(self, df: DataFrame) -> Column:
+        c = df[self.column]
+        return c.isNotNull() & (F.length(c.cast("string")) > F.lit(self.max_length))
+
+    def message(self) -> str:
+        return (
+            f"The value is too long for column {self.column}, which allows "
+            f"a maximum length of {self.max_length}"
+        )
+
+
+@dataclass(frozen=True)
+class Precision(Constraint):
+    """Value too long — significant digits > p (functions.py:77-122)."""
+
+    precision: int = 38
+
+    @property
+    def error_type(self) -> str:
+        return ERR_TOO_LONG
+
+    def violation_expr(self, df: DataFrame) -> Column:
+        return exprs.precision_violation(df[self.column], self.precision)
+
+    def message(self) -> str:
+        return (
+            f"The column {self.column} allows a maximum of "
+            f"{self.precision} significant digits"
+        )
+
+
+@dataclass(frozen=True)
+class Scale(Constraint):
+    """Value too long (warning) — fractional digits > s (functions.py:124-166).
+
+    Routed to warnings like the reference (proj/core/core.py:51-55).
+    """
+
+    scale: int = 15
+    severity: str = WARNING
+
+    @property
+    def error_type(self) -> str:
+        return ERR_TOO_LONG
+
+    def violation_expr(self, df: DataFrame) -> Column:
+        return exprs.scale_violation(df[self.column], self.scale)
+
+    def message(self) -> str:
+        return (
+            f"The column {self.column} allows a maximum of "
+            f"{self.scale} digits after the decimal point"
+        )
+
+
+@dataclass(frozen=True)
+class IntRange(Constraint):
+    """Value out of range — int2/int4/int8 bounds (proj/core/metadata.py:226-291).
+
+    ``gated=True`` reproduces the reference's whole-column parse gate: the
+    check is skipped entirely when any value fails to parse as an integer
+    (proj/core/metadata.py:237-245). The gate costs one extra column-pruned
+    aggregate pass, orchestrated by the compiler.
+    """
+
+    width: str = "int4"  # int2 | int4 | int8, or use lo/hi directly
+    lo: Optional[int] = None
+    hi: Optional[int] = None
+    gated: bool = True
+
+    @property
+    def bounds(self) -> tuple[int, int]:
+        if self.lo is not None and self.hi is not None:
+            return (self.lo, self.hi)
+        return exprs.INT_BOUNDS[self.width]
+
+    @property
+    def error_type(self) -> str:
+        return ERR_RANGE
+
+    def violation_expr(self, df: DataFrame) -> Column:
+        lo, hi = self.bounds
+        return exprs.int_range_violation(df[self.column], lo, hi)
+
+    def precondition_expr(self, df: DataFrame) -> Optional[Column]:
+        if not self.gated:
+            return None
+        # all values must be valid int literals (nulls count as valid)
+        return ~exprs.dtype_violation(df[self.column], "int")
+
+    def message(self) -> str:
+        lo, hi = self.bounds
+        return f"The column {self.column} allows integer values from {lo} to {hi}"
+
+
+@dataclass(frozen=True)
+class Range(Constraint):
+    """Value out of range — numeric lo <= x <= hi (north-star constraint,
+    /root/repo/BASELINE.json:6; no reference analogue)."""
+
+    lo: float = float("-inf")
+    hi: float = float("inf")
+
+    @property
+    def error_type(self) -> str:
+        return ERR_RANGE
+
+    def violation_expr(self, df: DataFrame) -> Column:
+        d = df[self.column].try_cast("double")
+        return d.isNotNull() & ~d.between(F.lit(self.lo), F.lit(self.hi))
+
+    def message(self) -> str:
+        return f"The column {self.column} allows values from {self.lo} to {self.hi}"
+
+
+@dataclass(frozen=True)
+class Regex(Constraint):
+    """Invalid Format — value must match pattern (north-star constraint)."""
+
+    pattern: str = ".*"
+
+    @property
+    def error_type(self) -> str:
+        return ERR_REGEX
+
+    def violation_expr(self, df: DataFrame) -> Column:
+        c = df[self.column]
+        return c.isNotNull() & ~F.regexp_like(
+            c.cast("string"), F.lit(self.pattern)
+        )
+
+    def message(self) -> str:
+        return f"The column {self.column} must match the pattern {self.pattern}"
+
+
+# ---------------------------------------------------------------------------
+# Join-level constraints — compiled as join stages, not row expressions
+# ---------------------------------------------------------------------------
+
+
+#: compiler-injected identity/lineage columns present on the df handed to
+#: JoinConstraint.violations (see compile.py) — carrying them through the
+#: join avoids a second join to recover row identity + partition lineage.
+ROW_ID = "__row_id"
+PART_ID = "__part_id"
+
+
+@dataclass(frozen=True)
+class JoinConstraint(Constraint):
+    def violations(self, df: DataFrame, ctx: "ValidationContext") -> DataFrame:
+        """Return violations as (ROW_ID, PART_ID[, __msg]) rows.
+
+        ``df`` arrives with ROW_ID/PART_ID already attached by the compiler.
+        """
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class Unique(JoinConstraint):
+    """Duplicated Rows — all members of duplicate key groups
+    (proj/core/dupes.py:11-52, pandas ``duplicated(keep=False)``).
+
+    Scale note (SURVEY.md §4 item 6): compiled as
+    ``groupBy(keys).count() > 1`` (partial/map-side + final hash agg —
+    ONE shuffle on the key hash) followed by a join back to recover the
+    violating row ids. AQE broadcasts the (usually tiny) duplicate-key
+    side at runtime; at 10^12 rows the agg itself two-phases for free.
+    """
+
+    keys: tuple[str, ...] = ()
+
+    def __init__(self, keys, severity=ERROR, is_core=True):
+        object.__setattr__(self, "keys", tuple(keys))
+        object.__setattr__(self, "column", ",".join(self.keys))
+        object.__setattr__(self, "severity", severity)
+        object.__setattr__(self, "is_core", is_core)
+
+    @property
+    def name(self) -> str:
+        return "unique_" + "_".join(self.keys)
+
+    @property
+    def error_type(self) -> str:
+        return ERR_DUP_SESSION
+
+    def message(self) -> str:
+        return "You have duplicated rows based on the primary key fields " + ", ".join(
+            self.keys
+        )
+
+    def violations(self, df, ctx):
+        keys = list(self.keys)
+        dup_keys = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .drop("__n")
+        )
+        return (
+            df.select(ROW_ID, PART_ID, *keys)
+            .join(dup_keys, on=keys, how="inner")
+            .select(ROW_ID, PART_ID)
+        )
+
+
+@dataclass(frozen=True)
+class InLookup(JoinConstraint):
+    """Lookup List Fail — referential integrity against a lookup table
+    (proj/core/lookups.py:9-83: ``~df[col].isin(lu_values)``).
+
+    Compiled as a LEFT ANTI join. Lookup tables are dimension-sized →
+    ``broadcast()`` hint (no shuffle of the fact side at all); for a
+    large reference table set ``broadcast_hint=False`` and AQE plans a
+    sort-merge/shuffled-hash join (north_rule names both strategies).
+    Matching is on the raw value like the reference; case-normalization
+    belongs to the preprocess stage (clean.py fix_case).
+    """
+
+    lookup: str = ""  # key into ctx.lookups
+    lookup_key: str = ""  # column in the lookup table
+    broadcast_hint: bool = True
+
+    @property
+    def name(self) -> str:
+        return f"inlookup_{self.column}_{self.lookup}"
+
+    @property
+    def error_type(self) -> str:
+        return ERR_LOOKUP
+
+    def message(self) -> str:
+        return (
+            f"The value entered did not match the lookup list {self.lookup}"
+        )
+
+    def message_expr(self, df) -> Column:
+        return F.concat(
+            F.lit("This value you entered ("),
+            F.col(self.column).cast("string"),
+            F.lit(f") did not match the lookup list {self.lookup}"),
+        )
+
+    def violations(self, df, ctx):
+        if self.lookup not in ctx.lookups:
+            raise ValueError(
+                f"lookup table {self.lookup!r} not registered in the "
+                f"ValidationContext (available: {sorted(ctx.lookups)})"
+            )
+        lu = ctx.lookups[self.lookup].select(
+            F.col(self.lookup_key).alias("__lu_key")
+        )
+        if self.broadcast_hint:
+            lu = F.broadcast(lu)
+        c = self.column
+        return (
+            df.select(ROW_ID, PART_ID, c)
+            .filter(F.col(c).isNotNull())  # null FK values are NotNull's problem
+            .join(lu, F.col(c) == F.col("__lu_key"), "left_anti")
+            .select(
+                ROW_ID,
+                PART_ID,
+                F.concat(
+                    F.lit("This value you entered ("),
+                    F.col(c).cast("string"),
+                    F.lit(f") did not match the lookup list {self.lookup}"),
+                ).alias("__msg"),
+            )
+        )
+
+
+@dataclass(frozen=True)
+class NotInExisting(JoinConstraint):
+    """Duplicate (vs production) — key already present in the target table
+    (proj/core/dupes.py:55-135: left-merge against SELECT DISTINCT pkey).
+
+    Compiled as a LEFT SEMI join against the existing snapshot's distinct
+    keys: rows that DO match are violations. The distinct() two-phases
+    map-side; the semi join is AQE-planned (broadcast when the existing
+    key set is small, sort-merge otherwise).
+    """
+
+    keys: tuple[str, ...] = ()
+    existing: str = ""  # key into ctx.existing
+
+    def __init__(self, keys, existing, severity=ERROR, is_core=True):
+        object.__setattr__(self, "keys", tuple(keys))
+        object.__setattr__(self, "existing", existing)
+        object.__setattr__(self, "column", ",".join(self.keys))
+        object.__setattr__(self, "severity", severity)
+        object.__setattr__(self, "is_core", is_core)
+
+    @property
+    def name(self) -> str:
+        return "notinexisting_" + "_".join(self.keys)
+
+    @property
+    def error_type(self) -> str:
+        return ERR_DUP_PROD
+
+    def message(self) -> str:
+        return (
+            "This record already exists in the database (matched on "
+            + ", ".join(self.keys)
+            + ")"
+        )
+
+    def violations(self, df, ctx):
+        if self.existing not in ctx.existing:
+            raise ValueError(
+                f"existing-snapshot table {self.existing!r} not registered in "
+                f"the ValidationContext (available: {sorted(ctx.existing)})"
+            )
+        keys = list(self.keys)
+        existing = ctx.existing[self.existing].select(*keys).distinct()
+        return (
+            df.select(ROW_ID, PART_ID, *keys)
+            .join(existing, on=keys, how="left_semi")
+            .select(ROW_ID, PART_ID)
+        )
+
+
+@dataclass(frozen=True)
+class SubsetOf(JoinConstraint):
+    """Logic Error — every row of this table (on ``keys``) must appear in
+    another table (proj/custom/functions.py:36-66 ``checkLogic``).
+
+    The reference's per-column ``isin`` is value-wise, not tuple-wise — a
+    documented bug we do NOT replicate (SURVEY.md §2.3 J4); we implement
+    true tuple containment as a LEFT ANTI join on the key tuple.
+    """
+
+    keys: tuple[str, ...] = ()
+    other: str = ""  # key into ctx.existing (any registered table)
+    is_core: bool = False  # logic checks are custom-tier in the reference
+
+    def __init__(self, keys, other, severity=ERROR, is_core=False):
+        object.__setattr__(self, "keys", tuple(keys))
+        object.__setattr__(self, "other", other)
+        object.__setattr__(self, "column", ",".join(self.keys))
+        object.__setattr__(self, "severity", severity)
+        object.__setattr__(self, "is_core", is_core)
+
+    @property
+    def name(self) -> str:
+        return "subsetof_" + "_".join(self.keys) + "_" + self.other
+
+    @property
+    def error_type(self) -> str:
+        return ERR_LOGIC
+
+    def message(self) -> str:
+        return (
+            f"Each record must have a matching record in {self.other} "
+            f"(matched on {', '.join(self.keys)})"
+        )
+
+    def violations(self, df, ctx):
+        if self.other not in ctx.existing:
+            raise ValueError(
+                f"table {self.other!r} not registered in the "
+                f"ValidationContext (available: {sorted(ctx.existing)})"
+            )
+        keys = list(self.keys)
+        other = ctx.existing[self.other].select(*keys).distinct()
+        return (
+            df.select(ROW_ID, PART_ID, *keys)
+            .join(other, on=keys, how="left_anti")
+            .select(ROW_ID, PART_ID)
+        )
+
+
+@dataclass
+class ValidationContext:
+    """Side tables a suite's join constraints resolve against.
+
+    ``lookups`` — lu_* dimension tables (proj/core/lookups.py:28-30);
+    ``existing`` — production snapshots / sibling tables.
+    """
+
+    lookups: dict[str, DataFrame] = field(default_factory=dict)
+    existing: dict[str, DataFrame] = field(default_factory=dict)
+
+
+@dataclass
+class Suite:
+    """A named set of constraints bound to a table — the engine's analogue
+    of the reference's dataset config (proj/config/datasets.json) plus the
+    information_schema-derived metadata (proj/core/functions.py:176-209),
+    expressed as data instead of a live RDBMS.
+
+    ``exclude_columns`` mirrors SYSTEM_FIELDS (proj/config/basic-config.json:3-5):
+    constraints on excluded columns are dropped at compile time.
+    """
+
+    name: str
+    table: str
+    constraints: list[Constraint]
+    exclude_columns: tuple[str, ...] = ()
+    # custom-tier constraints run only when the core tier produced zero
+    # errors (proj/main.py:279) — enforced per-partition by the runner.
+    custom_constraints: list[Constraint] = field(default_factory=list)
+
+    def active(self, tier: str = "core") -> list[Constraint]:
+        cs = self.constraints if tier == "core" else self.custom_constraints
+        excl = set(self.exclude_columns)
+        return [
+            c
+            for c in cs
+            if not ({k.strip() for k in c.column.split(",")} & excl)
+        ]

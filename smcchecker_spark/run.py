@@ -1,0 +1,169 @@
+"""Validation runner: orchestrates tiers, verdicts, and reporting.
+
+Pipeline (reference lifecycle: /root/reference/proj/main.py:22-404, re-shaped
+for Spark per SURVEY.md §3.1):
+
+1. core tier — compile_suite() → violations DF (one fused scan + join stages)
+2. per-partition verdicts — pass/fail = zero core errors in that partition
+   (north_rule: "per-partition pass/fail"; the reference's analogue is the
+   per-submission gate at proj/main.py:279 + load gate proj/load.py:23-24)
+3. custom tier — runs only over partitions that passed core (the reference
+   gates custom checks on an error-free core run, proj/main.py:279-301;
+   partition granularity is the scale-out generalization)
+4. reporting — errs/warnings split (checkScale routing,
+   proj/core/core.py:51-55) and per-row message aggregation
+   (proj/utils/generic.py:25-51: groupby (row, table) → '; '.join)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smcchecker_spark.compile import VIOLATION_SCHEMA, compile_suite
+from smcchecker_spark.constraints import ERROR, WARNING, Suite, ValidationContext
+
+VERDICT_COLS = [
+    "run_id",
+    "part_id",
+    "status",
+    "n_rows",
+    "n_errors",
+    "n_warnings",
+    "started_at",
+    "finished_at",
+]
+
+
+@dataclass
+class ValidationResult:
+    violations: DataFrame  # full violation rows (errors + warnings)
+    verdicts: DataFrame  # one row per partition
+
+    @property
+    def errs(self) -> DataFrame:
+        return self.violations.filter(F.col("severity") == ERROR)
+
+    @property
+    def warnings(self) -> DataFrame:
+        return self.violations.filter(F.col("severity") == WARNING)
+
+    def messages_per_row(self) -> DataFrame:
+        """'; '-joined messages per (table, row_id) — reference A2 semantics
+        (proj/utils/generic.py:42-46), deterministic via array_sort."""
+        return self.violations.groupBy("table", "row_id").agg(
+            F.array_join(
+                F.array_sort(F.collect_list("error_message")), "; "
+            ).alias("error_message")
+        )
+
+
+class ValidationRunner:
+    def __init__(
+        self,
+        suite: Suite,
+        ctx: ValidationContext | None = None,
+        row_id_col: str = "image_id",
+        part_id_col: str | None = "part_id",
+        run_id: str = "run0",
+    ):
+        self.suite = suite
+        self.ctx = ctx or ValidationContext()
+        self.row_id_col = row_id_col
+        self.part_id_col = part_id_col
+        self.run_id = run_id
+
+    def _part_expr(self, df: DataFrame):
+        if self.part_id_col and self.part_id_col in df.columns:
+            return F.col(self.part_id_col).cast("int")
+        return F.spark_partition_id()
+
+    def run(self, df: DataFrame) -> ValidationResult:
+        started = datetime.now(timezone.utc)
+
+        core = compile_suite(
+            df,
+            self.suite,
+            self.ctx,
+            tier="core",
+            row_id_col=self.row_id_col,
+            part_id_col=self.part_id_col,
+        )
+        violations = core
+        if self.suite.custom_constraints:
+            # partitions with any core ERROR skip the custom tier
+            failed = {
+                r["part_id"]
+                for r in core.filter(F.col("severity") == ERROR)
+                .select("part_id")
+                .distinct()
+                .collect()
+            }
+            passing = df
+            if failed:
+                passing = df.filter(~self._part_expr(df).isin(list(failed)))
+            custom = compile_suite(
+                passing,
+                self.suite,
+                self.ctx,
+                tier="custom",
+                row_id_col=self.row_id_col,
+                part_id_col=self.part_id_col,
+            )
+            violations = core.unionByName(custom)
+
+        # cache: verdicts + downstream writers both consume violations
+        violations = violations.persist()
+
+        row_counts = df.groupBy(
+            self._part_expr(df).alias("part_id")
+        ).agg(F.count(F.lit(1)).alias("n_rows"))
+        vio_counts = violations.groupBy("part_id").agg(
+            F.sum(
+                (F.col("severity") == ERROR).cast("long")
+            ).alias("n_errors"),
+            F.sum(
+                (F.col("severity") == WARNING).cast("long")
+            ).alias("n_warnings"),
+        )
+        finished = datetime.now(timezone.utc)
+        verdicts = (
+            row_counts.join(vio_counts, "part_id", "left")
+            .select(
+                F.lit(self.run_id).alias("run_id"),
+                F.col("part_id"),
+                F.when(
+                    F.coalesce(F.col("n_errors"), F.lit(0)) == 0, F.lit("pass")
+                )
+                .otherwise(F.lit("fail"))
+                .alias("status"),
+                F.col("n_rows"),
+                F.coalesce(F.col("n_errors"), F.lit(0)).alias("n_errors"),
+                F.coalesce(F.col("n_warnings"), F.lit(0)).alias("n_warnings"),
+                F.lit(started).alias("started_at"),
+                F.lit(finished).alias("finished_at"),
+            )
+        )
+        return ValidationResult(violations=violations, verdicts=verdicts)
+
+
+def gated_append(
+    result: ValidationResult, df: DataFrame, path: str, fmt: str = "parquet"
+) -> bool:
+    """Load-path gate: append the data only when there are zero errors.
+
+    Reference: /load refuses when errors.json is nonempty
+    (proj/load.py:23-24); Spark spelling per SURVEY.md §3.3.
+    Returns True when the append happened.
+    """
+    if result.errs.limit(1).count() > 0:
+        return False
+    df.write.format(fmt).mode("append").save(path)
+    return True
+
+
+def empty_violations(spark) -> DataFrame:
+    return spark.createDataFrame([], VIOLATION_SCHEMA)

@@ -1,0 +1,66 @@
+"""SparkSession construction tuned for the validation engine.
+
+Defaults are chosen for the 100 TB design point and scale down to
+``local[N]`` for tests/bench:
+
+- AQE on (runtime join re-planning, partition coalescing, skew-join) —
+  replaces the reference's ad-hoc ``multiprocessing`` fan-out
+  (/root/reference/proj/core/functions.py:35-58) with Spark's scheduler.
+- Arrow execution on, with a deliberately small ``maxRecordsPerBatch``:
+  image ``bytes`` rows are large, so Arrow batches crossing the JVM↔Python
+  boundary must be capped by row count to bound Python-worker memory
+  (SURVEY.md §4 item 4).
+- Session timezone pinned to UTC so results hash-compare against the
+  DuckDB oracle (duckdb timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Rows per Arrow batch for UDF stages. Image rows are ~1-100 KB each; 1024
+# rows keeps a batch in the low-MB range per Python worker.
+ARROW_BATCH_ROWS = 1024
+
+
+def get_spark(
+    app_name: str = "smcchecker-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores=None`` honors $SPARK_GRAFT_CPUS then falls back to ``local[*]``.
+    ``shuffle_partitions`` defaults to the core count — at cluster scale this
+    is overridden by AQE coalescing anyway; for local runs 200 is pure
+    scheduling overhead on small data.
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+        n_cores = int(env) if env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        n_cores = cores
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n_cores))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,272 @@
+"""Unit tests per DSL constraint (SURVEY.md §5 item 1).
+
+Expected violation sets derive from the reference predicate semantics:
+null semantics proj/core/metadata.py:203, int bounds :253-267,
+precision/scale proj/core/functions.py:77-166 (incl. sci-notation and
+0<x<1 branches), length :168-172, convert_dtype :62-75.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from smcchecker_spark.compile import compile_suite
+from smcchecker_spark.constraints import (
+    Dtype,
+    InLookup,
+    IntRange,
+    MaxLength,
+    NotInExisting,
+    NotNull,
+    Precision,
+    Range,
+    Regex,
+    Scale,
+    SubsetOf,
+    Suite,
+    Unique,
+    ValidationContext,
+)
+
+
+def make_df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def violating_ids(df, constraint, ctx=None, **kw):
+    suite = Suite(name="t", table="t", constraints=[constraint])
+    v = compile_suite(
+        df, suite, ctx, row_id_col="id", part_id_col=None, **kw
+    )
+    return {r["row_id"] for r in v.select("row_id").collect()}
+
+
+def test_not_null(spark):
+    df = make_df(
+        spark,
+        [("a", "x"), ("b", ""), ("c", None), ("d", "NaN"), ("e", "nan"), ("f", "0")],
+        "id string, v string",
+    )
+    assert violating_ids(df, NotNull("v")) == {"b", "c", "d", "e"}
+
+
+def test_max_length(spark):
+    df = make_df(
+        spark,
+        [("a", "short"), ("b", "x" * 10), ("c", "x" * 11), ("d", None)],
+        "id string, v string",
+    )
+    assert violating_ids(df, MaxLength("v", max_length=10)) == {"c"}
+
+
+def test_dtype_int(spark):
+    df = make_df(
+        spark,
+        [("a", "5"), ("b", "-17"), ("c", "5.5"), ("d", "abc"), ("e", None), ("f", "+3")],
+        "id string, v string",
+    )
+    assert violating_ids(df, Dtype("v", dtype="int")) == {"c", "d"}
+
+
+def test_dtype_float(spark):
+    df = make_df(
+        spark,
+        [("a", "5.5"), ("b", "7.23e-5"), ("c", "abc"), ("d", None), ("e", "-2")],
+        "id string, v string",
+    )
+    assert violating_ids(df, Dtype("v", dtype="float")) == {"c"}
+
+
+def test_dtype_timestamp(spark):
+    df = make_df(
+        spark,
+        [
+            ("a", "2024-01-01"),
+            ("b", "2024-1-2 3:4:05"),
+            ("c", "2024-01-01 10:11:12.5"),
+            ("d", "not a date"),
+            ("e", None),
+            ("f", "01/02/2024"),
+        ],
+        "id string, v string",
+    )
+    assert violating_ids(df, Dtype("v", dtype="timestamp")) == {"d", "f"}
+
+
+def test_int_range_int2(spark):
+    df = make_df(
+        spark,
+        [("a", "100"), ("b", "32768"), ("c", "-32769"), ("d", "32767"), ("e", None)],
+        "id string, v string",
+    )
+    assert violating_ids(df, IntRange("v", width="int2")) == {"b", "c"}
+
+
+def test_int_range_gate_skips_when_unparseable(spark):
+    # reference: if ANY value fails int parse, the whole check is skipped
+    # (proj/core/metadata.py:237-245)
+    df = make_df(
+        spark,
+        [("a", "99999"), ("b", "oops")],
+        "id string, v string",
+    )
+    assert violating_ids(df, IntRange("v", width="int2")) == set()
+    # ungated variant still fires on the parseable out-of-range row
+    assert violating_ids(df, IntRange("v", width="int2", gated=False)) == {"a"}
+
+
+@pytest.mark.parametrize(
+    "value,p,violates",
+    [
+        ("123.45", 5, False),  # 3 + 2 = 5
+        ("123.45", 4, True),
+        ("0.00123", 2, False),  # fraction auto-pass
+        ("1234", 4, False),
+        ("1234", 3, True),
+        ("5.0012", 3, False),  # left 1 + right 2 (leading-zero quirk) = 3 <= 3
+        ("1.500", 2, False),  # trailing zeros trimmed: 1 + 1 = 2
+        ("-123.4", 4, False),
+        ("7.23e-5", 4, False),  # fraction (<1) auto-pass
+        ("0", 1, False),  # left=1, right=0
+        ("1000", 2, True),  # left=4
+    ],
+)
+def test_precision_cases(spark, value, p, violates):
+    df = make_df(spark, [("a", value)], "id string, v string")
+    got = violating_ids(df, Precision("v", precision=p))
+    assert (got == {"a"}) == violates, f"{value} p={p}"
+
+
+def test_precision_quirk_5_0012(spark):
+    # reference drops leading zeros of the fraction via int():
+    # 5.0012 → right digits = len('12') = 2, left = 1 → total 3
+    df = make_df(spark, [("a", "5.0012")], "id string, v string")
+    assert violating_ids(df, Precision("v", precision=3)) == set()
+    assert violating_ids(df, Precision("v", precision=2)) == {"a"}
+
+
+@pytest.mark.parametrize(
+    "value,s,violates",
+    [
+        ("1.25", 2, False),
+        ("1.254", 2, True),
+        ("1.250", 2, False),  # trailing zero trimmed
+        ("5.0012", 2, False),  # leading-zero quirk: right = 2
+        ("7.23e-5", 6, True),  # right = 5 + 2 = 7
+        ("7.23e-5", 7, False),
+        ("100", 0, False),
+        ("abc", 0, False),  # non-numeric → dtype check's problem
+        (None, 0, False),
+    ],
+)
+def test_scale_cases(spark, value, s, violates):
+    df = make_df(spark, [("a", value)], "id string, v string")
+    got = violating_ids(df, Scale("v", scale=s))
+    assert (got == {"a"}) == violates, f"{value} s={s}"
+
+
+def test_scale_on_double_column(spark):
+    # numeric columns render via decimal(38,15): deterministic digit math
+    df = make_df(
+        spark,
+        [("a", 1.25), ("b", 1.254), ("c", 100.0), ("d", None)],
+        "id string, v double",
+    )
+    assert violating_ids(df, Scale("v", scale=2)) == {"b"}
+
+
+def test_range(spark):
+    df = make_df(
+        spark,
+        [("a", 5.0), ("b", -1.0), ("c", 100.5), ("d", None)],
+        "id string, v double",
+    )
+    assert violating_ids(df, Range("v", lo=0, hi=100)) == {"b", "c"}
+
+
+def test_regex(spark):
+    df = make_df(
+        spark,
+        [("a", "img001"), ("b", "IMG001"), ("c", None)],
+        "id string, v string",
+    )
+    assert violating_ids(df, Regex("v", pattern=r"^img\d+$")) == {"b"}
+
+
+def test_unique(spark):
+    df = make_df(
+        spark,
+        [("a", "k1", 1), ("b", "k1", 1), ("c", "k2", 1), ("d", "k1", 2)],
+        "id string, k string, n int",
+    )
+    # all members of duplicate groups flagged (pandas duplicated keep=False)
+    assert violating_ids(df, Unique(keys=["k", "n"])) == {"a", "b"}
+
+
+def test_in_lookup(spark):
+    df = make_df(
+        spark,
+        [("a", "png"), ("b", "bmp"), ("c", "PNG"), ("d", None)],
+        "id string, fmt string",
+    )
+    lu = make_df(spark, [("png",), ("jpeg",), ("webp",)], "fmt string")
+    ctx = ValidationContext(lookups={"lu_fmt": lu})
+    c = InLookup("fmt", lookup="lu_fmt", lookup_key="fmt")
+    # exact-match semantics; case-fixing is the preprocess stage's job
+    assert violating_ids(df, c, ctx=ctx) == {"b", "c"}
+
+
+def test_not_in_existing(spark):
+    df = make_df(spark, [("a",), ("b",), ("c",)], "id string")
+    existing = make_df(spark, [("b",), ("z",)], "id string")
+    ctx = ValidationContext(existing={"prod": existing})
+    c = NotInExisting(keys=["id"], existing="prod")
+    assert violating_ids(df, c, ctx=ctx) == {"b"}
+
+
+def test_subset_of(spark):
+    df = make_df(
+        spark, [("a", "s1"), ("b", "s2"), ("c", "s3")], "id string, site string"
+    )
+    other = make_df(spark, [("s1",), ("s3",)], "site string")
+    ctx = ValidationContext(existing={"sites": other})
+    c = SubsetOf(keys=["site"], other="sites")
+    assert violating_ids(df, c, ctx=ctx) == {"b"}
+
+
+def test_fused_pass_multiple_checks_one_row(spark):
+    df = make_df(spark, [("a", None), ("b", "x" * 99)], "id string, v string")
+    suite = Suite(
+        name="t",
+        table="t",
+        constraints=[NotNull("v"), MaxLength("v", max_length=5)],
+    )
+    v = compile_suite(df, suite, row_id_col="id", part_id_col=None)
+    rows = {(r["row_id"], r["check_name"]) for r in v.collect()}
+    assert rows == {("a", "notnull_v"), ("b", "maxlength_v")}
+
+
+def test_exclude_columns(spark):
+    df = make_df(spark, [("a", None)], "id string, objectid string")
+    suite = Suite(
+        name="t",
+        table="t",
+        constraints=[NotNull("objectid")],
+        exclude_columns=("objectid",),
+    )
+    v = compile_suite(df, suite, row_id_col="id", part_id_col=None)
+    assert v.count() == 0
+
+
+def test_violation_schema_and_metadata(spark):
+    df = make_df(spark, [("a", None, 3)], "id string, v string, part_id int")
+    suite = Suite(name="t", table="images", constraints=[NotNull("v")])
+    v = compile_suite(df, suite, row_id_col="id", part_id_col="part_id")
+    row = v.collect()[0]
+    assert row["table"] == "images"
+    assert row["columns"] == "v"
+    assert row["error_type"] == "Missing Required Data"
+    assert row["is_core_error"] is True
+    assert row["severity"] == "error"
+    assert row["part_id"] == 3
+    assert "requires a value in all rows" in row["error_message"]

@@ -1,0 +1,91 @@
+"""Runner tests: per-partition verdicts, custom-tier gating, reporting.
+
+Reference semantics: custom checks run only on an error-free core run
+(proj/main.py:279); errs/warnings routing (proj/core/core.py:51-55);
+'; '-joined per-row messages (proj/utils/generic.py:42-46). Partition
+granularity is the engine's scale-out generalization (north_rule).
+"""
+
+from pyspark.sql import functions as F
+
+from smcchecker_spark.constraints import (
+    MaxLength,
+    NotNull,
+    Range,
+    Scale,
+    Suite,
+)
+from smcchecker_spark.run import ValidationRunner, gated_append
+
+
+def _df(spark):
+    # part 0: clean; part 1: core error; part 2: warning only
+    rows = [
+        ("a", "ok", 1.5, 0),
+        ("b", "ok", 2.5, 0),
+        ("c", None, 1.0, 1),  # core NotNull error
+        ("d", "ok", 1.234, 2),  # Scale warning (scale=2)
+        ("e", "toolongvalue", 99.0, 1),  # MaxLength error, same part as c
+    ]
+    return spark.createDataFrame(rows, "image_id string, v string, x double, part_id int")
+
+
+def _suite():
+    return Suite(
+        name="s",
+        table="t",
+        constraints=[NotNull("v"), MaxLength("v", max_length=8), Scale("x", scale=2)],
+        custom_constraints=[Range("x", lo=0, hi=2, is_core=False)],
+    )
+
+
+def test_verdicts_and_gating(spark):
+    res = ValidationRunner(_suite(), run_id="r1").run(_df(spark))
+    verdicts = {r["part_id"]: r for r in res.verdicts.collect()}
+    # part 0 fails on the custom-tier Range error (errors gate the load
+    # whatever the tier, proj/load.py:23-24); part 1 fails core; part 2
+    # has only a warning → warnings never fail a partition.
+    assert verdicts[0]["status"] == "fail"
+    assert verdicts[1]["status"] == "fail"
+    assert verdicts[2]["status"] == "pass"
+    assert verdicts[0]["n_rows"] == 2
+    assert verdicts[0]["n_errors"] == 1
+    assert verdicts[1]["n_errors"] == 2
+    assert verdicts[2]["n_warnings"] == 1
+
+    # custom tier skipped partition 1 (core errors) but ran on 0 and 2:
+    # row b (x=2.5, part 0) violates Range(0,2); row e (99.0) is in the
+    # failed partition so must NOT be reported.
+    custom_rows = {
+        r["row_id"]
+        for r in res.violations.filter(F.col("check_name") == "range_x").collect()
+    }
+    assert custom_rows == {"b"}
+
+
+def test_errs_warnings_split(spark):
+    res = ValidationRunner(_suite()).run(_df(spark))
+    errs = {(r["row_id"], r["check_name"]) for r in res.errs.collect()}
+    warns = {(r["row_id"], r["check_name"]) for r in res.warnings.collect()}
+    assert ("c", "notnull_v") in errs
+    assert ("e", "maxlength_v") in errs
+    assert warns == {("d", "scale_x")}
+
+
+def test_messages_per_row(spark):
+    res = ValidationRunner(_suite()).run(_df(spark))
+    msgs = {r["row_id"]: r["error_message"] for r in res.messages_per_row().collect()}
+    assert "requires a value in all rows" in msgs["c"]
+    assert msgs["d"].count(";") == 0  # single violation → no join
+
+
+def test_gated_append(spark, tmp_path):
+    df = _df(spark)
+    res = ValidationRunner(_suite()).run(df)
+    out = str(tmp_path / "load")
+    assert gated_append(res, df, out) is False  # errors present → refuse
+
+    clean = df.filter(F.col("image_id").isin("a", "b"))
+    res2 = ValidationRunner(Suite(name="s", table="t", constraints=[NotNull("v")])).run(clean)
+    assert gated_append(res2, clean, out) is True
+    assert spark.read.parquet(out).count() == 2
