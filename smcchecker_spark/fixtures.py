@@ -1,0 +1,204 @@
+"""Deterministic synthetic image+caption fixtures (FIXTURES.md §1-3).
+
+The table matches input_hint exactly:
+``(image_id string, bytes binary, w int, h int, fmt string, caption string,
+phash long)`` plus a ``part_id`` partition column
+(``pmod``-style ``i % n_parts``) so per-partition verdicts, checkpoint/
+resume and lineage are testable.
+
+Generation is **distributed**: ``spark.range(n)`` → ``mapInPandas``, each
+row derived purely from its index + seed (no driver-side materialization
+— the generator itself must scale like the engine). Violations are
+planted by fixed index rules (below); ``expected_flags(i)`` exposes the
+same rules to tests so golden violation sets are computed, not stored.
+
+Planted-violation rules (index i, applied in this order; rules use
+coprime moduli so classes overlap rarely but CAN overlap — expected sets
+must be computed per check, not per row):
+
+- dup image_id:  i % 101 == 1       → image_id of row i-1 (uniqueness)
+- truncated:     i % 53  == 3       → bytes cut to 25 bytes (decode fail)
+- bitflip:       i % 53  == 17      → one payload byte flipped (CRC fail)
+- w off-by-one:  i % 47  == 5       → stored w = true w + 1
+- w null:        i % 47  == 23      → stored w NULL
+- fmt RI fail:   i % 43  == 7       → fmt 'bmp';  == 9 → 'PNG';
+                 i % 43  == 21      → 'jpg ' (case/trim for preprocess)
+- caption empty: i % 37  == 5       → '';    == 7 → 'nan';
+                 i % 37  == 11      → '  padded  ';
+                 i % 37  == 13      → 301 chars (maxlength 256)
+- phash off:     i % 59  == 19      → stored phash = true phash + 1
+
+fmt distribution is skewed ≥80% 'png' (i % 5 != 4) to exercise salted
+repartitioning on fmt skew (north_rule).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from smcchecker_spark import imagecodec as ic
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, part_id int"
+)
+
+_WORDS = (
+    "a the cat dog bird tree river mountain red blue green small large "
+    "running sitting bright dark old young photo picture of with near"
+).split()
+
+
+def _image_id(i: int) -> str:
+    return f"img{i:012d}"
+
+
+def expected_flags(i: int) -> dict[str, bool]:
+    """Which violation classes index i plants (tests recompute goldens)."""
+    return {
+        "dup": i % 101 == 1 and i > 0,
+        "truncated": i % 53 == 3,
+        "bitflip": i % 53 == 17,
+        "w_off": i % 47 == 5,
+        "w_null": i % 47 == 23,
+        "fmt_bad": i % 43 in (7, 9, 21),
+        "caption_empty": i % 37 in (5, 7),
+        "caption_padded": i % 37 == 11,
+        "caption_long": i % 37 == 13,
+        "phash_off": i % 59 == 19,
+    }
+
+
+def _make_row(i: int, seed: int, n_parts: int) -> dict:
+    rng = np.random.default_rng(seed * 1_000_003 + i)
+    fl = expected_flags(i)
+
+    h = int(rng.integers(8, 33))
+    w = int(rng.integers(8, 33))
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+    lossy = i % 5 == 4  # ~20% fake-lossy 'jpeg', 80% png (fmt skew)
+    if lossy:
+        payload = ic.encode_fake_lossy(arr)
+        true_fmt = ic.FMT_JPEG
+        true_phash = ic.phash64(ic.decode_fake_lossy(payload))
+    else:
+        payload = ic.encode_png(arr)
+        true_fmt = ic.FMT_PNG
+        true_phash = ic.phash64(arr)
+
+    if fl["truncated"]:
+        payload = payload[:25]
+    elif fl["bitflip"]:
+        ba = bytearray(payload)
+        ba[min(60, len(ba) - 1)] ^= 0xFF
+        payload = bytes(ba)
+
+    stored_w: int | None = w + 1 if fl["w_off"] else w
+    if fl["w_null"]:
+        stored_w = None
+
+    fmt = true_fmt
+    if i % 43 == 7:
+        fmt = "bmp"
+    elif i % 43 == 9:
+        fmt = "PNG"
+    elif i % 43 == 21:
+        fmt = "jpg "
+
+    n_tok = int(rng.integers(2, 12))
+    caption = " ".join(rng.choice(_WORDS) for _ in range(n_tok))
+    if fl["caption_empty"]:
+        caption = "" if i % 37 == 5 else "nan"
+    elif fl["caption_padded"]:
+        caption = f"  {caption}  "
+    elif fl["caption_long"]:
+        caption = "x" * 301
+
+    image_id = _image_id(i - 1) if fl["dup"] else _image_id(i)
+
+    return {
+        "image_id": image_id,
+        "bytes": payload,
+        "w": stored_w,
+        "h": h,
+        "fmt": fmt,
+        "caption": caption,
+        "phash": int(true_phash) + (1 if fl["phash_off"] else 0),
+        "part_id": i % n_parts,
+    }
+
+
+def generate_images(
+    spark: SparkSession,
+    n_rows: int = 1000,
+    n_parts: int = 8,
+    seed: int = 42,
+    clean: bool = False,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic images table. ``clean=True`` plants no
+    violations (for throughput benchmarking and PSNR-parity pairs)."""
+
+    make = _clean_row if clean else _make_row
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [make(int(i), seed, n_parts) for i in pdf["id"].tolist()]
+            )
+
+    rng_df = spark.range(0, n_rows, numPartitions=num_tasks or max(8, n_parts))
+    return rng_df.mapInPandas(gen, IMAGES_SCHEMA)
+
+
+def _clean_row(i: int, seed: int, n_parts: int) -> dict:
+    """Violation-free variant of row i (same pixels/caption distribution)."""
+    rng = np.random.default_rng(seed * 1_000_003 + i)
+    h = int(rng.integers(8, 33))
+    w = int(rng.integers(8, 33))
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    lossy = i % 5 == 4
+    if lossy:
+        payload = ic.encode_fake_lossy(arr)
+        fmt = ic.FMT_JPEG
+        phash = ic.phash64(ic.decode_fake_lossy(payload))
+    else:
+        payload = ic.encode_png(arr)
+        fmt = ic.FMT_PNG
+        phash = ic.phash64(arr)
+    n_tok = int(rng.integers(2, 12))
+    caption = " ".join(rng.choice(_WORDS) for _ in range(n_tok))
+    return {
+        "image_id": _image_id(i),
+        "bytes": payload,
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": caption,
+        "phash": int(phash),
+        "part_id": i % n_parts,
+    }
+
+
+def lu_fmt(spark: SparkSession) -> DataFrame:
+    """Lookup list for the fmt RI check (FIXTURES.md §2)."""
+    return spark.createDataFrame(
+        [("png", "Portable Network Graphics"),
+         ("jpeg", "JPEG (engine stand-in codec)"),
+         ("webp", "WebP")],
+        "fmt string, description string",
+    )
+
+
+def images_existing(
+    spark: SparkSession, n_rows: int = 1000, seed: int = 42, overlap_mod: int = 97
+) -> DataFrame:
+    """Production-snapshot keys overlapping the fixture (FIXTURES.md §3):
+    every image_id with i % overlap_mod == 2."""
+    ids = [( _image_id(i),) for i in range(n_rows) if i % overlap_mod == 2]
+    return spark.createDataFrame(ids, "image_id string")

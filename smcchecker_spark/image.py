@@ -1,0 +1,230 @@
+"""Image-payload validation — Arrow-batched pandas UDFs over binary columns.
+
+North-star constraints with no reference analogue (/root/repo/BASELINE.json:6,15):
+``image_consistent(bytes,w,h,fmt,phash)`` and decoded-pixel PSNR parity.
+The closest reference mechanism is the per-value dtype coercion check
+(/root/reference/proj/core/functions.py:62-75) — "can this payload be
+decoded and does it match its declared metadata" is its binary-column
+generalization.
+
+Execution contract (input_hint: "no per-row Python"):
+
+- ``pandas_udf`` with iterator signature → Arrow batches cross the
+  JVM↔Python boundary once per ~1024 rows (session.ARROW_BATCH_ROWS caps
+  batch memory for large payloads), never per row;
+- inside a batch, each image decodes via numpy (smcchecker_spark.imagecodec);
+  the per-image loop is Python-over-batches, not Spark-row-at-a-time serde;
+- ONE UDF computes all consistency facets (decode ok, w, h, fmt, phash) in
+  a single struct so the payload is decoded exactly once per row, and the
+  scan reads ``bytes`` only when an image constraint is in the suite
+  (Catalyst column pruning).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from smcchecker_spark import imagecodec as ic
+from smcchecker_spark.constraints import Constraint, ERROR
+
+ERR_IMAGE = "Image Payload Error"
+
+DECODE_STRUCT = (
+    "ok boolean, w int, h int, fmt string, phash bigint, err string"
+)
+
+
+# pandas_udf construction needs an active SparkSession, so UDFs are built
+# lazily and memoized — memoization also guarantees every constraint
+# references the SAME udf object, so Catalyst dedupes the calls into one
+# ArrowEvalPython stage (asserted in tests/test_image.py).
+_UDF_CACHE: dict[str, object] = {}
+
+
+def decode_facts_udf():
+    if "decode_facts" not in _UDF_CACHE:
+
+        @pandas_udf(DECODE_STRUCT)
+        def decode_facts(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+            for s in batches:
+                n = len(s)
+                ok = np.zeros(n, dtype=bool)
+                w = np.full(n, -1, dtype=np.int64)
+                h = np.full(n, -1, dtype=np.int64)
+                fmt = np.full(n, None, dtype=object)
+                ph = np.zeros(n, dtype=np.int64)
+                err = np.full(n, None, dtype=object)
+                for i, b in enumerate(s.values):
+                    if b is None:
+                        err[i] = "null payload"
+                        continue
+                    try:
+                        arr, f = ic.decode_image(bytes(b))
+                        ok[i] = True
+                        h[i], w[i] = arr.shape[:2]
+                        fmt[i] = f
+                        ph[i] = ic.phash64(arr)
+                    except ValueError as e:
+                        err[i] = str(e)
+                yield pd.DataFrame(
+                    {"ok": ok, "w": w, "h": h, "fmt": fmt, "phash": ph, "err": err}
+                )
+
+        _UDF_CACHE["decode_facts"] = decode_facts
+    return _UDF_CACHE["decode_facts"]
+
+
+def psnr_pair_udf():
+    """PSNR (dB) between two encoded payloads' decoded pixels.
+
+    NULL when either side is undecodable or shapes differ → callers treat
+    NULL as a violation. +inf (lossless match) is returned as 1e9 to stay
+    Arrow-friendly.
+    """
+    if "psnr_pair" not in _UDF_CACHE:
+
+        @pandas_udf("double")
+        def psnr_pair(
+            batches: Iterator[tuple[pd.Series, pd.Series]],
+        ) -> Iterator[pd.Series]:
+            for a, b in batches:
+                out = np.full(len(a), np.nan)
+                for i, (xa, xb) in enumerate(zip(a.values, b.values)):
+                    if xa is None or xb is None:
+                        continue
+                    try:
+                        pa, _ = ic.decode_image(bytes(xa))
+                        pb, _ = ic.decode_image(bytes(xb))
+                    except ValueError:
+                        continue
+                    if pa.shape != pb.shape:
+                        continue
+                    v = ic.psnr(pa, pb)
+                    out[i] = 1e9 if v == float("inf") else v
+                yield pd.Series(out)
+
+        _UDF_CACHE["psnr_pair"] = psnr_pair
+    return _UDF_CACHE["psnr_pair"]
+
+
+def decode_facts_col(bytes_col: Column) -> Column:
+    return decode_facts_udf()(bytes_col)
+
+
+@dataclass(frozen=True)
+class ImageConsistent(Constraint):
+    """bytes must decode, and decoded (w, h, fmt, phash) must equal the
+    stored metadata columns. phash tolerance in Hamming bits (0 = exact;
+    the engine's own codecs are phash-stable across the lossy roundtrip).
+
+    Compiles into the fused row pass like any other constraint — the
+    decode UDF struct is a single ArrowEvalPython stage feeding plain
+    comparisons.
+    """
+
+    column: str = "bytes"
+    w_col: str = "w"
+    h_col: str = "h"
+    fmt_col: str = "fmt"
+    phash_col: str = "phash"
+    phash_tolerance: int = 0
+    severity: str = ERROR
+
+    @property
+    def name(self) -> str:
+        return "imageconsistent_" + self.column
+
+    @property
+    def columns_label(self) -> str:
+        return ",".join(
+            [self.column, self.w_col, self.h_col, self.fmt_col, self.phash_col]
+        )
+
+    @property
+    def error_type(self) -> str:
+        return ERR_IMAGE
+
+    def _facts(self, df: DataFrame) -> Column:
+        return decode_facts_udf()(df[self.column])
+
+    def _mismatches(self, df: DataFrame) -> list[tuple[str, Column]]:
+        d = self._facts(df)
+        ph_dist = F.bit_count(
+            d.getField("phash").bitwiseXOR(df[self.phash_col].cast("bigint"))
+        )
+        return [
+            ("width", df[self.w_col].isNull() | (d.getField("w") != df[self.w_col])),
+            ("height", df[self.h_col].isNull() | (d.getField("h") != df[self.h_col])),
+            ("format", df[self.fmt_col].isNull() | (d.getField("fmt") != df[self.fmt_col])),
+            ("phash", df[self.phash_col].isNull() | (ph_dist > F.lit(self.phash_tolerance))),
+        ]
+
+    def violation_expr(self, df: DataFrame) -> Column:
+        d = self._facts(df)
+        bad = ~d.getField("ok")
+        for _, m in self._mismatches(df):
+            bad = bad | m
+        return bad
+
+    def message_expr(self, df: DataFrame) -> Column:
+        d = self._facts(df)
+        parts = [
+            F.when(
+                ~d.getField("ok"),
+                F.concat(F.lit("decode failed: "), F.coalesce(d.getField("err"), F.lit("?"))),
+            )
+        ]
+        for label, m in self._mismatches(df):
+            parts.append(
+                F.when(d.getField("ok") & m, F.lit(f"{label} mismatch"))
+            )
+        return F.concat(
+            F.lit("Image payload inconsistent ("),
+            F.array_join(F.array_compact(F.array(*parts)), "; "),
+            F.lit(")"),
+        )
+
+    def message(self) -> str:
+        return "Image payload inconsistent with stored metadata"
+
+
+@dataclass(frozen=True)
+class PsnrAtLeast(Constraint):
+    """Decoded-pixel parity vs a reference payload column: PSNR >= min_db
+    (>= 40 dB for lossy formats per the north star; lossless pairs get
+    +inf). NULL PSNR (either side undecodable / shape mismatch) violates.
+    """
+
+    column: str = "bytes"
+    reference_col: str = "ref_bytes"
+    min_db: float = 40.0
+    severity: str = ERROR
+
+    @property
+    def name(self) -> str:
+        return f"psnr_{self.column}_{self.reference_col}"
+
+    @property
+    def columns_label(self) -> str:
+        return f"{self.column},{self.reference_col}"
+
+    @property
+    def error_type(self) -> str:
+        return ERR_IMAGE
+
+    def violation_expr(self, df: DataFrame) -> Column:
+        p = psnr_pair_udf()(df[self.column], df[self.reference_col])
+        return p.isNull() | (p < F.lit(self.min_db))
+
+    def message(self) -> str:
+        return (
+            f"Decoded pixels differ from reference beyond the "
+            f"{self.min_db} dB PSNR gate (or payload undecodable)"
+        )

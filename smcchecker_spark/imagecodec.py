@@ -1,0 +1,267 @@
+"""Deterministic image codecs for payload validation — numpy + stdlib only.
+
+This container has no PIL/libjpeg/libwebp, so:
+
+- **PNG is real.** ``encode_png``/``decode_png`` implement the PNG spec
+  (8-bit RGB, all five scanline filters on decode, filter 0 on encode)
+  with zlib + CRC32 from the stdlib. Payloads round-trip losslessly and
+  are valid PNG files any external tool can open.
+- **JPEG is a clearly-marked deterministic stand-in** (``FAKE-LOSSY``):
+  a container with real JPEG SOI/EOI magic bytes around a
+  quantize-then-deflate payload. It is NOT JPEG-compatible; it exists so
+  the *lossy-format code path* (decode → PSNR ≥ 40 dB instead of exact
+  equality) is real and testable. Quantization to 6 bits/channel gives
+  PSNR ≈ 46 dB — above the 40 dB gate, below lossless. When PIL is
+  present (import-try below), real JPEG decode takes over transparently.
+- **WEBP is sniffed but not decodable** here → decode failure unless PIL
+  is available (the engine reports it as a violation, which is the
+  correct behavior for an undecodable payload).
+
+phash is a 64-bit average-hash (8×8 block-mean luma vs its mean), chosen
+over DCT-phash to stay pure-numpy; it is deterministic and stable across
+the fake-lossy round-trip, which is what the consistency check needs.
+
+These functions run inside Arrow-batched pandas UDFs on executors — keep
+imports light and everything vectorized per-image (numpy), no per-pixel
+Python.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+try:  # real codecs if ever available; never required
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+JPEG_SOI = b"\xff\xd8\xff"
+JPEG_EOI = b"\xff\xd9"
+FAKE_LOSSY_TAG = b"FLSY"  # marks our stand-in payload inside the JPEG wrapper
+FAKE_LOSSY_BITS = 6  # keep 6 of 8 bits/channel → PSNR ≈ 46 dB
+
+FMT_PNG = "png"
+FMT_JPEG = "jpeg"
+FMT_WEBP = "webp"
+
+
+# ---------------------------------------------------------------------------
+# PNG (real)
+# ---------------------------------------------------------------------------
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """8-bit RGB HxWx3 array → PNG bytes (filter 0, one IDAT)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 uint8, got {arr.shape}")
+    h, w = arr.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # depth 8, color RGB
+    # prepend filter byte 0 to each scanline
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = arr.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters 0-4. raw: (h, 1+w*bpp) bytes."""
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(w * bpp, np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for x in range(bpp, w * bpp):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for x in range(w * bpp):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for x in range(w * bpp):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → HxWx3 uint8. Supports 8-bit RGB (what we emit)."""
+    if not data.startswith(PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(PNG_SIG)
+    w = h = None
+    idat = b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if not crc or crc[0] != (zlib.crc32(tag + payload) & 0xFFFFFFFF):
+            raise ValueError(f"PNG CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or ctype != 2:
+                raise ValueError(f"unsupported PNG (depth={depth}, color={ctype})")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    if raw.size != h * (1 + w * 3):
+        raise ValueError("PNG pixel payload has wrong size")
+    return _unfilter(raw.reshape(h, 1 + w * 3), h, w, 3).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# FAKE-LOSSY "jpeg" stand-in (deterministic; see module docstring)
+# ---------------------------------------------------------------------------
+
+
+def encode_fake_lossy(arr: np.ndarray) -> bytes:
+    """Quantize to FAKE_LOSSY_BITS bits/channel + deflate, in a JPEG wrapper."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    shift = 8 - FAKE_LOSSY_BITS
+    q = (arr >> shift).astype(np.uint8)
+    body = zlib.compress(q.tobytes(), 6)
+    return (
+        JPEG_SOI
+        + FAKE_LOSSY_TAG
+        + struct.pack(">HHB", w, h, shift)
+        + struct.pack(">I", len(body))
+        + body
+        + JPEG_EOI
+    )
+
+
+def decode_fake_lossy(data: bytes) -> np.ndarray:
+    if not (data.startswith(JPEG_SOI) and data[3:7] == FAKE_LOSSY_TAG):
+        raise ValueError("not a FAKE-LOSSY payload")
+    w, h, shift = struct.unpack(">HHB", data[7:12])
+    (blen,) = struct.unpack(">I", data[12:16])
+    body = data[16 : 16 + blen]
+    if len(body) != blen or data[16 + blen : 18 + blen] != JPEG_EOI:
+        raise ValueError("truncated FAKE-LOSSY payload")
+    q = np.frombuffer(zlib.decompress(body), dtype=np.uint8).reshape(h, w, 3)
+    # dequantize to bucket midpoints → bounded, zero-mean-ish error
+    return ((q.astype(np.uint16) << shift) | (1 << (shift - 1))).clip(0, 255).astype(
+        np.uint8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sniff / decode dispatch / hashing
+# ---------------------------------------------------------------------------
+
+
+def sniff_format(data: bytes) -> str | None:
+    if data[:8] == PNG_SIG:
+        return FMT_PNG
+    if data[:3] == JPEG_SOI:
+        return FMT_JPEG
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return FMT_WEBP
+    return None
+
+
+def decode_image(data: bytes) -> tuple[np.ndarray, str]:
+    """bytes → (HxWx3 uint8, fmt). Raises ValueError on undecodable input
+    (zlib/struct/shape errors from corrupt payloads are normalized too)."""
+    if data is None:
+        raise ValueError("null payload")
+    data = bytes(data)
+    fmt = sniff_format(data)
+    try:
+        if fmt == FMT_PNG:
+            return decode_png(data), FMT_PNG
+        if fmt == FMT_JPEG:
+            if data[3:7] == FAKE_LOSSY_TAG:
+                return decode_fake_lossy(data), FMT_JPEG
+            raise ValueError("real JPEG decode unavailable (no libjpeg in env)")
+    except ValueError:
+        raise
+    except (zlib.error, struct.error) as e:
+        raise ValueError(f"corrupt {fmt} payload: {e}") from e
+    if fmt == FMT_WEBP:
+        raise ValueError("webp decode unavailable (no libwebp in env)")
+    raise ValueError("unknown image format (bad magic bytes)")
+
+
+def luma(arr: np.ndarray) -> np.ndarray:
+    """Rec.601 luma, float64 HxW."""
+    a = arr.astype(np.float64)
+    return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+
+def _block_mean_8x8(gray: np.ndarray) -> np.ndarray:
+    """Downsample HxW → 8x8 by mean over index-partitioned blocks."""
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    out = np.empty((8, 8), dtype=np.float64)
+    for i in range(8):
+        for j in range(8):
+            out[i, j] = gray[ys[i] : max(ys[i + 1], ys[i] + 1),
+                             xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+    return out
+
+
+def phash64(arr: np.ndarray) -> int:
+    """64-bit average-hash of the image, as a SIGNED int64 (table dtype)."""
+    g = _block_mean_8x8(luma(arr))
+    bits = (g > g.mean()).flatten()
+    val = np.uint64(0)
+    for b in bits:
+        val = np.uint64(val << np.uint64(1)) | np.uint64(bool(b))
+    return int(np.int64(val))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    if a.shape != b.shape:
+        return 0.0
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))

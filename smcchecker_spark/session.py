@@ -63,4 +63,10 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # ship the engine to executors (the spark-submit --py-files analogue) so
+    # pandas-UDF closures can import smcchecker_spark wherever the driver ran
+    from smcchecker_spark.package import ensure_shipped
+
+    ensure_shipped(spark)
+    return spark

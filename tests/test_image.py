@@ -1,0 +1,166 @@
+"""Image payload validation tests (SURVEY.md §5 item 3 — golden fixture
+end-to-end) plus codec unit checks.
+
+Expected violation sets are COMPUTED from fixtures.expected_flags — the
+same index rules the generator plants — so the golden contract is a pure
+function of (n_rows, seed), never a stored blob.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from smcchecker_spark import imagecodec as ic
+from smcchecker_spark import fixtures
+from smcchecker_spark.compile import compile_suite
+from smcchecker_spark.constraints import (
+    InLookup,
+    MaxLength,
+    NotNull,
+    Suite,
+    Unique,
+    ValidationContext,
+)
+from smcchecker_spark.image import ImageConsistent, PsnrAtLeast
+
+N = 600  # fixture rows for the e2e test
+
+
+def test_codec_roundtrips():
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    assert np.array_equal(ic.decode_png(ic.encode_png(arr)), arr)
+    lossy = ic.decode_fake_lossy(ic.encode_fake_lossy(arr))
+    assert lossy.shape == arr.shape
+    assert ic.psnr(arr, lossy) >= 40.0  # the north-star lossy gate
+    assert ic.sniff_format(ic.encode_png(arr)) == "png"
+    assert ic.sniff_format(ic.encode_fake_lossy(arr)) == "jpeg"
+
+
+def test_phash_properties():
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    assert ic.phash64(a) == ic.phash64(a.copy())
+    # stable across the lossy roundtrip
+    b = ic.decode_fake_lossy(ic.encode_fake_lossy(a))
+    assert ic.hamming64(ic.phash64(a), ic.phash64(b)) <= 2
+    # different image → different hash (overwhelmingly)
+    c = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    assert ic.hamming64(ic.phash64(a), ic.phash64(c)) > 2
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return fixtures.generate_images(spark, n_rows=N, n_parts=8, seed=42).cache()
+
+
+def _ids(rows):
+    return {r["row_id"] for r in rows}
+
+
+def test_image_consistency_golden(spark, images):
+    suite = Suite(name="img", table="images", constraints=[ImageConsistent()])
+    v = compile_suite(images, suite, row_id_col="image_id", part_id_col="part_id")
+    got = _ids(v.collect())
+
+    expected = set()
+    for i in range(N):
+        fl = fixtures.expected_flags(i)
+        if any(
+            fl[k] for k in ("truncated", "bitflip", "w_off", "w_null", "phash_off")
+        ) or i % 43 in (7, 9, 21):
+            # fmt plantings also break decoded-fmt == stored-fmt
+            expected.add(fixtures._image_id(i - 1) if fl["dup"] else fixtures._image_id(i))
+    assert got == expected
+
+
+def test_image_violation_messages(spark, images):
+    suite = Suite(name="img", table="images", constraints=[ImageConsistent()])
+    v = compile_suite(images, suite, row_id_col="image_id", part_id_col="part_id")
+    msgs = {r["row_id"]: r["error_message"] for r in v.collect()}
+    trunc_id = fixtures._image_id(3)  # i=3 → truncated
+    woff_id = fixtures._image_id(5)  # i=5 → w off-by-one
+    assert "decode failed" in msgs[trunc_id]
+    assert "width mismatch" in msgs[woff_id]
+
+
+def test_decode_udf_single_arrow_stage(spark, images):
+    # the consistency constraint must decode each payload exactly once:
+    # one ArrowEvalPython node in the physical plan
+    suite = Suite(name="img", table="images", constraints=[ImageConsistent()])
+    v = compile_suite(images, suite, row_id_col="image_id", part_id_col="part_id")
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_full_suite_golden(spark, images):
+    """The whole reference-style battery on the fixture, golden-checked."""
+    ctx = ValidationContext(lookups={"lu_fmt": fixtures.lu_fmt(spark)})
+    suite = Suite(
+        name="images",
+        table="images",
+        constraints=[
+            NotNull("caption"),
+            MaxLength("caption", max_length=256),
+            Unique(keys=["image_id"]),
+            InLookup("fmt", lookup="lu_fmt", lookup_key="fmt"),
+            ImageConsistent(),
+        ],
+    )
+    v = compile_suite(images, suite, ctx, row_id_col="image_id", part_id_col="part_id").cache()
+
+    by_check = {
+        name: _ids(v.filter(F.col("check_name") == name).collect())
+        for name in (
+            "notnull_caption",
+            "maxlength_caption",
+            "unique_image_id",
+            "inlookup_fmt_lu_fmt",
+        )
+    }
+
+    exp_null, exp_len, exp_dup, exp_fmt = set(), set(), set(), set()
+    for i in range(N):
+        fl = fixtures.expected_flags(i)
+        rid = fixtures._image_id(i - 1) if fl["dup"] else fixtures._image_id(i)
+        if fl["caption_empty"]:
+            exp_null.add(rid)
+        if fl["caption_long"]:
+            exp_len.add(rid)
+        if fl["dup"]:
+            exp_dup.add(rid)  # both members share the same id
+        if fl["fmt_bad"]:
+            exp_fmt.add(rid)
+    assert by_check["notnull_caption"] == exp_null
+    assert by_check["maxlength_caption"] == exp_len
+    assert by_check["unique_image_id"] == exp_dup
+    assert by_check["inlookup_fmt_lu_fmt"] == exp_fmt
+    v.unpersist()
+
+
+def test_psnr_parity_clean_pairs(spark):
+    """Clean fixture vs itself re-encoded: PSNR >= 40 dB everywhere
+    (the per-row invariant vs the reference checker, input_hint)."""
+    a = fixtures.generate_images(spark, n_rows=60, n_parts=4, seed=42, clean=True)
+    b = (
+        fixtures.generate_images(spark, n_rows=60, n_parts=4, seed=42, clean=True)
+        .select("image_id", F.col("bytes").alias("ref_bytes"))
+    )
+    df = a.join(b, "image_id")
+    suite = Suite(
+        name="par",
+        table="images",
+        constraints=[PsnrAtLeast(column="bytes", reference_col="ref_bytes")],
+    )
+    v = compile_suite(df, suite, row_id_col="image_id", part_id_col="part_id")
+    assert v.count() == 0
+
+    # corrupt one payload → exactly that row violates
+    df_bad = df.withColumn(
+        "bytes",
+        F.when(F.col("image_id") == fixtures._image_id(0), F.lit(b"junk")).otherwise(
+            F.col("bytes")
+        ),
+    )
+    v2 = compile_suite(df_bad, suite, row_id_col="image_id", part_id_col="part_id")
+    assert _ids(v2.collect()) == {fixtures._image_id(0)}
