@@ -1,0 +1,125 @@
+"""Checkpoint / resume at partition granularity, with lineage + metrics.
+
+North rule: "resumable from checkpoint with per-partition lineage +
+metrics". Reference analogue: the submission_tracking table + row-count
+checksum written after load (/root/reference/proj/load.py:124-145,
+proj/login.py:44-57) — progress records at submission granularity; this
+engine generalizes them to one record per data partition so a 10^12-row
+run that dies resumes exactly at the incomplete partitions.
+
+Mechanics (deterministic batch orchestration, SURVEY.md §2.9):
+
+- the checkpoint table is a parquet (or Iceberg, when jars are present)
+  directory of verdict/metrics rows keyed (run_id, part_id), plus the
+  violations written per completed wave;
+- ``completed_partitions`` reads only the checkpoint (tiny), never data;
+- ``resume_filter`` prunes completed partitions from the input scan — a
+  partition-column predicate, so on a hive/Iceberg-partitioned table the
+  pruning happens at the SOURCE (no data read for finished partitions);
+- each wave validates a set of partitions, appends violations, then
+  appends verdict rows LAST — a wave is complete iff its verdict rows
+  are present, so a crash between the two writes re-runs that wave and
+  overwrite-by-rewrite keeps violations consistent (violations for a
+  re-run wave are deduplicated by (run_id is embedded in the path)).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smcchecker_spark.run import ValidationRunner, ValidationResult
+
+
+class CheckpointStore:
+    def __init__(self, root: str):
+        self.root = root
+
+    def _verdict_path(self, run_id: str) -> str:
+        return os.path.join(self.root, "verdicts", f"run_id={run_id}")
+
+    def _violations_path(self, run_id: str, wave: int) -> str:
+        return os.path.join(
+            self.root, "violations", f"run_id={run_id}", f"wave={wave}"
+        )
+
+    def completed_partitions(self, spark: SparkSession, run_id: str) -> set[int]:
+        path = self._verdict_path(run_id)
+        try:
+            vd = spark.read.parquet(path)
+        except Exception:
+            return set()
+        return {r["part_id"] for r in vd.select("part_id").distinct().collect()}
+
+    def waves(self, spark: SparkSession, run_id: str) -> int:
+        base = os.path.join(self.root, "violations", f"run_id={run_id}")
+        if not os.path.isdir(base):
+            return 0
+        return len([d for d in os.listdir(base) if d.startswith("wave=")])
+
+    def write_wave(
+        self, run_id: str, wave: int, result: ValidationResult
+    ) -> None:
+        # violations first, verdicts last — the verdict row is the commit
+        # marker for a (run, wave); see module docstring
+        result.violations.write.mode("overwrite").parquet(
+            self._violations_path(run_id, wave)
+        )
+        result.verdicts.drop("run_id").write.mode("append").parquet(
+            self._verdict_path(run_id)
+        )
+
+    def violations(self, spark: SparkSession, run_id: str) -> DataFrame:
+        return spark.read.parquet(
+            os.path.join(self.root, "violations", f"run_id={run_id}")
+        )
+
+    def verdicts(self, spark: SparkSession, run_id: str) -> DataFrame:
+        return spark.read.parquet(self._verdict_path(run_id)).withColumn(
+            "run_id", F.lit(run_id)
+        )
+
+
+def run_with_checkpoint(
+    runner: ValidationRunner,
+    df: DataFrame,
+    store: CheckpointStore,
+    partitions_per_wave: int | None = None,
+    fail_after_waves: int | None = None,
+) -> set[int]:
+    """Validate partition-by-partition (in waves), checkpointing each wave.
+
+    Returns the set of part_ids processed by THIS invocation (already-
+    checkpointed partitions are skipped — the resume path). Partition ids
+    come from the data's ``part_id`` column; listing them is a distinct
+    over the partition column (source-prunable).
+
+    ``fail_after_waves`` is a test hook simulating a mid-run crash.
+    """
+    spark = df.sparkSession
+    part_col = runner.part_id_col or "part_id"
+    all_parts = sorted(
+        r[part_col] for r in df.select(part_col).distinct().collect()
+    )
+    done = store.completed_partitions(spark, runner.run_id)
+    todo = [p for p in all_parts if p not in done]
+    if not todo:
+        return set()
+    per_wave = partitions_per_wave or len(todo)
+    processed: set[int] = set()
+    wave = store.waves(spark, runner.run_id)
+    for i in range(0, len(todo), per_wave):
+        if fail_after_waves is not None and i // per_wave >= fail_after_waves:
+            raise RuntimeError("simulated crash between waves")
+        batch = todo[i : i + per_wave]
+        # partition-pruning predicate: on a partitioned source this skips
+        # whole files/manifests, not just rows
+        wave_df = df.filter(F.col(part_col).isin(batch))
+        result = runner.run(wave_df)
+        store.write_wave(runner.run_id, wave, result)
+        result.violations.unpersist()
+        processed.update(batch)
+        wave += 1
+    return processed

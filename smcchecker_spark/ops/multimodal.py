@@ -1,0 +1,194 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched UDFs.
+
+What's REAL here (tested): the Spark-side plumbing — schemas, batch
+iteration, partition behavior, UDF signatures — plus image decode/resize/
+feature-extraction via the engine's own numpy codecs. What's STUBBED
+(this container has no PIL/ffmpeg/librosa): real JPEG/WebP decode, audio
+sample decode, video frame demux — each gated behind an import-try and
+raising ``NotImplementedError`` with a clear message, with a
+deterministic fake extractor available for pipeline testing
+(``deterministic_fake=True``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from smcchecker_spark import imagecodec as ic
+
+IMAGE_META_SCHEMA = "ok boolean, w int, h int, fmt string, n_pixels long"
+IMAGE_FEATURES_SCHEMA = (
+    "ok boolean, mean_r double, mean_g double, mean_b double, luma_std double"
+)
+
+_UDFS: dict[str, object] = {}
+
+
+def _resize_block_mean(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic nearest-block-mean resize (pure numpy)."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    out = np.empty((out_h, out_w, 3), dtype=np.float64)
+    for i in range(out_h):
+        for j in range(out_w):
+            out[i, j] = arr[
+                ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)
+            ].mean(axis=(0, 1))
+    return out.round().clip(0, 255).astype(np.uint8)
+
+
+def image_meta_udf():
+    """bytes → (ok, w, h, fmt, n_pixels) — decode metadata extraction."""
+    if "meta" not in _UDFS:
+
+        @pandas_udf(IMAGE_META_SCHEMA)
+        def meta(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+            for s in batches:
+                rows = []
+                for b in s.values:
+                    try:
+                        arr, fmt = ic.decode_image(bytes(b) if b is not None else None)
+                        h, w = arr.shape[:2]
+                        rows.append((True, w, h, fmt, int(w) * int(h)))
+                    except ValueError:
+                        rows.append((False, None, None, None, None))
+                yield pd.DataFrame(
+                    rows, columns=["ok", "w", "h", "fmt", "n_pixels"]
+                )
+
+        _UDFS["meta"] = meta
+    return _UDFS["meta"]
+
+
+def image_features_udf():
+    """bytes → channel means + luma std (the feature-extraction stage)."""
+    if "features" not in _UDFS:
+
+        @pandas_udf(IMAGE_FEATURES_SCHEMA)
+        def features(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+            for s in batches:
+                rows = []
+                for b in s.values:
+                    try:
+                        arr, _ = ic.decode_image(bytes(b) if b is not None else None)
+                        m = arr.reshape(-1, 3).mean(axis=0)
+                        rows.append(
+                            (
+                                True,
+                                round(float(m[0]), 4),
+                                round(float(m[1]), 4),
+                                round(float(m[2]), 4),
+                                round(float(ic.luma(arr).std()), 4),
+                            )
+                        )
+                    except ValueError:
+                        rows.append((False, None, None, None, None))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["ok", "mean_r", "mean_g", "mean_b", "luma_std"],
+                )
+
+        _UDFS["features"] = features
+    return _UDFS["features"]
+
+
+def image_resize_udf(out_w: int, out_h: int):
+    """bytes → re-encoded PNG bytes at (out_w, out_h). Undecodable → NULL."""
+    key = f"resize_{out_w}x{out_h}"
+    if key not in _UDFS:
+
+        @pandas_udf("binary")
+        def resize(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for s in batches:
+                out = []
+                for b in s.values:
+                    try:
+                        arr, _ = ic.decode_image(bytes(b) if b is not None else None)
+                        out.append(
+                            ic.encode_png(_resize_block_mean(arr, out_w, out_h))
+                        )
+                    except ValueError:
+                        out.append(None)
+                yield pd.Series(out, dtype=object)
+
+        _UDFS[key] = resize
+    return _UDFS[key]
+
+
+def with_image_meta(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    return df.withColumn("img_meta", image_meta_udf()(F.col(bytes_col)))
+
+
+def with_image_features(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    return df.withColumn("img_feat", image_features_udf()(F.col(bytes_col)))
+
+
+# ---------------------------------------------------------------------------
+# Audio / video: real Spark plumbing, stubbed decoders
+# ---------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = "ok boolean, n_samples long, sample_rate int, rms double"
+VIDEO_FRAMES_SCHEMA = "frame_idx int, frame_png binary"
+
+try:  # pragma: no cover - not present in this container
+    import librosa  # noqa: F401
+
+    HAVE_AUDIO = True
+except ImportError:
+    HAVE_AUDIO = False
+
+
+def audio_meta_udf(deterministic_fake: bool = False):
+    """STUB: audio decode is unavailable here (no librosa/soundfile).
+
+    With ``deterministic_fake=True`` the payload is interpreted as raw
+    int16 PCM at 16 kHz — a deterministic stand-in exercising the real
+    batching/schema path. Otherwise raises NotImplementedError at plan
+    time (fail fast, not per-task).
+    """
+    if not deterministic_fake and not HAVE_AUDIO:
+        raise NotImplementedError(
+            "audio decode needs librosa/soundfile (absent in this image); "
+            "pass deterministic_fake=True for the raw-PCM stand-in"
+        )
+    key = "audio_fake"
+    if key not in _UDFS:
+
+        @pandas_udf(AUDIO_META_SCHEMA)
+        def audio_meta(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+            for s in batches:
+                rows = []
+                for b in s.values:
+                    if b is None or len(b) < 2:
+                        rows.append((False, None, None, None))
+                        continue
+                    pcm = np.frombuffer(bytes(b)[: len(b) // 2 * 2], dtype="<i2")
+                    rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+                    rows.append((True, int(pcm.size), 16000, round(rms, 4)))
+                yield pd.DataFrame(
+                    rows, columns=["ok", "n_samples", "sample_rate", "rms"]
+                )
+
+        _UDFS[key] = audio_meta
+    return _UDFS[key]
+
+
+def video_frame_sample(
+    df: DataFrame, bytes_col: str = "video_bytes", every_n: int = 10
+) -> DataFrame:
+    """STUB: video frame sampling needs ffmpeg (absent). The correct Spark
+    shape is documented here: mapInPandas exploding each row into sampled
+    frames (1 row in → k frame rows out) with VIDEO_FRAMES_SCHEMA."""
+    raise NotImplementedError(
+        "video demux needs ffmpeg/pyav (absent in this image); the "
+        "mapInPandas explode-to-frames plumbing is specified in "
+        "multimodal.VIDEO_FRAMES_SCHEMA"
+    )

@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring how ANN is actually deployed on Spark:
+
+- **brute-force cosine top-k** — the exactness baseline: broadcast the
+  (small) query set against the corpus, JVM-side dot products via
+  ``zip_with`` + ``aggregate``, per-query top-k via window rank. One
+  corpus scan regardless of query count; no corpus shuffle.
+- **random-hyperplane LSH** — the scale path: a deterministic R-plane
+  signature buckets the corpus (computed once, storable); queries probe
+  their bucket (+ optional multi-probe) so each query touches a small
+  corpus slice. Recall < 1 by construction; the baseline quantifies it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (
+        F.greatest(l2_norm(a), F.lit(1e-12)) * F.greatest(l2_norm(b), F.lit(1e-12))
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries are broadcast (they are the
+    small side by assumption); ties broken by neighbor id for determinism.
+    Output: (query_id, neighbor_id, score, rank)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = c.crossJoin(q).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature vs fixed hyperplanes → a long bucket id."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, 1).otherwise(0)
+        for p in planes
+    ]
+    acc = F.lit(0).cast("long")
+    for b in bits:
+        acc = acc * 2 + b
+    return acc
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: equi-join on the hyperplane bucket, exact cosine
+    + rank inside the bucket. 2^n_planes buckets → each query scans
+    ~corpus/2^n_planes rows. Deterministic planes (seeded) so the bucket
+    assignment is stable across runs/resume."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            lsh_signature(F.col(vec_col), planes).alias("bucket"),
+        )
+    )
+    scored = c.join(q, "bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ τ, LSH-bucketed so the
+    pair join is equi- on bucket (near-identical vectors land in the same
+    bucket with probability (1−θ/π)^n_planes)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    l, r = sig.alias("l"), sig.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
+    ).select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

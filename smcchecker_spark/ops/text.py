@@ -1,0 +1,135 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+fingerprinting. Everything except language-ID is pure Column expressions
+(JVM-side, oracle-SQL-expressible); language-ID is an n-gram/stopword
+heuristic over a broadcast-free literal table, still expression-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the heuristic language ID
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "with"],
+    "es": ["el", "la", "de", "que", "los", "una"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+    "de": ["der", "die", "und", "ist", "das", "ein"],
+}
+
+_STOPWORDS = sorted({w for ws in _LANG_MARKERS.values() for w in ws})
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty/null → empty array."""
+    t = F.trim(F.coalesce(col, F.lit("")))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: split on word boundaries AND digit/punct
+    runs (a regex approximation of BPE segmentation for budgeting)."""
+    t = F.coalesce(col, F.lit(""))
+    pieces = F.regexp_extract_all(
+        t, F.lit(r"[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]"), 0
+    )
+    return F.size(pieces)
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams (shingles) of the normalized text."""
+    norm = F.lower(F.regexp_replace(F.coalesce(col, F.lit("")), r"\s+", " "))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substring(norm, i, n))
+    )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (the MinHash unit for document dedup)."""
+    tk = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(tk, i + 1, k), " "))
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    t = F.coalesce(col, F.lit(""))
+    n_punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    return n_punct / F.greatest(F.length(t), F.lit(1))
+
+
+def stopword_ratio(col: Column) -> Column:
+    tk = tokens(F.lower(col))
+    hits = F.size(F.array_intersect(F.array_distinct(tk), F.array(*[F.lit(w) for w in _STOPWORDS])))
+    # ratio of distinct stopwords present to distinct tokens (cheap proxy)
+    return hits / F.greatest(F.size(F.array_distinct(tk)), F.lit(1))
+
+
+def mean_word_length(col: Column) -> Column:
+    tk = tokens(col)
+    total = F.aggregate(tk, F.lit(0), lambda acc, w: acc + F.length(w))
+    return total / F.greatest(F.size(tk), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0,1]: length sweet-spot, moderate
+    punctuation, plausible mean word length. Deterministic arithmetic so
+    an ANSI-SQL oracle can reproduce it exactly."""
+    n = F.length(F.coalesce(col, F.lit("")))
+    len_score = F.least(n / F.lit(200.0), F.lit(1.0)) * F.when(
+        n > 10000, F.lit(0.5)
+    ).otherwise(F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4)
+    mwl = mean_word_length(col)
+    wl_score = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(len_score * punct_pen * wl_score, 6)
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits;
+    'und' (undetermined) when nothing matches."""
+    tk = F.array_distinct(tokens(F.lower(col)))
+    scored = [
+        F.struct(
+            F.size(
+                F.array_intersect(tk, F.array(*[F.lit(w) for w in ws]))
+            ).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(_LANG_MARKERS.items())
+    ]
+    best = F.array_max(F.array(*scored))
+    return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(
+        F.lit("und")
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of case/whitespace-
+    normalized text (md5 so a DuckDB oracle matches bit-for-bit)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.coalesce(col, F.lit("")), r"\s+", " ")))
+    return F.md5(norm)
+
+
+def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All per-document features in one fused projection (single scan)."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "n_tokens_bpe": bpe_ish_token_count(c),
+            "quality": quality_score(c),
+            "lang_pred": lang_id(c),
+            "fingerprint": fingerprint(c),
+            "punct_ratio": F.round(punct_ratio(c), 6),
+            "stopword_ratio": F.round(stopword_ratio(c), 6),
+        }
+    )

@@ -1,0 +1,338 @@
+"""Column statistics, sketches, and distribution-drift checks.
+
+North-star requirements (/root/repo/BASELINE.json:6): per-column null
+rate, min/max, cardinality via HyperLogLog sketches, value distributions
+via t-digest; KS/PSI drift checks against a baseline stats snapshot. The
+reference has no analogue (its only aggregate is a row-count checksum,
+/root/reference/proj/load.py:124-145) — these are the scale-era extension
+of its metadata-driven checks.
+
+Design for 10^12 rows:
+
+- ``column_stats`` is ONE aggregate pass for all requested columns
+  (map-side partial agg → single tiny result; no shuffle of data rows).
+  HLL via Spark's built-in ``approx_count_distinct`` (HLL++),
+  quantiles via ``percentile_approx``.
+- ``histogram`` is one groupBy over ``width_bucket``-style bucket ids —
+  the only shuffle, over ≤bins+2 distinct keys.
+- KS and PSI are computed from binned histograms entirely as DataFrame
+  ops (a bins-sized join), so drift checks never collect data rows.
+- ``TDigest`` is a small mergeable centroid sketch: partial sketches per
+  Arrow batch via ``mapInPandas``, merged on the driver (bytes per
+  partition, not rows) — the classic partial/final sketch pattern.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from smcchecker_spark import exprs
+
+STATS_COLS = [
+    "column",
+    "n_rows",
+    "null_count",
+    "null_rate",
+    "min",
+    "max",
+    "approx_ndv",
+    "quantiles",
+]
+
+DEFAULT_QUANTILES = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def column_stats(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    quantiles: list[float] = DEFAULT_QUANTILES,
+    hll_rsd: float = 0.02,
+) -> DataFrame:
+    """One-pass per-column stats. Returns one row per column:
+    (column, n_rows, null_count, null_rate, min, max, approx_ndv, quantiles).
+
+    Null semantics follow the reference's empty test (NULL/''/'nan',
+    proj/core/metadata.py:203). min/max render as strings so mixed column
+    types coexist in one stats table; quantiles only for numeric-castable
+    columns (NULL array otherwise).
+    """
+    columns = columns or df.columns
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        col = F.col(c)
+        empty = exprs.is_empty(col)
+        aggs.append(F.sum(empty.cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
+        aggs.append(F.approx_count_distinct(col, hll_rsd).alias(f"{c}__ndv"))
+        aggs.append(
+            F.percentile_approx(
+                col.try_cast("double"), F.lit(quantiles), F.lit(10000)
+            ).alias(f"{c}__q")
+        )
+    row = df.agg(*aggs)
+
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("null_count"),
+            (F.col(f"{c}__nulls") / F.col("__n")).alias("null_rate"),
+            F.col(f"{c}__min").alias("min"),
+            F.col(f"{c}__max").alias("max"),
+            F.col(f"{c}__ndv").alias("approx_ndv"),
+            F.col(f"{c}__q").alias("quantiles"),
+        )
+        for c in columns
+    ]
+    return row.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
+
+
+def bucket_expr(col: Column, lo: float, hi: float, bins: int) -> Column:
+    """width_bucket semantics: bucket 0 = underflow, bins+1 = overflow,
+    1..bins = [lo,hi) split evenly. NULL values → NULL bucket."""
+    step = (hi - lo) / bins
+    x = col.try_cast("double")
+    raw = F.floor((x - F.lit(lo)) / F.lit(step)).cast("int") + 1
+    return (
+        F.when(x.isNull(), F.lit(None).cast("int"))
+        .when(x < lo, F.lit(0))
+        .when(x >= hi, F.lit(bins + 1))
+        .otherwise(raw)
+    )
+
+
+def histogram(
+    df: DataFrame, column: str, lo: float, hi: float, bins: int = 32
+) -> DataFrame:
+    """(bucket int, count long) — one shuffle over ≤ bins+2 keys."""
+    return (
+        df.select(bucket_expr(F.col(column), lo, hi, bins).alias("bucket"))
+        .where(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def _joined_probs(cur: DataFrame, base: DataFrame, eps: float) -> DataFrame:
+    c = cur.select(F.col("bucket"), F.col("count").alias("c_cnt"))
+    b = base.select(F.col("bucket"), F.col("count").alias("b_cnt"))
+    j = c.join(b, "bucket", "full_outer").fillna(0, ["c_cnt", "b_cnt"])
+    tot = j.agg(
+        F.sum("c_cnt").alias("ct"), F.sum("b_cnt").alias("bt")
+    ).select("ct", "bt")
+    j = j.crossJoin(F.broadcast(tot))
+    return j.select(
+        "bucket",
+        (F.col("c_cnt") / F.col("ct") + F.lit(eps)).alias("p"),
+        (F.col("b_cnt") / F.col("bt") + F.lit(eps)).alias("q"),
+    )
+
+
+def psi(cur: DataFrame, base: DataFrame, eps: float = 1e-6) -> float:
+    """Population Stability Index between two histograms (same binning).
+
+    PSI = Σ (p−q)·ln(p/q); rule-of-thumb thresholds: <0.1 stable,
+    0.1–0.2 moderate, >0.2 drifted.
+    """
+    j = _joined_probs(cur, base, eps)
+    row = j.agg(
+        F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi")
+    ).collect()[0]
+    return float(row["psi"] or 0.0)
+
+
+def ks_stat(cur: DataFrame, base: DataFrame) -> float:
+    """Binned two-sample Kolmogorov–Smirnov statistic: max |CDF_p − CDF_q|.
+
+    Exact KS needs sorted raw samples (a full sort at 10^12 rows); the
+    binned statistic over the shared histogram is the scalable stand-in
+    and converges to KS as bins grow.
+    """
+    j = _joined_probs(cur, base, eps=0.0)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    row = (
+        j.select(
+            F.abs(F.sum("p").over(w) - F.sum("q").over(w)).alias("d")
+        )
+        .agg(F.max("d").alias("ks"))
+        .collect()[0]
+    )
+    return float(row["ks"] or 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Drift as a table-level constraint (emits a violation row per drifted column)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DriftSpec:
+    column: str
+    metric: str  # 'psi' | 'ks'
+    threshold: float
+    lo: float
+    hi: float
+    bins: int = 32
+
+
+def drift_violations(
+    df: DataFrame,
+    baseline: DataFrame,
+    specs: list[DriftSpec],
+    table: str = "table",
+) -> tuple[DataFrame, dict[str, float]]:
+    """Evaluate drift specs for ``df`` vs ``baseline`` (raw-row baseline,
+    same schema). Returns (violations DF in the engine's violation schema,
+    {column: metric value}). Violations carry row_id='__TABLE__' — drift
+    is a distribution property, not a row property."""
+    spark = df.sparkSession
+    measured: dict[str, float] = {}
+    rows = []
+    for sp in specs:
+        cur_h = histogram(df, sp.column, sp.lo, sp.hi, sp.bins)
+        base_h = histogram(baseline, sp.column, sp.lo, sp.hi, sp.bins)
+        val = psi(cur_h, base_h) if sp.metric == "psi" else ks_stat(cur_h, base_h)
+        measured[sp.column] = val
+        if val > sp.threshold:
+            rows.append(
+                (
+                    table,
+                    "__TABLE__",
+                    sp.column,
+                    "Distribution Drift",
+                    True,
+                    (
+                        f"Column {sp.column} drifted from baseline: "
+                        f"{sp.metric}={val:.4f} > {sp.threshold}"
+                    ),
+                    f"drift_{sp.metric}_{sp.column}",
+                    "error",
+                    -1,
+                )
+            )
+    from smcchecker_spark.compile import VIOLATION_SCHEMA
+
+    return spark.createDataFrame(rows, VIOLATION_SCHEMA), measured
+
+
+# ---------------------------------------------------------------------------
+# t-digest (mergeable quantile sketch; partial-per-batch → driver merge)
+# ---------------------------------------------------------------------------
+
+
+class TDigest:
+    """Minimal mergeable t-digest (Dunning) — centroids compressed so bin
+    k-index width ≤ 1 with the usual k(q) = δ/2π · asin(2q−1) scale."""
+
+    def __init__(self, delta: int = 100):
+        self.delta = delta
+        self.means = np.empty(0)
+        self.weights = np.empty(0)
+
+    @property
+    def total(self) -> float:
+        return float(self.weights.sum())
+
+    def add(self, values: np.ndarray) -> None:
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]
+        if values.size == 0:
+            return
+        self.means = np.concatenate([self.means, values])
+        self.weights = np.concatenate([self.weights, np.ones(values.size)])
+        if self.means.size > 8 * self.delta:
+            self._compress()
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        out = TDigest(self.delta)
+        out.means = np.concatenate([self.means, other.means])
+        out.weights = np.concatenate([self.weights, other.weights])
+        out._compress()
+        return out
+
+    def _k(self, q: np.ndarray) -> np.ndarray:
+        return self.delta / (2 * math.pi) * np.arcsin(2 * np.clip(q, 0, 1) - 1)
+
+    def _compress(self) -> None:
+        if self.means.size == 0:
+            return
+        order = np.argsort(self.means)
+        m, w = self.means[order], self.weights[order]
+        tot = w.sum()
+        out_m, out_w = [], []
+        cur_m, cur_w = m[0], w[0]
+        acc = 0.0
+        for i in range(1, m.size):
+            q0 = acc / tot
+            q1 = (acc + cur_w + w[i]) / tot
+            if self._k(np.array([q1]))[0] - self._k(np.array([q0]))[0] <= 1.0:
+                cur_m = (cur_m * cur_w + m[i] * w[i]) / (cur_w + w[i])
+                cur_w += w[i]
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                acc += cur_w
+                cur_m, cur_w = m[i], w[i]
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.array(out_m)
+        self.weights = np.array(out_w)
+
+    def quantile(self, q: float) -> float:
+        self._compress()
+        if self.means.size == 0:
+            return float("nan")
+        cum = np.cumsum(self.weights) - self.weights / 2
+        target = q * self.total
+        return float(np.interp(target, cum, self.means))
+
+    def to_bytes(self) -> bytes:
+        self._compress()
+        n = self.means.size
+        return (
+            struct.pack(">iI", self.delta, n)
+            + self.means.astype(">f8").tobytes()
+            + self.weights.astype(">f8").tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "TDigest":
+        delta, n = struct.unpack(">iI", data[:8])
+        td = cls(delta)
+        td.means = np.frombuffer(data[8 : 8 + 8 * n], dtype=">f8").astype(np.float64)
+        td.weights = np.frombuffer(data[8 + 8 * n : 8 + 16 * n], dtype=">f8").astype(
+            np.float64
+        )
+        return td
+
+
+def tdigest_sketch(df: DataFrame, column: str, delta: int = 100) -> TDigest:
+    """Distributed t-digest: one partial sketch per Arrow batch on the
+    executors (mapInPandas), merged on the driver — only centroid bytes
+    cross the wire, never rows."""
+
+    def partials(batches):
+        for pdf in batches:
+            td = TDigest(delta)
+            td.add(pd.to_numeric(pdf[column], errors="coerce").to_numpy(np.float64))
+            yield pd.DataFrame({"sketch": [td.to_bytes()]})
+
+    parts = (
+        df.select(F.col(column).try_cast("double").alias(column))
+        .mapInPandas(partials, "sketch binary")
+        .collect()
+    )
+    out = TDigest(delta)
+    for r in parts:
+        out = out.merge(TDigest.from_bytes(bytes(r["sketch"])))
+    return out

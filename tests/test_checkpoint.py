@@ -1,0 +1,69 @@
+"""Resume tests (SURVEY.md §5 item 4): kill after k waves; rerun; assert
+only incomplete partitions re-process and the final violation set is
+identical to an uninterrupted run."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from smcchecker_spark import fixtures
+from smcchecker_spark.checkpoint import CheckpointStore, run_with_checkpoint
+from smcchecker_spark.constraints import MaxLength, NotNull, Suite
+from smcchecker_spark.run import ValidationRunner
+
+
+@pytest.fixture()
+def images(spark):
+    return fixtures.generate_images(spark, n_rows=300, n_parts=6, seed=42).cache()
+
+
+def _suite():
+    return Suite(
+        name="img",
+        table="images",
+        constraints=[NotNull("caption"), MaxLength("caption", max_length=256)],
+    )
+
+
+def test_resume_after_crash(spark, images, tmp_path):
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+
+    # uninterrupted reference run
+    ref_store = CheckpointStore(str(tmp_path / "ref"))
+    runner = ValidationRunner(_suite(), run_id="ref")
+    run_with_checkpoint(runner, images, ref_store, partitions_per_wave=6)
+    ref_v = {
+        (r["row_id"], r["check_name"])
+        for r in ref_store.violations(spark, "ref").collect()
+    }
+
+    # crash after 1 wave of 2 partitions
+    runner2 = ValidationRunner(_suite(), run_id="r1")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_with_checkpoint(
+            runner2, images, store, partitions_per_wave=2, fail_after_waves=1
+        )
+    done_after_crash = store.completed_partitions(spark, "r1")
+    assert len(done_after_crash) == 2
+
+    # resume: only the remaining 4 partitions run
+    processed = run_with_checkpoint(runner2, images, store, partitions_per_wave=2)
+    assert processed == set(range(6)) - done_after_crash
+
+    # final state identical to the uninterrupted run
+    got_v = {
+        (r["row_id"], r["check_name"])
+        for r in store.violations(spark, "r1").collect()
+    }
+    assert got_v == ref_v
+    assert store.completed_partitions(spark, "r1") == set(range(6))
+
+    # verdict metrics: per-partition row counts survive the crash/resume
+    vd = store.verdicts(spark, "r1")
+    assert vd.agg(F.sum("n_rows")).collect()[0][0] == 300
+
+
+def test_resume_noop_when_complete(spark, images, tmp_path):
+    store = CheckpointStore(str(tmp_path / "ckpt2"))
+    runner = ValidationRunner(_suite(), run_id="r2")
+    run_with_checkpoint(runner, images, store)
+    assert run_with_checkpoint(runner, images, store) == set()

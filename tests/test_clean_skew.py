@@ -1,0 +1,70 @@
+"""Preprocess (trim/fix_case, proj/preprocess.py) and skew helpers."""
+
+from pyspark.sql import functions as F
+
+from smcchecker_spark import clean, skew
+from smcchecker_spark.constraints import InLookup, Suite, ValidationContext
+from smcchecker_spark.compile import compile_suite
+
+
+def test_strip_whitespace(spark):
+    df = spark.createDataFrame(
+        [("a", "  x  ", 1), ("b", None, 2)], "id string, v string, n int"
+    )
+    out = {r["id"]: r["v"] for r in clean.strip_whitespace(df).collect()}
+    assert out == {"a": "x", "b": None}
+
+
+def test_fix_case(spark):
+    df = spark.createDataFrame(
+        [("a", "PNG"), ("b", "png"), ("c", "Jpeg"), ("d", "bmp"), ("e", None)],
+        "id string, fmt string",
+    )
+    lu = spark.createDataFrame([("png",), ("jpeg",)], "fmt string")
+    out = {r["id"]: r["fmt"] for r in clean.fix_case(df, "fmt", lu, "fmt").collect()}
+    # case-insensitive matches canonicalize; non-matches pass through
+    assert out == {"a": "png", "b": "png", "c": "jpeg", "d": "bmp", "e": None}
+
+
+def test_clean_then_lookup_pipeline(spark):
+    """'PNG' is a lookup failure raw, but passes after preprocess —
+    the reference's preprocess-before-checks contract."""
+    df = spark.createDataFrame(
+        [("a", " PNG "), ("b", "bmp")], "image_id string, fmt string"
+    )
+    lu = spark.createDataFrame([("png",), ("jpeg",)], "fmt string")
+    cleaned = clean.clean_data(df, case_fix_lookups={"fmt": (lu, "fmt")})
+    ctx = ValidationContext(lookups={"lu_fmt": lu})
+    suite = Suite(
+        name="t", table="t",
+        constraints=[InLookup("fmt", lookup="lu_fmt", lookup_key="fmt")],
+    )
+    v = compile_suite(cleaned, suite, ctx, row_id_col="image_id", part_id_col=None)
+    assert {r["row_id"] for r in v.collect()} == {"b"}
+
+
+def test_salted_count_matches_plain(spark):
+    # 90% of rows share one hot key — the fixture's fmt skew shape
+    rows = [(i, "hot" if i % 10 else "cold") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    got = {r["k"]: r["count"] for r in skew.salted_count(df, ["k"], "id").collect()}
+    want = {
+        r["k"]: r["cnt"]
+        for r in df.groupBy("k").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == want
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    rows = [(i, "hot") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    out = skew.salted_repartition(df, ["k"], "id", num_partitions=8, salt_buckets=8)
+    sizes = (
+        out.groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    nonempty = [r["count"] for r in sizes if r["count"] > 0]
+    # a plain repartition("k") would put all 2000 rows in ONE partition
+    assert len(nonempty) >= 4
+    assert max(nonempty) < 2000

@@ -1,0 +1,165 @@
+"""Training-data ops: text features, dedup (exact/minhash/simhash),
+similarity search (brute force + LSH), multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from smcchecker_spark import imagecodec as ic
+from smcchecker_spark.ops import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " extra"),  # near dup of 0
+        (3, "el perro y el gato de la casa que los una"),
+        (4, "completely different content about spark query engines and joins"),
+        (5, "THE  quick   brown fox jumps over the lazy dog again and again today"),  # ws/case dup of 0
+        (6, ""),
+        (7, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_text_features(spark, docs):
+    feats = {r["doc_id"]: r for r in text.text_features(docs).collect()}
+    assert feats[0]["n_tokens"] == 13
+    assert feats[6]["n_tokens"] == 0 and feats[7]["n_tokens"] == 0
+    assert feats[0]["lang_pred"] == "en"
+    assert feats[3]["lang_pred"] == "es"
+    assert feats[4]["quality"] > 0
+    # fingerprint normalizes case + whitespace
+    assert feats[0]["fingerprint"] == feats[5]["fingerprint"]
+    assert feats[0]["fingerprint"] != feats[2]["fingerprint"]
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_duplicates(docs, "doc_id")
+    got = {r["doc_id"]: r["group_size"] for r in groups.collect()}
+    assert got == {0: 3, 1: 3, 5: 3}
+
+
+def test_minhash_lsh_near_dups(spark, docs):
+    pairs = dedup.ngram_jaccard_dedup(
+        docs, "doc_id", threshold=0.5, num_hashes=32, bands=16
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    # dup/near-dup cluster {0,1,2,5} found, unrelated docs absent
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (0, 2) in got and 0.5 <= got[(0, 2)] < 1.0
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_minhash_est_vs_exact(spark, docs):
+    cand = dedup.minhash_candidate_pairs(docs, "doc_id", num_hashes=64, bands=32)
+    exact = dedup.exact_jaccard_pairs(docs, cand.select("id_a", "id_b"), "doc_id")
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cand.collect()}
+    for p, jac in j.items():
+        assert est[p] == pytest.approx(jac, abs=0.25)
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = dedup.simhash_near_dups(docs, "doc_id", max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # identical text → hamming 0
+    assert not any(4 in p for p in got)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((20, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # 20 = 0 + tiny noise (near-dup); 21 = exact copy of 1
+    rows.append((20, [float(x) for x in base[0] + rng.normal(0, 0.01, 8)]))
+    rows.append((21, [float(x) for x in base[1]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+def test_brute_force_topk(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = similarity.brute_force_topk(vectors, queries, k=3, vec_col="embedding")
+    rows = sorted(top.collect(), key=lambda r: r["rank"])
+    assert rows[0]["neighbor_id"] == 0 and rows[0]["score"] == pytest.approx(1.0)
+    assert rows[1]["neighbor_id"] == 20  # the planted near-dup
+
+
+def test_lsh_topk_finds_self_and_neardup(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = similarity.lsh_topk(
+        vectors, queries, k=3, dim=8, n_planes=4, vec_col="embedding"
+    )
+    ids = [r["neighbor_id"] for r in sorted(top.collect(), key=lambda r: r["rank"])]
+    assert ids[0] == 0 and 20 in ids  # near-identical vectors share buckets
+
+
+def test_embedding_near_dups(spark, vectors):
+    pairs = similarity.embedding_near_dups(
+        vectors, threshold=0.99, dim=8, n_planes=4
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 20) in got and (1, 21) in got
+    assert all(a in (0, 1) or b in (20, 21) for a, b in got)
+
+
+@pytest.fixture(scope="module")
+def image_df(spark):
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(6):
+        arr = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+        rows.append((i, ic.encode_png(arr)))
+    rows.append((6, b"not an image"))
+    return spark.createDataFrame(rows, "id long, bytes binary").cache()
+
+
+def test_multimodal_meta_and_features(spark, image_df):
+    out = multimodal.with_image_features(
+        multimodal.with_image_meta(image_df)
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[0]["img_meta"]["ok"] and by_id[0]["img_meta"]["w"] == 16
+    assert by_id[0]["img_meta"]["n_pixels"] == 192
+    assert 0 <= by_id[0]["img_feat"]["mean_r"] <= 255
+    assert by_id[6]["img_meta"]["ok"] is False
+
+
+def test_multimodal_resize(spark, image_df):
+    resized = image_df.withColumn(
+        "small", multimodal.image_resize_udf(8, 8)(F.col("bytes"))
+    ).collect()
+    ok = [r for r in resized if r["id"] == 0][0]
+    arr, fmt = ic.decode_image(bytes(ok["small"]))
+    assert arr.shape == (8, 8, 3) and fmt == "png"
+    bad = [r for r in resized if r["id"] == 6][0]
+    assert bad["small"] is None
+
+
+def test_multimodal_stubs():
+    with pytest.raises(NotImplementedError, match="librosa"):
+        multimodal.audio_meta_udf(deterministic_fake=False)
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        multimodal.video_frame_sample(None)
+
+
+def test_audio_fake_pcm(spark):
+    pcm = (np.sin(np.linspace(0, 100, 1600)) * 10000).astype("<i2").tobytes()
+    df = spark.createDataFrame([(0, pcm), (1, None)], "id long, audio binary")
+    out = {
+        r["id"]: r["m"]
+        for r in df.select(
+            "id", multimodal.audio_meta_udf(deterministic_fake=True)(F.col("audio")).alias("m")
+        ).collect()
+    }
+    assert out[0]["ok"] and out[0]["n_samples"] == 1600
+    assert out[0]["rms"] > 1000
+    assert out[1]["ok"] is False

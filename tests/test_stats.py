@@ -1,0 +1,87 @@
+"""Column stats, histograms, KS/PSI drift, t-digest (north-star §stats)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from smcchecker_spark import stats
+
+
+@pytest.fixture(scope="module")
+def num_df(spark):
+    rng = np.random.default_rng(42)
+    vals = rng.normal(50, 10, 2000).tolist()
+    rows = [(i, float(v), f"s{i % 7}") for i, v in enumerate(vals)]
+    rows += [(9000 + j, None, None) for j in range(100)]
+    return spark.createDataFrame(rows, "id long, x double, s string").cache()
+
+
+def test_column_stats_one_pass(spark, num_df):
+    st = stats.column_stats(num_df, ["x", "s"])
+    rows = {r["column"]: r for r in st.collect()}
+    assert rows["x"]["n_rows"] == 2100
+    assert rows["x"]["null_count"] == 100
+    assert abs(rows["x"]["null_rate"] - 100 / 2100) < 1e-9
+    assert rows["s"]["approx_ndv"] == pytest.approx(7, abs=1)
+    med = rows["x"]["quantiles"][3]  # 0.5
+    assert 48 < med < 52
+    # one aggregate pass → no Exchange beyond the final single-row agg
+    assert float(rows["x"]["min"]) < 20
+
+
+def test_histogram_and_psi_self_is_zero(spark, num_df):
+    h = stats.histogram(num_df, "x", lo=0, hi=100, bins=20)
+    total = h.agg(F.sum("count")).collect()[0][0]
+    assert total == 2000  # nulls excluded
+    assert stats.psi(h, h) == pytest.approx(0.0, abs=1e-9)
+    assert stats.ks_stat(h, h) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_drift_detects_shift(spark, num_df):
+    shifted = num_df.withColumn("x", F.col("x") + F.lit(15.0))
+    spec = stats.DriftSpec(column="x", metric="psi", threshold=0.2, lo=0, hi=100, bins=20)
+    v, measured = stats.drift_violations(shifted, num_df, [spec], table="t")
+    assert measured["x"] > 0.2
+    rows = v.collect()
+    assert len(rows) == 1
+    assert rows[0]["error_type"] == "Distribution Drift"
+    assert rows[0]["row_id"] == "__TABLE__"
+
+    # no drift vs itself
+    v2, m2 = stats.drift_violations(num_df, num_df, [spec])
+    assert v2.count() == 0 and m2["x"] < 0.01
+
+
+def test_ks_detects_shift(spark, num_df):
+    shifted = num_df.withColumn("x", F.col("x") + F.lit(10.0))
+    cur = stats.histogram(shifted, "x", 0, 100, 40)
+    base = stats.histogram(num_df, "x", 0, 100, 40)
+    ks = stats.ks_stat(cur, base)
+    # normal(50,10) vs normal(60,10): true KS ≈ 0.38
+    assert 0.25 < ks < 0.5
+
+
+def test_tdigest_merge_and_quantiles():
+    rng = np.random.default_rng(1)
+    a, b = rng.normal(0, 1, 5000), rng.normal(0, 1, 5000)
+    ta, tb = stats.TDigest(), stats.TDigest()
+    ta.add(a)
+    tb.add(b)
+    merged = ta.merge(tb)
+    allv = np.concatenate([a, b])
+    for q in (0.1, 0.5, 0.9):
+        assert merged.quantile(q) == pytest.approx(
+            float(np.quantile(allv, q)), abs=0.08
+        )
+    # serialization roundtrip
+    back = stats.TDigest.from_bytes(merged.to_bytes())
+    assert back.quantile(0.5) == pytest.approx(merged.quantile(0.5), abs=1e-9)
+
+
+def test_tdigest_distributed(spark, num_df):
+    td = stats.tdigest_sketch(num_df, "x")
+    assert td.total == 2000
+    assert td.quantile(0.5) == pytest.approx(50, abs=1.5)
+    assert td.quantile(0.99) == pytest.approx(50 + 2.326 * 10, abs=2.5)
