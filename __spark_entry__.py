@@ -1,38 +1,706 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the engine's fused constraint
+suite over a deterministically-dirtied ``documents`` table) at sf0.001.
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (+ the data-pipeline ops); ``oracle_sql()`` gives the
+DuckDB-equivalent ANSI SQL for every SQL-expressible one.
+
+Column-name/alias parity between the Spark and SQL sides is load-bearing:
+the driver sorts columns by name before value-hashing.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from smcchecker_spark import clean, stats
+from smcchecker_spark.constraints import (
+    InLookup,
+    IntRange,
+    MaxLength,
+    NotNull,
+    Range,
+    Regex,
+    Suite,
+    Unique,
+    ValidationContext,
+)
+from smcchecker_spark.compile import compile_suite
+from smcchecker_spark.ops import dedup, similarity
+from smcchecker_spark.ops import text as text_ops
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the constraint engine on a deterministically-dirtied documents
+# table. Violations are planted with pure SQL-expressible transforms so a
+# DuckDB oracle reproduces the engine's violation rows bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_LU_SOURCES = [f"src{i}" for i in range(19)]  # src19 intentionally missing
+
+
+def _dirty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 3, F.lit(None))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(F.col("doc_id") % 13 == 4, F.lit("xx"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+        "n_chars",
+    )
+    dirty = base.unionByName(base.filter(F.col("doc_id") % 17 == 5))
+    return dirty.withColumn("part_id", (F.col("doc_id") % 8).cast("int"))
+
+
+def q_engine_suite_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dirty = _dirty_documents(spark, sf_dir)
+    suite = Suite(
+        name="documents_core",
+        table="documents",
+        constraints=[
+            NotNull("text"),
+            MaxLength("text", max_length=500),
+            Regex("lang", pattern="^(en|es|de|fr|zh)$"),
+            Range("n_chars", lo=0.0, hi=520.0),
+            Unique(["doc_id"]),
+            InLookup("source", lookup="lu_source", lookup_key="src"),
+        ],
+    )
+    ctx = ValidationContext(
+        lookups={
+            "lu_source": spark.createDataFrame(
+                [(s,) for s in _LU_SOURCES], "src string"
+            )
+        }
+    )
+    return compile_suite(
+        dirty, suite, ctx, row_id_col="doc_id", part_id_col="part_id"
+    )
+
+
+_ENGINE_SUITE_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 3 THEN NULL ELSE text END AS text,
+         CASE WHEN doc_id % 13 = 4 THEN 'xx' ELSE lang END AS lang,
+         source, n_chars
+  FROM documents
+),
+d AS (
+  SELECT *, CAST(doc_id % 8 AS INT) AS part_id FROM (
+    SELECT * FROM base UNION ALL SELECT * FROM base WHERE doc_id % 17 = 5
+  )
+)
+SELECT 'documents' AS "table", CAST(doc_id AS VARCHAR) AS row_id,
+       'text' AS columns, 'Missing Required Data' AS error_type,
+       TRUE AS is_core_error,
+       'There is an empty value here, but the column text requires a value in all rows' AS error_message,
+       'notnull_text' AS check_name, 'error' AS severity, part_id
+FROM d WHERE text IS NULL OR text = '' OR lower(text) = 'nan'
+UNION ALL
+SELECT 'documents', CAST(doc_id AS VARCHAR), 'text', 'Value too long', TRUE,
+       'The value is too long for column text, which allows a maximum length of 500',
+       'maxlength_text', 'error', part_id
+FROM d WHERE text IS NOT NULL AND length(text) > 500
+UNION ALL
+SELECT 'documents', CAST(doc_id AS VARCHAR), 'lang', 'Invalid Format', TRUE,
+       'The column lang must match the pattern ^(en|es|de|fr|zh)$',
+       'regex_lang', 'error', part_id
+FROM d WHERE lang IS NOT NULL AND NOT regexp_matches(lang, '^(en|es|de|fr|zh)$')
+UNION ALL
+SELECT 'documents', CAST(doc_id AS VARCHAR), 'n_chars', 'Value out of range', TRUE,
+       'The column n_chars allows values from 0.0 to 520.0',
+       'range_n_chars', 'error', part_id
+FROM d WHERE TRY_CAST(n_chars AS DOUBLE) IS NOT NULL
+         AND NOT (n_chars BETWEEN 0 AND 520)
+UNION ALL
+SELECT 'documents', CAST(doc_id AS VARCHAR), 'doc_id', 'Duplicated Rows', TRUE,
+       'You have duplicated rows based on the primary key fields doc_id',
+       'unique_doc_id', 'error', part_id
+FROM d WHERE doc_id IN (SELECT doc_id FROM d GROUP BY doc_id HAVING count(*) > 1)
+UNION ALL
+SELECT 'documents', CAST(doc_id AS VARCHAR), 'source', 'Lookup List Fail', TRUE,
+       'This value you entered (' || source || ') did not match the lookup list lu_source',
+       'inlookup_source_lu_source', 'error', part_id
+FROM d WHERE source IS NOT NULL AND source NOT IN ({lu})
+""".format(lu=", ".join(f"'{s}'" for s in _LU_SOURCES))
+
+
+def q_engine_intrange_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IntRange with the whole-column parse gate (all p_size values parse →
+    the gate passes → out-of-[1,40] sizes violate)."""
+    part = _t(spark, sf_dir, "part").withColumn(
+        "part_id", (F.col("p_partkey") % 4).cast("int")
+    )
+    suite = Suite(
+        name="part_core",
+        table="part",
+        constraints=[IntRange("p_size", lo=1, hi=40)],
+    )
+    return compile_suite(part, suite, row_id_col="p_partkey", part_id_col="part_id")
+
+
+_INTRANGE_ORACLE = """
+SELECT 'part' AS "table", CAST(p_partkey AS VARCHAR) AS row_id,
+       'p_size' AS columns, 'Value out of range' AS error_type,
+       TRUE AS is_core_error,
+       'The column p_size allows integer values from 1 to 40' AS error_message,
+       'intrange_p_size' AS check_name, 'error' AS severity,
+       CAST(p_partkey % 4 AS INT) AS part_id
+FROM part WHERE p_size IS NOT NULL AND p_size NOT BETWEEN 1 AND 40
+"""
+
+
+def q_clean_fix_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preprocess stage (C1 trim + C2 case-fix-vs-lookup): dirtied source
+    values are restored to the lookup's canonical spelling."""
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.upper(F.col("source")))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("  "), F.col("source"), F.lit("  ")))
+        .otherwise(F.col("source"))
+        .alias("source"),
+    )
+    lu = docs.select("source").distinct()
+    cleaned = clean.clean_data(dirty, case_fix_lookups={"source": (lu, "source")})
+    return cleaned.select("doc_id", "source")
+
+
+_CLEAN_ORACLE = "SELECT doc_id, source FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# Relational operator coverage (SURVEY.md §2.3-§2.8) on the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (J5 analogue): fact shuffles on the join keys,
+    dimension tables broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_REVENUE_ORACLE = """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+_EVENT_LU = ["click", "purchase", "signup", "view"]
+
+
+def q_lookup_anti_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup-RI as a broadcast LEFT ANTI join (J1): event types outside
+    the lookup list."""
+    ev = _t(spark, sf_dir, "events")
+    lu = F.broadcast(
+        spark.createDataFrame([(v,) for v in _EVENT_LU], "etype string")
+    )
+    return (
+        ev.filter(F.col("event_type").isNotNull())
+        .join(lu, ev.event_type == lu.etype, "left_anti")
+        .select("event_id", "event_type")
+    )
+
+
+_LOOKUP_ANTI_ORACLE = """
+SELECT event_id, event_type FROM events
+WHERE event_type IS NOT NULL
+  AND event_type NOT IN ('click', 'purchase', 'signup', 'view')
+"""
+
+
+def q_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (J2 shape): orders having a 1998+ shipment."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+_SEMI_ORACLE = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o.o_orderkey
+                AND l_shipdate >= TIMESTAMP '1998-01-01')
+"""
+
+
+def q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            "rank",
+        )
+    )
+
+
+_TOPK_ORACLE = """
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total,
+       CAST(row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+FROM orders QUALIFY rank <= 5
+"""
+
+
+def q_group_concat_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-concat (A2 semantics: sorted '; '-joined values per group)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(F.array_sort(F.collect_set("source")), "; ").alias("sources"),
+    )
+
+
+_GROUP_CONCAT_ORACLE = """
+SELECT lang, count(*) AS n_docs,
+       string_agg(DISTINCT source, '; ' ORDER BY source) AS sources
+FROM documents GROUP BY lang
+"""
+
+
+def q_union_distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(F.col("event_type").alias("val"))
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("val")
+    )
+    return ev.unionByName(orders).distinct()
+
+
+_UNION_ORACLE = """
+SELECT event_type AS val FROM events
+UNION
+SELECT o_orderpriority FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Column stats / histograms / drift (engine stats surface)
+# ---------------------------------------------------------------------------
+
+_STAT_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_stats_exact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.column_stats_exact(_t(spark, sf_dir, "lineitem"), _STAT_COLS)
+
+
+_STATS_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+       count(*) FILTER (WHERE {c} IS NULL) AS null_count,
+       CAST(min({c}) AS DOUBLE) AS min_val, CAST(max({c}) AS DOUBLE) AS max_val,
+       count(DISTINCT {c}) AS ndv FROM lineitem"""
+    for c in _STAT_COLS
+)
+
+
+def q_column_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL/quantile-sketch stats (the 10^12-row path) — approximate by
+    design, so no SQL oracle (rows-only check)."""
+    return stats.column_stats(
+        _t(spark, sf_dir, "lineitem"), ["l_quantity", "l_extendedprice"]
+    ).drop("quantiles")
+
+
+def q_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.histogram(_t(spark, sf_dir, "events"), "value", 0.0, 500.0, 20)
+
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(CASE WHEN value < 0 THEN 0
+                 WHEN value >= 500 THEN 21
+                 ELSE floor((value - 0.0) / 25.0) + 1 END AS INT) AS bucket,
+       count(*) AS count
+FROM events WHERE value IS NOT NULL GROUP BY 1
+"""
+
+
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift between even/odd event halves, fully as DataFrame ops."""
+    ev = _t(spark, sf_dir, "events")
+    cur = stats.histogram(ev.filter(F.col("event_id") % 2 == 0), "value", 0.0, 500.0, 20)
+    base = stats.histogram(ev.filter(F.col("event_id") % 2 == 1), "value", 0.0, 500.0, 20)
+    j = stats._joined_probs(cur, base, eps=1e-6)
+    return j.agg(
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
+        ).alias("psi")
+    )
+
+
+_PSI_ORACLE = """
+WITH ev AS (
+  SELECT event_id,
+         CAST(CASE WHEN value < 0 THEN 0
+                   WHEN value >= 500 THEN 21
+                   ELSE floor((value - 0.0) / 25.0) + 1 END AS INT) AS bucket
+  FROM events WHERE value IS NOT NULL
+),
+cur AS (SELECT bucket, count(*) AS c_cnt FROM ev WHERE event_id % 2 = 0 GROUP BY 1),
+base AS (SELECT bucket, count(*) AS b_cnt FROM ev WHERE event_id % 2 = 1 GROUP BY 1),
+j AS (
+  SELECT coalesce(c.bucket, b.bucket) AS bucket,
+         coalesce(c_cnt, 0) AS c_cnt, coalesce(b_cnt, 0) AS b_cnt
+  FROM cur c FULL OUTER JOIN base b ON c.bucket = b.bucket
+),
+probs AS (
+  SELECT c_cnt / (SELECT sum(c_cnt) FROM j) + 1e-6 AS p,
+         b_cnt / (SELECT sum(b_cnt) FROM j) + 1e-6 AS q
+  FROM j
+)
+SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM probs
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / dedup / similarity (data-pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+def q_text_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        text_ops.token_count(c).alias("n_tokens"),
+        text_ops.fingerprint(c).alias("fingerprint"),
+        F.round(text_ops.mean_word_length(c), 6).alias("mean_wlen"),
+        F.round(text_ops.punct_ratio(c), 6).alias("punct_ratio"),
+    )
+
+
+_TEXT_ORACLE = r"""
+SELECT doc_id,
+       CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tokens,
+       md5(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))) AS fingerprint,
+       round(length(regexp_replace(trim(coalesce(text, '')), '\s', '', 'g')) /
+             greatest(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1), 6) AS mean_wlen,
+       round(length(regexp_replace(coalesce(text, ''), '[^!-/:-@\[-`{-~]', '', 'g')) /
+             greatest(length(coalesce(text, '')), 1), 6) AS punct_ratio
+FROM documents
+"""
+
+
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return docs.unionByName(copies)
+
+
+def q_exact_dups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(
+        _docs_with_planted_dups(spark, sf_dir), "doc_id", "text"
+    )
+
+
+_EXACT_DUP_ORACLE = r"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+),
+fp AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))) AS fingerprint
+  FROM u WHERE trim(coalesce(text, '')) <> ''
+)
+SELECT doc_id, fingerprint, group_size FROM fp
+JOIN (SELECT fingerprint, count(*) AS group_size FROM fp
+      GROUP BY 1 HAVING count(*) > 1) USING (fingerprint)
+"""
+
+
+def q_minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH blocking → exact shingle-Jaccard ≥ 0.8. The oracle is
+    the TRUE all-pairs answer (exact Jaccard over word-3-shingles); 16
+    bands × 2 rows makes the LSH candidate-recall ≥ 1-1e-7 at s=0.8, so
+    blocking misses nothing the exact verify would keep."""
+    return dedup.ngram_jaccard_dedup(
+        _docs_with_planted_dups(spark, sf_dir),
+        "doc_id",
+        "text",
+        threshold=0.8,
+        num_hashes=32,
+        bands=16,
+    )
+
+
+_MINHASH_ORACLE = r"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+),
+tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM u
+       WHERE trim(coalesce(text, '')) <> ''),
+sh AS (SELECT doc_id,
+          list_distinct([array_to_string(t[i+1:i+3], ' ')
+                         for i in range(0, greatest(len(t)-3, 0)+1)]) AS s
+       FROM tk),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT * FROM p WHERE jaccard >= 0.8
+"""
+
+
+def q_simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (Hamming <= 3, chunk-blocked — exact by
+    pigeonhole). The FNV-1a/simhash fingerprint is not SQL-expressible,
+    so this is a rows-only check."""
+    from smcchecker_spark.package import ensure_shipped
+
+    ensure_shipped(spark)
+    return dedup.simhash_near_dups(
+        _docs_with_planted_dups(spark, sf_dir), "doc_id", "text", max_hamming=3
+    )
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(
+        emb, queries, k=10, id_col="vec_id", vec_col="embedding"
+    ).select("query_id", "neighbor_id", "rank")
+
+
+_TOPK_COSINE_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+s AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_dot_product(qv, v) /
+         (greatest(sqrt(list_dot_product(qv, qv)), 1e-12) *
+          greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS score
+  FROM e CROSS JOIN q
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS INT) AS rank
+FROM s QUALIFY rank <= 10
+"""
+
+
+def q_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (the scale path) — approximate by design,
+    rows-only check."""
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(
+        emb, queries, k=10, dim=64, n_planes=6, id_col="vec_id", vec_col="embedding"
+    ).select("query_id", "neighbor_id", "rank")
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_double(spark, sf_dir)
+    copies = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    return similarity.embedding_near_dups(
+        emb.unionByName(copies),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.95,
+        dim=64,
+        n_planes=8,
+    )
+
+
+_EMB_NEARDUP_ORACLE = """
+SELECT vec_id AS id_a, vec_id + 100000 AS id_b, CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
+def q_images_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full image+caption constraint suite (incl. the Arrow decode UDF) on
+    the deterministic synthetic fixture — per-check violation counts.
+    Not SQL-expressible (image decode) → rows-only check."""
+    from smcchecker_spark import fixtures
+    from smcchecker_spark.image import ImageConsistent
+    from smcchecker_spark.package import ensure_shipped
+
+    ensure_shipped(spark)
+    df = fixtures.generate_images(spark, n_rows=2000, n_parts=8, seed=42)
+    suite = Suite(
+        name="images_core",
+        table="images",
+        constraints=[
+            NotNull("caption"),
+            MaxLength("caption", max_length=256),
+            Unique(["image_id"]),
+            InLookup("fmt", lookup="lu_fmt", lookup_key="fmt"),
+            ImageConsistent(),
+        ],
+    )
+    ctx = ValidationContext(lookups={"lu_fmt": fixtures.lu_fmt(spark)})
+    v = compile_suite(df, suite, ctx, row_id_col="image_id", part_id_col="part_id")
+    return (
+        v.groupBy("check_name")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .orderBy("check_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_engine_suite_documents(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "engine_suite_documents": q_engine_suite_documents,
+        "engine_intrange_part": q_engine_intrange_part,
+        "clean_fix_case": q_clean_fix_case,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_region": q_revenue_by_region,
+        "lookup_anti_events": q_lookup_anti_events,
+        "semi_join_orders": q_semi_join_orders,
+        "window_topk_orders": q_window_topk_orders,
+        "group_concat_langs": q_group_concat_langs,
+        "union_distinct_flags": q_union_distinct_flags,
+        "stats_exact_lineitem": q_stats_exact_lineitem,
+        "column_stats_approx": q_column_stats_approx,
+        "histogram_value": q_histogram_value,
+        "psi_value_drift": q_psi_value_drift,
+        "text_features_docs": q_text_features_docs,
+        "exact_dups_docs": q_exact_dups_docs,
+        "minhash_neardup_docs": q_minhash_neardup_docs,
+        "simhash_neardup_docs": q_simhash_neardup_docs,
+        "topk_cosine": q_topk_cosine,
+        "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "embedding_neardup": q_embedding_neardup,
+        "images_validate": q_images_validate,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "engine_suite_documents": _ENGINE_SUITE_ORACLE,
+        "engine_intrange_part": _INTRANGE_ORACLE,
+        "clean_fix_case": _CLEAN_ORACLE,
+        "pricing_summary": _PRICING_ORACLE,
+        "revenue_by_region": _REVENUE_ORACLE,
+        "lookup_anti_events": _LOOKUP_ANTI_ORACLE,
+        "semi_join_orders": _SEMI_ORACLE,
+        "window_topk_orders": _TOPK_ORACLE,
+        "group_concat_langs": _GROUP_CONCAT_ORACLE,
+        "union_distinct_flags": _UNION_ORACLE,
+        "stats_exact_lineitem": _STATS_ORACLE,
+        "histogram_value": _HISTOGRAM_ORACLE,
+        "psi_value_drift": _PSI_ORACLE,
+        "text_features_docs": _TEXT_ORACLE,
+        "exact_dups_docs": _EXACT_DUP_ORACLE,
+        "minhash_neardup_docs": _MINHASH_ORACLE,
+        "topk_cosine": _TOPK_COSINE_ORACLE,
+        "embedding_neardup": _EMB_NEARDUP_ORACLE,
+        # rows-only (approximate / non-SQL-expressible): column_stats_approx,
+        #   lsh_topk_embeddings, simhash_neardup_docs, images_validate
+    }

@@ -48,6 +48,14 @@ def exact_duplicates(
     )
 
 
+def _seeded_hash(seed: int):
+    # NB: the lambda passed to F.transform must take exactly ONE argument —
+    # a two-arg lambda (even `lambda s, i=i: ...` with a default!) is
+    # interpreted by PySpark as (element, index) and the seed silently
+    # becomes the array position. Bind the seed via closure instead.
+    return lambda s: F.xxhash64(F.lit(seed), s)
+
+
 def minhash_signature(col: Column, num_hashes: int = 32, shingle_k: int = 3) -> Column:
     """Array of ``num_hashes`` min-hash values over word shingles —
     pure expressions: xxhash64(i, shingle) per seed i, array_min each.
@@ -56,7 +64,7 @@ def minhash_signature(col: Column, num_hashes: int = 32, shingle_k: int = 3) -> 
     sh = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.lit("")))
     return F.array(
         *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            F.array_min(F.transform(sh, _seeded_hash(i)))
             for i in range(num_hashes)
         ]
     )

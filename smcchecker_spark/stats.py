@@ -95,6 +95,34 @@ def column_stats(
     return row.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
 
 
+def column_stats_exact(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Exact one-pass stats for numeric columns (oracle-comparable variant
+    of ``column_stats``): (column, n_rows, null_count, min_val, max_val,
+    ndv). Exact ``count_distinct`` shuffles per-column distinct sets —
+    use only where an exact answer is required; ``column_stats`` (HLL)
+    is the 10^12-row path."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.min(col).cast("double").alias(f"{c}__min"))
+        aggs.append(F.max(col).cast("double").alias(f"{c}__max"))
+        aggs.append(F.count_distinct(col).alias(f"{c}__ndv"))
+    row = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("null_count"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+            F.col(f"{c}__ndv").alias("ndv"),
+        )
+        for c in columns
+    ]
+    return row.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
+
+
 def bucket_expr(col: Column, lo: float, hi: float, bins: int) -> Column:
     """width_bucket semantics: bucket 0 = underflow, bins+1 = overflow,
     1..bins = [lo,hi) split evenly. NULL values → NULL bucket."""
