@@ -140,6 +140,25 @@ FROM d WHERE source IS NOT NULL AND source NOT IN ({lu})
 """.format(lu=", ".join(f"'{s}'" for s in _LU_SOURCES))
 
 
+def q_messages_per_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row '; '-joined violation messages (reference A2 semantics,
+    proj/utils/generic.py:42-46), over the flagship suite's violations."""
+    v = q_engine_suite_documents(spark, sf_dir)
+    return v.groupBy("table", "row_id").agg(
+        F.array_join(F.array_sort(F.collect_list("error_message")), "; ").alias(
+            "error_message"
+        )
+    )
+
+
+_MESSAGES_ORACLE = (
+    "WITH v AS (" + _ENGINE_SUITE_ORACLE + ")\n"
+    'SELECT "table", row_id,\n'
+    "       string_agg(error_message, '; ' ORDER BY error_message) AS error_message\n"
+    'FROM v GROUP BY "table", row_id'
+)
+
+
 def q_engine_intrange_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IntRange with the whole-column parse gate (all p_size values parse →
     the gate passes → out-of-[1,40] sizes violate)."""
@@ -657,6 +676,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "engine_suite_documents": q_engine_suite_documents,
+        "messages_per_row": q_messages_per_row,
         "engine_intrange_part": q_engine_intrange_part,
         "clean_fix_case": q_clean_fix_case,
         "pricing_summary": q_pricing_summary,
@@ -684,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "engine_suite_documents": _ENGINE_SUITE_ORACLE,
+        "messages_per_row": _MESSAGES_ORACLE,
         "engine_intrange_part": _INTRANGE_ORACLE,
         "clean_fix_case": _CLEAN_ORACLE,
         "pricing_summary": _PRICING_ORACLE,

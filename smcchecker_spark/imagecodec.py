@@ -231,26 +231,35 @@ def luma(arr: np.ndarray) -> np.ndarray:
 
 
 def _block_mean_8x8(gray: np.ndarray) -> np.ndarray:
-    """Downsample HxW → 8x8 by mean over index-partitioned blocks."""
+    """Downsample HxW → 8x8 by mean over index-partitioned blocks.
+
+    Vectorized via reduceat over the block boundaries (empty blocks — when
+    h or w < 8 — fall back to a single row/col, matching the max(lo+1)
+    guard of the original loop formulation)."""
     h, w = gray.shape
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
-    out = np.empty((8, 8), dtype=np.float64)
-    for i in range(8):
-        for j in range(8):
-            out[i, j] = gray[ys[i] : max(ys[i + 1], ys[i] + 1),
-                             xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
-    return out
+    # degenerate (repeated) boundaries: block [lo, max(hi, lo+1))
+    y_lo, y_hi = ys[:8], np.maximum(ys[1:], ys[:8] + 1)
+    x_lo, x_hi = xs[:8], np.maximum(xs[1:], xs[:8] + 1)
+    csum = np.zeros((h + 1, w + 1), dtype=np.float64)
+    np.cumsum(np.cumsum(gray, axis=0), axis=1, out=csum[1:, 1:])
+    sums = (
+        csum[np.ix_(y_hi, x_hi)]
+        - csum[np.ix_(y_lo, x_hi)]
+        - csum[np.ix_(y_hi, x_lo)]
+        + csum[np.ix_(y_lo, x_lo)]
+    )
+    areas = np.outer(y_hi - y_lo, x_hi - x_lo)
+    return sums / areas
 
 
 def phash64(arr: np.ndarray) -> int:
     """64-bit average-hash of the image, as a SIGNED int64 (table dtype)."""
     g = _block_mean_8x8(luma(arr))
     bits = (g > g.mean()).flatten()
-    val = np.uint64(0)
-    for b in bits:
-        val = np.uint64(val << np.uint64(1)) | np.uint64(bool(b))
-    return int(np.int64(val))
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return int(np.int64(np.uint64(val)))
 
 
 def hamming64(a: int, b: int) -> int:

@@ -53,21 +53,62 @@ def _seeded_hash(seed: int):
     # a two-arg lambda (even `lambda s, i=i: ...` with a default!) is
     # interpreted by PySpark as (element, index) and the seed silently
     # becomes the array position. Bind the seed via closure instead.
-    return lambda s: F.xxhash64(F.lit(seed), s)
+    return lambda h: F.xxhash64(F.lit(seed), h)
 
 
-def minhash_signature(col: Column, num_hashes: int = 32, shingle_k: int = 3) -> Column:
-    """Array of ``num_hashes`` min-hash values over word shingles —
-    pure expressions: xxhash64(i, shingle) per seed i, array_min each.
-    NULL/short docs get an empty-shingle guard (hash of '')."""
-    sh = T.word_shingles(col, k=shingle_k)
-    sh = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.lit("")))
+def _sig_from_base(base: Column, num_hashes: int) -> Column:
+    """num_hashes min-hashes from ONE base-hash array: component i is
+    min over xxhash64(i, base_hash) — re-seeding hashes a LONG, not the
+    shingle string, so each extra component costs O(1) per shingle."""
     return F.array(
         *[
-            F.array_min(F.transform(sh, _seeded_hash(i)))
+            F.array_min(F.transform(base, _seeded_hash(i)))
             for i in range(num_hashes)
         ]
     )
+
+
+def minhash_signature(col: Column, num_hashes: int = 32, shingle_k: int = 3) -> Column:
+    """Array of ``num_hashes`` min-hash values over word shingles.
+    NULL/short docs get an empty-shingle guard (hash of '').
+
+    NOTE: as a single Column expression Catalyst inlines the shingle
+    construction into every component — fine for tests/small data; the
+    pipeline path (``minhash_signatures``) stages the computation so
+    shingles and base hashes are computed once per row.
+    """
+    sh = T.word_shingles(col, k=shingle_k)
+    sh = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.lit("")))
+    base = F.transform(sh, lambda s: F.xxhash64(s))
+    return _sig_from_base(base, num_hashes)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig) with the computation STAGED across projections:
+    shingles → base hash array → components. Each stage's output is
+    referenced many times by the next, so Catalyst's CollapseProject
+    keeps the stages separate instead of re-inlining the (expensive)
+    shingle construction into all ``num_hashes`` component expressions —
+    the single-Column form is ~num_hashes× more work per row."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        T.word_shingles(F.col(text_col), k=shingle_k).alias("__sh"),
+    ).select(
+        "id",
+        F.when(F.size("__sh") > 0, F.col("__sh"))
+        .otherwise(F.array(F.lit("")))
+        .alias("__sh"),
+    )
+    base = sh.select(
+        "id", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__bh")
+    )
+    return base.select("id", _sig_from_base(F.col("__bh"), num_hashes).alias("sig"))
 
 
 def minhash_candidate_pairs(
@@ -88,10 +129,7 @@ def minhash_candidate_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     banded = sig.select(
         "id",
         "sig",

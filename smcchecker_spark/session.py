@@ -46,9 +46,17 @@ def get_spark(
         master = f"local[{cores}]"
         n_cores = cores
 
+    # Single-JVM local mode: the 1g default heap is the scaling killer —
+    # 32 concurrent tasks' scan buffers + Arrow batches thrash GC and
+    # local[32] ends up SLOWER than local[8]. Size the heap to the core
+    # count (only effective on first JVM launch in the process; harmless
+    # later). On a real cluster this is executor memory, set at submit.
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM", f"{max(8, n_cores)}g")
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -59,6 +67,7 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
         )
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
     for k, v in (extra_conf or {}).items():

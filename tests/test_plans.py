@@ -1,0 +1,124 @@
+"""Physical-plan shape assertions — the properties that matter at 100 TB.
+
+Each test runs ``explain(formatted)`` (or the executed-plan string) and
+asserts structural facts, not timings:
+
+- the fused row-level constraint pass is ONE scan with ZERO exchanges
+  (all checks evaluated in a single whole-stage-codegen'd projection);
+- Catalyst column pruning keeps heavy columns (``bytes``) out of the
+  parquet ReadSchema when no constraint references them;
+- lookup-RI joins are broadcast (no shuffle of the fact side);
+- the one-pass stats aggregate is partial+final (no row shuffle — only
+  per-partition partial rows cross the exchange).
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from smcchecker_spark.compile import compile_row_pass, compile_suite
+from smcchecker_spark.constraints import (
+    InLookup,
+    MaxLength,
+    NotNull,
+    Range,
+    Suite,
+    Unique,
+    ValidationContext,
+)
+from smcchecker_spark import stats
+
+
+@pytest.fixture(scope="module")
+def images_parquet(spark, tmp_path_factory):
+    from smcchecker_spark import fixtures
+
+    path = str(tmp_path_factory.mktemp("plans") / "images.parquet")
+    fixtures.generate_images(spark, n_rows=200, n_parts=4).write.parquet(path)
+    return path
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+ROW_SUITE = Suite(
+    name="row_only",
+    table="images",
+    constraints=[
+        NotNull("caption"),
+        MaxLength("caption", max_length=256),
+        Range("h", lo=1, hi=4096),
+    ],
+)
+
+
+def test_fused_row_pass_single_scan_no_exchange(spark, images_parquet):
+    df = spark.read.parquet(images_parquet)
+    out = compile_row_pass(df, ROW_SUITE, row_id_col="image_id")
+    plan = _plan(out)
+    assert plan.count("Exchange") == 0, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "codegen id" in plan  # projection runs inside whole-stage codegen
+
+
+def test_column_pruning_excludes_bytes(spark, images_parquet):
+    """A suite with no image constraint must never deserialize ``bytes`` —
+    at 10^12 rows the payload column dominates I/O."""
+    df = spark.read.parquet(images_parquet)
+    out = compile_row_pass(df, ROW_SUITE, row_id_col="image_id")
+    plan = _plan(out)
+    read_schema = re.search(r"ReadSchema: (.*)", plan)
+    assert read_schema and "bytes" not in read_schema.group(1), plan
+
+
+def test_lookup_join_is_broadcast(spark, images_parquet):
+    from smcchecker_spark import fixtures
+
+    df = spark.read.parquet(images_parquet)
+    suite = Suite(
+        name="lu",
+        table="images",
+        constraints=[InLookup("fmt", lookup="lu_fmt", lookup_key="fmt")],
+    )
+    ctx = ValidationContext(lookups={"lu_fmt": fixtures.lu_fmt(spark)})
+    out = compile_suite(df, suite, ctx, row_id_col="image_id")
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    # the fact side must not shuffle for a broadcast anti join
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_stats_one_pass_partial_final(spark, images_parquet):
+    df = spark.read.parquet(images_parquet)
+    out = stats.column_stats(df, ["w", "h", "caption"])
+    plan = _plan(out)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    # partial + final hash aggregate around a single-row exchange
+    assert plan.count("HashAggregate") >= 2, plan
+    read_schema = re.search(r"ReadSchema: (.*)", plan)
+    assert read_schema and "bytes" not in read_schema.group(1), plan
+
+
+def test_unique_single_shuffle_on_keys(spark, images_parquet):
+    """Uniqueness = groupBy(pk) + join-back: the only *data* exchange is
+    the hash partitioning on the key (AQE turns the tiny dup-key side
+    into a broadcast at runtime)."""
+    df = spark.read.parquet(images_parquet)
+    suite = Suite(name="u", table="images", constraints=[Unique(["image_id"])])
+    out = compile_suite(df, suite, row_id_col="image_id")
+    # executed plan (AQE finalizes join strategy at runtime)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, images_parquet):
+    df = spark.read.parquet(images_parquet).filter(F.col("part_id") == 2)
+    plan = _plan(df.select("image_id"))
+    assert re.search(r"PushedFilters: \[.*part_id.*\]", plan), plan
