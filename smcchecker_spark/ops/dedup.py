@@ -48,6 +48,42 @@ def exact_duplicates(
     )
 
 
+_SHINGLE_CACHE: dict[int, object] = {}
+
+
+def _shingles_udf(k: int):
+    """Arrow-batched k-word shingle extraction. Same SET semantics as
+    ``text.word_shingles`` (whitespace tokens of the trimmed text; docs
+    with < k tokens yield one short shingle; empty/null docs yield ['']).
+
+    Why a UDF here when shingling is expressible as Column lambdas:
+    Spark's higher-order functions (transform/sequence/slice) run
+    INTERPRETED — no whole-stage codegen — and profiling showed the
+    expression form is ~20x slower per row than this batched Python.
+    """
+    if k not in _SHINGLE_CACHE:
+
+        @pandas_udf("array<string>")
+        def shingles(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for s in batches:
+                out = []
+                for txt in s.values:
+                    toks = str(txt).split() if txt is not None else []
+                    if not toks:
+                        out.append([""])
+                        continue
+                    n = max(len(toks) - k, 0) + 1
+                    out.append(
+                        list(dict.fromkeys(
+                            " ".join(toks[i : i + k]) for i in range(n)
+                        ))
+                    )
+                yield pd.Series(out, dtype=object)
+
+        _SHINGLE_CACHE[k] = shingles
+    return _SHINGLE_CACHE[k]
+
+
 def _seeded_hash(seed: int):
     # NB: the lambda passed to F.transform must take exactly ONE argument —
     # a two-arg lambda (even `lambda s, i=i: ...` with a default!) is
@@ -83,32 +119,92 @@ def minhash_signature(col: Column, num_hashes: int = 32, shingle_k: int = 3) -> 
     return _sig_from_base(base, num_hashes)
 
 
+_SIG_UDF_CACHE: dict[tuple, object] = {}
+
+# splitmix64 finalizer constants (public-domain PRNG mix)
+_MIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x ^ (x >> np.uint64(30))) * _MIX_C1
+    x = (x ^ (x >> np.uint64(27))) * _MIX_C2
+    return x ^ (x >> np.uint64(31))
+
+
+def _minhash_sig_udf(num_hashes: int, shingle_k: int):
+    """One Arrow-batched UDF computing the full signature: shingle →
+    base FNV-1a hash (cached per distinct shingle) → ``num_hashes``
+    splitmix64-seeded variants → column-wise min. All numpy uint64
+    (wrapping) arithmetic — no interpreted HOF expressions, no
+    per-component re-hash of the shingle string."""
+    key = (num_hashes, shingle_k)
+    if key not in _SIG_UDF_CACHE:
+        rng = np.random.default_rng(0xC0FFEE)
+        seeds = rng.integers(0, 2**64, num_hashes, dtype=np.uint64)
+
+        @pandas_udf("array<long>")
+        def sig_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            cache: dict[str, np.uint64] = {}
+            err = np.seterr(over="ignore")
+            try:
+                for s in batches:
+                    out = []
+                    for txt in s.values:
+                        toks = str(txt).split() if txt is not None else []
+                        if toks:
+                            n = max(len(toks) - shingle_k, 0) + 1
+                            shingles = {
+                                " ".join(toks[i : i + shingle_k]) for i in range(n)
+                            }
+                        else:
+                            shingles = {""}
+                        base = np.empty(len(shingles), dtype=np.uint64)
+                        for j, sh in enumerate(shingles):
+                            h = cache.get(sh)
+                            if h is None:
+                                h = np.uint64(hash64_py(sh))
+                                cache[sh] = h
+                            base[j] = h
+                        # (n_shingles, num_hashes) seeded variants → min
+                        mixed = _splitmix64(base[:, None] ^ seeds[None, :])
+                        out.append(mixed.min(axis=0).astype(np.int64))
+                    yield pd.Series(out, dtype=object)
+            finally:
+                np.seterr(**err)
+
+        _SIG_UDF_CACHE[key] = sig_udf
+    return _SIG_UDF_CACHE[key]
+
+
+def _ensure_parallelism(df: DataFrame, min_parallelism: int | None) -> DataFrame:
+    """Repartition iff the input has fewer partitions than requested —
+    a no-op at corpus scale (file splits >> cores), load-bearing for
+    small single-file inputs where a CPU-heavy UDF stage would otherwise
+    run in ONE task."""
+    if min_parallelism and df.rdd.getNumPartitions() < min_parallelism:
+        return df.repartition(min_parallelism)
+    return df
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_k: int = 3,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
-    """(id, sig) with the computation STAGED across projections:
-    shingles → base hash array → components. Each stage's output is
-    referenced many times by the next, so Catalyst's CollapseProject
-    keeps the stages separate instead of re-inlining the (expensive)
-    shingle construction into all ``num_hashes`` component expressions —
-    the single-Column form is ~num_hashes× more work per row."""
-    sh = df.select(
+    """(id, sig): the pipeline-path signature computation, fused into one
+    Arrow-batched UDF (see ``_minhash_sig_udf``). Semantically a standard
+    minhash over distinct word-k-shingles; values differ from the
+    Column-API ``minhash_signature`` (xxhash64-based) but both are valid
+    minhash families — est_jaccard/banding behave identically."""
+    df = _ensure_parallelism(df, min_parallelism)
+    return df.select(
         F.col(id_col).alias("id"),
-        T.word_shingles(F.col(text_col), k=shingle_k).alias("__sh"),
-    ).select(
-        "id",
-        F.when(F.size("__sh") > 0, F.col("__sh"))
-        .otherwise(F.array(F.lit("")))
-        .alias("__sh"),
+        _minhash_sig_udf(num_hashes, shingle_k)(F.col(text_col)).alias("sig"),
     )
-    base = sh.select(
-        "id", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__bh")
-    )
-    return base.select("id", _sig_from_base(F.col("__bh"), num_hashes).alias("sig"))
 
 
 def minhash_candidate_pairs(
@@ -118,6 +214,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b, est_jaccard) via banding.
 
@@ -129,7 +226,9 @@ def minhash_candidate_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_k, min_parallelism
+    )
     banded = sig.select(
         "id",
         "sig",
@@ -188,13 +287,14 @@ def exact_jaccard_pairs(
     id_col: str,
     text_col: str = "text",
     shingle_k: int = 3,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard for given (id_a, id_b) candidate pairs —
     the verification stage after LSH blocking. Two broadcast-or-shuffle
     joins to attach shingle sets, then pure array math."""
-    sh = df.select(
+    sh = _ensure_parallelism(df, min_parallelism).select(
         F.col(id_col).alias("id"),
-        T.word_shingles(F.col(text_col), k=shingle_k).alias("sh"),
+        _shingles_udf(shingle_k)(F.col(text_col)).alias("sh"),
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -215,10 +315,23 @@ def ngram_jaccard_dedup(
     threshold: float = 0.8,
     num_hashes: int = 32,
     bands: int = 8,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs: MinHash-LSH blocking → exact Jaccard ≥ τ."""
-    cand = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands)
-    exact = exact_jaccard_pairs(df, cand.select("id_a", "id_b"), id_col, text_col)
+    """Near-duplicate pairs: MinHash-LSH blocking → exact Jaccard ≥ τ.
+
+    ``min_parallelism``: opt-in repartition before the UDF stages for
+    small/single-file inputs (no-op when file splits already exceed it).
+    Deliberately NOT defaulted to defaultParallelism: the right value is
+    the number of PHYSICAL cores available to Python workers, which Spark
+    cannot know (oversubscribed vCPUs make more workers slower).
+    """
+    cand = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, min_parallelism=min_parallelism
+    )
+    exact = exact_jaccard_pairs(
+        df, cand.select("id_a", "id_b"), id_col, text_col,
+        min_parallelism=min_parallelism,
+    )
     return exact.filter(F.col("jaccard") >= threshold)
 
 
@@ -236,21 +349,33 @@ def _simhash_udf():
         def simhash64(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
             # 64-bit simhash: per token, a deterministic 64-bit hash votes
             # +1/-1 on each bit; fingerprint = sign bits of the vote sum.
+            # Vectorized: per doc, all token-hash bit matrices at once;
+            # token→±1-bit-row cache persists across rows AND batches
+            # (corpus vocabularies are heavy-tailed, so the cache hit rate
+            # is high; the FNV loop runs once per distinct token).
+            shifts = np.arange(64, dtype=np.uint64)
+            bit_cache: dict[str, np.ndarray] = {}
+
+            def bit_row(tok: str) -> np.ndarray:
+                row = bit_cache.get(tok)
+                if row is None:
+                    hv = np.uint64(hash64_py(tok))
+                    bits = ((hv >> shifts) & np.uint64(1)).astype(np.int64)
+                    row = 2 * bits - 1  # ±1 votes
+                    bit_cache[tok] = row
+                return row
+
             for s in batches:
                 out = np.zeros(len(s), dtype=np.int64)
                 for i, txt in enumerate(s.values):
                     toks = str(txt or "").lower().split()
                     if not toks:
                         continue
-                    votes = np.zeros(64, dtype=np.int64)
-                    for t in toks:
-                        hv = np.uint64(hash64_py(t))
-                        bits = (hv >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                        votes += np.where(bits.astype(bool), 1, -1)
+                    votes = np.sum([bit_row(t) for t in toks], axis=0)
                     fp = np.uint64(0)
-                    for b in range(64):
-                        if votes[b] > 0:
-                            fp |= np.uint64(1) << np.uint64(b)
+                    pos = np.nonzero(votes > 0)[0].astype(np.uint64)
+                    for b in pos:
+                        fp |= np.uint64(1) << b
                     out[i] = np.int64(fp)
                 yield pd.Series(out)
 
@@ -268,8 +393,13 @@ def hash64_py(s: str) -> int:
     return h
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    return df.select(
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    return _ensure_parallelism(df, min_parallelism).select(
         F.col(id_col).alias("id"), _simhash_udf()(F.col(text_col)).alias("simhash")
     )
 
