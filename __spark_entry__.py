@@ -184,6 +184,164 @@ FROM part WHERE p_size IS NOT NULL AND p_size NOT BETWEEN 1 AND 40
 """
 
 
+def q_engine_dtype_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dtype checks (int + timestamp coercion, reference convert_dtype
+    semantics) on deterministically-dirtied string columns."""
+    from smcchecker_spark.constraints import Dtype
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 2, F.lit("abc"))
+        .when(F.col("o_orderkey") % 7 == 3, F.lit("12.5"))
+        .otherwise(F.col("o_orderkey").cast("string"))
+        .alias("val"),
+        F.when(F.col("o_orderkey") % 5 == 1, F.lit("not-a-date"))
+        .otherwise(F.lit("1998-01-02"))
+        .alias("val_ts"),
+    ).withColumn("part_id", (F.col("o_orderkey") % 4).cast("int"))
+    suite = Suite(
+        name="orders_dtype",
+        table="orders",
+        constraints=[Dtype("val", dtype="int"), Dtype("val_ts", dtype="timestamp")],
+    )
+    return compile_suite(orders, suite, row_id_col="o_orderkey", part_id_col="part_id")
+
+
+_DTYPE_ORACLE = """
+WITH d AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 2 THEN 'abc'
+              WHEN o_orderkey % 7 = 3 THEN '12.5'
+              ELSE CAST(o_orderkey AS VARCHAR) END AS val,
+         CASE WHEN o_orderkey % 5 = 1 THEN 'not-a-date'
+              ELSE '1998-01-02' END AS val_ts,
+         CAST(o_orderkey % 4 AS INT) AS part_id
+  FROM orders
+)
+SELECT 'orders' AS "table", CAST(o_orderkey AS VARCHAR) AS row_id,
+       'val' AS columns, 'Invalid Datatype' AS error_type, TRUE AS is_core_error,
+       'The value here is not valid for the datatype "int"' AS error_message,
+       'dtype_val' AS check_name, 'error' AS severity, part_id
+FROM d WHERE val IS NOT NULL AND NOT regexp_matches(trim(val), '^[+-]?\\d+$')
+UNION ALL
+SELECT 'orders', CAST(o_orderkey AS VARCHAR), 'val_ts', 'Invalid Datatype', TRUE,
+       'The value here is not valid for the datatype "timestamp"',
+       'dtype_val_ts', 'error', part_id
+FROM d WHERE val_ts IS NOT NULL AND TRY_CAST(val_ts AS TIMESTAMP) IS NULL
+         AND NOT regexp_matches(trim(val_ts),
+             '^\\d{4}-\\d{1,2}-\\d{1,2}\\s*(\\d{1,2}:\\d{1,2}:\\d{2}(\\.\\d+)?)?$')
+"""
+
+
+def q_engine_precision_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision (error) + Scale (warning) with the reference's exact
+    digit-count semantics (leading-zero drop via int(frac), trailing-zero
+    trim, fraction auto-pass for precision; proj/core/functions.py:77-166)
+    — the oracle re-derives the digit math in SQL on the rendered string."""
+    from smcchecker_spark.constraints import Precision, Scale
+
+    li = _t(spark, sf_dir, "lineitem").withColumns(
+        {
+            "part_id": (F.col("l_orderkey") % 4).cast("int"),
+            "rid": F.concat_ws("-", "l_orderkey", "l_linenumber"),
+        }
+    )
+    suite = Suite(
+        name="li_digits",
+        table="lineitem",
+        constraints=[
+            Precision("l_extendedprice", precision=6),
+            Scale("l_extendedprice", scale=1),
+        ],
+    )
+    return compile_suite(li, suite, row_id_col="rid", part_id_col="part_id")
+
+
+_PRECISION_ORACLE = r"""
+WITH d AS (
+  SELECT l_orderkey || '-' || l_linenumber AS rid, l_extendedprice AS x,
+         lower(trim(CAST(l_extendedprice AS VARCHAR))) AS s,
+         CAST(l_orderkey % 4 AS INT) AS part_id
+  FROM lineitem
+),
+digits AS (
+  SELECT *,
+         CASE WHEN abs(x) >= 1 THEN CAST(floor(log10(abs(x))) + 1 AS INT)
+              ELSE 1 END AS left_d,
+         CASE WHEN contains(s, 'e-') THEN
+                TRY_CAST(regexp_extract(s, 'e-0*(\d+)$', 1) AS INT)
+                + length(regexp_extract(s, '\.(\d+)e-', 1))
+              WHEN contains(s, 'e') THEN 0
+              ELSE length(regexp_replace(regexp_replace(
+                     regexp_extract(s, '\.(\d+)$', 1), '^0+', ''), '0+$', ''))
+         END AS right_d
+  FROM d
+)
+SELECT 'lineitem' AS "table", rid AS row_id,
+       'l_extendedprice' AS columns, 'Value too long' AS error_type,
+       TRUE AS is_core_error,
+       'The column l_extendedprice allows a maximum of 6 significant digits' AS error_message,
+       'precision_l_extendedprice' AS check_name, 'error' AS severity, part_id
+FROM digits
+WHERE x IS NOT NULL AND NOT isnan(x) AND NOT (abs(x) > 0 AND abs(x) < 1)
+  AND left_d + right_d > 6
+UNION ALL
+SELECT 'lineitem', rid, 'l_extendedprice',
+       'Value too long', TRUE,
+       'The column l_extendedprice allows a maximum of 1 digits after the decimal point',
+       'scale_l_extendedprice', 'warning', part_id
+FROM digits
+WHERE x IS NOT NULL AND NOT isnan(x) AND right_d > 1
+"""
+
+
+def q_engine_custom_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-tier gating (reference: custom checks run only when core
+    produced zero errors, proj/main.py:279 — generalized to partition
+    granularity): core NotNull violations are planted ONLY in partition 3,
+    so the custom Range check runs on every partition except 3."""
+    from smcchecker_spark.run import ValidationRunner
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 8 == 3, F.lit(None))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "n_chars",
+    ).withColumn("part_id", (F.col("doc_id") % 8).cast("int"))
+    suite = Suite(
+        name="docs_gated",
+        table="documents",
+        constraints=[NotNull("text")],
+        custom_constraints=[Range("n_chars", lo=0.0, hi=400.0, is_core=False)],
+    )
+    runner = ValidationRunner(suite, row_id_col="doc_id", part_id_col="part_id")
+    return runner.run(docs).violations
+
+
+_CUSTOM_GATED_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 8 = 3 THEN NULL ELSE text END AS text,
+         n_chars, CAST(doc_id % 8 AS INT) AS part_id
+  FROM documents
+)
+SELECT 'documents' AS "table", CAST(doc_id AS VARCHAR) AS row_id,
+       'text' AS columns, 'Missing Required Data' AS error_type,
+       TRUE AS is_core_error,
+       'There is an empty value here, but the column text requires a value in all rows' AS error_message,
+       'notnull_text' AS check_name, 'error' AS severity, part_id
+FROM d WHERE text IS NULL OR text = '' OR lower(text) = 'nan'
+UNION ALL
+SELECT 'documents', CAST(doc_id AS VARCHAR), 'n_chars', 'Value out of range',
+       FALSE,
+       'The column n_chars allows values from 0.0 to 400.0',
+       'range_n_chars', 'error', part_id
+FROM d WHERE part_id <> 3 AND n_chars IS NOT NULL
+         AND NOT (n_chars BETWEEN 0 AND 400)
+"""
+
+
 def q_clean_fix_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preprocess stage (C1 trim + C2 case-fix-vs-lookup): dirtied source
     values are restored to the lookup's canonical spelling."""
@@ -678,6 +836,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_suite_documents": q_engine_suite_documents,
         "messages_per_row": q_messages_per_row,
         "engine_intrange_part": q_engine_intrange_part,
+        "engine_dtype_orders": q_engine_dtype_orders,
+        "engine_precision_scale": q_engine_precision_scale,
+        "engine_custom_gated": q_engine_custom_gated,
         "clean_fix_case": q_clean_fix_case,
         "pricing_summary": q_pricing_summary,
         "revenue_by_region": q_revenue_by_region,
@@ -706,6 +867,9 @@ def oracle_sql() -> dict[str, str]:
         "engine_suite_documents": _ENGINE_SUITE_ORACLE,
         "messages_per_row": _MESSAGES_ORACLE,
         "engine_intrange_part": _INTRANGE_ORACLE,
+        "engine_dtype_orders": _DTYPE_ORACLE,
+        "engine_precision_scale": _PRECISION_ORACLE,
+        "engine_custom_gated": _CUSTOM_GATED_ORACLE,
         "clean_fix_case": _CLEAN_ORACLE,
         "pricing_summary": _PRICING_ORACLE,
         "revenue_by_region": _REVENUE_ORACLE,

@@ -1,0 +1,119 @@
+"""Structured-Streaming validation — the continuous-ingest surface.
+
+The reference is strictly batch (one HTTP upload = one submission,
+/root/reference/proj/main.py:22-47); SURVEY.md §2.9 adopts no streaming
+for v1 semantics. This module is the engine's forward surface for a
+continuously-landing image+caption feed: each micro-batch runs the SAME
+compiled constraint suite (one fused pass + join stages — identical
+semantics and code path as batch), and violations/metrics append to the
+same sinks the batch engine writes.
+
+Shape notes (Spark-native):
+
+- ``foreachBatch`` is the right primitive here: constraint evaluation is
+  stateless per row, uniqueness-in-batch is per-micro-batch (global
+  uniqueness belongs to the NotInExisting check against the accumulating
+  sink), and join constraints need plain batch joins against static
+  lookup tables — none of that wants stateful streaming operators.
+- Watermarks/windowed aggregation are NOT needed for validation; drift
+  monitoring over event-time windows would be the one stateful extension
+  (per-window histograms via ``groupBy(window(...))``), left for a
+  later round.
+- The checkpointLocation gives exactly-once sink appends per micro-batch
+  — the streaming analogue of checkpoint.py's wave commits.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smcchecker_spark.compile import compile_suite
+from smcchecker_spark.constraints import Suite, ValidationContext
+
+
+@dataclass
+class StreamingValidator:
+    """Validates a streaming DataFrame micro-batch-by-micro-batch.
+
+    ``violations_path`` receives the engine's standard violation rows
+    (plus a ``batch_id`` lineage column); ``verdicts_path`` one row per
+    (batch_id, part_id) — the per-partition pass/fail contract at
+    micro-batch granularity.
+    """
+
+    suite: Suite
+    ctx: ValidationContext = field(default_factory=ValidationContext)
+    row_id_col: str = "image_id"
+    part_id_col: str | None = "part_id"
+    violations_path: str = ""
+    verdicts_path: str = ""
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """The foreachBatch body — also callable directly in tests."""
+        violations = compile_suite(
+            batch_df,
+            self.suite,
+            self.ctx,
+            row_id_col=self.row_id_col,
+            part_id_col=self.part_id_col,
+            # whole-column gates need an extra aggregate action per batch;
+            # acceptable (micro-batches are small), same semantics as batch
+            apply_gates=True,
+        ).withColumn("batch_id", F.lit(batch_id))
+        violations.persist()
+        try:
+            if self.violations_path:
+                violations.write.mode("append").parquet(self.violations_path)
+            if self.verdicts_path:
+                part = (
+                    F.col(self.part_id_col).cast("int")
+                    if self.part_id_col and self.part_id_col in batch_df.columns
+                    else F.spark_partition_id()
+                )
+                counts = batch_df.groupBy(part.alias("part_id")).agg(
+                    F.count(F.lit(1)).alias("n_rows")
+                )
+                vio = violations.groupBy("part_id").agg(
+                    F.sum((F.col("severity") == "error").cast("long")).alias(
+                        "n_errors"
+                    )
+                )
+                verdicts = (
+                    counts.join(vio, "part_id", "left")
+                    .select(
+                        F.lit(batch_id).alias("batch_id"),
+                        "part_id",
+                        "n_rows",
+                        F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+                        F.when(F.coalesce("n_errors", F.lit(0)) == 0, "pass")
+                        .otherwise("fail")
+                        .alias("status"),
+                    )
+                )
+                verdicts.write.mode("append").parquet(self.verdicts_path)
+        finally:
+            violations.unpersist()
+
+    def start(
+        self,
+        stream_df: DataFrame,
+        checkpoint_location: str,
+        trigger_once: bool = False,
+        **trigger_kwargs,
+    ):
+        """Attach to a streaming DataFrame and start the query.
+
+        ``trigger_once=True`` drains all available input then stops —
+        the batch-resume-friendly mode (and what tests use).
+        """
+        writer = stream_df.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint_location
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_kwargs:
+            writer = writer.trigger(**trigger_kwargs)
+        return writer.start()
