@@ -342,6 +342,89 @@ FROM d WHERE part_id <> 3 AND n_chars IS NOT NULL
 """
 
 
+def q_engine_dup_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NotInExisting (dup-vs-production, proj/core/dupes.py:55-135): the
+    'existing snapshot' is every third order key, so those incoming rows
+    are flagged as already-loaded duplicates (LEFT SEMI join)."""
+    from smcchecker_spark.constraints import NotInExisting
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "part_id", (F.col("o_orderkey") % 4).cast("int")
+    )
+    existing = orders.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    suite = Suite(
+        name="orders_dup",
+        table="orders",
+        constraints=[NotInExisting(["o_orderkey"], existing="prod_orders")],
+    )
+    ctx = ValidationContext(existing={"prod_orders": existing})
+    return compile_suite(
+        orders, suite, ctx, row_id_col="o_orderkey", part_id_col="part_id"
+    )
+
+
+_DUP_PROD_ORACLE = """
+SELECT 'orders' AS "table", CAST(o_orderkey AS VARCHAR) AS row_id,
+       'o_orderkey' AS columns, 'Duplicate' AS error_type, TRUE AS is_core_error,
+       'This record already exists in the database (matched on o_orderkey)' AS error_message,
+       'notinexisting_o_orderkey' AS check_name, 'error' AS severity,
+       CAST(o_orderkey % 4 AS INT) AS part_id
+FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
+def q_engine_subset_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SubsetOf (the reference's checkLogic row-containment, with TRUE
+    tuple semantics — proj/custom/functions.py:36-66): every order's
+    o_custkey must exist in a customer table that is missing every fifth
+    key, so orders referencing those keys violate (LEFT ANTI join)."""
+    from smcchecker_spark.constraints import SubsetOf
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "part_id", (F.col("o_orderkey") % 4).cast("int")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 != 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    suite = Suite(
+        name="orders_logic",
+        table="orders",
+        constraints=[SubsetOf(["o_custkey"], other="customers", is_core=True)],
+    )
+    ctx = ValidationContext(existing={"customers": cust})
+    return compile_suite(
+        orders, suite, ctx, row_id_col="o_orderkey", part_id_col="part_id"
+    )
+
+
+_SUBSET_ORACLE = """
+SELECT 'orders' AS "table", CAST(o_orderkey AS VARCHAR) AS row_id,
+       'o_custkey' AS columns, 'Logic Error' AS error_type, TRUE AS is_core_error,
+       'Each record must have a matching record in customers (matched on o_custkey)' AS error_message,
+       'subsetof_o_custkey_customers' AS check_name, 'error' AS severity,
+       CAST(o_orderkey % 4 AS INT) AS part_id
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey % 5 <> 0 AND c.c_custkey = o.o_custkey)
+"""
+
+
+def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed t-digest sketch of events.value (partial per Arrow
+    batch → driver merge); returns the estimated quantiles. Approximate
+    by design → rows-only check."""
+    from smcchecker_spark.package import ensure_shipped
+
+    ensure_shipped(spark)
+    td = stats.tdigest_sketch(_t(spark, sf_dir, "events"), "value")
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    return spark.createDataFrame(
+        [(q, float(round(td.quantile(q), 2))) for q in qs], "q double, est double"
+    )
+
+
 def q_clean_fix_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preprocess stage (C1 trim + C2 case-fix-vs-lookup): dirtied source
     values are restored to the lookup's canonical spelling."""
@@ -839,6 +922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_dtype_orders": q_engine_dtype_orders,
         "engine_precision_scale": q_engine_precision_scale,
         "engine_custom_gated": q_engine_custom_gated,
+        "engine_dup_production": q_engine_dup_production,
+        "engine_subset_logic": q_engine_subset_logic,
+        "tdigest_quantiles": q_tdigest_quantiles,
         "clean_fix_case": q_clean_fix_case,
         "pricing_summary": q_pricing_summary,
         "revenue_by_region": q_revenue_by_region,
@@ -870,6 +956,8 @@ def oracle_sql() -> dict[str, str]:
         "engine_dtype_orders": _DTYPE_ORACLE,
         "engine_precision_scale": _PRECISION_ORACLE,
         "engine_custom_gated": _CUSTOM_GATED_ORACLE,
+        "engine_dup_production": _DUP_PROD_ORACLE,
+        "engine_subset_logic": _SUBSET_ORACLE,
         "clean_fix_case": _CLEAN_ORACLE,
         "pricing_summary": _PRICING_ORACLE,
         "revenue_by_region": _REVENUE_ORACLE,
