@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""spark-submit entry point — the north rule's deployment surface:
+
+    python -m smcchecker_spark.package  # or scripts/build_zip.py → zip
+    spark-submit --py-files /tmp/smcchecker_spark-<hash>.zip \
+        scripts/run_validation.py \
+        --input  /data/images_table \
+        --suite  configs/images_suite.json \
+        --out    /data/validation_out \
+        [--lookup lu_fmt=/data/lu_fmt.parquet ...] \
+        [--checkpoint /data/validation_ckpt --run-id run42 --waves 8]
+
+On a cluster the SparkSession comes from spark-submit (master/executors
+set at submit time); locally it falls back to the engine's tuned local
+session. The suite config is data (JSON), mirroring the reference's
+datasets.json + information_schema metadata as a declarative spec.
+
+Suite JSON shape::
+
+    {"name": "images_core", "table": "images",
+     "row_id_col": "image_id", "part_id_col": "part_id",
+     "exclude_columns": [],
+     "constraints": [
+        {"type": "not_null", "column": "caption"},
+        {"type": "max_length", "column": "caption", "max_length": 256},
+        {"type": "unique", "keys": ["image_id"]},
+        {"type": "in_lookup", "column": "fmt", "lookup": "lu_fmt",
+         "lookup_key": "fmt"},
+        {"type": "image_consistent"},
+        {"type": "range", "column": "w", "lo": 1, "hi": 65535},
+        {"type": "regex", "column": "image_id", "pattern": "^img"},
+        {"type": "dtype", "column": "w", "dtype": "int"},
+        {"type": "int_range", "column": "h", "width": "int4"},
+        {"type": "precision", "column": "x", "precision": 10},
+        {"type": "scale", "column": "x", "scale": 3},
+        {"type": "not_in_existing", "keys": ["image_id"],
+         "existing": "prod"},
+        {"type": "subset_of", "keys": ["fmt"], "other": "lu"}
+     ],
+     "custom_constraints": [...]}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_constraint(spec: dict):
+    from smcchecker_spark import constraints as C
+    from smcchecker_spark.image import ImageConsistent, PsnrAtLeast
+
+    kind = spec["type"]
+    args = {k: v for k, v in spec.items() if k != "type"}
+    factory = {
+        "not_null": C.NotNull,
+        "dtype": C.Dtype,
+        "max_length": C.MaxLength,
+        "precision": C.Precision,
+        "scale": C.Scale,
+        "int_range": C.IntRange,
+        "range": C.Range,
+        "regex": C.Regex,
+        "unique": C.Unique,
+        "in_lookup": C.InLookup,
+        "not_in_existing": C.NotInExisting,
+        "subset_of": C.SubsetOf,
+        "image_consistent": ImageConsistent,
+        "psnr_at_least": PsnrAtLeast,
+    }
+    if kind not in factory:
+        raise SystemExit(f"unknown constraint type {kind!r}")
+    if kind == "unique":
+        return C.Unique(args.pop("keys"), **args)
+    if kind == "not_in_existing":
+        return C.NotInExisting(args.pop("keys"), args.pop("existing"), **args)
+    if kind == "subset_of":
+        return C.SubsetOf(args.pop("keys"), args.pop("other"), **args)
+    if "column" in args:
+        col = args.pop("column")
+        return factory[kind](col, **args)
+    return factory[kind](**args)
+
+
+def load_suite(path: str):
+    from smcchecker_spark.constraints import Suite
+
+    cfg = json.load(open(path))
+    return (
+        Suite(
+            name=cfg["name"],
+            table=cfg.get("table", cfg["name"]),
+            constraints=[build_constraint(c) for c in cfg["constraints"]],
+            exclude_columns=tuple(cfg.get("exclude_columns", [])),
+            custom_constraints=[
+                build_constraint(c) for c in cfg.get("custom_constraints", [])
+            ],
+        ),
+        cfg.get("row_id_col", "image_id"),
+        cfg.get("part_id_col", "part_id"),
+    )
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="table path (parquet dir)")
+    p.add_argument("--suite", required=True, help="suite config JSON")
+    p.add_argument("--out", required=True, help="output dir (violations/, verdicts/)")
+    p.add_argument("--lookup", action="append", default=[],
+                   metavar="NAME=PATH", help="lookup table (repeatable)")
+    p.add_argument("--existing", action="append", default=[],
+                   metavar="NAME=PATH", help="existing-snapshot table (repeatable)")
+    p.add_argument("--checkpoint", help="checkpoint root → resumable wave mode")
+    p.add_argument("--run-id", default="run0")
+    p.add_argument("--waves", type=int, default=None,
+                   help="partitions per wave (checkpoint mode)")
+    p.add_argument("--fmt", default="parquet", help="input format")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from smcchecker_spark.session import get_spark
+
+        spark = get_spark("run-validation")
+    else:  # cluster session from spark-submit: still ship the package
+        from smcchecker_spark.package import ensure_shipped
+
+        ensure_shipped(spark)
+
+    from smcchecker_spark.constraints import ValidationContext
+    from smcchecker_spark.run import ValidationRunner
+
+    suite, row_id_col, part_id_col = load_suite(args.suite)
+    ctx = ValidationContext(
+        lookups={
+            n: spark.read.format(args.fmt).load(path)
+            for n, path in (kv.split("=", 1) for kv in args.lookup)
+        },
+        existing={
+            n: spark.read.format(args.fmt).load(path)
+            for n, path in (kv.split("=", 1) for kv in args.existing)
+        },
+    )
+    df = spark.read.format(args.fmt).load(args.input)
+    runner = ValidationRunner(
+        suite, ctx, row_id_col=row_id_col, part_id_col=part_id_col,
+        run_id=args.run_id,
+    )
+
+    if args.checkpoint:
+        from smcchecker_spark.checkpoint import CheckpointStore, run_with_checkpoint
+
+        store = CheckpointStore(args.checkpoint)
+        done = run_with_checkpoint(runner, df, store,
+                                   partitions_per_wave=args.waves)
+        print(f"processed partitions this run: {sorted(done)}")
+        violations = store.violations(spark, args.run_id)
+        verdicts = store.verdicts(spark, args.run_id)
+    else:
+        result = runner.run(df)
+        violations, verdicts = result.violations, result.verdicts
+
+    violations.write.mode("overwrite").parquet(args.out + "/violations")
+    verdicts.write.mode("overwrite").parquet(args.out + "/verdicts")
+    n_err = violations.filter("severity = 'error'").count()
+    n_warn = violations.filter("severity = 'warning'").count()
+    statuses = {r["part_id"]: r["status"] for r in verdicts.collect()}
+    print(f"errors={n_err} warnings={n_warn} partitions={statuses}")
+    return 0 if n_err == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,93 @@
+"""scripts/run_validation.py — suite-config parsing + end-to-end run
+through main() (the spark-submit entry point; the actual spark-submit
+--py-files invocation is exercised manually / in BENCH notes)."""
+
+import json
+import sys
+
+import pytest
+
+sys.path.insert(0, "scripts")
+
+from run_validation import build_constraint, load_suite, main  # noqa: E402
+
+from smcchecker_spark import fixtures  # noqa: E402
+
+
+def test_build_constraint_all_types():
+    specs = [
+        {"type": "not_null", "column": "a"},
+        {"type": "dtype", "column": "a", "dtype": "int"},
+        {"type": "max_length", "column": "a", "max_length": 5},
+        {"type": "precision", "column": "a", "precision": 4},
+        {"type": "scale", "column": "a", "scale": 2},
+        {"type": "int_range", "column": "a", "width": "int2"},
+        {"type": "range", "column": "a", "lo": 0, "hi": 9},
+        {"type": "regex", "column": "a", "pattern": "^x"},
+        {"type": "unique", "keys": ["a", "b"]},
+        {"type": "in_lookup", "column": "a", "lookup": "lu", "lookup_key": "k"},
+        {"type": "not_in_existing", "keys": ["a"], "existing": "prod"},
+        {"type": "subset_of", "keys": ["a"], "other": "t"},
+        {"type": "image_consistent"},
+    ]
+    names = [build_constraint(s).name for s in specs]
+    assert len(names) == len(set(names)) == len(specs)
+    with pytest.raises(SystemExit):
+        build_constraint({"type": "nope", "column": "a"})
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    df = fixtures.generate_images(spark, n_rows=200, n_parts=4, seed=42)
+    df.write.parquet(str(tmp_path / "in"))
+    fixtures.lu_fmt(spark).write.parquet(str(tmp_path / "lu"))
+    cfg = {
+        "name": "images_core",
+        "table": "images",
+        "row_id_col": "image_id",
+        "part_id_col": "part_id",
+        "constraints": [
+            {"type": "not_null", "column": "caption"},
+            {"type": "unique", "keys": ["image_id"]},
+            {"type": "in_lookup", "column": "fmt", "lookup": "lu_fmt",
+             "lookup_key": "fmt"},
+        ],
+    }
+    (tmp_path / "suite.json").write_text(json.dumps(cfg))
+    rc = main([
+        "--input", str(tmp_path / "in"),
+        "--suite", str(tmp_path / "suite.json"),
+        "--out", str(tmp_path / "out"),
+        "--lookup", f"lu_fmt={tmp_path / 'lu'}",
+    ])
+    assert rc == 1  # planted violations → nonzero exit
+    v = spark.read.parquet(str(tmp_path / "out" / "violations"))
+    assert v.count() > 0
+    verd = spark.read.parquet(str(tmp_path / "out" / "verdicts"))
+    assert verd.count() == 4
+
+
+def test_cli_checkpoint_resume(spark, tmp_path):
+    df = fixtures.generate_images(spark, n_rows=120, n_parts=4, seed=9)
+    df.write.parquet(str(tmp_path / "in"))
+    cfg = {
+        "name": "s", "table": "images",
+        "row_id_col": "image_id", "part_id_col": "part_id",
+        "constraints": [{"type": "not_null", "column": "caption"}],
+    }
+    (tmp_path / "suite.json").write_text(json.dumps(cfg))
+    args = [
+        "--input", str(tmp_path / "in"),
+        "--suite", str(tmp_path / "suite.json"),
+        "--out", str(tmp_path / "out"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--run-id", "r1", "--waves", "2",
+    ]
+    main(args)
+    # second run: everything checkpointed → no partitions re-processed
+    from smcchecker_spark.checkpoint import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    assert store.completed_partitions(spark, "r1") == {0, 1, 2, 3}
+    main(args)  # resume is a no-op, outputs still written from checkpoint
+    v = spark.read.parquet(str(tmp_path / "out" / "violations"))
+    assert v.select("row_id").distinct().count() == v.count()  # no dup appends
