@@ -702,6 +702,128 @@ SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM probs
 # ---------------------------------------------------------------------------
 
 
+def q_audit_load_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-path audit columns (reference objectid/submissionid/
+    created_date/login_*, proj/load.py:91-103) — deterministic content
+    ids so retried/resumed appends are idempotent."""
+    from smcchecker_spark.run import with_audit_columns
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = with_audit_columns(
+        docs,
+        run_id="run42",
+        row_id_col="doc_id",
+        login_info={"agency": "smc"},
+        created_at="2026-01-02 03:04:05",
+    )
+    return out.select(
+        "doc_id", "objectid", "submissionid", "created_date", "login_agency"
+    )
+
+
+_AUDIT_ORACLE = """
+SELECT doc_id,
+       md5('run42' || '|' || CAST(doc_id AS VARCHAR)) AS objectid,
+       'run42' AS submissionid,
+       TIMESTAMP '2026-01-02 03:04:05' AS created_date,
+       'smc' AS login_agency
+FROM documents
+"""
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS statistic between the even/odd event halves,
+    entirely as DataFrame ops (windowed CDF over bucket histograms)."""
+    ev = _t(spark, sf_dir, "events")
+    cur = stats.histogram(ev.filter(F.col("event_id") % 2 == 0), "value", 0.0, 500.0, 20)
+    base = stats.histogram(ev.filter(F.col("event_id") % 2 == 1), "value", 0.0, 500.0, 20)
+    j = stats._joined_probs(cur, base, eps=0.0)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        j.select(F.abs(F.sum("p").over(w) - F.sum("q").over(w)).alias("d"))
+        .agg(F.round(F.max("d"), 6).alias("ks"))
+    )
+
+
+_KS_ORACLE = """
+WITH ev AS (
+  SELECT event_id,
+         CAST(CASE WHEN value < 0 THEN 0
+                   WHEN value >= 500 THEN 21
+                   ELSE floor((value - 0.0) / 25.0) + 1 END AS INT) AS bucket
+  FROM events WHERE value IS NOT NULL
+),
+cur AS (SELECT bucket, count(*) AS c_cnt FROM ev WHERE event_id % 2 = 0 GROUP BY 1),
+base AS (SELECT bucket, count(*) AS b_cnt FROM ev WHERE event_id % 2 = 1 GROUP BY 1),
+j AS (
+  SELECT coalesce(c.bucket, b.bucket) AS bucket,
+         coalesce(c_cnt, 0) AS c_cnt, coalesce(b_cnt, 0) AS b_cnt
+  FROM cur c FULL OUTER JOIN base b ON c.bucket = b.bucket
+),
+probs AS (
+  SELECT bucket,
+         c_cnt / (SELECT sum(c_cnt) FROM j) AS p,
+         b_cnt / (SELECT sum(b_cnt) FROM j) AS q
+  FROM j
+),
+cdf AS (
+  SELECT abs(sum(p) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+           - sum(q) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)) AS d
+  FROM probs
+)
+SELECT round(max(d), 6) AS ks FROM cdf
+"""
+
+
+def q_drift_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift CONSTRAINT path (north-star: KS/PSI drift checks emit
+    violation rows): current = value*1.3 vs baseline = value → PSI over
+    threshold → one table-level violation row."""
+    ev = _t(spark, sf_dir, "events")
+    shifted = ev.withColumn("value", F.col("value") * 1.5)
+    spec = stats.DriftSpec(
+        column="value", metric="psi", threshold=0.1, lo=0.0, hi=500.0, bins=20
+    )
+    v, _ = stats.drift_violations(shifted, ev, [spec], table="events")
+    return v
+
+
+_DRIFT_CHECK_ORACLE = """
+WITH cur AS (
+  SELECT CAST(CASE WHEN value * 1.5 < 0 THEN 0
+                   WHEN value * 1.5 >= 500 THEN 21
+                   ELSE floor((value * 1.5 - 0.0) / 25.0) + 1 END AS INT) AS bucket,
+         count(*) AS c_cnt
+  FROM events WHERE value * 1.5 IS NOT NULL GROUP BY 1
+),
+base AS (
+  SELECT CAST(CASE WHEN value < 0 THEN 0
+                   WHEN value >= 500 THEN 21
+                   ELSE floor((value - 0.0) / 25.0) + 1 END AS INT) AS bucket,
+         count(*) AS b_cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+j AS (
+  SELECT coalesce(c.bucket, b.bucket) AS bucket,
+         coalesce(c_cnt, 0) AS c_cnt, coalesce(b_cnt, 0) AS b_cnt
+  FROM cur c FULL OUTER JOIN base b ON c.bucket = b.bucket
+),
+probs AS (
+  SELECT c_cnt / (SELECT sum(c_cnt) FROM j) + 1e-6 AS p,
+         b_cnt / (SELECT sum(b_cnt) FROM j) + 1e-6 AS q
+  FROM j
+),
+psi AS (SELECT sum((p - q) * ln(p / q)) AS v FROM probs)
+SELECT 'events' AS "table", '__TABLE__' AS row_id, 'value' AS columns,
+       'Distribution Drift' AS error_type, TRUE AS is_core_error,
+       'Column value drifted from baseline: psi=' || printf('%.4f', v)
+         || ' > 0.1' AS error_message,
+       'drift_psi_value' AS check_name, 'error' AS severity,
+       CAST(-1 AS INT) AS part_id
+FROM psi WHERE v > 0.1
+"""
+
+
 def q_text_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
@@ -937,6 +1059,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_stats_approx": q_column_stats_approx,
         "histogram_value": q_histogram_value,
         "psi_value_drift": q_psi_value_drift,
+        "audit_load_columns": q_audit_load_columns,
+        "ks_drift": q_ks_drift,
+        "drift_check_events": q_drift_check_events,
         "text_features_docs": q_text_features_docs,
         "exact_dups_docs": q_exact_dups_docs,
         "minhash_neardup_docs": q_minhash_neardup_docs,
@@ -969,6 +1094,9 @@ def oracle_sql() -> dict[str, str]:
         "stats_exact_lineitem": _STATS_ORACLE,
         "histogram_value": _HISTOGRAM_ORACLE,
         "psi_value_drift": _PSI_ORACLE,
+        "audit_load_columns": _AUDIT_ORACLE,
+        "ks_drift": _KS_ORACLE,
+        "drift_check_events": _DRIFT_CHECK_ORACLE,
         "text_features_docs": _TEXT_ORACLE,
         "exact_dups_docs": _EXACT_DUP_ORACLE,
         "minhash_neardup_docs": _MINHASH_ORACLE,

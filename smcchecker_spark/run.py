@@ -150,6 +150,40 @@ class ValidationRunner:
         return ValidationResult(violations=violations, verdicts=verdicts)
 
 
+def with_audit_columns(
+    df: DataFrame,
+    run_id: str,
+    row_id_col: str,
+    login_info: dict[str, str] | None = None,
+    created_at: str | None = None,
+) -> DataFrame:
+    """Audit/system columns assigned at load time (reference:
+    objectid/globalid/created_date/submissionid/login_* at
+    /root/reference/proj/load.py:91-103).
+
+    ``objectid`` is a DETERMINISTIC content id (md5 of run_id‖row_id) —
+    unlike the reference's serial ids this is stable under retry/resume,
+    which is what an idempotent distributed append needs. ``created_at``
+    (ISO string) defaults to now(); pass it explicitly for reproducible
+    pipelines."""
+    out = df.withColumns(
+        {
+            "objectid": F.md5(
+                F.concat_ws("|", F.lit(run_id), F.col(row_id_col).cast("string"))
+            ),
+            "submissionid": F.lit(run_id),
+            "created_date": (
+                F.lit(created_at).cast("timestamp")
+                if created_at
+                else F.current_timestamp()
+            ),
+        }
+    )
+    for k, v in (login_info or {}).items():
+        out = out.withColumn(f"login_{k}", F.lit(v))
+    return out
+
+
 def gated_append(
     result: ValidationResult, df: DataFrame, path: str, fmt: str = "parquet"
 ) -> bool:
