@@ -975,6 +975,23 @@ def q_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "rank")
 
 
+def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (coarse-quantizer cells + n_probe search) — the second
+    scale path next to hyperplane LSH. Approximate + UDF-based →
+    rows-only check."""
+    from smcchecker_spark.package import ensure_shipped
+
+    ensure_shipped(spark)
+    emb = _emb_double(spark, sf_dir)
+    centroids = similarity.train_centroids(emb, "vec_id", "embedding", k=16)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        emb, queries, centroids, k=10, n_probe=4, id_col="vec_id"
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_double(spark, sf_dir)
     copies = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
@@ -1068,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_docs": q_simhash_neardup_docs,
         "topk_cosine": q_topk_cosine,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "embedding_neardup": q_embedding_neardup,
         "images_validate": q_images_validate,
     }

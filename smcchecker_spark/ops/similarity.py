@@ -14,9 +14,13 @@ Two tiers, mirroring how ANN is actually deployed on Spark:
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -126,6 +130,107 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+) -> np.ndarray:
+    """Deterministic driver-side spherical k-means on an id-ordered sample
+    (k × dim float64, L2-normalized rows). The sample is tiny relative to
+    the corpus — training cost is O(sample · k · iters) on the driver;
+    at 10^12 rows you train once and persist the centroids."""
+    rows = (
+        df.orderBy(id_col).limit(sample).select(vec_col).collect()
+    )
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def _cell_udf(centroids: np.ndarray):
+    C = centroids.T.copy()  # dim × k
+
+    @pandas_udf("int")
+    def cell(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            X = np.array([list(v) for v in s.values], dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            yield pd.Series(np.argmax(X @ C, axis=1).astype(np.int32))
+
+    return cell
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN top-k: corpus rows live in their nearest-centroid cell
+    (computed once — storable as a partition column at scale); each query
+    probes its ``n_probe`` closest cells, exact cosine + rank inside the
+    probed slice. Recall grows with n_probe (n_probe = k_cells → exact).
+
+    Output: (query_id, neighbor_id, score, rank)."""
+    cell = _cell_udf(centroids)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        cell(F.col(vec_col)).alias("cell"),
+    )
+    # per-query probe list: n_probe nearest centroids, computed driver-free
+    # via a small pandas UDF (queries are the small side)
+    C = centroids.T.copy()
+    n_probe = min(n_probe, centroids.shape[0])
+
+    @pandas_udf("array<int>")
+    def probes(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            X = np.array([list(v) for v in s.values], dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(X @ C), axis=1)[:, :n_probe]
+            yield pd.Series([row.astype("int32").tolist() for row in order])
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(probes(F.col(vec_col))).alias("cell"),
+        )
+    )
+    scored = c.join(q, "cell").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -121,6 +121,31 @@ def test_lsh_topk_finds_self_and_neardup(spark, vectors):
     assert ids[0] == 0 and 20 in ids  # near-identical vectors share buckets
 
 
+def test_ivf_topk_recall(spark, vectors):
+    """IVF top-k with full probing is exact; partial probing finds the
+    self-match and most true neighbors."""
+    centroids = similarity.train_centroids(
+        vectors, "vec_id", "embedding", k=4, sample=64
+    )
+    queries = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(vectors, queries, k=5, id_col="vec_id")
+    full = similarity.ivf_topk(
+        vectors, queries, centroids, k=5, n_probe=4, id_col="vec_id"
+    )
+    e = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
+    f = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in full.collect()}
+    assert e == f  # probing every cell == brute force
+    part = similarity.ivf_topk(
+        vectors, queries, centroids, k=5, n_probe=1, id_col="vec_id"
+    )
+    got = {(r["query_id"], r["neighbor_id"]) for r in part.collect()}
+    assert all((q, q) in got for q in range(3))  # self-match always found
+    recall = len(got & {(a, b) for a, b, _ in e}) / len(e)
+    assert recall >= 0.5
+
+
 def test_embedding_near_dups(spark, vectors):
     pairs = similarity.embedding_near_dups(
         vectors, threshold=0.99, dim=8, n_planes=4
