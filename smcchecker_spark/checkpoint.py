@@ -18,9 +18,10 @@ Mechanics (deterministic batch orchestration, SURVEY.md §2.9):
   pruning happens at the SOURCE (no data read for finished partitions);
 - each wave validates a set of partitions, appends violations, then
   appends verdict rows LAST — a wave is complete iff its verdict rows
-  are present, so a crash between the two writes re-runs that wave and
-  overwrite-by-rewrite keeps violations consistent (violations for a
-  re-run wave are deduplicated by (run_id is embedded in the path)).
+  (which carry the wave id) are present. A crash BETWEEN the two writes
+  leaves an orphaned ``wave=k`` violations directory with no matching
+  verdict; ``run_with_checkpoint`` deletes such orphans before resuming,
+  so the re-run of those partitions cannot double-count violations.
 """
 
 from __future__ import annotations
@@ -53,23 +54,56 @@ class CheckpointStore:
             return set()
         return {r["part_id"] for r in vd.select("part_id").distinct().collect()}
 
-    def waves(self, spark: SparkSession, run_id: str) -> int:
+    def wave_dirs(self, run_id: str) -> list[int]:
         base = os.path.join(self.root, "violations", f"run_id={run_id}")
         if not os.path.isdir(base):
-            return 0
-        return len([d for d in os.listdir(base) if d.startswith("wave=")])
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(base)
+            if d.startswith("wave=")
+        )
+
+    def committed_waves(self, spark: SparkSession, run_id: str) -> set[int]:
+        """Waves whose verdict rows (the commit markers) exist."""
+        try:
+            vd = spark.read.parquet(self._verdict_path(run_id))
+        except Exception:
+            return set()
+        return {r["wave"] for r in vd.select("wave").distinct().collect()}
+
+    def cleanup_orphan_waves(self, spark: SparkSession, run_id: str) -> list[int]:
+        """Delete violations wave dirs with no committed verdict — the
+        residue of a crash between the violations write and the verdict
+        write. Without this, re-running those partitions under a new wave
+        id would leave their violations present TWICE."""
+        import shutil
+
+        committed = self.committed_waves(spark, run_id)
+        orphans = [w for w in self.wave_dirs(run_id) if w not in committed]
+        for w in orphans:
+            shutil.rmtree(self._violations_path(run_id, w), ignore_errors=True)
+        return orphans
+
+    def waves(self, spark: SparkSession, run_id: str) -> int:
+        return len(self.wave_dirs(run_id))
 
     def write_wave(
-        self, run_id: str, wave: int, result: ValidationResult
+        self, run_id: str, wave: int, result: ValidationResult,
+        fail_before_commit: bool = False,
     ) -> None:
         # violations first, verdicts last — the verdict row is the commit
-        # marker for a (run, wave); see module docstring
+        # marker for a (run, wave); see module docstring.
+        # ``fail_before_commit`` is a test hook simulating a crash in the
+        # window between the two writes.
         result.violations.write.mode("overwrite").parquet(
             self._violations_path(run_id, wave)
         )
-        result.verdicts.drop("run_id").write.mode("append").parquet(
-            self._verdict_path(run_id)
-        )
+        if fail_before_commit:
+            raise RuntimeError("simulated crash between violations and verdicts")
+        result.verdicts.drop("run_id").withColumn(
+            "wave", F.lit(wave)
+        ).write.mode("append").parquet(self._verdict_path(run_id))
 
     def violations(self, spark: SparkSession, run_id: str) -> DataFrame:
         return spark.read.parquet(
@@ -100,6 +134,9 @@ def run_with_checkpoint(
     """
     spark = df.sparkSession
     part_col = runner.part_id_col or "part_id"
+    # crash-consistency: drop violation waves whose commit marker never
+    # landed (crash between the two writes) before computing what's done
+    store.cleanup_orphan_waves(spark, runner.run_id)
     all_parts = sorted(
         r[part_col] for r in df.select(part_col).distinct().collect()
     )
@@ -109,7 +146,8 @@ def run_with_checkpoint(
         return set()
     per_wave = partitions_per_wave or len(todo)
     processed: set[int] = set()
-    wave = store.waves(spark, runner.run_id)
+    wave = (max(store.wave_dirs(runner.run_id)) + 1
+            if store.wave_dirs(runner.run_id) else 0)
     for i in range(0, len(todo), per_wave):
         if fail_after_waves is not None and i // per_wave >= fail_after_waves:
             raise RuntimeError("simulated crash between waves")

@@ -62,6 +62,38 @@ def test_resume_after_crash(spark, images, tmp_path):
     assert vd.agg(F.sum("n_rows")).collect()[0][0] == 300
 
 
+def test_crash_between_violation_and_verdict_writes(spark, images, tmp_path):
+    """Regression: a crash AFTER the violations write but BEFORE the
+    verdict (commit-marker) write leaves an orphaned wave directory; the
+    resume must delete it, or the re-run of those partitions would leave
+    their violations present twice."""
+    store = CheckpointStore(str(tmp_path / "ckpt3"))
+    runner = ValidationRunner(_suite(), run_id="r3")
+
+    # wave 0 committed normally (partitions 0-1)
+    parts01 = images.filter(F.col("part_id") < 2)
+    res = runner.run(parts01)
+    store.write_wave("r3", 0, res)
+    # wave 1: violations land, verdicts don't (the crash window)
+    parts23 = images.filter(F.col("part_id").isin([2, 3]))
+    res2 = runner.run(parts23)
+    with pytest.raises(RuntimeError, match="simulated crash between"):
+        store.write_wave("r3", 1, res2, fail_before_commit=True)
+    assert store.completed_partitions(spark, "r3") == {0, 1}
+    assert 1 in store.wave_dirs("r3")  # the orphan exists
+
+    # resume the full run: orphan removed, partitions 2-5 re-run cleanly
+    processed = run_with_checkpoint(runner, images, store, partitions_per_wave=2)
+    assert processed == {2, 3, 4, 5}
+    v = store.violations(spark, "r3")
+    # no duplicate violation rows: each (row_id, check) appears once
+    assert v.count() == v.select("row_id", "check_name").distinct().count()
+    # and the total matches an uninterrupted run
+    ref_store = CheckpointStore(str(tmp_path / "ref3"))
+    run_with_checkpoint(ValidationRunner(_suite(), run_id="ref"), images, ref_store)
+    assert v.count() == ref_store.violations(spark, "ref").count()
+
+
 def test_resume_noop_when_complete(spark, images, tmp_path):
     store = CheckpointStore(str(tmp_path / "ckpt2"))
     runner = ValidationRunner(_suite(), run_id="r2")

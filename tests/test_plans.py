@@ -118,6 +118,27 @@ def test_unique_single_shuffle_on_keys(spark, images_parquet):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_resume_filter_prunes_partitioned_source(spark, tmp_path_factory):
+    """The checkpoint/resume predicate (part_id IN completed-set) must
+    prune PARTITIONS at the source on a hive-partitioned layout — the
+    scan's partition count drops to the selected subset, so finished
+    partitions cost zero I/O on resume (Iceberg manifests behave the
+    same way on a cluster)."""
+    from smcchecker_spark import fixtures
+
+    path = str(tmp_path_factory.mktemp("p") / "img_part.parquet")
+    fixtures.generate_images(spark, n_rows=200, n_parts=4).write.partitionBy(
+        "part_id"
+    ).parquet(path)
+    df = spark.read.parquet(path).filter(F.col("part_id").isin([2, 3]))
+    plan = _plan(df.select("image_id"))
+    m = re.search(r"PartitionFilters: \[.*part_id.*\]", plan)
+    assert m, plan
+    # the executed scan reads only the 2 selected hive partitions
+    files = {r[0] for r in df.select(F.input_file_name()).distinct().collect()}
+    assert files and all("part_id=2" in f or "part_id=3" in f for f in files)
+
+
 def test_filter_pushdown_reaches_scan(spark, images_parquet):
     df = spark.read.parquet(images_parquet).filter(F.col("part_id") == 2)
     plan = _plan(df.select("image_id"))
