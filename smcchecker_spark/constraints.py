@@ -326,11 +326,19 @@ class Unique(JoinConstraint):
             .filter(F.col("__n") > 1)
             .drop("__n")
         )
-        return (
-            df.select(ROW_ID, PART_ID, *keys)
-            .join(dup_keys, on=keys, how="inner")
-            .select(ROW_ID, PART_ID)
+        # null-safe join-back: groupBy groups NULL keys together (pandas
+        # ``duplicated`` treats NaN == NaN the same way, and the reference
+        # dedupes on raw pkey values) — a plain equi-join would silently
+        # drop NULL-keyed duplicate groups here
+        left = df.select(ROW_ID, PART_ID, *keys)
+        right = dup_keys.select(
+            *[F.col(k).alias(f"__dk_{k}") for k in keys]
         )
+        cond = None
+        for k in keys:
+            c = left[k].eqNullSafe(right[f"__dk_{k}"])
+            cond = c if cond is None else (cond & c)
+        return left.join(right, cond, "inner").select(ROW_ID, PART_ID)
 
 
 @dataclass(frozen=True)

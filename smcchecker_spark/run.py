@@ -94,6 +94,11 @@ class ValidationRunner:
         )
         violations = core
         if self.suite.custom_constraints:
+            # the failing-partition collect below executes the core plan;
+            # persist FIRST so the later union/verdict actions reuse it
+            # instead of re-running every core check
+            core = core.persist()
+            violations = core
             # partitions with any core ERROR skip the custom tier
             failed = {
                 r["part_id"]

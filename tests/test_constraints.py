@@ -203,6 +203,18 @@ def test_unique(spark):
     assert violating_ids(df, Unique(keys=["k", "n"])) == {"a", "b"}
 
 
+def test_unique_null_keys(spark):
+    """NULL-keyed duplicate groups are still duplicates (pandas
+    ``duplicated`` treats NaN == NaN; a plain equi-join-back would drop
+    them — regression for the null-safe join)."""
+    df = make_df(
+        spark,
+        [("a", None, 1), ("b", None, 1), ("c", None, 2), ("d", "k", 1)],
+        "id string, k string, n int",
+    )
+    assert violating_ids(df, Unique(keys=["k", "n"])) == {"a", "b"}
+
+
 def test_in_lookup(spark):
     df = make_df(
         spark,
