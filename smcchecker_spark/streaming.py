@@ -34,6 +34,47 @@ from smcchecker_spark.compile import compile_suite
 from smcchecker_spark.constraints import Suite, ValidationContext
 
 
+def windowed_histograms(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 32,
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time histograms for streaming drift monitoring: one
+    (window, bucket, count) row per completed event-time window — the
+    streaming analogue of ``stats.histogram`` and the input to PSI/KS
+    against a baseline snapshot.
+
+    Spark-native shape: ``withWatermark`` bounds state (windows older
+    than the watermark are finalized and evicted) + windowed groupBy
+    (partial aggregation per micro-batch, stateful merge across
+    batches). Late rows inside the watermark still update their window;
+    rows later than that are dropped — the standard late-data contract.
+    """
+    from smcchecker_spark.stats import bucket_expr
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(
+            F.window(F.col(ts_col), window_duration).alias("window"),
+            bucket_expr(F.col(value_col), lo, hi, bins).alias("bucket"),
+        )
+        .where(F.col("bucket").isNotNull())
+        .groupBy("window", "bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "bucket",
+            "count",
+        )
+    )
+
+
 @dataclass
 class StreamingValidator:
     """Validates a streaming DataFrame micro-batch-by-micro-batch.

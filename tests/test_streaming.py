@@ -78,6 +78,68 @@ def test_stream_matches_batch(spark, suite_ctx, tmp_path):
     assert set(vmap.values()) <= {"pass", "fail"}
 
 
+def test_windowed_histograms_match_batch(spark, tmp_path):
+    """Streaming event-time histograms (watermark + windowed groupBy)
+    produce the same (window, bucket, count) rows as the equivalent
+    batch aggregation once the stream drains."""
+    import datetime as dt
+
+    from smcchecker_spark.streaming import windowed_histograms
+
+    rows = [
+        (i, dt.datetime(2026, 1, 1, 0, i % 25, 0), float((i * 37) % 500))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, value double")
+    src = str(tmp_path / "in")
+    df.coalesce(2).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = windowed_histograms(
+        stream, "ts", "value", lo=0.0, hi=500.0, bins=10,
+        window_duration="10 minutes", watermark="5 minutes",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["bucket"]): r["count"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # batch reference via the same bucket expr + a tumbling-window groupBy
+    from smcchecker_spark.stats import bucket_expr
+    from pyspark.sql import functions as F
+
+    want_df = (
+        df.select(
+            F.window("ts", "10 minutes").alias("w"),
+            bucket_expr(F.col("value"), 0.0, 500.0, 10).alias("bucket"),
+        )
+        .groupBy("w", "bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    want = {
+        (r["w"]["start"], r["bucket"]): r["count"] for r in want_df.collect()
+    }
+    # append mode emits only watermark-finalized windows (watermark = max
+    # event time − 5 min ⇒ here exactly the first 10-minute window; the
+    # rest stay in state awaiting late data — the late-data contract).
+    # Every emitted (window, bucket) must match the batch aggregation
+    # exactly, and the finalized window must be complete (all its buckets).
+    assert got and all(want.get(k) == v for k, v in got.items())
+    emitted_windows = {k[0] for k in got}
+    assert emitted_windows, "watermark should have finalized the first window"
+    for w in emitted_windows:
+        assert {k for k in want if k[0] == w} == {k for k in got if k[0] == w}
+
+
 def test_stream_checkpoint_no_reprocess(spark, suite_ctx, tmp_path):
     """Restarting the stream with the same checkpoint must not re-append
     already-processed files (exactly-once per micro-batch)."""
