@@ -833,11 +833,24 @@ def q_text_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_ops.fingerprint(c).alias("fingerprint"),
         F.round(text_ops.mean_word_length(c), 6).alias("mean_wlen"),
         F.round(text_ops.punct_ratio(c), 6).alias("punct_ratio"),
+        text_ops.lang_id(c).alias("lang_pred"),
     )
 
 
 _TEXT_ORACLE = r"""
-SELECT doc_id,
+WITH lp AS (
+  SELECT doc_id,
+         list_aggregate([
+           struct_pack(hits := len(list_intersect(toks, ['der','die','und','ist','das','ein'])), lang := 'de'),
+           struct_pack(hits := len(list_intersect(toks, ['the','and','of','to','is','with'])), lang := 'en'),
+           struct_pack(hits := len(list_intersect(toks, ['el','la','de','que','los','una'])), lang := 'es'),
+           struct_pack(hits := len(list_intersect(toks, ['le','la','les','des','est','une'])), lang := 'fr')
+         ], 'max') AS best
+  FROM (SELECT doc_id,
+               list_distinct(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+')) AS toks
+        FROM documents)
+)
+SELECT documents.doc_id,
        CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tokens,
        md5(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))) AS fingerprint,
@@ -845,8 +858,9 @@ SELECT doc_id,
              greatest(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1), 6) AS mean_wlen,
        round(length(regexp_replace(coalesce(text, ''), '[^!-/:-@\[-`{-~]', '', 'g')) /
-             greatest(length(coalesce(text, '')), 1), 6) AS punct_ratio
-FROM documents
+             greatest(length(coalesce(text, '')), 1), 6) AS punct_ratio,
+       CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
+FROM documents JOIN lp ON documents.doc_id = lp.doc_id
 """
 
 
