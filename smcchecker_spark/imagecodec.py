@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import struct
 import zlib
+from functools import lru_cache
 
 import numpy as np
 
@@ -81,7 +82,13 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 
 def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
-    """Reverse PNG scanline filters 0-4. raw: (h, 1+w*bpp) bytes."""
+    """Reverse PNG scanline filters 0-4. raw: (h, 1+w*bpp) bytes.
+
+    Fast path: our own encoder (and many minimal encoders) emit filter 0
+    on every scanline — then unfiltering is a pure slice, no per-row
+    Python. The general loop below handles arbitrary external PNGs."""
+    if not raw[:, 0].any():  # all scanlines filter 0
+        return np.ascontiguousarray(raw[:, 1:])
     out = np.zeros((h, w * bpp), dtype=np.uint8)
     for y in range(h):
         ftype = int(raw[y, 0])
@@ -230,6 +237,19 @@ def luma(arr: np.ndarray) -> np.ndarray:
     return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
 
 
+@lru_cache(maxsize=4096)
+def _block_bounds_8x8(h: int, w: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-(h, w) reduceat boundaries + block areas, memoized (image sizes
+    repeat heavily within a batch, and rebuilding four aranges + an outer
+    product per image was ~15% of phash time)."""
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    y_hi = np.maximum((np.arange(1, 9) * h) // 8, ys + 1)
+    x_hi = np.maximum((np.arange(1, 9) * w) // 8, xs + 1)
+    areas = np.outer(y_hi - ys, x_hi - xs).astype(np.float64)
+    return ys, xs, areas
+
+
 def _block_mean_8x8(gray: np.ndarray) -> np.ndarray:
     """Downsample HxW → 8x8 by mean over index-partitioned blocks.
 
@@ -239,13 +259,9 @@ def _block_mean_8x8(gray: np.ndarray) -> np.ndarray:
     index, which is exactly the ``[lo, max(hi, lo+1))`` fallback of the
     original loop formulation (parity verified over sizes 1..99)."""
     h, w = gray.shape
-    ys = (np.arange(8) * h) // 8
-    xs = (np.arange(8) * w) // 8
+    ys, xs, areas = _block_bounds_8x8(h, w)
     rows = np.add.reduceat(gray, ys, axis=0)
     sums = np.add.reduceat(rows, xs, axis=1)
-    y_hi = np.maximum((np.arange(1, 9) * h) // 8, ys + 1)
-    x_hi = np.maximum((np.arange(1, 9) * w) // 8, xs + 1)
-    areas = np.outer(y_hi - ys, x_hi - xs)
     return sums / areas
 
 

@@ -16,17 +16,21 @@ Shape notes (Spark-native):
   sink), and join constraints need plain batch joins against static
   lookup tables — none of that wants stateful streaming operators.
 - Watermarks/windowed aggregation are NOT needed for validation; drift
-  monitoring over event-time windows would be the one stateful extension
-  (per-window histograms via ``groupBy(window(...))``), left for a
-  later round.
+  monitoring gets two stateful extensions: event-time windowed histograms
+  (``windowed_histograms``) and per-key cumulative column stats via
+  ``applyInPandasWithState`` (``running_column_stats``) — the custom
+  stateful-operator surface.
 - The checkpointLocation gives exactly-once sink appends per micro-batch
   — the streaming analogue of checkpoint.py's wave commits.
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
+from typing import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -71,6 +75,100 @@ def windowed_histograms(
             F.col("window.end").alias("window_end"),
             "bucket",
             "count",
+        )
+    )
+
+
+def running_column_stats(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key CUMULATIVE column stats over an unbounded stream — the
+    engine's custom stateful operator (``applyInPandasWithState``).
+
+    Maintains (count, sum, sum-of-squares, min, max) per key in the
+    streaming state store and, on every micro-batch that touches a key,
+    emits one updated row ``(key, n, mean, std, min, max)`` (population
+    std). This is the streaming analogue of ``stats.column_stats`` and
+    the input a drift monitor z-scores against a baseline snapshot:
+    unlike per-micro-batch aggregation, the emitted stats cover ALL rows
+    seen since stream start, survive restarts via the state-store
+    checkpoint, and evict nothing (no timeout — column drift has no
+    session boundary).
+
+    Scale shape: state is O(distinct keys) × 5 doubles; the per-batch
+    work is a hash exchange on ``key_col`` then an Arrow-batched pandas
+    update per key group — no shuffle of history, only of the batch.
+    Use ``outputMode("update")`` on the sink.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("n", LongType()),
+            StructField("mean", DoubleType()),
+            StructField("std", DoubleType()),
+            StructField("min", DoubleType()),
+            StructField("max", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+            StructField("ss", DoubleType()),
+            StructField("mn", DoubleType()),
+            StructField("mx", DoubleType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s, ss, mn, mx = (
+            state.get if state.exists else (0, 0.0, 0.0, math.inf, -math.inf)
+        )
+        for pdf in pdfs:
+            v = pdf[value_col].dropna()
+            if len(v):
+                n += int(len(v))
+                s += float(v.sum())
+                ss += float((v * v).sum())
+                mn = min(mn, float(v.min()))
+                mx = max(mx, float(v.max()))
+        state.update((n, s, ss, mn, mx))
+        if n:
+            mean = s / n
+            std = math.sqrt(max(ss / n - mean * mean, 0.0))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n": [n],
+                    "mean": [mean],
+                    "std": [std],
+                    "min": [mn],
+                    "max": [mx],
+                }
+            )
+
+    return (
+        stream_df.select(F.col(key_col).cast("string"), F.col(value_col))
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
 

@@ -140,6 +140,66 @@ def test_windowed_histograms_match_batch(spark, tmp_path):
         assert {k for k in want if k[0] == w} == {k for k in got if k[0] == w}
 
 
+def test_running_column_stats_stateful(spark, tmp_path):
+    """applyInPandasWithState cumulative stats: after the stream drains,
+    the LAST emitted row per key equals the batch aggregation over all
+    drops — i.e. state genuinely accumulated across micro-batches."""
+    import math
+
+    from smcchecker_spark.streaming import running_column_stats
+
+    rows = [(f"k{i % 3}", float((i * 17) % 101)) for i in range(300)]
+    df = spark.createDataFrame(rows, "key string, value double")
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    # two drops → two micro-batches with maxFilesPerTrigger=1
+    df.filter("value < 50").coalesce(1).write.parquet(src + "/d1.parquet")
+    df.filter("value >= 50").coalesce(1).write.parquet(src + "/d2.parquet")
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    out = running_column_stats(stream, "key", "value")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_stats")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.sql("select * from running_stats").collect()
+    # both micro-batches emitted an update for every key (2 emissions/key)
+    per_key = {}
+    for r in emitted:
+        per_key.setdefault(r["key"], []).append(r)
+    assert all(len(v) == 2 for v in per_key.values()) and len(per_key) == 3
+    # final (max-n) emission per key == batch stats over the full input
+    want = {
+        r["key"]: r
+        for r in df.groupBy("key")
+        .agg(
+            F.count("value").alias("n"),
+            F.avg("value").alias("mean"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+        .collect()
+    }
+    for key, rs in per_key.items():
+        last = max(rs, key=lambda r: r["n"])
+        w = want[key]
+        assert last["n"] == w["n"]
+        assert math.isclose(last["mean"], w["mean"], rel_tol=1e-9)
+        assert last["min"] == w["min"] and last["max"] == w["max"]
+        # monotone accumulation: first emission saw fewer rows
+        assert min(r["n"] for r in rs) < last["n"]
+
+
 def test_stream_checkpoint_no_reprocess(spark, suite_ctx, tmp_path):
     """Restarting the stream with the same checkpoint must not re-append
     already-processed files (exactly-once per micro-batch)."""
