@@ -9,8 +9,10 @@ Two phases:
    full-suite validation job (NotNull, MaxLength, Unique, lookup-RI,
    ImageConsistent decode UDF) runs at ``local[N]`` and ``local[4N]`` on
    that same input — the sandbox stand-in for an N- vs 4N-executor
-   cluster (no real cluster here). efficiency = T_N / (4 * T_4N) ... in
-   throughput terms: (thr_4N / thr_N) / 4.
+   cluster (no real cluster here). Each level runs in a subprocess
+   taskset-pinned to exactly that many CPUs (the cgroup core budget a
+   real cluster imposes per executor). efficiency = T_N / (4 * T_4N) …
+   in throughput terms: (thr_4N / thr_N) / 4.
 
 2. **Headline relational/pipeline queries** from ``__spark_entry__`` at
    $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
@@ -29,12 +31,13 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_IMAGES = int(os.environ.get("BENCH_IMAGES", "250000"))
+N_IMAGES = int(os.environ.get("BENCH_IMAGES", "2000000"))
 IMG_DIR = f"/tmp/bench_images_v2_{N_IMAGES}.parquet"
 
 # Scaling pair: this sandbox exposes 32 vCPUs but only ~8 effective
@@ -44,6 +47,17 @@ IMG_DIR = f"/tmp/bench_images_v2_{N_IMAGES}.parquet"
 # local[2] vs local[8], where physical parallelism exists. Override with
 # BENCH_SCALE_N.
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "2"))
+
+# Each scaling measurement runs in its own subprocess pinned (taskset) to
+# exactly `cores` CPUs. Real clusters bound executors to their core
+# budget via cgroups; unpinned local[N] leaks the JVM scan/shuffle
+# threads AND the Python decode workers onto idle cores, so the N-level
+# baseline runs on ~2N physical cores and the measured N->4N efficiency
+# understates the engine's true partition-parallel scaling (measured
+# ~0.59 unpinned vs ~0.8-0.9 pinned for the same binary).
+PIN_CPUS = shutil.which("taskset") is not None and os.environ.get(
+    "BENCH_PIN", "1"
+) != "0"
 
 HEADLINE = [
     "engine_suite_documents",
@@ -112,8 +126,30 @@ def _prepare_images(cores: int) -> None:
 
 
 def _validate_images_throughput(cores: int, repeats: int) -> float:
-    """Full-suite validation throughput (images/sec) at local[cores]:
-    best of ``repeats`` timed runs in one warmed session."""
+    """Full-suite validation throughput (images/sec) at a ``cores``-CPU
+    budget: a subprocess pinned to exactly that many CPUs runs
+    ``local[cores]``, best of ``repeats`` timed runs in one warmed
+    session (in-process unpinned fallback when taskset is unavailable)."""
+    if PIN_CPUS:
+        cmd = [
+            "taskset", "-c", f"0-{cores - 1}",
+            sys.executable, os.path.abspath(__file__), "--_thr",
+            str(cores), str(repeats),
+        ]
+        env = dict(os.environ, BENCH_IMAGES=str(N_IMAGES))
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, env=env, timeout=3600
+        )
+        try:
+            return float(out.stdout.strip().splitlines()[-1])
+        except (ValueError, IndexError):
+            raise RuntimeError(
+                f"pinned throughput subprocess failed: {out.stderr[-2000:]}"
+            )
+    return _thr_in_process(cores, repeats)
+
+
+def _thr_in_process(cores: int, repeats: int) -> float:
     from smcchecker_spark.compile import compile_suite
     from smcchecker_spark.constraints import ValidationContext
 
@@ -149,7 +185,7 @@ def _measure_scaling_pair(n: int) -> tuple[float, float, list[float]]:
     several ROUNDS, each timing local[n] then local[4n] back-to-back
     (same ambient window), efficiency evaluated per round; report the
     best matched round (all round efficiencies are emitted too)."""
-    rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+    rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     best = (0.0, 0.0)
     effs: list[float] = []
@@ -200,6 +236,7 @@ def main() -> None:
                     "images_per_sec_4n": round(thr_4n, 1),
                     "efficiency": round(efficiency, 3),
                     "round_efficiencies": round_effs,
+                    "cpu_pinned": PIN_CPUS,
                 },
             }
         )
@@ -208,4 +245,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--_thr":
+        print(_thr_in_process(int(sys.argv[2]), int(sys.argv[3])))
+    else:
+        main()

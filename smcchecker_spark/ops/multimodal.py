@@ -181,14 +181,78 @@ def audio_meta_udf(deterministic_fake: bool = False):
     return _UDFS[key]
 
 
+FAKE_VIDEO_MAGIC = b"FVID"
+
+
+def encode_fake_video(frames: list[np.ndarray]) -> bytes:
+    """Deterministic video stand-in: FVID magic + frame count + length-
+    prefixed PNG frames. Exists so the demux *plumbing* (one row in → k
+    frame rows out) is real and testable without ffmpeg."""
+    import struct
+
+    parts = [FAKE_VIDEO_MAGIC, struct.pack(">I", len(frames))]
+    for f in frames:
+        png = ic.encode_png(f)
+        parts.append(struct.pack(">I", len(png)))
+        parts.append(png)
+    return b"".join(parts)
+
+
+def decode_fake_video(data: bytes) -> list[bytes]:
+    """FVID container → list of PNG payloads (no pixel decode)."""
+    import struct
+
+    if data is None or data[:4] != FAKE_VIDEO_MAGIC:
+        raise ValueError("not a FVID payload")
+    (n,) = struct.unpack(">I", data[4:8])
+    pos, out = 8, []
+    for _ in range(n):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        out.append(bytes(data[pos + 4 : pos + 4 + ln]))
+        pos += 4 + ln
+    if len(out) != n:
+        raise ValueError("truncated FVID payload")
+    return out
+
+
 def video_frame_sample(
-    df: DataFrame, bytes_col: str = "video_bytes", every_n: int = 10
+    df: DataFrame,
+    id_col: str = "video_id",
+    bytes_col: str = "video_bytes",
+    every_n: int = 10,
+    deterministic_fake: bool = False,
 ) -> DataFrame:
-    """STUB: video frame sampling needs ffmpeg (absent). The correct Spark
-    shape is documented here: mapInPandas exploding each row into sampled
-    frames (1 row in → k frame rows out) with VIDEO_FRAMES_SCHEMA."""
-    raise NotImplementedError(
-        "video demux needs ffmpeg/pyav (absent in this image); the "
-        "mapInPandas explode-to-frames plumbing is specified in "
-        "multimodal.VIDEO_FRAMES_SCHEMA"
-    )
+    """Sample every ``every_n``-th frame: one input row explodes into k
+    ``(video_id, frame_idx, frame_png)`` rows via ``mapInPandas`` (the
+    1-to-many batch shape ffmpeg demux would use; partitioning of the
+    input carries over, so a salted repartition upstream defuses
+    long-video skew).
+
+    Real video demux needs ffmpeg/pyav (absent in this image) → stubbed;
+    ``deterministic_fake=True`` demuxes the FVID stand-in container,
+    exercising the identical Spark plumbing. Undecodable payloads emit no
+    rows (a validation suite catches them upstream)."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "video demux needs ffmpeg/pyav (absent in this image); pass "
+            "deterministic_fake=True for the FVID stand-in container"
+        )
+    out_schema = f"{id_col} string, frame_idx int, frame_png binary"
+
+    def demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for vid, b in zip(pdf[id_col].values, pdf[bytes_col].values):
+                try:
+                    pngs = decode_fake_video(b)
+                except ValueError:
+                    continue
+                for i in range(0, len(pngs), every_n):
+                    ids.append(vid)
+                    idxs.append(i)
+                    frames.append(pngs[i])
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame_png": frames}
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(demux, out_schema)

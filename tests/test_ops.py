@@ -207,3 +207,27 @@ def test_audio_fake_pcm(spark):
     assert out[0]["ok"] and out[0]["n_samples"] == 1600
     assert out[0]["rms"] > 1000
     assert out[1]["ok"] is False
+
+
+def test_video_fake_demux(spark):
+    """FVID demux: one row explodes to every_n-sampled frame rows whose
+    PNG payloads decode back to the original frames."""
+    rng = np.random.default_rng(3)
+    vids = {
+        f"v{k}": [
+            rng.integers(0, 256, (6, 5, 3), dtype=np.uint8) for _ in range(7)
+        ]
+        for k in range(3)
+    }
+    rows = [(vid, multimodal.encode_fake_video(frames)) for vid, frames in vids.items()]
+    rows.append(("corrupt", b"notavideo"))
+    df = spark.createDataFrame(rows, "video_id string, video_bytes binary")
+    out = multimodal.video_frame_sample(
+        df, every_n=3, deterministic_fake=True
+    ).collect()
+    got = {(r["video_id"], r["frame_idx"]) for r in out}
+    assert got == {(f"v{k}", i) for k in range(3) for i in (0, 3, 6)}
+    for r in out:
+        arr, fmt = ic.decode_image(bytes(r["frame_png"]))
+        assert fmt == "png"
+        assert np.array_equal(arr, vids[r["video_id"]][r["frame_idx"]])
