@@ -830,9 +830,12 @@ def q_text_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         text_ops.token_count(c).alias("n_tokens"),
+        text_ops.bpe_ish_token_count(c).alias("n_tokens_bpe"),
         text_ops.fingerprint(c).alias("fingerprint"),
         F.round(text_ops.mean_word_length(c), 6).alias("mean_wlen"),
         F.round(text_ops.punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(text_ops.stopword_ratio(c), 6).alias("stopword_ratio"),
+        text_ops.quality_score(c).alias("quality"),
         text_ops.lang_id(c).alias("lang_pred"),
     )
 
@@ -840,6 +843,7 @@ def q_text_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_ORACLE = r"""
 WITH lp AS (
   SELECT doc_id,
+         toks,
          list_aggregate([
            struct_pack(hits := len(list_intersect(toks, ['der','die','und','ist','das','ein'])), lang := 'de'),
            struct_pack(hits := len(list_intersect(toks, ['the','and','of','to','is','with'])), lang := 'en'),
@@ -853,12 +857,28 @@ WITH lp AS (
 SELECT documents.doc_id,
        CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]')) AS INT)
+           AS n_tokens_bpe,
        md5(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))) AS fingerprint,
        round(length(regexp_replace(trim(coalesce(text, '')), '\s', '', 'g')) /
              greatest(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
                       ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1), 6) AS mean_wlen,
        round(length(regexp_replace(coalesce(text, ''), '[^!-/:-@\[-`{-~]', '', 'g')) /
              greatest(length(coalesce(text, '')), 1), 6) AS punct_ratio,
+       round(len(list_intersect(lp.toks,
+             ['and','das','de','der','des','die','ein','el','est','is','ist','la',
+              'le','les','los','of','que','the','to','una','und','une','with'])) /
+             greatest(len(lp.toks), 1), 6) AS stopword_ratio,
+       round(least(length(coalesce(text, '')) / 200.0, 1.0) *
+             (CASE WHEN length(coalesce(text, '')) > 10000 THEN 0.5 ELSE 1.0 END) *
+             greatest(0.0, 1.0 -
+               (length(regexp_replace(coalesce(text, ''), '[^!-/:-@\[-`{-~]', '', 'g')) /
+                greatest(length(coalesce(text, '')), 1)) * 4) *
+             (CASE WHEN (length(regexp_replace(trim(coalesce(text, '')), '\s', '', 'g')) /
+                         greatest(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1))
+                        BETWEEN 3 AND 10
+                   THEN 1.0 ELSE 0.5 END), 6) AS quality,
        CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
 FROM documents JOIN lp ON documents.doc_id = lp.doc_id
 """
