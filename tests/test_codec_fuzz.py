@@ -1,0 +1,110 @@
+"""Property/fuzz tests for the image codec layer (hypothesis, no Spark).
+
+At 10^12 rows the decode UDF will see every possible malformed payload;
+an uncaught exception type would fail the TASK (and with retries, the
+JOB) instead of emitting a violation row. The engine's contract
+(imagecodec.decode_image, used by image.decode_facts_udf) is therefore:
+EVERY input either decodes to an HxWx3 uint8 array or raises ValueError
+— no other exception may escape. These tests drive that contract with
+adversarial inputs, plus exact/lossy roundtrip properties.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from smcchecker_spark import imagecodec as ic
+
+dims = st.integers(min_value=1, max_value=40)
+
+
+def _arr(h, w, seed):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(h=dims, w=dims, seed=st.integers(0, 2**31))
+def test_png_roundtrip_exact(h, w, seed):
+    a = _arr(h, w, seed)
+    dec, fmt = ic.decode_image(ic.encode_png(a))
+    assert fmt == "png" and np.array_equal(dec, a)
+
+
+@settings(max_examples=60, deadline=None)
+@given(h=dims, w=dims, seed=st.integers(0, 2**31))
+def test_fake_lossy_roundtrip_bounded(h, w, seed):
+    a = _arr(h, w, seed)
+    dec, fmt = ic.decode_image(ic.encode_fake_lossy(a))
+    assert fmt == "jpeg" and dec.shape == a.shape
+    # quantization to 6 bits: bounded error, PSNR clears the 40 dB gate
+    assert int(np.abs(dec.astype(int) - a.astype(int)).max()) <= (1 << (8 - ic.FAKE_LOSSY_BITS))
+    assert ic.psnr(a, dec) >= 40.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.binary(min_size=0, max_size=512))
+def test_random_bytes_never_crash(data):
+    try:
+        arr, fmt = ic.decode_image(data)
+        assert arr.ndim == 3 and arr.dtype == np.uint8
+    except ValueError:
+        pass  # the ONLY acceptable failure mode
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    cut=st.floats(min_value=0.01, max_value=0.99),
+    lossy=st.booleans(),
+)
+def test_truncated_payload_never_crash(seed, cut, lossy):
+    """Truncation must either be detected (ValueError) or — when only the
+    trailer was cut and the pixel payload is complete — decode to exactly
+    the original pixels. Never any other exception, never wrong pixels."""
+    a = _arr(12, 9, seed)
+    payload = ic.encode_fake_lossy(a) if lossy else ic.encode_png(a)
+    trunc = payload[: max(1, int(len(payload) * cut))]
+    try:
+        arr, _ = ic.decode_image(trunc)
+        assert np.array_equal(arr, a if not lossy else ic.decode_fake_lossy(payload))
+    except ValueError:
+        pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    pos=st.floats(min_value=0.0, max_value=0.999),
+    bit=st.integers(0, 7),
+    lossy=st.booleans(),
+)
+def test_bitflip_payload_never_crash(seed, pos, bit, lossy):
+    """A single flipped bit anywhere: decode must either detect it
+    (ValueError — PNG CRC catches most) or still produce a valid array
+    (flips in already-decoded padding); never any other exception."""
+    a = _arr(10, 11, seed)
+    payload = bytearray(ic.encode_fake_lossy(a) if lossy else ic.encode_png(a))
+    payload[int(len(payload) * pos)] ^= 1 << bit
+    try:
+        arr, _ = ic.decode_image(bytes(payload))
+        assert arr.ndim == 3 and arr.dtype == np.uint8
+    except ValueError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(h=dims, w=dims, seed=st.integers(0, 2**31))
+def test_phash_reduceat_matches_loop(h, w, seed):
+    """The vectorized 8x8 block-mean equals the naive per-block loop for
+    every image shape (incl. h/w < 8 degenerate blocks)."""
+    g = ic.luma(_arr(h, w, seed))
+    want = np.empty((8, 8))
+    for bi in range(8):
+        for bj in range(8):
+            y0, y1 = (bi * h) // 8, max((bi + 1) * h // 8, (bi * h) // 8 + 1)
+            x0, x1 = (bj * w) // 8, max((bj + 1) * w // 8, (bj * w) // 8 + 1)
+            want[bi, bj] = g[y0:y1, x0:x1].mean()
+    got = ic._block_mean_8x8(g)
+    assert np.allclose(got, want, rtol=0, atol=1e-9)
