@@ -46,6 +46,11 @@ class CheckpointStore:
             self.root, "violations", f"run_id={run_id}", f"wave={wave}"
         )
 
+    def _metrics_path(self, run_id: str, wave: int) -> str:
+        return os.path.join(
+            self.root, "metrics", f"run_id={run_id}", f"wave={wave}"
+        )
+
     def completed_partitions(self, spark: SparkSession, run_id: str) -> set[int]:
         path = self._verdict_path(run_id)
         try:
@@ -83,6 +88,7 @@ class CheckpointStore:
         orphans = [w for w in self.wave_dirs(run_id) if w not in committed]
         for w in orphans:
             shutil.rmtree(self._violations_path(run_id, w), ignore_errors=True)
+            shutil.rmtree(self._metrics_path(run_id, w), ignore_errors=True)
         return orphans
 
     def waves(self, spark: SparkSession, run_id: str) -> int:
@@ -92,13 +98,17 @@ class CheckpointStore:
         self, run_id: str, wave: int, result: ValidationResult,
         fail_before_commit: bool = False,
     ) -> None:
-        # violations first, verdicts last — the verdict row is the commit
-        # marker for a (run, wave); see module docstring.
+        # violations + metrics first, verdicts last — the verdict row is
+        # the commit marker for a (run, wave); see module docstring.
         # ``fail_before_commit`` is a test hook simulating a crash in the
-        # window between the two writes.
+        # window between the writes.
         result.violations.write.mode("overwrite").parquet(
             self._violations_path(run_id, wave)
         )
+        if result.metrics is not None:
+            result.metrics.write.mode("overwrite").parquet(
+                self._metrics_path(run_id, wave)
+            )
         if fail_before_commit:
             raise RuntimeError("simulated crash between violations and verdicts")
         result.verdicts.drop("run_id").withColumn(
@@ -113,6 +123,13 @@ class CheckpointStore:
     def verdicts(self, spark: SparkSession, run_id: str) -> DataFrame:
         return spark.read.parquet(self._verdict_path(run_id)).withColumn(
             "run_id", F.lit(run_id)
+        )
+
+    def metrics(self, spark: SparkSession, run_id: str) -> DataFrame:
+        """All committed per-(partition, column) metrics rows of a run —
+        the baseline snapshot later drift checks compare against."""
+        return spark.read.parquet(
+            os.path.join(self.root, "metrics", f"run_id={run_id}")
         )
 
 

@@ -42,6 +42,7 @@ VERDICT_COLS = [
 class ValidationResult:
     violations: DataFrame  # full violation rows (errors + warnings)
     verdicts: DataFrame  # one row per partition
+    metrics: DataFrame | None = None  # per-(partition, column) stats rows
 
     @property
     def errs(self) -> DataFrame:
@@ -69,12 +70,19 @@ class ValidationRunner:
         row_id_col: str = "image_id",
         part_id_col: str | None = "part_id",
         run_id: str = "run0",
+        metrics_columns: list[str] | None = None,
     ):
+        """``metrics_columns``: when set, ``run()`` additionally emits one
+        stats row per (partition, column) — null rate, min/max, HLL ndv,
+        approx quantiles (north rule: "each partition emits lineage +
+        metrics rows to a checkpoint table"; these feed later drift
+        checks as the baseline snapshot)."""
         self.suite = suite
         self.ctx = ctx or ValidationContext()
         self.row_id_col = row_id_col
         self.part_id_col = part_id_col
         self.run_id = run_id
+        self.metrics_columns = metrics_columns
 
     def _part_expr(self, df: DataFrame):
         if self.part_id_col and self.part_id_col in df.columns:
@@ -152,7 +160,20 @@ class ValidationRunner:
                 F.lit(finished).alias("finished_at"),
             )
         )
-        return ValidationResult(violations=violations, verdicts=verdicts)
+        metrics = None
+        if self.metrics_columns:
+            from smcchecker_spark.stats import column_stats_by
+
+            metrics = column_stats_by(
+                df.withColumn("__part", self._part_expr(df)),
+                "__part",
+                self.metrics_columns,
+            ).withColumnsRenamed({"__part": "part_id"}).withColumn(
+                "run_id", F.lit(self.run_id)
+            )
+        return ValidationResult(
+            violations=violations, verdicts=verdicts, metrics=metrics
+        )
 
 
 def with_audit_columns(

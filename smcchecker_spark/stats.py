@@ -123,6 +123,52 @@ def column_stats_exact(df: DataFrame, columns: list[str]) -> DataFrame:
     return row.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
 
 
+def column_stats_by(
+    df: DataFrame,
+    group_col: str,
+    columns: list[str] | None = None,
+    quantiles: list[float] = DEFAULT_QUANTILES,
+    hll_rsd: float = 0.02,
+) -> DataFrame:
+    """Per-group ``column_stats``: one row per (group, column) — the
+    per-PARTITION metrics emission of the north rule ("each partition
+    emits lineage + metrics rows to a checkpoint table"). Same one-pass
+    shape as ``column_stats`` with a groupBy on the partition column:
+    map-side partial aggregation means the exchange carries one partial
+    row per (task, group), never data rows."""
+    columns = columns or [c for c in df.columns if c != group_col]
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        col = F.col(c)
+        empty = exprs.is_empty(col)
+        aggs.append(F.sum(empty.cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
+        aggs.append(F.approx_count_distinct(col, hll_rsd).alias(f"{c}__ndv"))
+        aggs.append(
+            F.percentile_approx(
+                col.try_cast("double"), F.lit(quantiles), F.lit(10000)
+            ).alias(f"{c}__q")
+        )
+    grouped = df.groupBy(group_col).agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("null_count"),
+            (F.col(f"{c}__nulls") / F.col("__n")).alias("null_rate"),
+            F.col(f"{c}__min").alias("min"),
+            F.col(f"{c}__max").alias("max"),
+            F.col(f"{c}__ndv").alias("approx_ndv"),
+            F.col(f"{c}__q").alias("quantiles"),
+        )
+        for c in columns
+    ]
+    return grouped.select(
+        F.col(group_col), F.explode(F.array(*per_col)).alias("s")
+    ).select(group_col, "s.*")
+
+
 def bucket_expr(col: Column, lo: float, hi: float, bins: int) -> Column:
     """width_bucket semantics: bucket 0 = underflow, bins+1 = overflow,
     1..bins = [lo,hi) split evenly. NULL values → NULL bucket."""

@@ -99,3 +99,44 @@ def test_resume_noop_when_complete(spark, images, tmp_path):
     runner = ValidationRunner(_suite(), run_id="r2")
     run_with_checkpoint(runner, images, store)
     assert run_with_checkpoint(runner, images, store) == set()
+
+
+def test_partition_metrics_checkpointed(spark, images, tmp_path):
+    """metrics_columns: per-(partition, column) stats rows ride the same
+    wave-commit protocol — emitted by the runner, written before the
+    verdict marker, orphan-cleaned, and readable as the run's baseline
+    snapshot after a crash+resume."""
+    store = CheckpointStore(str(tmp_path / "ckpt_m"))
+    runner = ValidationRunner(
+        _suite(), run_id="rm", metrics_columns=["caption", "w", "fmt"]
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_with_checkpoint(
+            runner, images, store, partitions_per_wave=2, fail_after_waves=1
+        )
+    run_with_checkpoint(runner, images, store, partitions_per_wave=2)
+
+    m = store.metrics(spark, "rm")
+    rows = {(r["part_id"], r["column"]): r for r in m.collect()}
+    assert set(rows) == {(p, c) for p in range(6) for c in ("caption", "w", "fmt")}
+    # n_rows per partition matches the verdicts' lineage counts
+    vd = {r["part_id"]: r["n_rows"] for r in store.verdicts(spark, "rm").collect()}
+    for (p, _), r in rows.items():
+        assert r["n_rows"] == vd[p] and r["run_id"] == "rm"
+    # sanity on the stats content: w is numeric with quantiles, null rate
+    # reflects the fixture's planted NULL captions somewhere
+    w0 = rows[(0, "w")]
+    assert float(w0["min"]) >= 1 and w0["quantiles"] is not None
+    assert any(rows[(p, "caption")]["null_count"] > 0 for p in range(6))
+
+
+def test_orphan_metrics_cleaned(spark, images, tmp_path):
+    store = CheckpointStore(str(tmp_path / "ckpt_m2"))
+    runner = ValidationRunner(_suite(), run_id="rm2", metrics_columns=["w"])
+    res = runner.run(images.filter(F.col("part_id") < 2))
+    with pytest.raises(RuntimeError, match="simulated crash between"):
+        store.write_wave("rm2", 0, res, fail_before_commit=True)
+    import os
+    assert os.path.isdir(store._metrics_path("rm2", 0))
+    store.cleanup_orphan_waves(spark, "rm2")
+    assert not os.path.isdir(store._metrics_path("rm2", 0))
