@@ -824,6 +824,111 @@ FROM psi WHERE v > 0.1
 """
 
 
+def q_metrics_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats.metrics_drift over two metrics snapshots of the documents
+    table (current = deterministically-dirtied lang/source): the
+    sketch-rows-only first-line drift check the checkpointed per-
+    partition metrics feed. ndv here is exact countDistinct so a DuckDB
+    oracle reproduces the op bit-for-bit (the HLL variant is the 10^12-
+    row path, covered rows-only via column_stats_approx)."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def exact_metrics(d: DataFrame) -> DataFrame:
+        g = d.groupBy((F.col("doc_id") % 7).cast("bigint").alias("part_id")).agg(
+            *[
+                a
+                for c in ("lang", "source")
+                for a in (
+                    (
+                        F.sum(
+                            (F.col(c).isNull() | (F.col(c) == "")).cast("long")
+                        )
+                        / F.count(F.lit(1))
+                    ).alias(f"{c}_nr"),
+                    F.count_distinct(F.col(c)).alias(f"{c}_ndv"),
+                )
+            ]
+        )
+        per = [
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}_nr").alias("null_rate"),
+                F.col(f"{c}_ndv").alias("approx_ndv"),
+            )
+            for c in ("lang", "source")
+        ]
+        return g.select(
+            "part_id", F.explode(F.array(*per)).alias("s")
+        ).select("part_id", "s.*")
+
+    current_src = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 1, F.lit(None))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        F.when(
+            F.col("doc_id") % 6 == 2,
+            F.concat(F.col("source"), (F.col("doc_id") % 3).cast("string")),
+        )
+        .otherwise(F.col("source"))
+        .alias("source"),
+    )
+    return stats.metrics_drift(
+        exact_metrics(current_src),
+        exact_metrics(docs),
+        max_null_rate_delta=0.1,
+        max_ndv_ratio=1.5,
+    )
+
+
+_METRICS_DRIFT_ORACLE = """
+WITH cur_src AS (
+  SELECT doc_id % 7 AS part_id,
+         CASE WHEN doc_id % 4 = 1 THEN NULL ELSE lang END AS lang,
+         CASE WHEN doc_id % 6 = 2 THEN source || CAST(doc_id % 3 AS VARCHAR)
+              ELSE source END AS source
+  FROM documents
+),
+base_src AS (SELECT doc_id % 7 AS part_id, lang, source FROM documents),
+cur AS (
+  SELECT part_id, 'lang' AS "column",
+         sum(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END) / count(*) AS c_nr,
+         count(DISTINCT lang) AS c_ndv
+  FROM cur_src GROUP BY part_id
+  UNION ALL
+  SELECT part_id, 'source',
+         sum(CASE WHEN source IS NULL OR source = '' THEN 1 ELSE 0 END) / count(*),
+         count(DISTINCT source)
+  FROM cur_src GROUP BY part_id
+),
+base AS (
+  SELECT part_id, 'lang' AS "column",
+         sum(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END) / count(*) AS b_nr,
+         count(DISTINCT lang) AS b_ndv
+  FROM base_src GROUP BY part_id
+  UNION ALL
+  SELECT part_id, 'source',
+         sum(CASE WHEN source IS NULL OR source = '' THEN 1 ELSE 0 END) / count(*),
+         count(DISTINCT source)
+  FROM base_src GROUP BY part_id
+)
+SELECT cur.part_id, cur."column",
+       round(abs(c_nr - b_nr), 6) AS null_rate_delta,
+       round(CASE WHEN b_ndv > 0 AND c_ndv > 0
+                  THEN greatest(c_ndv / CAST(b_ndv AS DOUBLE),
+                                b_ndv / CAST(c_ndv AS DOUBLE))
+                  WHEN b_ndv = c_ndv THEN 1.0
+                  ELSE 1e308 * 10 END, 6) AS ndv_ratio,
+       (abs(c_nr - b_nr) > 0.1 OR
+        CASE WHEN b_ndv > 0 AND c_ndv > 0
+             THEN greatest(c_ndv / CAST(b_ndv AS DOUBLE),
+                           b_ndv / CAST(c_ndv AS DOUBLE))
+             WHEN b_ndv = c_ndv THEN 1.0
+             ELSE 1e308 * 10 END > 1.5) AS drifted
+FROM cur JOIN base ON cur.part_id = base.part_id AND cur."column" = base."column"
+"""
+
+
 def q_text_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
@@ -1113,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_load_columns": q_audit_load_columns,
         "ks_drift": q_ks_drift,
         "drift_check_events": q_drift_check_events,
+        "metrics_drift": q_metrics_drift,
         "text_features_docs": q_text_features_docs,
         "exact_dups_docs": q_exact_dups_docs,
         "minhash_neardup_docs": q_minhash_neardup_docs,
@@ -1149,6 +1255,7 @@ def oracle_sql() -> dict[str, str]:
         "audit_load_columns": _AUDIT_ORACLE,
         "ks_drift": _KS_ORACLE,
         "drift_check_events": _DRIFT_CHECK_ORACLE,
+        "metrics_drift": _METRICS_DRIFT_ORACLE,
         "text_features_docs": _TEXT_ORACLE,
         "exact_dups_docs": _EXACT_DUP_ORACLE,
         "minhash_neardup_docs": _MINHASH_ORACLE,

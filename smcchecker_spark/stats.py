@@ -244,6 +244,58 @@ def ks_stat(cur: DataFrame, base: DataFrame) -> float:
     return float(row["ks"] or 0.0)
 
 
+def metrics_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    max_null_rate_delta: float = 0.05,
+    max_ndv_ratio: float = 2.0,
+) -> DataFrame:
+    """Per-(partition, column) drift between two runs' checkpointed
+    metrics tables (``CheckpointStore.metrics`` / ``run.metrics_columns``
+    output) — the cheap first-line drift check that reads ONLY sketch
+    rows, never data. Flags a (part_id, column) when the null rate moved
+    more than ``max_null_rate_delta`` absolute, or the HLL ndv changed by
+    more than ``max_ndv_ratio``× in either direction (both ndv's
+    nonzero). Returns one row per compared pair with the deltas and a
+    boolean ``drifted``; deeper KS/PSI checks (``drift_violations``) are
+    the follow-up on the flagged columns only.
+    """
+    cur = current.select(
+        "part_id",
+        "column",
+        F.col("null_rate").alias("c_null_rate"),
+        F.col("approx_ndv").alias("c_ndv"),
+    )
+    base = baseline.select(
+        "part_id",
+        "column",
+        F.col("null_rate").alias("b_null_rate"),
+        F.col("approx_ndv").alias("b_ndv"),
+    )
+    j = cur.join(base, ["part_id", "column"], "inner")
+    null_delta = F.abs(F.col("c_null_rate") - F.col("b_null_rate"))
+    ndv_ratio = F.when(
+        (F.col("b_ndv") > 0) & (F.col("c_ndv") > 0),
+        F.greatest(
+            F.col("c_ndv") / F.col("b_ndv"), F.col("b_ndv") / F.col("c_ndv")
+        ),
+    ).otherwise(
+        F.when(F.col("b_ndv") == F.col("c_ndv"), F.lit(1.0)).otherwise(
+            F.lit(float("inf"))
+        )
+    )
+    return j.select(
+        "part_id",
+        "column",
+        F.round(null_delta, 6).alias("null_rate_delta"),
+        F.round(ndv_ratio, 6).alias("ndv_ratio"),
+        (
+            (null_delta > max_null_rate_delta)
+            | (ndv_ratio > max_ndv_ratio)
+        ).alias("drifted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Drift as a table-level constraint (emits a violation row per drifted column)
 # ---------------------------------------------------------------------------

@@ -85,3 +85,25 @@ def test_tdigest_distributed(spark, num_df):
     assert td.total == 2000
     assert td.quantile(0.5) == pytest.approx(50, abs=1.5)
     assert td.quantile(0.99) == pytest.approx(50 + 2.326 * 10, abs=2.5)
+
+
+def test_metrics_drift(spark):
+    """Sketch-level drift between two runs' per-partition metrics rows."""
+    from smcchecker_spark.stats import metrics_drift
+
+    base = spark.createDataFrame(
+        [(0, "lang", 0.0, 10), (0, "txt", 0.01, 100), (1, "lang", 0.0, 10)],
+        "part_id int, column string, null_rate double, approx_ndv long",
+    )
+    cur = spark.createDataFrame(
+        [(0, "lang", 0.2, 10), (0, "txt", 0.01, 500), (1, "lang", 0.01, 11)],
+        "part_id int, column string, null_rate double, approx_ndv long",
+    )
+    got = {
+        (r["part_id"], r["column"]): r
+        for r in metrics_drift(cur, base, 0.05, 2.0).collect()
+    }
+    assert got[(0, "lang")]["drifted"]          # null rate jumped 0 -> 0.2
+    assert got[(0, "txt")]["drifted"]           # ndv x5
+    assert not got[(1, "lang")]["drifted"]      # both deltas inside bounds
+    assert got[(0, "txt")]["ndv_ratio"] == 5.0
