@@ -449,12 +449,18 @@ class NotInExisting(JoinConstraint):
                 f"the ValidationContext (available: {sorted(ctx.existing)})"
             )
         keys = list(self.keys)
-        existing = ctx.existing[self.existing].select(*keys).distinct()
-        return (
-            df.select(ROW_ID, PART_ID, *keys)
-            .join(existing, on=keys, how="left_semi")
-            .select(ROW_ID, PART_ID)
-        )
+        existing = ctx.existing[self.existing].select(
+            *[F.col(k).alias(f"__ex_{k}") for k in keys]
+        ).distinct()
+        left = df.select(ROW_ID, PART_ID, *keys)
+        # null-safe match: pandas ``merge`` (the reference's mechanism,
+        # proj/core/dupes.py:106) matches NaN keys to NaN keys, so a
+        # NULL-keyed incoming row duplicates a NULL-keyed production row
+        cond = None
+        for k in keys:
+            c = left[k].eqNullSafe(existing[f"__ex_{k}"])
+            cond = c if cond is None else (cond & c)
+        return left.join(existing, cond, "left_semi").select(ROW_ID, PART_ID)
 
 
 @dataclass(frozen=True)

@@ -236,6 +236,19 @@ def test_not_in_existing(spark):
     assert violating_ids(df, c, ctx=ctx) == {"b"}
 
 
+def test_not_in_existing_null_safe(spark):
+    """pandas merge (the reference's dup-vs-production mechanism) matches
+    NaN keys to NaN keys — a NULL-keyed incoming row must be flagged when
+    the production snapshot has a NULL-keyed row too."""
+    df = make_df(
+        spark, [("r1", "b"), ("r2", None), ("r3", "c")], "id string, k string"
+    )
+    existing = make_df(spark, [("b",), (None,)], "k string")
+    ctx = ValidationContext(existing={"prod": existing})
+    c = NotInExisting(keys=["k"], existing="prod")
+    assert violating_ids(df, c, ctx=ctx) == {"r1", "r2"}
+
+
 def test_subset_of(spark):
     df = make_df(
         spark, [("a", "s1"), ("b", "s2"), ("c", "s3")], "id string, site string"
