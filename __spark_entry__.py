@@ -1152,6 +1152,51 @@ FROM embeddings WHERE vec_id % 10 = 0
 """
 
 
+def q_engine_caption_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FieldEquals — the north star's caption-equality parity check as a
+    row constraint: documents joined with a reference copy whose caption
+    (here: ``lang``) is deterministically tampered, null-safely compared."""
+    from smcchecker_spark.constraints import FieldEquals
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 9 == 7, F.concat(F.col("lang"), F.lit("!")))
+        .when(F.col("doc_id") % 9 == 2, F.lit(None))
+        .otherwise(F.col("lang"))
+        .alias("ref_lang"),
+    )
+    joined = docs.select("doc_id", "lang").join(ref, "doc_id").withColumn(
+        "part_id", (F.col("doc_id") % 4).cast("int")
+    )
+    suite = Suite(
+        name="docs_parity",
+        table="documents",
+        constraints=[FieldEquals("lang", reference_col="ref_lang")],
+    )
+    return compile_suite(joined, suite, row_id_col="doc_id", part_id_col="part_id")
+
+
+_CAPTION_PARITY_ORACLE = """
+WITH j AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 9 = 7 THEN lang || '!'
+              WHEN doc_id % 9 = 2 THEN NULL
+              ELSE lang END AS ref_lang,
+         CAST(doc_id % 4 AS INT) AS part_id
+  FROM documents
+)
+SELECT 'documents' AS "table", CAST(doc_id AS VARCHAR) AS row_id,
+       'lang,ref_lang' AS columns, 'Parity Mismatch' AS error_type,
+       TRUE AS is_core_error,
+       'The value in lang (' || coalesce(lang, 'NULL')
+         || ') does not match the reference column ref_lang ('
+         || coalesce(ref_lang, 'NULL') || ')' AS error_message,
+       'fieldequals_lang_ref_lang' AS check_name, 'error' AS severity, part_id
+FROM j WHERE lang IS DISTINCT FROM ref_lang
+"""
+
+
 def q_images_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full image+caption constraint suite (incl. the Arrow decode UDF) on
     the deterministic synthetic fixture — per-check violation counts.
@@ -1227,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "embedding_neardup": q_embedding_neardup,
+        "engine_caption_parity": q_engine_caption_parity,
         "images_validate": q_images_validate,
     }
 
@@ -1256,6 +1302,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift": _KS_ORACLE,
         "drift_check_events": _DRIFT_CHECK_ORACLE,
         "metrics_drift": _METRICS_DRIFT_ORACLE,
+        "engine_caption_parity": _CAPTION_PARITY_ORACLE,
         "text_features_docs": _TEXT_ORACLE,
         "exact_dups_docs": _EXACT_DUP_ORACLE,
         "minhash_neardup_docs": _MINHASH_ORACLE,

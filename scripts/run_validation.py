@@ -62,6 +62,7 @@ def build_constraint(spec: dict):
         "int_range": C.IntRange,
         "range": C.Range,
         "regex": C.Regex,
+        "field_equals": C.FieldEquals,
         "unique": C.Unique,
         "in_lookup": C.InLookup,
         "not_in_existing": C.NotInExisting,

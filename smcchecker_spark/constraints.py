@@ -41,6 +41,7 @@ ERR_TOO_LONG = "Value too long"
 # New vocabulary for north-star constraints with no reference analogue
 ERR_REGEX = "Invalid Format"
 ERR_LOGIC = "Logic Error"
+ERR_PARITY = "Parity Mismatch"
 
 
 @dataclass(frozen=True)
@@ -261,6 +262,48 @@ class Regex(Constraint):
 
     def message(self) -> str:
         return f"The column {self.column} must match the pattern {self.pattern}"
+
+
+@dataclass(frozen=True)
+class FieldEquals(Constraint):
+    """Parity Mismatch — the column must equal a reference column on the
+    same row, null-safely (NULL == NULL passes). The north star's
+    ``caption_equals(reference)`` check (/root/repo/BASELINE.json:15:
+    "caption equality" vs the reference checker's copy of the row);
+    generic over any column pair, so it also serves schema-migration
+    parity checks."""
+
+    reference_col: str = ""
+
+    @property
+    def name(self) -> str:
+        return f"fieldequals_{self.column}_{self.reference_col}"
+
+    @property
+    def columns_label(self) -> str:
+        return f"{self.column},{self.reference_col}"
+
+    @property
+    def error_type(self) -> str:
+        return ERR_PARITY
+
+    def violation_expr(self, df: DataFrame) -> Column:
+        return ~df[self.column].eqNullSafe(df[self.reference_col])
+
+    def message_expr(self, df: DataFrame) -> Column:
+        return F.concat(
+            F.lit(f"The value in {self.column} ("),
+            F.coalesce(df[self.column].cast("string"), F.lit("NULL")),
+            F.lit(f") does not match the reference column {self.reference_col} ("),
+            F.coalesce(df[self.reference_col].cast("string"), F.lit("NULL")),
+            F.lit(")"),
+        )
+
+    def message(self) -> str:
+        return (
+            f"The value in {self.column} does not match the reference "
+            f"column {self.reference_col}"
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,7 @@ def test_build_constraint_all_types():
         {"type": "int_range", "column": "a", "width": "int2"},
         {"type": "range", "column": "a", "lo": 0, "hi": 9},
         {"type": "regex", "column": "a", "pattern": "^x"},
+        {"type": "field_equals", "column": "a", "reference_col": "b"},
         {"type": "unique", "keys": ["a", "b"]},
         {"type": "in_lookup", "column": "a", "lookup": "lu", "lookup_key": "k"},
         {"type": "not_in_existing", "keys": ["a"], "existing": "prod"},

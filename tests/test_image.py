@@ -138,29 +138,47 @@ def test_full_suite_golden(spark, images):
     v.unpersist()
 
 
-def test_psnr_parity_clean_pairs(spark):
-    """Clean fixture vs itself re-encoded: PSNR >= 40 dB everywhere
-    (the per-row invariant vs the reference checker, input_hint)."""
+def test_psnr_and_caption_parity_clean_pairs(spark):
+    """Clean fixture vs itself re-encoded: PSNR >= 40 dB everywhere AND
+    caption equality (the full per-row invariant vs the reference
+    checker, input_hint: 'decoded-pixel allclose … + caption equality')."""
+    from smcchecker_spark.constraints import FieldEquals
+
     a = fixtures.generate_images(spark, n_rows=60, n_parts=4, seed=42, clean=True)
     b = (
         fixtures.generate_images(spark, n_rows=60, n_parts=4, seed=42, clean=True)
-        .select("image_id", F.col("bytes").alias("ref_bytes"))
+        .select(
+            "image_id",
+            F.col("bytes").alias("ref_bytes"),
+            F.col("caption").alias("ref_caption"),
+        )
     )
     df = a.join(b, "image_id")
     suite = Suite(
         name="par",
         table="images",
-        constraints=[PsnrAtLeast(column="bytes", reference_col="ref_bytes")],
+        constraints=[
+            PsnrAtLeast(column="bytes", reference_col="ref_bytes"),
+            FieldEquals("caption", reference_col="ref_caption"),
+        ],
     )
     v = compile_suite(df, suite, row_id_col="image_id", part_id_col="part_id")
     assert v.count() == 0
 
-    # corrupt one payload → exactly that row violates
-    df_bad = df.withColumn(
-        "bytes",
-        F.when(F.col("image_id") == fixtures._image_id(0), F.lit(b"junk")).otherwise(
-            F.col("bytes")
-        ),
+    # corrupt one payload + one caption → exactly those (row, check) pairs
+    df_bad = df.withColumns(
+        {
+            "bytes": F.when(
+                F.col("image_id") == fixtures._image_id(0), F.lit(b"junk")
+            ).otherwise(F.col("bytes")),
+            "caption": F.when(
+                F.col("image_id") == fixtures._image_id(1), F.lit("tampered")
+            ).otherwise(F.col("caption")),
+        }
     )
     v2 = compile_suite(df_bad, suite, row_id_col="image_id", part_id_col="part_id")
-    assert _ids(v2.collect()) == {fixtures._image_id(0)}
+    got = {(r["row_id"], r["check_name"]) for r in v2.collect()}
+    assert got == {
+        (fixtures._image_id(0), "psnr_bytes_ref_bytes"),
+        (fixtures._image_id(1), "fieldequals_caption_ref_caption"),
+    }
