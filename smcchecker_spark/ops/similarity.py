@@ -226,11 +226,13 @@ def ivf_topk(
         "neighbor_id",
         F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
     )
+    # no dedup needed: a corpus row lives in exactly ONE cell and a query's
+    # probe list is distinct cells, so each (query, neighbor) pair joins at
+    # most once — skipping dropDuplicates saves a full shuffle before the
+    # per-query ranking exchange
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 
