@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from smcchecker_spark import exprs
 
@@ -49,6 +50,52 @@ STATS_COLS = [
 DEFAULT_QUANTILES = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
 
 
+def _stats_aggs(
+    df: DataFrame,
+    columns: list[str],
+    quantiles: list[float],
+    hll_rsd: float,
+) -> list[Column]:
+    """Shared aggregate list for column_stats / column_stats_by.
+
+    BINARY columns (image payloads) get size-domain stats: min/max/
+    quantiles over ``length(bytes)`` and ndv over ``xxhash64(bytes)`` —
+    casting a payload to string for min/max would compare mojibake, and
+    payload-size distribution is the operationally useful signal (Arrow
+    batch sizing, skew detection)."""
+    binary_cols = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.BinaryType)
+    }
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        col = F.col(c)
+        if c in binary_cols:
+            sz = F.length(col)
+            aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+            aggs.append(F.min(sz).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(sz).cast("string").alias(f"{c}__max"))
+            aggs.append(
+                F.approx_count_distinct(F.xxhash64(col), hll_rsd).alias(f"{c}__ndv")
+            )
+            aggs.append(
+                F.percentile_approx(
+                    sz.cast("double"), F.lit(quantiles), F.lit(10000)
+                ).alias(f"{c}__q")
+            )
+            continue
+        empty = exprs.is_empty(col)
+        aggs.append(F.sum(empty.cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
+        aggs.append(F.approx_count_distinct(col, hll_rsd).alias(f"{c}__ndv"))
+        aggs.append(
+            F.percentile_approx(
+                col.try_cast("double"), F.lit(quantiles), F.lit(10000)
+            ).alias(f"{c}__q")
+        )
+    return aggs
+
+
 def column_stats(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -61,23 +108,11 @@ def column_stats(
     Null semantics follow the reference's empty test (NULL/''/'nan',
     proj/core/metadata.py:203). min/max render as strings so mixed column
     types coexist in one stats table; quantiles only for numeric-castable
-    columns (NULL array otherwise).
+    columns (NULL array otherwise). Binary columns report payload-SIZE
+    min/max/quantiles and content-hash ndv (see ``_stats_aggs``).
     """
     columns = columns or df.columns
-    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
-    for c in columns:
-        col = F.col(c)
-        empty = exprs.is_empty(col)
-        aggs.append(F.sum(empty.cast("long")).alias(f"{c}__nulls"))
-        aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
-        aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
-        aggs.append(F.approx_count_distinct(col, hll_rsd).alias(f"{c}__ndv"))
-        aggs.append(
-            F.percentile_approx(
-                col.try_cast("double"), F.lit(quantiles), F.lit(10000)
-            ).alias(f"{c}__q")
-        )
-    row = df.agg(*aggs)
+    row = df.agg(*_stats_aggs(df, columns, quantiles, hll_rsd))
 
     per_col = [
         F.struct(
@@ -135,22 +170,13 @@ def column_stats_by(
     emits lineage + metrics rows to a checkpoint table"). Same one-pass
     shape as ``column_stats`` with a groupBy on the partition column:
     map-side partial aggregation means the exchange carries one partial
-    row per (task, group), never data rows."""
+    row per (task, group), never data rows. Binary columns report
+    payload-size stats (see ``_stats_aggs``) — per-partition payload-size
+    skew is exactly what salted repartitioning needs to see."""
     columns = columns or [c for c in df.columns if c != group_col]
-    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
-    for c in columns:
-        col = F.col(c)
-        empty = exprs.is_empty(col)
-        aggs.append(F.sum(empty.cast("long")).alias(f"{c}__nulls"))
-        aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
-        aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
-        aggs.append(F.approx_count_distinct(col, hll_rsd).alias(f"{c}__ndv"))
-        aggs.append(
-            F.percentile_approx(
-                col.try_cast("double"), F.lit(quantiles), F.lit(10000)
-            ).alias(f"{c}__q")
-        )
-    grouped = df.groupBy(group_col).agg(*aggs)
+    grouped = df.groupBy(group_col).agg(
+        *_stats_aggs(df, columns, quantiles, hll_rsd)
+    )
     per_col = [
         F.struct(
             F.lit(c).alias("column"),

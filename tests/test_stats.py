@@ -107,3 +107,22 @@ def test_metrics_drift(spark):
     assert got[(0, "txt")]["drifted"]           # ndv x5
     assert not got[(1, "lang")]["drifted"]      # both deltas inside bounds
     assert got[(0, "txt")]["ndv_ratio"] == 5.0
+
+
+def test_column_stats_binary_payload(spark):
+    """Binary columns report payload-SIZE stats (min/max/quantiles over
+    length, ndv over content hash) instead of mojibake string min/max."""
+    from smcchecker_spark import fixtures
+    from smcchecker_spark.stats import column_stats, column_stats_by
+
+    df = fixtures.generate_images(spark, n_rows=80, n_parts=4, seed=42, clean=True)
+    st = {r["column"]: r for r in column_stats(df, ["bytes", "caption"]).collect()}
+    b = st["bytes"]
+    assert int(b["min"]) > 0 and int(b["max"]) >= int(b["min"])
+    assert b["null_count"] == 0 and b["approx_ndv"] > 60  # ~distinct payloads
+    assert b["quantiles"] is not None and all(
+        int(b["min"]) <= q <= int(b["max"]) for q in b["quantiles"]
+    )
+    # grouped variant carries the same semantics per partition
+    by = column_stats_by(df, "part_id", ["bytes"]).collect()
+    assert len(by) == 4 and all(int(r["min"]) > 0 for r in by)
