@@ -1024,7 +1024,15 @@ def q_minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH blocking → exact shingle-Jaccard ≥ 0.8. The oracle is
     the TRUE all-pairs answer (exact Jaccard over word-3-shingles); 16
     bands × 2 rows makes the LSH candidate-recall ≥ 1-1e-7 at s=0.8, so
-    blocking misses nothing the exact verify would keep."""
+    blocking misses nothing the exact verify would keep.
+
+    min_parallelism targets PHYSICAL cores (session.physical_parallelism,
+    ~8 here), not defaultParallelism: the sf-test table is 2 file splits
+    (UDF underparallelized without it), but 32 oversubscribed Python
+    workers measured ~10× slower than 8. At corpus scale file splits >>
+    cores and the repartition is a no-op."""
+    from smcchecker_spark.session import physical_parallelism
+
     return dedup.ngram_jaccard_dedup(
         _docs_with_planted_dups(spark, sf_dir),
         "doc_id",
@@ -1032,6 +1040,7 @@ def q_minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.8,
         num_hashes=32,
         bands=16,
+        min_parallelism=physical_parallelism(),
     )
 
 
@@ -1063,8 +1072,11 @@ def q_simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smcchecker_spark.package import ensure_shipped
 
     ensure_shipped(spark)
+    from smcchecker_spark.session import physical_parallelism
+
     return dedup.simhash_near_dups(
-        _docs_with_planted_dups(spark, sf_dir), "doc_id", "text", max_hamming=3
+        _docs_with_planted_dups(spark, sf_dir), "doc_id", "text", max_hamming=3,
+        min_parallelism=physical_parallelism(),
     )
 
 

@@ -215,14 +215,31 @@ def minhash_candidate_pairs(
     bands: int = 8,
     shingle_k: int = 3,
     min_parallelism: int | None = None,
+    max_bucket: int | None = None,
+    with_est: bool = True,
 ) -> DataFrame:
-    """LSH candidate pairs (id_a < id_b, est_jaccard) via banding.
+    """LSH candidate pairs (id_a < id_b[, est_jaccard]) via banding.
 
-    est_jaccard = fraction of matching signature components — computed on
-    the candidate pairs only. One shuffle to bucket (explode bands +
-    groupBy-join on band hash), one to dedupe pairs found in multiple
-    bands. Hot buckets (boilerplate docs) self-join quadratically — cap
-    with a bucket-size guard upstream if the corpus needs it.
+    Shape: explode ``bands`` (band, bucket, id) rows per signature — ids
+    ONLY, never the signature array, so the bucket shuffle moves 3 longs
+    per (doc, band) instead of replicating the ``num_hashes``-long sig
+    ``bands`` times — groupBy-collect the member ids of each bucket,
+    generate in-bucket ordered pairs with higher-order array
+    expressions, dedupe pairs found in multiple bands. ONE scan of the
+    corpus and ONE evaluation of the signature UDF (a banded self-join
+    would scan + re-sign the corpus twice).
+
+    ``with_est=True`` additionally joins the signatures back onto the
+    (tiny) candidate set via a melt → single join → regroup, and scores
+    est_jaccard = fraction of matching signature components. Callers
+    that re-verify exactly anyway (``ngram_jaccard_dedup``) pass False
+    and skip that whole stage.
+
+    Hot buckets (boilerplate docs) still pair quadratically — and here
+    the n² pair structs for one bucket materialize inside a single
+    collected row, so cap pathological corpora with ``max_bucket``
+    (members beyond the cap in one bucket are dropped from THAT band's
+    pairing only; other bands still see them). Default uncapped.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -231,7 +248,6 @@ def minhash_candidate_pairs(
     )
     banded = sig.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -248,36 +264,62 @@ def minhash_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
 
-    left = banded.alias("l")
-    right = banded.alias("r")
+    members = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    if max_bucket is not None:
+        members = members.withColumn(
+            "ms", F.slice(F.array_sort("ms"), 1, max_bucket)
+        )
+
+    in_bucket_pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda a: F.filter(
+                F.transform(
+                    F.col("ms"),
+                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            ),
+        )
+    )
     pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
-        )
+        members.select(F.explode(in_bucket_pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    match_frac = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
-                lambda x: x,
-            )
-        )
-        / F.lit(num_hashes)
+    if not with_est:
+        return pairs
+
+    # attach both signatures with ONE reference to `sig` (melt → join →
+    # regroup); est is symmetric so collect order doesn't matter
+    melted = pairs.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
     )
-    return pairs.select(
-        "id_a", "id_b", F.round(match_frac, 6).alias("est_jaccard")
+    sigs2 = (
+        melted.join(sig, "id")
+        .groupBy("id_a", "id_b")
+        .agg(F.collect_list("sig").alias("sigs"))
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(
+                F.element_at("sigs", 1),
+                F.element_at("sigs", 2),
+                lambda x, y: x == y,
+            ),
+            lambda v: v,
+        )
+    )
+    return sigs2.select(
+        "id_a",
+        "id_b",
+        F.round(matches / F.lit(num_hashes), 6).alias("est_jaccard"),
     )
 
 
@@ -290,17 +332,43 @@ def exact_jaccard_pairs(
     min_parallelism: int | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard for given (id_a, id_b) candidate pairs —
-    the verification stage after LSH blocking. Two broadcast-or-shuffle
-    joins to attach shingle sets, then pure array math."""
-    sh = _ensure_parallelism(df, min_parallelism).select(
-        F.col(id_col).alias("id"),
-        _shingles_udf(shingle_k)(F.col(text_col)).alias("sh"),
+    the verification stage after LSH blocking. The shingle UDF runs only
+    on rows that appear in some candidate pair (semi-join prune first:
+    candidates << corpus after blocking, so at corpus scale this turns a
+    full-table Arrow pass into a sliver), and the shingle table is
+    referenced exactly ONCE: pairs are melted to (id_a, id_b, id), both
+    sides attach through one join, and a regroup collects the two
+    shingle sets per pair (Jaccard is symmetric, so collect order is
+    irrelevant). The alternative two-join attach would scan + shingle
+    the corpus twice. ``pairs`` is referenced twice (prune + melt) —
+    materialize it first if it is expensive to recompute (the
+    ``ngram_jaccard_dedup`` path checkpoints it)."""
+    cand_ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
+    sh = (
+        _ensure_parallelism(df, min_parallelism)
+        .join(cand_ids, F.col(id_col) == cand_ids["id"], "left_semi")
+        .select(
+            F.col(id_col).alias("id"),
+            _shingles_udf(shingle_k)(F.col(text_col)).alias("sh"),
+        )
     )
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    j = pairs.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    melted = pairs.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
+    )
+    j = (
+        melted.join(sh, "id")
+        .groupBy("id_a", "id_b")
+        .agg(F.collect_list("sh").alias("shs"))
+        # a pair whose member is absent from df collects <2 sets; the
+        # two-join formulation dropped such pairs (inner join) — keep that
+        .filter(F.size("shs") == 2)
+    )
+    sh_a = F.element_at("shs", 1)
+    sh_b = F.element_at("shs", 2)
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(F.array_union(sh_a, sh_b))
     return j.select(
         "id_a",
         "id_b",
@@ -324,13 +392,21 @@ def ngram_jaccard_dedup(
     Deliberately NOT defaulted to defaultParallelism: the right value is
     the number of PHYSICAL cores available to Python workers, which Spark
     cannot know (oversubscribed vCPUs make more workers slower).
+
+    The candidate set is materialized (``localCheckpoint``) before
+    verification: the verify stage references it twice (once to prune
+    the shingle UDF to candidate docs, once to score), and without the
+    checkpoint Spark would re-run the whole blocking stage — signature
+    UDF included — per reference. Candidates are tiny after blocking
+    (that is the point of LSH), so this is exactly the "persist the
+    candidate table between stages" step a corpus-scale pipeline does.
     """
     cand = minhash_candidate_pairs(
-        df, id_col, text_col, num_hashes, bands, min_parallelism=min_parallelism
-    )
+        df, id_col, text_col, num_hashes, bands,
+        min_parallelism=min_parallelism, with_est=False,
+    ).localCheckpoint(eager=True)
     exact = exact_jaccard_pairs(
-        df, cand.select("id_a", "id_b"), id_col, text_col,
-        min_parallelism=min_parallelism,
+        df, cand, id_col, text_col, min_parallelism=min_parallelism,
     )
     return exact.filter(F.col("jaccard") >= threshold)
 
@@ -410,13 +486,14 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     chunks: int = 4,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Pairs with simhash Hamming distance ≤ d, blocked on 16-bit chunks
     (pigeonhole: ≤3 flipped bits leave ≥1 of 4 chunks identical), so the
     join is equi- on (chunk_id, chunk_value) instead of a cross join."""
     assert 64 % chunks == 0
     width = 64 // chunks
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(df, id_col, text_col, min_parallelism=min_parallelism)
     mask = (1 << width) - 1
     chunked = sh.select(
         "id",

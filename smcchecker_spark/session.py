@@ -25,6 +25,21 @@ from pyspark.sql import SparkSession
 ARROW_BATCH_ROWS = 1024
 
 
+def physical_parallelism() -> int:
+    """Task-count target for CPU-bound Python UDF stages on SMALL inputs
+    (few file splits). This is the number of PHYSICAL cores Python
+    workers can actually use — NOT defaultParallelism: this box reports
+    32 vCPUs but sustains ~8 cores of Python throughput, and forcing 32
+    concurrent UDF tasks measured ~10× slower than 8 (oversubscribed
+    workers thrash). At corpus scale file splits >> cores and callers'
+    ``min_parallelism`` repartitions become no-ops, so this knob only
+    shapes small/benchmark runs. Override with $SMCCHECKER_UDF_CORES."""
+    env = os.environ.get("SMCCHECKER_UDF_CORES")
+    if env:
+        return int(env)
+    return min(8, os.cpu_count() or 8)
+
+
 def get_spark(
     app_name: str = "smcchecker-spark",
     cores: int | None = None,
