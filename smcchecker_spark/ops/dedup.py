@@ -217,6 +217,7 @@ def minhash_candidate_pairs(
     min_parallelism: int | None = None,
     max_bucket: int | None = None,
     with_est: bool = True,
+    hot_bucket: int = 256,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b[, est_jaccard]) via banding.
 
@@ -229,17 +230,24 @@ def minhash_candidate_pairs(
     corpus and ONE evaluation of the signature UDF (a banded self-join
     would scan + re-sign the corpus twice).
 
+    Skew: a bucket's pairing is O(m²), and boilerplate corpora have hot
+    buckets. Buckets with ≤ ``hot_bucket`` members pair inside their
+    collected array (fast path, at most ~hot_bucket²/2 structs per row).
+    Larger buckets are split into sorted ``hot_bucket``-sized chunks and
+    paired chunk×chunk through a broadcast self-join — the chunk table
+    is ids-only and tiny, and repartitioning the probe side spreads one
+    bucket's quadratic pairing across tasks instead of one row/one task.
+    Chunks slice a SORTED member array, so cross-chunk pairs satisfy
+    id_a < id_b by construction and no pair is produced twice within a
+    bucket. ``max_bucket`` (default off) additionally hard-caps members
+    per bucket per band — a LOSSY guard for pathological corpora where
+    even distributed O(m²) is unaffordable.
+
     ``with_est=True`` additionally joins the signatures back onto the
     (tiny) candidate set via a melt → single join → regroup, and scores
     est_jaccard = fraction of matching signature components. Callers
     that re-verify exactly anyway (``ngram_jaccard_dedup``) pass False
     and skip that whole stage.
-
-    Hot buckets (boilerplate docs) still pair quadratically — and here
-    the n² pair structs for one bucket materialize inside a single
-    collected row, so cap pathological corpora with ``max_bucket``
-    (members beyond the cap in one bucket are dropped from THAT band's
-    pairing only; other bands still see them). Default uncapped.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -268,30 +276,73 @@ def minhash_candidate_pairs(
 
     members = (
         banded.groupBy("band", "bucket")
-        .agg(F.collect_list("id").alias("ms"))
+        .agg(F.array_sort(F.collect_list("id")).alias("ms"))
         .filter(F.size("ms") > 1)
     )
     if max_bucket is not None:
-        members = members.withColumn(
-            "ms", F.slice(F.array_sort("ms"), 1, max_bucket)
+        members = members.withColumn("ms", F.slice("ms", 1, max_bucket))
+
+    def _ordered_pairs(xs, ys):
+        # all (a from xs, b from ys) structs with a < b; xs == ys gives
+        # the strict upper triangle, disjoint sorted xs < ys passes all
+        return F.flatten(
+            F.transform(
+                xs,
+                lambda a: F.filter(
+                    F.transform(
+                        ys,
+                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                    ),
+                    lambda p: p["id_a"] < p["id_b"],
+                ),
+            )
         )
 
-    in_bucket_pairs = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda a: F.filter(
-                F.transform(
-                    F.col("ms"),
-                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-                ),
-                lambda p: p["id_a"] < p["id_b"],
-            ),
+    small = members.filter(F.size("ms") <= hot_bucket)
+    hot = members.filter(F.size("ms") > hot_bucket)
+
+    small_pairs = small.select(
+        F.explode(_ordered_pairs(F.col("ms"), F.col("ms"))).alias("p")
+    ).select("p.id_a", "p.id_b")
+
+    # hot buckets: slice the sorted member array into hot_bucket-sized
+    # chunks, broadcast the (tiny, ids-only) chunk table, and pair chunk
+    # ci × chunk cj for ci<=cj — repartitioning the probe side spreads
+    # one bucket's O(m²) pairing across tasks; sortedness makes every
+    # cross-chunk (a,b) already id-ordered and bucket-unique
+    last_chunk = F.ceil(F.size("ms") / F.lit(hot_bucket)).cast("int") - 1
+    chunked = hot.select(
+        "band",
+        "bucket",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), last_chunk),
+                lambda i: F.slice("ms", i * hot_bucket + 1, hot_bucket),
+            )
+        ).alias("ci", "ca"),
+    )
+    probe = chunked.repartition("band", "bucket", "ci")
+    build = F.broadcast(
+        chunked.select(
+            F.col("band").alias("band_r"),
+            F.col("bucket").alias("bucket_r"),
+            F.col("ci").alias("cj"),
+            F.col("ca").alias("cb"),
         )
     )
-    pairs = (
-        members.select(F.explode(in_bucket_pairs).alias("p"))
+    hot_pairs = (
+        probe.join(
+            build,
+            (F.col("band") == F.col("band_r"))
+            & (F.col("bucket") == F.col("bucket_r"))
+            & (F.col("ci") <= F.col("cj")),
+        )
+        .select(F.explode(_ordered_pairs(F.col("ca"), F.col("cb"))).alias("p"))
         .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    pairs = small_pairs.unionByName(hot_pairs).dropDuplicates(
+        ["id_a", "id_b"]
     )
     if not with_est:
         return pairs

@@ -82,6 +82,33 @@ def test_minhash_signature_components_vary_per_seed(spark, docs):
     assert matches >= 16
 
 
+def test_minhash_hot_bucket_path_identical_pairs(spark, docs):
+    """The chunked broadcast-join path for oversized LSH buckets must
+    produce exactly the pairs the in-array fast path produces — forcing
+    hot_bucket=2 routes (nearly) every bucket through the hot path."""
+    kw = dict(num_hashes=32, bands=16, with_est=False)
+    fast = dedup.minhash_candidate_pairs(docs, "doc_id", hot_bucket=256, **kw)
+    hot = dedup.minhash_candidate_pairs(docs, "doc_id", hot_bucket=2, **kw)
+    fast_set = {(r["id_a"], r["id_b"]) for r in fast.collect()}
+    hot_set = {(r["id_a"], r["id_b"]) for r in hot.collect()}
+    assert fast_set == hot_set and fast_set
+
+
+def test_minhash_hot_bucket_complete_quadratic(spark):
+    """A planted boilerplate cluster (30 identical docs → one 30-member
+    bucket in every band) paired through chunks of 8 must yield all
+    30·29/2 pairs exactly once."""
+    rows = [(i, "same boilerplate text repeated across the corpus daily")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_candidate_pairs(
+        df, "doc_id", num_hashes=32, bands=16, with_est=False, hot_bucket=8
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert len(pairs) == len(got) == 30 * 29 // 2
+    assert got == {(a, b) for a in range(30) for b in range(a + 1, 30)}
+
+
 def test_simhash_near_dups(spark, docs):
     pairs = dedup.simhash_near_dups(docs, "doc_id", max_hamming=3)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
