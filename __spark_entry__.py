@@ -1143,6 +1143,25 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "rank")
 
 
+def q_ivf_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN probing ALL cells (n_probe = k_cells) — exact by
+    construction, so the brute-force cosine top-k SQL is a true value
+    oracle for the whole IVF machinery (cell assignment UDF, probe-list
+    UDF, per-cell scoring, ranking). The approximate n_probe=4 variant
+    stays rows-only next to this."""
+    from smcchecker_spark.package import ensure_shipped
+
+    ensure_shipped(spark)
+    emb = _emb_double(spark, sf_dir)
+    centroids = similarity.train_centroids(emb, "vec_id", "embedding", k=16)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        emb, queries, centroids, k=10, n_probe=16, id_col="vec_id"
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_double(spark, sf_dir)
     copies = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
@@ -1283,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine": q_topk_cosine,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
         "embedding_neardup": q_embedding_neardup,
         "engine_caption_parity": q_engine_caption_parity,
         "images_validate": q_images_validate,
@@ -1319,6 +1339,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_dups_docs": _EXACT_DUP_ORACLE,
         "minhash_neardup_docs": _MINHASH_ORACLE,
         "topk_cosine": _TOPK_COSINE_ORACLE,
+        # exhaustive probing (n_probe = k_cells) makes IVF exact, so the
+        # brute-force top-k SQL is a true value oracle for the IVF path
+        "ivf_topk_exhaustive": _TOPK_COSINE_ORACLE,
         "embedding_neardup": _EMB_NEARDUP_ORACLE,
         # rows-only (approximate / non-SQL-expressible): column_stats_approx,
         #   lsh_topk_embeddings, simhash_neardup_docs, images_validate
