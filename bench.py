@@ -72,6 +72,7 @@ HEADLINE = [
     "text_features_docs",
     "exact_dups_docs",
     "minhash_neardup_docs",
+    "neardup_components_docs",
     "simhash_neardup_docs",
     "topk_cosine",
     "lsh_topk_embeddings",

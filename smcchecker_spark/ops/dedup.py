@@ -581,3 +581,123 @@ def simhash_near_dups(
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (id, component) where
+    component = the smallest id in the component. The step AFTER pair
+    finding — a dup CLUSTER {A,B,C} found as pairs (A,B),(B,C) must
+    collapse to one canonical doc, not two independent pair-removals.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): converges in
+    O(log²) rounds on any graph (near-dup graphs are usually
+    shallow — 2-3 rounds), vs O(diameter) for naive label propagation
+    which adversarial chain-shaped dup graphs can push to thousands.
+
+    Each half-round is ONE groupBy-min + ONE equi-join on the node id —
+    no collect_list of neighbor sets, so a hub node with millions of
+    neighbors is just a hot groupBy key (partial agg absorbs it) and a
+    skewed join key (AQE splits it), never a single giant row. Iteration
+    state is localCheckpointed per round: without it the lineage doubles
+    every round and replanning dominates. Convergence = (count,
+    hash-checksum) of the edge set stable across a round.
+
+    Only ids appearing in ``pairs`` are returned; isolated docs are
+    trivially their own component.
+    """
+
+    def star(edges: DataFrame, large: bool) -> DataFrame:
+        # large-star operates on the symmetrized neighbor relation and
+        # re-points strictly-larger neighbors at the local min; small-star
+        # orients every edge larger→smaller first, so mins.mv < u always
+        if large:
+            nbr = edges.union(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+        else:
+            nbr = edges.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+        mins = nbr.groupBy("u").agg(F.min("v").alias("mv"))
+        m = F.least("mv", "u")
+        joined = nbr.join(mins, "u")
+        if large:
+            out = joined.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), m.alias("v")
+            )
+        else:
+            # every neighbor (all ≤ u) plus u itself re-points at the min
+            out = (
+                joined.filter(F.col("v") != F.col("mv"))
+                .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+                .union(mins.select("u", F.col("mv").alias("v")))
+            )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    def fingerprint(edges: DataFrame) -> tuple:
+        # bit_xor, not sum: order-independent and cannot overflow (ANSI
+        # mode makes a long-sum checksum throw)
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("u"),
+            F.col(id_b).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    fp = fingerprint(edges)
+    for _ in range(max_iter):
+        new_edges = star(star(edges, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        new_fp = fingerprint(new_edges)
+        edges = new_edges
+        if new_fp == fp:
+            break
+        fp = new_fp
+    # at the fixpoint the edge set is a star forest: u → component root
+    comp = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = (
+        edges.select(F.col("v").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    return (
+        comp.unionByName(roots)
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one canonical row (the smallest id) per near-dup component;
+    rows in no pair pass through untouched. ``components`` is tiny next
+    to the corpus (only dup-cluster members), so the filter is one
+    broadcast-or-AQE left join + null/equality check — the corpus is
+    scanned once."""
+    comp = connected_components(pairs, id_a, id_b)
+    joined = df.join(
+        comp, df[id_col].cast("long") == comp["id"], "left"
+    )
+    return joined.filter(
+        comp["component"].isNull() | (comp["component"] == df[id_col])
+    ).drop(comp["id"]).drop(comp["component"])

@@ -109,6 +109,35 @@ def test_minhash_hot_bucket_complete_quadratic(spark):
     assert got == {(a, b) for a in range(30) for b in range(a + 1, 30)}
 
 
+def test_connected_components_clusters_and_chains(spark):
+    """Large-star/small-star must label every node with its component
+    min — including a 12-node path graph, which forces several rounds
+    (naive one-hop propagation would need 11)."""
+    chain = [(i, i + 1) for i in range(100, 111)]
+    pairs = chain + [(1, 2), (2, 3), (7, 8), (50, 40)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components(df).collect()}
+    expect = {i: 100 for i in range(100, 112)}
+    expect.update({1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 40: 40, 50: 40})
+    assert got == expect
+
+
+def test_resolve_duplicates_keeps_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 7, 8, 9]],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(2, 3), (8, 7)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.resolve_duplicates(docs, pairs, "doc_id").collect()
+    )
+    # 3 and 8 collapse into their component minima (2, 7); 1 and 9
+    # appear in no pair and pass through
+    assert kept == [1, 2, 7, 9]
+
+
 def test_simhash_near_dups(spark, docs):
     pairs = dedup.simhash_near_dups(docs, "doc_id", max_hamming=3)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
