@@ -34,16 +34,22 @@ def exact_duplicates(
     """Rows belonging to exact-duplicate groups (normalized text).
     Output: (id, fingerprint, group_size) for every member of a group
     with size > 1 — the pandas ``duplicated(keep=False)`` semantics at
-    scale (one shuffle on the md5 fingerprint)."""
+    scale. Window-count formulation: ONE scan + ONE shuffle on the md5
+    fingerprint (the groupBy-sizes + join-back alternative scans the
+    corpus twice and shuffles it again for the join; the window's extra
+    per-partition sort is on the already-shuffled fingerprint key)."""
     # empty/null docs are excluded — at corpus scale they would form one
     # pathological group (and a hot key in the shuffle)
+    from pyspark.sql import Window
+
     fp = (
         df.filter(T.token_count(F.col(text_col)) > 0)
         .select(F.col(id_col), T.fingerprint(F.col(text_col)).alias("fingerprint"))
     )
-    sizes = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("group_size"))
+    w = Window.partitionBy("fingerprint")
     return (
-        fp.join(sizes.filter(F.col("group_size") > 1), "fingerprint")
+        fp.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("group_size") > 1)
         .select(id_col, "fingerprint", "group_size")
     )
 
@@ -381,6 +387,7 @@ def exact_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     min_parallelism: int | None = None,
+    broadcast_pairs: bool = True,
 ) -> DataFrame:
     """Exact shingle-Jaccard for given (id_a, id_b) candidate pairs —
     the verification stage after LSH blocking. The shingle UDF runs only
@@ -393,10 +400,18 @@ def exact_jaccard_pairs(
     irrelevant). The alternative two-join attach would scan + shingle
     the corpus twice. ``pairs`` is referenced twice (prune + melt) —
     materialize it first if it is expensive to recompute (the
-    ``ngram_jaccard_dedup`` path checkpoints it)."""
+    ``ngram_jaccard_dedup`` path checkpoints it).
+
+    ``broadcast_pairs`` (default True): candidates << corpus is the
+    point of LSH blocking, and a materialized candidate table carries no
+    size stats (LogicalRDD defaults to "huge"), so without the hint the
+    prune semi-join plans as a sort-merge that shuffles the WHOLE corpus
+    before AQE can demote it. Pass False only for giant pair inputs."""
     cand_ids = pairs.select(
         F.explode(F.array("id_a", "id_b")).alias("id")
     ).distinct()
+    if broadcast_pairs:
+        cand_ids = F.broadcast(cand_ids)
     sh = (
         _ensure_parallelism(df, min_parallelism)
         .join(cand_ids, F.col(id_col) == cand_ids["id"], "left_semi")
@@ -408,6 +423,8 @@ def exact_jaccard_pairs(
     melted = pairs.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
     )
+    if broadcast_pairs:
+        melted = F.broadcast(melted)
     j = (
         melted.join(sh, "id")
         .groupBy("id_a", "id_b")

@@ -222,17 +222,20 @@ def histogram(
 
 
 def _joined_probs(cur: DataFrame, base: DataFrame, eps: float) -> DataFrame:
+    from pyspark.sql import Window
+
     c = cur.select(F.col("bucket"), F.col("count").alias("c_cnt"))
     b = base.select(F.col("bucket"), F.col("count").alias("b_cnt"))
     j = c.join(b, "bucket", "full_outer").fillna(0, ["c_cnt", "b_cnt"])
-    tot = j.agg(
-        F.sum("c_cnt").alias("ct"), F.sum("b_cnt").alias("bt")
-    ).select("ct", "bt")
-    j = j.crossJoin(F.broadcast(tot))
+    # totals via a partition-less window over the ≤ bins+2-row histogram:
+    # a separate agg + crossJoin would reference `j` twice, and Spark
+    # recomputes an unmaterialized plan per reference — at corpus scale
+    # that DOUBLES the underlying table scans feeding the histograms
+    w = Window.partitionBy()
     return j.select(
         "bucket",
-        (F.col("c_cnt") / F.col("ct") + F.lit(eps)).alias("p"),
-        (F.col("b_cnt") / F.col("bt") + F.lit(eps)).alias("q"),
+        (F.col("c_cnt") / F.sum("c_cnt").over(w) + F.lit(eps)).alias("p"),
+        (F.col("b_cnt") / F.sum("b_cnt").over(w) + F.lit(eps)).alias("q"),
     )
 
 
