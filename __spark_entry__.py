@@ -775,6 +775,24 @@ SELECT round(max(d), 6) AS ks FROM cdf
 """
 
 
+def q_salted_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted count per event_type (north rule: salted
+    repartitioning to defuse hot-key skew — event_type is low-cardinality
+    so every key is hot). The wide exchange sees ≤ salt_buckets rows per
+    key; the oracle is the plain GROUP BY count."""
+    from smcchecker_spark import skew
+
+    ev = _t(spark, sf_dir, "events")
+    return skew.salted_count(
+        ev, ["event_type"], row_id_col="event_id", salt_buckets=16
+    ).withColumnsRenamed({"count": "n_events"})
+
+
+_SALTED_COUNT_ORACLE = """
+SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+"""
+
+
 def q_drift_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The drift CONSTRAINT path (north-star: KS/PSI drift checks emit
     violation rows): current = value*1.3 vs baseline = value → PSI over
@@ -1341,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_load_columns": q_audit_load_columns,
         "ks_drift": q_ks_drift,
         "drift_check_events": q_drift_check_events,
+        "salted_count_events": q_salted_count_events,
         "metrics_drift": q_metrics_drift,
         "text_features_docs": q_text_features_docs,
         "exact_dups_docs": q_exact_dups_docs,
@@ -1381,6 +1400,7 @@ def oracle_sql() -> dict[str, str]:
         "audit_load_columns": _AUDIT_ORACLE,
         "ks_drift": _KS_ORACLE,
         "drift_check_events": _DRIFT_CHECK_ORACLE,
+        "salted_count_events": _SALTED_COUNT_ORACLE,
         "metrics_drift": _METRICS_DRIFT_ORACLE,
         "engine_caption_parity": _CAPTION_PARITY_ORACLE,
         "text_features_docs": _TEXT_ORACLE,
