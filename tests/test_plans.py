@@ -143,3 +143,35 @@ def test_filter_pushdown_reaches_scan(spark, images_parquet):
     df = spark.read.parquet(images_parquet).filter(F.col("part_id") == 2)
     plan = _plan(df.select("image_id"))
     assert re.search(r"PushedFilters: \[.*part_id.*\]", plan), plan
+
+
+def test_psi_probs_single_pass_over_inputs(spark, tmp_path_factory):
+    """Regression: histogram totals must come from a window over the tiny
+    joined histogram, not an agg + crossJoin that references (and thus
+    recomputes) the unmaterialized join — that doubled the scans feeding
+    BOTH histograms (4 scans of the source instead of 2)."""
+    path = str(tmp_path_factory.mktemp("psi") / "vals.parquet")
+    spark.range(2000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("value")
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    cur = stats.histogram(df.filter(F.col("id") % 2 == 0), "value", 0.0, 100.0, 10)
+    base = stats.histogram(df.filter(F.col("id") % 2 == 1), "value", 0.0, 100.0, 10)
+    plan = _plan(stats._joined_probs(cur, base, eps=1e-6))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+
+
+def test_exact_dedup_single_scan(spark, tmp_path_factory):
+    """Regression: window-count formulation — ONE scan, ONE exchange on
+    the fingerprint (the groupBy-sizes + join-back form scanned twice)."""
+    from smcchecker_spark.ops import dedup
+
+    path = str(tmp_path_factory.mktemp("dd") / "docs.parquet")
+    spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), (F.col("id") % 50).cast("string")).alias("text"),
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    plan = _plan(dedup.exact_duplicates(df, "doc_id"))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
