@@ -79,6 +79,37 @@ def windowed_histograms(
     )
 
 
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Duplicate suppression on a stream — first arrival of each key
+    wins; re-arrivals are dropped. The streaming analogue of the batch
+    exact-dedup (``ops.dedup.exact_duplicates`` finds dup groups; this
+    emits the deduped stream itself).
+
+    With ``ts_col`` the state store is BOUNDED: a key's fingerprint is
+    evicted once the watermark passes it, so re-arrivals are suppressed
+    only within the watermark horizon — the standard contract for
+    unbounded-corpus ingestion where exact forever-dedup would need
+    unbounded state (run the batch dedup over the sink for the long
+    tail). Without ``ts_col`` state grows with distinct keys — only for
+    finite backfills.
+
+    Spark-native: ``dropDuplicatesWithinWatermark`` keeps per-key state
+    in the HDFS/RocksDB state store, partial-aggregated per micro-batch;
+    the dedup shuffle is on the key hash, so skewless by construction
+    for fingerprint keys.
+    """
+    if ts_col is None:
+        return stream_df.dropDuplicates(key_cols)
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def running_column_stats(
     stream_df: DataFrame,
     key_col: str,

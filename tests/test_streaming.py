@@ -224,3 +224,44 @@ def test_stream_checkpoint_no_reprocess(spark, suite_ctx, tmp_path):
     run_once()  # no new files → no new appends
     n2 = spark.read.parquet(vpath).count()
     assert n1 == n2 > 0
+
+
+def test_streaming_dedup_suppresses_rearrivals(spark, tmp_path):
+    """First arrival of a key is emitted; re-arrivals within the
+    watermark are dropped — across micro-batches (state store), not just
+    within one. Drop2 re-sends half of drop1's keys plus new ones."""
+    from smcchecker_spark.streaming import streaming_dedup
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    schema = "key long, ts timestamp, text string"
+
+    def mk(keys, minute):
+        return spark.createDataFrame(
+            [(k, f"2026-01-01 10:{minute:02d}:00", f"text {k}") for k in keys],
+            "key long, ts string, text string",
+        ).select("key", F.to_timestamp("ts").alias("ts"), "text")
+
+    mk(range(10), 0).coalesce(1).write.parquet(src + "/drop1.parquet")
+    mk(list(range(5)) + list(range(10, 15)), 5).coalesce(1).write.parquet(
+        src + "/drop2.parquet"
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    out = streaming_dedup(stream, ["key"], ts_col="ts", watermark="1 hour")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    keys = sorted(r["key"] for r in got.collect())
+    assert keys == list(range(15))  # one row per key, re-arrivals dropped
