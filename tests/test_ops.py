@@ -287,3 +287,33 @@ def test_video_fake_demux(spark):
         arr, fmt = ic.decode_image(bytes(r["frame_png"]))
         assert fmt == "png"
         assert np.array_equal(arr, vids[r["video_id"]][r["frame_idx"]])
+
+
+@pytest.mark.parametrize("seed", [7, 99])
+def test_connected_components_random_graph_vs_union_find(spark, seed):
+    """Seeded random sparse graphs (mix of clusters, chains, isolated
+    pairs) checked against a plain union-find oracle."""
+    rng = np.random.default_rng(seed)
+    n = 200
+    edges = [(int(a), int(b))
+             for a, b in rng.integers(0, n, size=(150, 2)) if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    want = {v: find(v) for v in touched}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components(df).collect()}
+    assert got == want
