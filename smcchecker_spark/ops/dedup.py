@@ -668,8 +668,10 @@ def connected_components(
 
     edges = (
         pairs.select(
-            F.col(id_a).cast("long").alias("u"),
-            F.col(id_b).cast("long").alias("v"),
+            # native id type throughout — the algorithm only needs a total
+            # order (min/least/greatest), so string image_ids work as-is
+            F.col(id_a).alias("u"),
+            F.col(id_b).alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
@@ -713,7 +715,7 @@ def resolve_duplicates(
     scanned once."""
     comp = connected_components(pairs, id_a, id_b)
     joined = df.join(
-        comp, df[id_col].cast("long") == comp["id"], "left"
+        comp, df[id_col] == comp["id"], "left"
     )
     return joined.filter(
         comp["component"].isNull() | (comp["component"] == df[id_col])

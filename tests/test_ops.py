@@ -317,3 +317,16 @@ def test_connected_components_random_graph_vs_union_find(spark, seed):
     got = {r["id"]: r["component"]
            for r in dedup.connected_components(df).collect()}
     assert got == want
+
+
+def test_connected_components_string_ids(spark):
+    """input_hint ids are strings (image_id) — the algorithm needs only a
+    total order, never a numeric cast (ANSI cast of 'img-…' would throw)."""
+    pairs = spark.createDataFrame(
+        [("img-b", "img-a"), ("img-b", "img-c"), ("img-x", "img-y")],
+        "id_a string, id_b string",
+    )
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {"img-a": "img-a", "img-b": "img-a", "img-c": "img-a",
+                   "img-x": "img-x", "img-y": "img-x"}
