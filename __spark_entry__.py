@@ -1130,6 +1130,56 @@ SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
 """
 
 
+def q_dedup_resolve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: LSH blocking → exact verify →
+    connected components → keep the component-min canonical row.
+    Returns the surviving doc_ids; oracle = everything except non-min
+    members of the transitive-closure components."""
+    from smcchecker_spark.session import physical_parallelism
+
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_dedup(
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.8,
+        num_hashes=32,
+        bands=16,
+        min_parallelism=physical_parallelism(),
+    )
+    return dedup.resolve_duplicates(docs, pairs, "doc_id").select("doc_id")
+
+
+_DEDUP_RESOLVE_ORACLE = r"""
+WITH RECURSIVE u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+),
+tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM u
+       WHERE trim(coalesce(text, '')) <> ''),
+sh AS (SELECT doc_id,
+          list_distinct([array_to_string(t[i+1:i+3], ' ')
+                         for i in range(0, greatest(len(t)-3, 0)+1)]) AS s
+       FROM tk),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.8),
+sym AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION SELECT id_b, id_a FROM p),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+SELECT u.doc_id FROM u LEFT JOIN comp c ON u.doc_id = c.id
+WHERE c.id IS NULL OR c.component = u.doc_id
+"""
+
+
 def q_simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups (Hamming <= 3, chunk-blocked — exact by
     pigeonhole). The FNV-1a/simhash fingerprint is not SQL-expressible,
@@ -1365,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dups_docs": q_exact_dups_docs,
         "minhash_neardup_docs": q_minhash_neardup_docs,
         "neardup_components_docs": q_neardup_components_docs,
+        "dedup_resolve_docs": q_dedup_resolve_docs,
         "simhash_neardup_docs": q_simhash_neardup_docs,
         "topk_cosine": q_topk_cosine,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -1407,6 +1458,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dups_docs": _EXACT_DUP_ORACLE,
         "minhash_neardup_docs": _MINHASH_ORACLE,
         "neardup_components_docs": _NEARDUP_COMPONENTS_ORACLE,
+        "dedup_resolve_docs": _DEDUP_RESOLVE_ORACLE,
         "topk_cosine": _TOPK_COSINE_ORACLE,
         # exhaustive probing (n_probe = k_cells) makes IVF exact, so the
         # brute-force top-k SQL is a true value oracle for the IVF path
