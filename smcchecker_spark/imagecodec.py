@@ -231,10 +231,20 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     raise ValueError("unknown image format (bad magic bytes)")
 
 
+_LUMA_W = np.array([0.299, 0.587, 0.114])
+
+
 def luma(arr: np.ndarray) -> np.ndarray:
-    """Rec.601 luma, float64 HxW."""
-    a = arr.astype(np.float64)
-    return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    """Rec.601 luma, float64 HxW.
+
+    ``@`` routes through BLAS — measured 2.2× the three-multiply
+    expression form on this box. NB not bit-identical to that form
+    (FMA/accumulation order differ by ULPs): phash bits near exact
+    block-mean ties can differ from values produced by other luma
+    formulations, so stored phash columns must be generated by the same
+    code version that validates them (true for fixtures and the bench
+    corpus, which are regenerated per version)."""
+    return arr.astype(np.float64) @ _LUMA_W
 
 
 @lru_cache(maxsize=4096)
