@@ -213,6 +213,109 @@ def minhash_signatures(
     )
 
 
+def bucketed_pairs(
+    members: DataFrame,
+    key_cols: list[str],
+    member_col: str = "m",
+    hot_bucket: int = 256,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Skew-guarded all-pairs within buckets — the shared pairing stage
+    behind MinHash-LSH banding, SimHash chunk blocking, and hyperplane
+    embedding buckets.
+
+    Input: one row per (bucket-key, member), where ``member_col`` is a
+    STRUCT whose FIRST field is a unique ordering id (callers must not
+    pass duplicate ids — a duplicated id makes pair identity ambiguous).
+    Output: (a, b) struct pairs with a < b (struct order = id order),
+    deduplicated across buckets.
+
+    Skew discipline (the part that matters at 10^12 rows): a bucket's
+    pairing is O(m²), and boilerplate corpora have hot buckets. Buckets
+    with ≤ ``hot_bucket`` members pair inside their collected array
+    (fast path — at most ~hot_bucket²/2 structs per row). Larger buckets
+    are split into sorted ``hot_bucket``-sized chunks and paired
+    chunk×chunk through a broadcast self-join: the chunk table carries
+    only the member structs, and repartitioning the probe side spreads
+    one bucket's quadratic pairing across tasks instead of one row/one
+    task. Chunks slice a SORTED member array, so cross-chunk pairs
+    satisfy a < b by construction and no pair is produced twice within
+    a bucket. ``max_bucket`` (default off) additionally hard-caps bucket
+    membership — a LOSSY guard for pathological corpora where even
+    distributed O(m²) is unaffordable.
+    """
+    # Explicit null-key filter BEFORE the aggregate — load-bearing for
+    # plan reuse, not just semantics: the hot-branch join pushes
+    # isnotnull(key) below the aggregate on its lineage copy, which
+    # de-canonicalizes it from the small branch's copy and makes Spark
+    # run the scan (+ any upstream signature UDF) once PER BRANCH.
+    # Filtering here keeps all three consumers (small, hot probe, hot
+    # build) canonically identical, so ReuseExchange collapses them onto
+    # ONE shuffle — executed plans show a single upstream UDF pass
+    # (locked by tests/test_plans.py). Null bucket keys can't pair
+    # meaningfully anyway.
+    for k in key_cols:
+        members = members.filter(F.col(k).isNotNull())
+    grouped = (
+        members.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list(member_col)).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    if max_bucket is not None:
+        grouped = grouped.withColumn("ms", F.slice("ms", 1, max_bucket))
+
+    def _ordered_pairs(xs, ys):
+        # all (a from xs, b from ys) structs with a < b; xs == ys gives
+        # the strict upper triangle, disjoint sorted xs < ys passes all
+        return F.flatten(
+            F.transform(
+                xs,
+                lambda a: F.filter(
+                    F.transform(
+                        ys, lambda b: F.struct(a.alias("a"), b.alias("b"))
+                    ),
+                    lambda p: p["a"] < p["b"],
+                ),
+            )
+        )
+
+    small = grouped.filter(F.size("ms") <= hot_bucket)
+    hot = grouped.filter(F.size("ms") > hot_bucket)
+
+    small_pairs = small.select(
+        F.explode(_ordered_pairs(F.col("ms"), F.col("ms"))).alias("p")
+    ).select("p.a", "p.b")
+
+    last_chunk = F.ceil(F.size("ms") / F.lit(hot_bucket)).cast("int") - 1
+    chunked = hot.select(
+        *key_cols,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), last_chunk),
+                lambda i: F.slice("ms", i * hot_bucket + 1, hot_bucket),
+            )
+        ).alias("ci", "ca"),
+    )
+    probe = chunked.repartition(*key_cols, "ci")
+    build = F.broadcast(
+        chunked.select(
+            *[F.col(k).alias(f"{k}__r") for k in key_cols],
+            F.col("ci").alias("cj"),
+            F.col("ca").alias("cb"),
+        )
+    )
+    cond = F.col("ci") <= F.col("cj")
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(f"{k}__r"))
+    hot_pairs = (
+        probe.join(build, cond)
+        .select(F.explode(_ordered_pairs(F.col("ca"), F.col("cb"))).alias("p"))
+        .select("p.a", "p.b")
+    )
+    # members are deterministic per id, so struct-level dedup == id-level
+    return small_pairs.unionByName(hot_pairs).dropDuplicates(["a", "b"])
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -236,24 +339,18 @@ def minhash_candidate_pairs(
     corpus and ONE evaluation of the signature UDF (a banded self-join
     would scan + re-sign the corpus twice).
 
-    Skew: a bucket's pairing is O(m²), and boilerplate corpora have hot
-    buckets. Buckets with ≤ ``hot_bucket`` members pair inside their
-    collected array (fast path, at most ~hot_bucket²/2 structs per row).
-    Larger buckets are split into sorted ``hot_bucket``-sized chunks and
-    paired chunk×chunk through a broadcast self-join — the chunk table
-    is ids-only and tiny, and repartitioning the probe side spreads one
-    bucket's quadratic pairing across tasks instead of one row/one task.
-    Chunks slice a SORTED member array, so cross-chunk pairs satisfy
-    id_a < id_b by construction and no pair is produced twice within a
-    bucket. ``max_bucket`` (default off) additionally hard-caps members
-    per bucket per band — a LOSSY guard for pathological corpora where
-    even distributed O(m²) is unaffordable.
+    Skew: in-bucket pairing routes through ``bucketed_pairs`` — the
+    shared hot-bucket-chunked, broadcast-spread O(m²) guard (see its
+    docstring). ``hot_bucket`` / ``max_bucket`` pass through.
 
-    ``with_est=True`` additionally joins the signatures back onto the
-    (tiny) candidate set via a melt → single join → regroup, and scores
-    est_jaccard = fraction of matching signature components. Callers
-    that re-verify exactly anyway (``ngram_jaccard_dedup``) pass False
-    and skip that whole stage.
+    ``with_est=True`` additionally scores est_jaccard = fraction of
+    matching signature components: the candidate set is materialized
+    (``localCheckpoint``) and the signature UDF re-runs over candidate
+    docs ONLY (broadcast semi-join prune) — one full-corpus signature
+    pass for blocking plus one candidates-only pass for scoring, never
+    two corpus passes. Callers that re-verify exactly anyway
+    (``ngram_jaccard_dedup``) pass False and skip that whole stage.
+    Doc ids must be unique (pair identity is (id_a, id_b)).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -261,7 +358,7 @@ def minhash_candidate_pairs(
         df, id_col, text_col, num_hashes, shingle_k, min_parallelism
     )
     banded = sig.select(
-        "id",
+        F.struct(F.col("id")).alias("m"),
         F.explode(
             F.array(
                 *[
@@ -278,88 +375,37 @@ def minhash_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    ).select("m", "bb.band", "bb.bucket")
 
-    members = (
-        banded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list("id")).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
-    if max_bucket is not None:
-        members = members.withColumn("ms", F.slice("ms", 1, max_bucket))
-
-    def _ordered_pairs(xs, ys):
-        # all (a from xs, b from ys) structs with a < b; xs == ys gives
-        # the strict upper triangle, disjoint sorted xs < ys passes all
-        return F.flatten(
-            F.transform(
-                xs,
-                lambda a: F.filter(
-                    F.transform(
-                        ys,
-                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-                    ),
-                    lambda p: p["id_a"] < p["id_b"],
-                ),
-            )
-        )
-
-    small = members.filter(F.size("ms") <= hot_bucket)
-    hot = members.filter(F.size("ms") > hot_bucket)
-
-    small_pairs = small.select(
-        F.explode(_ordered_pairs(F.col("ms"), F.col("ms"))).alias("p")
-    ).select("p.id_a", "p.id_b")
-
-    # hot buckets: slice the sorted member array into hot_bucket-sized
-    # chunks, broadcast the (tiny, ids-only) chunk table, and pair chunk
-    # ci × chunk cj for ci<=cj — repartitioning the probe side spreads
-    # one bucket's O(m²) pairing across tasks; sortedness makes every
-    # cross-chunk (a,b) already id-ordered and bucket-unique
-    last_chunk = F.ceil(F.size("ms") / F.lit(hot_bucket)).cast("int") - 1
-    chunked = hot.select(
-        "band",
-        "bucket",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), last_chunk),
-                lambda i: F.slice("ms", i * hot_bucket + 1, hot_bucket),
-            )
-        ).alias("ci", "ca"),
-    )
-    probe = chunked.repartition("band", "bucket", "ci")
-    build = F.broadcast(
-        chunked.select(
-            F.col("band").alias("band_r"),
-            F.col("bucket").alias("bucket_r"),
-            F.col("ci").alias("cj"),
-            F.col("ca").alias("cb"),
-        )
-    )
-    hot_pairs = (
-        probe.join(
-            build,
-            (F.col("band") == F.col("band_r"))
-            & (F.col("bucket") == F.col("bucket_r"))
-            & (F.col("ci") <= F.col("cj")),
-        )
-        .select(F.explode(_ordered_pairs(F.col("ca"), F.col("cb"))).alias("p"))
-        .select("p.id_a", "p.id_b")
-    )
-
-    pairs = small_pairs.unionByName(hot_pairs).dropDuplicates(
-        ["id_a", "id_b"]
-    )
+    pairs = bucketed_pairs(
+        banded, ["band", "bucket"],
+        hot_bucket=hot_bucket, max_bucket=max_bucket,
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     if not with_est:
         return pairs
 
-    # attach both signatures with ONE reference to `sig` (melt → join →
-    # regroup); est is symmetric so collect order doesn't matter
-    melted = pairs.select(
-        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
+    # est attach: materialize the (tiny) candidate set so the melt-join
+    # below doesn't re-run the whole blocking stage, then prune the
+    # re-signature pass to candidate docs only (broadcast semi-join, like
+    # exact_jaccard_pairs) — the full-corpus signature UDF runs ONCE; the
+    # second pass touches candidates << corpus
+    pairs = pairs.localCheckpoint(eager=True)
+    cand_ids = F.broadcast(
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("cid")).distinct()
+    )
+    pruned = df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
+    sig2 = minhash_signatures(
+        pruned, id_col, text_col, num_hashes, shingle_k, min_parallelism
+    )
+    # both signatures attach through ONE join (melt → join → regroup);
+    # est is symmetric so collect order doesn't matter
+    melted = F.broadcast(
+        pairs.select(
+            "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
+        )
     )
     sigs2 = (
-        melted.join(sig, "id")
+        melted.join(sig2, "id")
         .groupBy("id_a", "id_b")
         .agg(F.collect_list("sig").alias("sigs"))
     )
@@ -406,7 +452,13 @@ def exact_jaccard_pairs(
     point of LSH blocking, and a materialized candidate table carries no
     size stats (LogicalRDD defaults to "huge"), so without the hint the
     prune semi-join plans as a sort-merge that shuffles the WHOLE corpus
-    before AQE can demote it. Pass False only for giant pair inputs."""
+    before AQE can demote it. Pass False only for giant pair inputs.
+
+    ``pairs`` is deduplicated on entry (cheap — candidates are tiny
+    after blocking): a duplicated (id_a, id_b) row would otherwise make
+    the regroup collect >2 shingle sets and silently DROP the pair.
+    Doc ids in ``df`` must be unique for the same reason."""
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
     cand_ids = pairs.select(
         F.explode(F.array("id_a", "id_b")).alias("id")
     ).distinct()
@@ -555,17 +607,26 @@ def simhash_near_dups(
     max_hamming: int = 3,
     chunks: int = 4,
     min_parallelism: int | None = None,
+    hot_bucket: int = 256,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs with simhash Hamming distance ≤ d, blocked on 16-bit chunks
-    (pigeonhole: ≤3 flipped bits leave ≥1 of 4 chunks identical), so the
-    join is equi- on (chunk_id, chunk_value) instead of a cross join."""
+    (pigeonhole: ≤3 flipped bits leave ≥1 of 4 chunks identical), so
+    pairing is per (chunk_id, chunk_value) bucket instead of a cross
+    join. In-bucket pairing routes through ``bucketed_pairs``: a popular
+    chunk value (boilerplate corpora, near-empty docs sharing a chunk)
+    becomes a chunked broadcast self-join spread across tasks, never one
+    O(m²) task. The 8-byte fingerprint rides inside the member struct,
+    so Hamming distance is computed at pair time from the struct fields
+    — ONE simhash-UDF pass, no signature re-join. Doc ids must be
+    unique."""
     assert 64 % chunks == 0
     width = 64 // chunks
     sh = simhash(df, id_col, text_col, min_parallelism=min_parallelism)
     mask = (1 << width) - 1
     chunked = sh.select(
-        "id",
-        "simhash",
+        # id FIRST: struct order (= pair order a < b) is id order
+        F.struct(F.col("id"), F.col("simhash")).alias("m"),
         F.explode(
             F.array(
                 *[
@@ -579,23 +640,16 @@ def simhash_near_dups(
                 ]
             )
         ).alias("cc"),
-    ).select("id", "simhash", "cc.chunk", "cc.val")
-    l, r = chunked.alias("l"), chunked.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.val") == F.col("r.val"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-            ).alias("hamming"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    ).select("m", "cc.chunk", "cc.val")
+    pairs = bucketed_pairs(
+        chunked, ["chunk", "val"],
+        hot_bucket=hot_bucket, max_bucket=max_bucket,
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        ).alias("hamming"),
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
 
@@ -621,9 +675,11 @@ def connected_components(
     no collect_list of neighbor sets, so a hub node with millions of
     neighbors is just a hot groupBy key (partial agg absorbs it) and a
     skewed join key (AQE splits it), never a single giant row. Iteration
-    state is localCheckpointed per round: without it the lineage doubles
-    every round and replanning dominates. Convergence = (count,
-    hash-checksum) of the edge set stable across a round.
+    state is localCheckpointed every two rounds: without it the lineage
+    doubles every round and replanning dominates. Convergence = (count,
+    hash-checksum) of the edge set stable across a two-round step (sound
+    because the iteration is monotone — no oscillation); ``max_iter``
+    exhaustion raises rather than returning wrong labels.
 
     Only ids appearing in ``pairs`` are returned; isolated docs are
     trivially their own component.
@@ -679,14 +735,27 @@ def connected_components(
     )
     fp = fingerprint(edges)
     for _ in range(max_iter):
-        new_edges = star(star(edges, large=True), large=False).localCheckpoint(
-            eager=True
-        )
+        # TWO large/small rounds per checkpoint + fingerprint action:
+        # fixed per-job overhead dominates the (cheap) per-round dataflow
+        # locally, and large/small-star is monotone (Kiveris et al. §4 —
+        # no oscillation), so a 2-round convergence check is sound; worst
+        # case it runs 2 extra no-op rounds on the already-converged
+        # (tiny) star forest
+        new_edges = star(star(edges, large=True), large=False)
+        new_edges = star(
+            star(new_edges, large=True), large=False
+        ).localCheckpoint(eager=True)
         new_fp = fingerprint(new_edges)
         edges = new_edges
         if new_fp == fp:
             break
         fp = new_fp
+    else:
+        # silently-wrong labels downstream (resolve_duplicates would keep
+        # several "canonical" rows per cluster) are worse than failing
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     # at the fixpoint the edge set is a star forest: u → component root
     comp = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
     roots = (

@@ -244,23 +244,60 @@ def embedding_near_dups(
     dim: int = 64,
     n_planes: int = 8,
     seed: int = 42,
+    hot_bucket: int = 256,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine ≥ τ, LSH-bucketed so the
-    pair join is equi- on bucket (near-identical vectors land in the same
-    bucket with probability (1−θ/π)^n_planes)."""
+    """Near-duplicate pairs by embedding cosine ≥ τ, LSH-bucketed
+    (near-identical vectors share a bucket with probability
+    (1−θ/π)^n_planes).
+
+    Pairing routes through ``dedup.bucketed_pairs`` with ids ONLY — the
+    bucket shuffle moves (bucket, id), never the vectors, and a hot
+    bucket (many near-identical embeddings — exactly the near-dup case)
+    becomes a chunked broadcast self-join spread across tasks instead of
+    one O(m²) task. Vectors attach afterwards via the candidates-only
+    pattern (broadcast semi-join prune → melt → ONE join → regroup):
+    candidates << corpus after blocking, so the re-read touches a
+    sliver, and cosine is computed from the two collected vectors
+    (symmetric — collect order is irrelevant). Vector ids must be
+    unique (a duplicated id would collect >2 vectors and drop the
+    pair)."""
+    from smcchecker_spark.ops.dedup import bucketed_pairs
+
     planes = _hyperplanes(dim, n_planes, seed)
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
+    bucketed = df.select(
+        F.struct(F.col(id_col).alias("id")).alias("m"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
     )
-    l, r = sig.alias("l"), sig.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
-    ).select(
-        F.col("l.id").alias("id_a"),
-        F.col("r.id").alias("id_b"),
-        F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6).alias("cosine"),
+    pairs = (
+        bucketed_pairs(
+            bucketed, ["bucket"], hot_bucket=hot_bucket, max_bucket=max_bucket
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .localCheckpoint(eager=True)
     )
-    return pairs.filter(F.col("cosine") >= threshold)
+    cand_ids = F.broadcast(
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("cid")).distinct()
+    )
+    vecs = df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi").select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    melted = F.broadcast(
+        pairs.select(
+            "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
+        )
+    )
+    j = (
+        melted.join(vecs, "id")
+        .groupBy("id_a", "id_b")
+        .agg(F.collect_list("vec").alias("vs"))
+        .filter(F.size("vs") == 2)
+    )
+    scored = j.select(
+        "id_a",
+        "id_b",
+        F.round(
+            cosine(F.element_at("vs", 1), F.element_at("vs", 2)), 6
+        ).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= threshold)

@@ -25,19 +25,63 @@ from pyspark.sql import SparkSession
 ARROW_BATCH_ROWS = 1024
 
 
+# Config default for CPU-bound Python-UDF task counts when the host's
+# PHYSICAL core budget can't be detected (see physical_parallelism). A
+# hypervisor-oversubscribed guest reports vCPUs, not the physical share it
+# sustains — the test/bench box reports 32 vCPUs but delivers ~8 cores of
+# Python throughput, and 32 concurrent UDF workers measured ~10× slower
+# than 8. Per-host calibration belongs in $SMCCHECKER_UDF_CORES (the bench
+# harness pins it); this constant is only the conservative fallback.
+DEFAULT_UDF_CORES = 8
+
+
+def _detect_physical_cores() -> int | None:
+    """Unique (physical id, core id) pairs from /proc/cpuinfo — detects
+    SMT (hyperthread siblings share a core id). None when unreadable or
+    on non-Linux."""
+    try:
+        pairs, phys, core = set(), None, None
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("physical id"):
+                    phys = line.split(":")[1].strip()
+                elif line.startswith("core id"):
+                    core = line.split(":")[1].strip()
+                elif not line.strip() and phys is not None and core is not None:
+                    pairs.add((phys, core))
+                    phys = core = None
+        if phys is not None and core is not None:
+            pairs.add((phys, core))
+        return len(pairs) or None
+    except OSError:
+        return None
+
+
 def physical_parallelism() -> int:
     """Task-count target for CPU-bound Python UDF stages on SMALL inputs
     (few file splits). This is the number of PHYSICAL cores Python
-    workers can actually use — NOT defaultParallelism: this box reports
-    32 vCPUs but sustains ~8 cores of Python throughput, and forcing 32
-    concurrent UDF tasks measured ~10× slower than 8 (oversubscribed
-    workers thrash). At corpus scale file splits >> cores and callers'
-    ``min_parallelism`` repartitions become no-ops, so this knob only
-    shapes small/benchmark runs. Override with $SMCCHECKER_UDF_CORES."""
+    workers can actually use — NOT defaultParallelism. At corpus scale
+    file splits >> cores and callers' ``min_parallelism`` repartitions
+    become no-ops, so this knob only shapes small/benchmark runs.
+
+    Resolution order: $SMCCHECKER_UDF_CORES (per-host calibration, set
+    by the bench harness) → SMT-aware detection (when /proc/cpuinfo
+    shows fewer physical cores than the scheduler affinity, trust it) →
+    min(DEFAULT_UDF_CORES, affinity). The last cap exists because a
+    hypervisor-oversubscribed guest is UNDETECTABLE from inside — the
+    vCPU count looks like real cores — and overshooting the physical
+    budget thrashes Python workers."""
     env = os.environ.get("SMCCHECKER_UDF_CORES")
     if env:
         return int(env)
-    return min(8, os.cpu_count() or 8)
+    try:
+        affinity = len(os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux
+        affinity = os.cpu_count() or DEFAULT_UDF_CORES
+    detected = _detect_physical_cores()
+    if detected and detected < affinity:
+        return detected
+    return min(DEFAULT_UDF_CORES, affinity)
 
 
 def get_spark(

@@ -109,6 +109,32 @@ def test_minhash_hot_bucket_complete_quadratic(spark):
     assert got == {(a, b) for a in range(30) for b in range(a + 1, 30)}
 
 
+def test_simhash_hot_bucket_path_identical_pairs(spark, docs):
+    """Forcing hot_bucket=2 routes (nearly) every chunk bucket through
+    the chunked broadcast-join path — results must match the fast path."""
+    fast = dedup.simhash_near_dups(docs, "doc_id", max_hamming=3, hot_bucket=256)
+    hot = dedup.simhash_near_dups(docs, "doc_id", max_hamming=3, hot_bucket=2)
+    f = {(r["id_a"], r["id_b"], r["hamming"]) for r in fast.collect()}
+    h = {(r["id_a"], r["id_b"], r["hamming"]) for r in hot.collect()}
+    assert f == h and f
+
+
+def test_simhash_planted_hot_bucket_complete(spark):
+    """30 identical docs → identical simhash → a 30-member bucket in
+    every chunk; paired through chunks of 8 this must yield all 30·29/2
+    hamming-0 pairs exactly once (the unguarded self-join this replaces
+    would have run one O(m²) task per bucket)."""
+    rows = [(i, "same boilerplate text repeated across the corpus daily")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.simhash_near_dups(
+        df, "doc_id", max_hamming=0, hot_bucket=8
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert len(pairs) == len(got) == 30 * 29 // 2
+    assert all(r["hamming"] == 0 for r in pairs)
+
+
 def test_connected_components_clusters_and_chains(spark):
     """Large-star/small-star must label every node with its component
     min — including a 12-node path graph, which forces several rounds
@@ -209,6 +235,34 @@ def test_embedding_near_dups(spark, vectors):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 20) in got and (1, 21) in got
     assert all(a in (0, 1) or b in (20, 21) for a, b in got)
+
+
+def test_embedding_hot_bucket_path_identical_pairs(spark, vectors):
+    kw = dict(threshold=0.99, dim=8, n_planes=4)
+    fast = similarity.embedding_near_dups(vectors, hot_bucket=256, **kw)
+    hot = similarity.embedding_near_dups(vectors, hot_bucket=2, **kw)
+    f = {(r["id_a"], r["id_b"], r["cosine"]) for r in fast.collect()}
+    h = {(r["id_a"], r["id_b"], r["cosine"]) for r in hot.collect()}
+    assert f == h and f
+
+
+def test_embedding_planted_hot_bucket_complete(spark):
+    """30 near-identical vectors share every hyperplane sign → ONE
+    30-member bucket; chunked pairing (hot_bucket=8) must emit all
+    30·29/2 pairs exactly once, each with cosine ≈ 1."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8)
+    rows = [
+        (i, [float(x) for x in base + rng.normal(0, 1e-4, 8)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = similarity.embedding_near_dups(
+        df, threshold=0.99, dim=8, n_planes=4, hot_bucket=8
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert len(pairs) == len(got) == 30 * 29 // 2
+    assert all(r["cosine"] >= 0.99 for r in pairs)
 
 
 @pytest.fixture(scope="module")

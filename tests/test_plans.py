@@ -161,6 +161,68 @@ def test_psi_probs_single_pass_over_inputs(spark, tmp_path_factory):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
 
 
+def test_simhash_pairs_single_udf_pass(spark, tmp_path_factory):
+    """Regression: ONE simhash-UDF pass even when the hot-bucket branch
+    is live. The small/hot split union references the bucket aggregate
+    three times (small, hot probe, hot build); without the explicit
+    null-key filter in bucketed_pairs the hot join's pushed isnotnull
+    de-canonicalizes the branches and the corpus scan + fingerprint UDF
+    run once PER BRANCH. The executed plan must show one ArrowEvalPython
+    and ReusedExchange for the other consumers."""
+    from smcchecker_spark.ops import dedup
+
+    path = str(tmp_path_factory.mktemp("sh") / "docs.parquet")
+    spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        # 40 groups of near-identical docs → buckets > 8 members, so the
+        # hot branch (hot_bucket=8) is actually exercised
+        F.concat(F.lit("text body "), (F.col("id") % 40).cast("string")).alias(
+            "text"
+        ),
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    out = dedup.simhash_near_dups(df, "doc_id", hot_bucket=8)
+    out.collect()
+    final = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert len(re.findall(r"ArrowEvalPython", final)) == 1, final
+    assert "ReusedExchange" in final, final
+
+
+def test_minhash_est_attach_prunes_resign_pass(spark, tmp_path_factory):
+    """Regression (advisor): with_est=True used to re-scan the corpus and
+    re-run the signature UDF over EVERY doc for the est attach. Now the
+    candidate set is checkpointed and the re-sign pass is semi-join
+    pruned to candidate docs: the est query plan shows exactly one
+    signature UDF (over the pruned side), one parquet scan, and a
+    broadcast LeftSemi prune."""
+    from smcchecker_spark.ops import dedup
+
+    path = str(tmp_path_factory.mktemp("mh") / "docs.parquet")
+    spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared boilerplate words here "),
+            (F.col("id") % 25).cast("string"),
+        ).alias("text"),
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    est = dedup.minhash_candidate_pairs(
+        df, "doc_id", num_hashes=16, bands=8, with_est=True
+    )
+    plan = _plan(est)
+    # blocking already materialized (localCheckpoint) — the est query
+    # itself re-signs only the semi-join-pruned candidate slice
+    # (tree-section node, not the repeated detail header)
+    assert len(re.findall(r"ArrowEvalPython \(\d+\)", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "LeftSemi" in plan, plan
+
+
 def test_exact_dedup_single_scan(spark, tmp_path_factory):
     """Regression: window-count formulation — ONE scan, ONE exchange on
     the fingerprint (the groupBy-sizes + join-back form scanned twice)."""
