@@ -647,6 +647,34 @@ def q_column_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("quantiles")
 
 
+_SMALLNDV_COLS = ["l_discount", "l_tax", "l_returnflag", "l_linestatus"]
+
+
+def q_column_stats_smallndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME approximate column_stats path (HLL++ ndv sketch) over
+    columns whose cardinality (2-11) is small enough that the sketch is
+    exact at every test SF — turning the sketch pipeline into an
+    oracle-checkable query (the high-NDV variant above stays rows-only).
+    Quantiles dropped: the GK sketch has no exactness threshold to
+    exploit."""
+    return stats.column_stats(
+        _t(spark, sf_dir, "lineitem"), _SMALLNDV_COLS
+    ).drop("quantiles")
+
+
+_SMALLNDV_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+  count(*) FILTER (WHERE {c} IS NULL OR CAST({c} AS VARCHAR)=''
+                   OR lower(CAST({c} AS VARCHAR))='nan') AS null_count,
+  CAST(count(*) FILTER (WHERE {c} IS NULL OR CAST({c} AS VARCHAR)=''
+                   OR lower(CAST({c} AS VARCHAR))='nan') AS DOUBLE)/count(*)
+      AS null_rate,
+  CAST(min({c}) AS VARCHAR) AS min, CAST(max({c}) AS VARCHAR) AS max,
+  count(DISTINCT {c}) AS approx_ndv FROM lineitem"""
+    for c in _SMALLNDV_COLS
+)
+
+
 def q_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.histogram(_t(spark, sf_dir, "events"), "value", 0.0, 500.0, 20)
 
@@ -1241,6 +1269,23 @@ def q_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "rank")
 
 
+def q_lsh_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH with probe_hamming = n_planes: every query probes
+    ALL 2^6 buckets, so the result is exact and the brute-force cosine
+    SQL is a true value oracle for the whole LSH machinery (signature
+    exprs, bucket join, multi-probe explode, in-bucket scoring, rank).
+    The approximate probe_hamming=0 variant stays rows-only next to
+    this — same trick as ivf_topk_exhaustive."""
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(
+        emb, queries, k=10, dim=64, n_planes=6, id_col="vec_id",
+        vec_col="embedding", probe_hamming=6,
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (coarse-quantizer cells + n_probe search) — the second
     scale path next to hyperplane LSH. Approximate + UDF-based →
@@ -1404,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct_flags": q_union_distinct_flags,
         "stats_exact_lineitem": q_stats_exact_lineitem,
         "column_stats_approx": q_column_stats_approx,
+        "column_stats_smallndv": q_column_stats_smallndv,
         "histogram_value": q_histogram_value,
         "psi_value_drift": q_psi_value_drift,
         "audit_load_columns": q_audit_load_columns,
@@ -1419,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_docs": q_simhash_neardup_docs,
         "topk_cosine": q_topk_cosine,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "lsh_topk_exhaustive": q_lsh_topk_exhaustive,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
         "embedding_neardup": q_embedding_neardup,
@@ -1460,9 +1507,14 @@ def oracle_sql() -> dict[str, str]:
         "neardup_components_docs": _NEARDUP_COMPONENTS_ORACLE,
         "dedup_resolve_docs": _DEDUP_RESOLVE_ORACLE,
         "topk_cosine": _TOPK_COSINE_ORACLE,
-        # exhaustive probing (n_probe = k_cells) makes IVF exact, so the
-        # brute-force top-k SQL is a true value oracle for the IVF path
+        # exhaustive probing (n_probe = k_cells / probe_hamming = n_planes)
+        # makes IVF / multi-probe LSH exact, so the brute-force top-k SQL
+        # is a true value oracle for both ANN paths
         "ivf_topk_exhaustive": _TOPK_COSINE_ORACLE,
+        "lsh_topk_exhaustive": _TOPK_COSINE_ORACLE,
+        # small-NDV columns: the HLL++ sketch is exact, so the exact-SQL
+        # stats are a true value oracle for the sketch pipeline
+        "column_stats_smallndv": _SMALLNDV_ORACLE,
         "embedding_neardup": _EMB_NEARDUP_ORACLE,
         # rows-only (approximate / non-SQL-expressible): column_stats_approx,
         #   lsh_topk_embeddings, simhash_neardup_docs, images_validate

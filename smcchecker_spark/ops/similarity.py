@@ -104,24 +104,52 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: equi-join on the hyperplane bucket, exact cosine
     + rank inside the bucket. 2^n_planes buckets → each query scans
     ~corpus/2^n_planes rows. Deterministic planes (seeded) so the bucket
-    assignment is stable across runs/resume."""
+    assignment is stable across runs/resume.
+
+    ``probe_hamming``: multi-probe LSH — each query additionally probes
+    every bucket within Hamming distance h of its own signature (the
+    query side explodes to sum_{i<=h} C(n_planes, i) buckets; the CORPUS
+    side is untouched, so cost scales with the probe count, not the
+    corpus). Recall rises toward 1 as h grows; ``h = n_planes`` probes
+    ALL buckets and is EXACT (= brute force) — the oracle mode. Each
+    (query, neighbor) still joins at most once (probe buckets are
+    distinct per query; a corpus row lives in one bucket), so no dedup
+    shuffle is needed."""
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
     )
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            lsh_signature(F.col(vec_col), planes).alias("bucket"),
-        )
+    qsel = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
     )
+    if probe_hamming > 0:
+        import itertools
+
+        masks = [0]
+        for h in range(1, min(probe_hamming, n_planes) + 1):
+            for combo in itertools.combinations(range(n_planes), h):
+                masks.append(sum(1 << b for b in combo))
+        qsel = qsel.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(m).cast("long"))
+                        for m in masks
+                    ]
+                )
+            ),
+        )
+    q = F.broadcast(qsel)
     scored = c.join(q, "bucket").select(
         "query_id",
         "neighbor_id",

