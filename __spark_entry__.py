@@ -761,15 +761,13 @@ FROM documents
 
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned two-sample KS statistic between the even/odd event halves,
-    entirely as DataFrame ops (windowed CDF over bucket histograms)."""
+    entirely as DataFrame ops (sorted-array CDF fold over the joined
+    bucket histograms — no window, see stats.ks_expr)."""
     ev = _t(spark, sf_dir, "events")
     cur = stats.histogram(ev.filter(F.col("event_id") % 2 == 0), "value", 0.0, 500.0, 20)
     base = stats.histogram(ev.filter(F.col("event_id") % 2 == 1), "value", 0.0, 500.0, 20)
-    j = stats._joined_probs(cur, base, eps=0.0)
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        j.select(F.abs(F.sum("p").over(w) - F.sum("q").over(w)).alias("d"))
-        .agg(F.round(F.max("d"), 6).alias("ks"))
+    return stats._hist_array(cur, base).select(
+        F.round(stats.ks_expr(), 6).alias("ks")
     )
 
 

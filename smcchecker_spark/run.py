@@ -225,5 +225,65 @@ def gated_append(
     return True
 
 
+@dataclass
+class TableLoad:
+    """One table of a multi-table submission: its validation result, the
+    rows to append, and the destination path."""
+
+    result: ValidationResult
+    df: DataFrame
+    path: str
+
+
+def gated_append_tables(
+    loads: dict[str, TableLoad],
+    order: list[str],
+    fmt: str = "parquet",
+    tracking_path: str | None = None,
+    run_id: str = "run0",
+) -> dict[str, int] | None:
+    """All-or-nothing, FK-ordered multi-table load.
+
+    Reference semantics: a dataset declares its tables in FK order and the
+    loader appends them in exactly that order ("If foreign key
+    relationships are set, the tables need to be loaded in a particular
+    order", /root/reference/proj/load.py:116-119), writing a row-count
+    checksum row per table afterwards (load.py:124-145). The declared
+    order matters for crash consistency too: parents land before
+    children, so an interruption mid-sequence leaves a referentially
+    consistent PREFIX, never an orphaned child row.
+
+    Gate: EVERY table must have zero error-severity violations before any
+    write happens (the reference refuses the whole submission when
+    errors.json is nonempty, proj/load.py:23-24). Returns the per-table
+    appended row counts in load order, or None when the gate refused.
+
+    ``order`` must name exactly the tables in ``loads`` (mirrors the
+    reference's dataset/tables assertion, load.py:110-113).
+    ``tracking_path``: optional sink for (run_id, tablename, n_rows)
+    checksum rows — the submission_tracking_checksum analogue.
+    """
+    if set(order) != set(loads):
+        raise ValueError(
+            f"order {sorted(order)} must name exactly the load tables "
+            f"{sorted(loads)}"
+        )
+    for name in order:
+        if loads[name].result.errs.limit(1).count() > 0:
+            return None
+    counts: dict[str, int] = {}
+    for name in order:
+        ld = loads[name]
+        counts[name] = ld.df.count()
+        ld.df.write.format(fmt).mode("append").save(ld.path)
+    if tracking_path:
+        spark = loads[order[0]].df.sparkSession
+        spark.createDataFrame(
+            [(run_id, name, counts[name]) for name in order],
+            "run_id string, tablename string, n_rows long",
+        ).coalesce(1).write.mode("append").parquet(tracking_path)
+    return counts
+
+
 def empty_violations(spark) -> DataFrame:
     return spark.createDataFrame([], VIOLATION_SCHEMA)

@@ -221,22 +221,48 @@ def histogram(
     )
 
 
-def _joined_probs(cur: DataFrame, base: DataFrame, eps: float) -> DataFrame:
-    from pyspark.sql import Window
-
+def _hist_array(cur: DataFrame, base: DataFrame) -> DataFrame:
+    """ONE-row DataFrame: ``h`` = the joined histograms as a
+    bucket-sorted array of (bucket, c_cnt, b_cnt) structs. The single
+    aggregation replaces the previous partition-less window: the input
+    is BOUNDED (≤ bins+2 rows), so one array row is tiny, `j` is
+    referenced exactly ONCE (a separate totals agg + crossJoin would
+    recompute the unmaterialized upstream scans per reference — at
+    corpus scale that DOUBLES the table scans feeding the histograms),
+    and no WindowExec "No Partition Defined" warning is emitted (a
+    constant partition key doesn't work — Catalyst folds it away)."""
     c = cur.select(F.col("bucket"), F.col("count").alias("c_cnt"))
     b = base.select(F.col("bucket"), F.col("count").alias("b_cnt"))
     j = c.join(b, "bucket", "full_outer").fillna(0, ["c_cnt", "b_cnt"])
-    # totals via a partition-less window over the ≤ bins+2-row histogram:
-    # a separate agg + crossJoin would reference `j` twice, and Spark
-    # recomputes an unmaterialized plan per reference — at corpus scale
-    # that DOUBLES the underlying table scans feeding the histograms
-    w = Window.partitionBy()
-    return j.select(
-        "bucket",
-        (F.col("c_cnt") / F.sum("c_cnt").over(w) + F.lit(eps)).alias("p"),
-        (F.col("b_cnt") / F.sum("b_cnt").over(w) + F.lit(eps)).alias("q"),
+    return j.agg(
+        F.sort_array(
+            F.collect_list(F.struct("bucket", "c_cnt", "b_cnt"))
+        ).alias("h")
     )
+
+
+def _probs_array(eps: float) -> Column:
+    """Array of (bucket, p, q) structs from the ``h`` histogram array —
+    long-sum totals (exact, order-independent) then per-bucket division."""
+    ct = F.aggregate("h", F.lit(0).cast("long"), lambda a, x: a + x["c_cnt"])
+    bt = F.aggregate("h", F.lit(0).cast("long"), lambda a, x: a + x["b_cnt"])
+    return F.transform(
+        "h",
+        lambda x: F.struct(
+            x["bucket"].alias("bucket"),
+            (x["c_cnt"] / ct + F.lit(eps)).alias("p"),
+            (x["b_cnt"] / bt + F.lit(eps)).alias("q"),
+        ),
+    )
+
+
+def _joined_probs(cur: DataFrame, base: DataFrame, eps: float) -> DataFrame:
+    """(bucket, p, q) rows — normalized probabilities of two histograms
+    under the shared binning. Computed via ``_hist_array`` (see there for
+    why not a window / totals-join)."""
+    return _hist_array(cur, base).select(
+        F.explode(_probs_array(eps)).alias("s")
+    ).select("s.bucket", "s.p", "s.q")
 
 
 def psi(cur: DataFrame, base: DataFrame, eps: float = 1e-6) -> float:
@@ -252,6 +278,29 @@ def psi(cur: DataFrame, base: DataFrame, eps: float = 1e-6) -> float:
     return float(row["psi"] or 0.0)
 
 
+def ks_expr(eps: float = 0.0) -> Column:
+    """KS statistic as a Column over the ``h`` histogram array
+    (``_hist_array`` output): a single fold tracks both running CDFs and
+    the max |CDF_p − CDF_q| — bucket order guaranteed by the sorted
+    array, no window (and so no single-partition window shuffle or
+    WindowExec warning)."""
+    acc0 = F.struct(
+        F.lit(0.0).alias("cp"), F.lit(0.0).alias("cq"), F.lit(0.0).alias("m")
+    )
+    return F.aggregate(
+        _probs_array(eps),
+        acc0,
+        lambda a, x: F.struct(
+            (a["cp"] + x["p"]).alias("cp"),
+            (a["cq"] + x["q"]).alias("cq"),
+            F.greatest(
+                a["m"], F.abs(a["cp"] + x["p"] - (a["cq"] + x["q"]))
+            ).alias("m"),
+        ),
+        lambda a: a["m"],
+    )
+
+
 def ks_stat(cur: DataFrame, base: DataFrame) -> float:
     """Binned two-sample Kolmogorov–Smirnov statistic: max |CDF_p − CDF_q|.
 
@@ -259,17 +308,7 @@ def ks_stat(cur: DataFrame, base: DataFrame) -> float:
     binned statistic over the shared histogram is the scalable stand-in
     and converges to KS as bins grow.
     """
-    j = _joined_probs(cur, base, eps=0.0)
-    from pyspark.sql import Window
-
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    row = (
-        j.select(
-            F.abs(F.sum("p").over(w) - F.sum("q").over(w)).alias("d")
-        )
-        .agg(F.max("d").alias("ks"))
-        .collect()[0]
-    )
+    row = _hist_array(cur, base).select(ks_expr().alias("ks")).collect()[0]
     return float(row["ks"] or 0.0)
 
 

@@ -89,3 +89,48 @@ def test_gated_append(spark, tmp_path):
     res2 = ValidationRunner(Suite(name="s", table="t", constraints=[NotNull("v")])).run(clean)
     assert gated_append(res2, clean, out) is True
     assert spark.read.parquet(out).count() == 2
+
+
+def test_gated_append_tables_fk_order_all_or_nothing(spark, tmp_path):
+    """Multi-table submissions load in the declared FK order with
+    all-or-nothing gating (proj/load.py:23-24,116-145): ONE dirty table
+    refuses the entire submission — no path is written."""
+    import os
+    import pytest
+    from smcchecker_spark.run import TableLoad, gated_append_tables
+
+    df = _df(spark)
+    clean = df.filter(F.col("image_id").isin("a", "b"))
+    suite = Suite(name="s", table="t", constraints=[NotNull("v")])
+    res_clean = ValidationRunner(suite).run(clean)
+    res_dirty = ValidationRunner(_suite()).run(df)
+
+    parent, child = str(tmp_path / "parent"), str(tmp_path / "child")
+    loads = {
+        "child": TableLoad(res_dirty, df, child),
+        "parent": TableLoad(res_clean, clean, parent),
+    }
+    # one dirty table → nothing written anywhere
+    assert gated_append_tables(loads, ["parent", "child"]) is None
+    assert not os.path.exists(parent) and not os.path.exists(child)
+
+    # order must cover exactly the load set (reference load.py:110-113)
+    with pytest.raises(ValueError, match="order"):
+        gated_append_tables(loads, ["parent"])
+
+    # all clean → appended in FK order, counts + tracking rows recorded
+    loads = {
+        "child": TableLoad(res_clean, clean, child),
+        "parent": TableLoad(res_clean, clean, parent),
+    }
+    tracking = str(tmp_path / "tracking")
+    counts = gated_append_tables(
+        loads, ["parent", "child"], tracking_path=tracking, run_id="r9"
+    )
+    assert list(counts) == ["parent", "child"]  # load order preserved
+    assert counts == {"parent": 2, "child": 2}
+    assert spark.read.parquet(parent).count() == 2
+    assert spark.read.parquet(child).count() == 2
+    tr = {(r["tablename"], r["n_rows"]) for r in
+          spark.read.parquet(tracking).collect()}
+    assert tr == {("parent", 2), ("child", 2)}
