@@ -15,7 +15,10 @@ pandas UDFs, designed for 10^12-row image+caption tables:
   (``image.py`` + pure-numpy codecs in ``imagecodec.py``),
 - per-partition pass/fail verdicts + lineage/metrics rows with
   checkpoint/resume at partition granularity (``checkpoint.py``, ``run.py``),
-- salted repartitioning helpers for skewed keys (``skew.py``).
+- salted repartitioning helpers for skewed keys (``skew.py``),
+- a table-format seam — hive-partitioned parquet stand-in with the same
+  source-pruning behavior, plus the Iceberg adapter the production
+  cluster fills in (``tables.py``).
 
 Reference semantics citations (file:line into /root/reference) live in the
 docstrings of each module. No code is copied from the reference — it is a
@@ -39,5 +42,10 @@ from smcchecker_spark.constraints import (  # noqa: F401
 )
 from smcchecker_spark.compile import compile_suite  # noqa: F401
 from smcchecker_spark.run import ValidationRunner  # noqa: F401
+from smcchecker_spark.tables import (  # noqa: F401
+    IcebergTable,
+    ParquetTable,
+    resume_filter,
+)
 
 __version__ = "0.1.0"

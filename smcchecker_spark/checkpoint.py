@@ -149,16 +149,25 @@ def run_with_checkpoint(
 
     ``fail_after_waves`` is a test hook simulating a mid-run crash.
     """
+    from smcchecker_spark.tables import resume_filter
+
     spark = df.sparkSession
     part_col = runner.part_id_col or "part_id"
     # crash-consistency: drop violation waves whose commit marker never
     # landed (crash between the two writes) before computing what's done
     store.cleanup_orphan_waves(spark, runner.run_id)
-    all_parts = sorted(
-        r[part_col] for r in df.select(part_col).distinct().collect()
-    )
     done = store.completed_partitions(spark, runner.run_id)
-    todo = [p for p in all_parts if p not in done]
+    # partition-column predicate FIRST, listing second: on a partitioned
+    # source (hive parquet / Iceberg) the predicate prunes finished
+    # partitions at the scan, so even the todo-listing reads zero bytes
+    # of completed work (plan-asserted in test_checkpoint.py)
+    todo = sorted(
+        r[part_col]
+        for r in resume_filter(df, done, part_col)
+        .select(part_col)
+        .distinct()
+        .collect()
+    )
     if not todo:
         return set()
     per_wave = partitions_per_wave or len(todo)

@@ -211,28 +211,37 @@ def with_audit_columns(
 
 
 def gated_append(
-    result: ValidationResult, df: DataFrame, path: str, fmt: str = "parquet"
+    result: ValidationResult, df: DataFrame, path, fmt: str = "parquet"
 ) -> bool:
     """Load-path gate: append the data only when there are zero errors.
 
     Reference: /load refuses when errors.json is nonempty
     (proj/load.py:23-24); Spark spelling per SURVEY.md §3.3.
-    Returns True when the append happened.
+    ``path`` may be a plain parquet path (back-compat; ``fmt`` applies)
+    or a ``tables.ParquetTable`` / ``tables.IcebergTable`` adapter —
+    the Iceberg spelling is an atomic ``writeTo().append()`` snapshot
+    commit. Returns True when the append happened.
     """
     if result.errs.limit(1).count() > 0:
         return False
-    df.write.format(fmt).mode("append").save(path)
+    if isinstance(path, str) and fmt != "parquet":
+        df.write.format(fmt).mode("append").save(path)
+    else:
+        from smcchecker_spark.tables import as_table
+
+        as_table(path).append(df)
     return True
 
 
 @dataclass
 class TableLoad:
     """One table of a multi-table submission: its validation result, the
-    rows to append, and the destination path."""
+    rows to append, and the destination (a parquet path string or a
+    ``tables.ParquetTable`` / ``tables.IcebergTable`` adapter)."""
 
     result: ValidationResult
     df: DataFrame
-    path: str
+    path: "str | object"
 
 
 def gated_append_tables(
@@ -271,11 +280,16 @@ def gated_append_tables(
     for name in order:
         if loads[name].result.errs.limit(1).count() > 0:
             return None
+    from smcchecker_spark.tables import as_table
+
     counts: dict[str, int] = {}
     for name in order:
         ld = loads[name]
         counts[name] = ld.df.count()
-        ld.df.write.format(fmt).mode("append").save(ld.path)
+        if isinstance(ld.path, str) and fmt != "parquet":
+            ld.df.write.format(fmt).mode("append").save(ld.path)
+        else:
+            as_table(ld.path).append(ld.df)
     if tracking_path:
         spark = loads[order[0]].df.sparkSession
         spark.createDataFrame(

@@ -130,6 +130,72 @@ def test_partition_metrics_checkpointed(spark, images, tmp_path):
     assert any(rows[(p, "caption")]["null_count"] > 0 for p in range(6))
 
 
+def test_resume_scan_partition_pruned(spark, images, tmp_path):
+    """SURVEY §4.5 / VERDICT r1 item 3: resume on a PARTITIONED source
+    must prune completed partitions at the scan. The source is a
+    hive-partitioned ParquetTable (the in-sandbox Iceberg stand-in —
+    same observable PartitionFilters behavior as a manifest prune):
+    after a crash leaves 2 partitions committed, the resume predicate's
+    plan shows partition filters and the executed scan touches only the
+    4 unfinished partition directories."""
+    import re
+
+    from smcchecker_spark.tables import ParquetTable, resume_filter
+
+    src = ParquetTable(str(tmp_path / "src"), partition_by=["part_id"])
+    src.overwrite(images)
+    df = src.read(spark)
+
+    store = CheckpointStore(str(tmp_path / "ckpt_p"))
+    runner = ValidationRunner(_suite(), run_id="rp")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_with_checkpoint(
+            runner, df, store, partitions_per_wave=2, fail_after_waves=1
+        )
+    done = store.completed_partitions(spark, "rp")
+    assert len(done) == 2
+
+    pruned = resume_filter(df, done, "part_id")
+    plan = pruned.select("image_id")._jdf.queryExecution().explainString(
+        pruned._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert re.search(r"PartitionFilters: \[.*part_id.*\]", plan), plan
+    files = {
+        r[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert files and not any(f"part_id={p}/" in f for p in done for f in files)
+
+    # and the resumed run processes exactly the unfinished partitions
+    processed = run_with_checkpoint(runner, df, store, partitions_per_wave=2)
+    assert processed == set(range(6)) - done
+    assert store.completed_partitions(spark, "rp") == set(range(6))
+
+
+def test_iceberg_seam_fails_fast_without_catalog(spark, images, tmp_path):
+    """The IcebergTable adapter carries the production call shapes but
+    must fail at PLAN time with an actionable message when the runtime/
+    catalog is absent (this sandbox), not a deep ClassNotFound later."""
+    from smcchecker_spark.run import gated_append
+    from smcchecker_spark.tables import IcebergTable, as_table
+
+    tbl = IcebergTable("lake.db.images")
+    with pytest.raises(RuntimeError, match="spark.sql.catalog.lake"):
+        tbl.read(spark)
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        tbl.append(images)
+    # gated_append routes Table adapters through the seam
+    res = ValidationRunner(_suite(), run_id="ri").run(
+        images.filter(F.col("part_id") == 0)
+    )
+    if res.errs.limit(1).count() == 0:
+        with pytest.raises(RuntimeError, match="catalog"):
+            gated_append(res, images, tbl)
+    assert as_table("x/y").path == "x/y"
+
+
 def test_orphan_metrics_cleaned(spark, images, tmp_path):
     store = CheckpointStore(str(tmp_path / "ckpt_m2"))
     runner = ValidationRunner(_suite(), run_id="rm2", metrics_columns=["w"])
