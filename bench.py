@@ -178,32 +178,66 @@ def _thr_in_process(cores: int, repeats: int) -> float:
     return N_IMAGES / best
 
 
-def _measure_scaling_pair(n: int) -> tuple[float, float, list[float]]:
+def _steal_jiffies() -> int:
+    """Aggregate hypervisor steal time (jiffies) from /proc/stat —
+    the independent quiet-window signal (neighbor-VM contention)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) if len(parts) > 8 else 0
+    except (OSError, ValueError):
+        return 0
+
+
+# A window is "quiet" below this steal rate (jiffies/sec across all
+# CPUs). Calibration from BENCH.md cross-checks: quiet mornings run
+# ~10-15 j/s, contended afternoons 60-250 j/s; 50 j/s (=1500/30s, the
+# threshold documented in BENCH.md round 1) separates them cleanly.
+QUIET_STEAL_RATE = float(os.environ.get("BENCH_QUIET_STEAL", "50"))
+
+
+def _measure_scaling_pair(n: int) -> tuple[float, float, list[dict]]:
     """Matched-conditions scaling measurement. This shared box's
     steal-time drifts on a minutes scale, so a sequential A-then-B
     measurement attributes an ambient slow minute entirely to one level
     (observed efficiency swung 0.53–0.91 for the same binary). Instead:
     several ROUNDS, each timing local[n] then local[4n] back-to-back
-    (same ambient window), efficiency evaluated per round; report the
-    best matched round (all round efficiencies are emitted too)."""
+    (same ambient window), efficiency + steal rate recorded per round.
+
+    Retry policy (advisor r1): extra rounds are gated on the INDEPENDENT
+    quiet-window signal — the per-round /proc/stat steal rate — never on
+    the measured efficiency. If no round so far ran in a quiet window,
+    keep trying (bounded by BENCH_MAX_ROUNDS) regardless of how good or
+    bad the efficiencies look; once a quiet round exists, stop at the
+    configured count. This cannot bias the headline upward under noise:
+    a lucky-looking eff in a noisy window doesn't stop the loop, and an
+    unlucky eff in a quiet window doesn't extend it. All rounds are
+    emitted (efficiency + steal rate + quiet flag) so a genuine scaling
+    defect shows up as quiet-round efficiencies being low."""
     rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
-    # Neighbor-VM steal caps the 4n level first (it needs the whole
-    # ~8-physical-core machine; the n level still finds clean cores), so a
-    # bad window depresses efficiency on identical code. If no configured
-    # round clears the 0.8 gate, run extra rounds (bounded) hoping for a
-    # quieter window — every round's efficiency is still emitted, so a
-    # genuine scaling defect shows up as ALL rounds low, not hidden.
     max_rounds = int(os.environ.get("BENCH_MAX_ROUNDS", str(max(rounds, 4))))
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     best = (0.0, 0.0)
-    effs: list[float] = []
-    while len(effs) < rounds or (max(effs) < 0.8 and len(effs) < max_rounds):
+    info: list[dict] = []
+    while True:
+        s0, t0 = _steal_jiffies(), time.time()
         thr_n = _validate_images_throughput(n, repeats)
         thr_4n = _validate_images_throughput(4 * n, repeats)
-        effs.append(round((thr_4n / thr_n) / 4.0, 3))
+        steal_rate = (_steal_jiffies() - s0) / max(time.time() - t0, 1e-9)
+        info.append(
+            {
+                "efficiency": round((thr_4n / thr_n) / 4.0, 3),
+                "steal_rate": round(steal_rate, 1),
+                "quiet": steal_rate < QUIET_STEAL_RATE,
+            }
+        )
         if thr_4n / thr_n > (best[1] / best[0] if best[0] else 0.0):
             best = (thr_n, thr_4n)
-    return best[0], best[1], effs
+        if len(info) >= max_rounds:
+            break
+        if len(info) >= rounds and any(r["quiet"] for r in info):
+            break
+    return best[0], best[1], info
 
 
 def main() -> None:
@@ -211,8 +245,13 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     _prepare_images(cpus)
-    thr_n, thr_4n, round_effs = _measure_scaling_pair(SCALE_N)
+    thr_n, thr_4n, round_info = _measure_scaling_pair(SCALE_N)
     efficiency = (thr_4n / thr_n) / 4.0
+    effs = sorted(r["efficiency"] for r in round_info)
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+    )
+    quiet_effs = [r["efficiency"] for r in round_info if r["quiet"]]
 
     import __spark_entry__ as entry_mod
 
@@ -254,7 +293,14 @@ def main() -> None:
                     "images_per_sec_n": round(thr_n, 1),
                     "images_per_sec_4n": round(thr_4n, 1),
                     "efficiency": round(efficiency, 3),
-                    "round_efficiencies": round_effs,
+                    "median_efficiency": median_eff,
+                    # best efficiency among rounds whose steal rate was
+                    # below the quiet threshold — the number to trust
+                    # when noisy and quiet rounds disagree
+                    "quiet_best_efficiency": max(quiet_effs) if quiet_effs
+                    else None,
+                    "rounds": round_info,
+                    "quiet_steal_rate_threshold": QUIET_STEAL_RATE,
                     "cpu_pinned": PIN_CPUS,
                 },
             }
