@@ -1267,6 +1267,23 @@ def q_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "rank")
 
 
+def q_topk_cosine_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side-reduced exact top-k (per-partition GEMM + running heap,
+    only k×|queries| rows per partition reach the rank shuffle) — the
+    scale path; value-oracled by the same brute-force SQL as the plain
+    form since both are exact."""
+    from smcchecker_spark.package import ensure_shipped
+
+    ensure_shipped(spark)
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk_partial(
+        emb, queries, k=10, id_col="vec_id", vec_col="embedding"
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def q_lsh_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH with probe_hamming = n_planes: every query probes
     ALL 2^6 buckets, so the result is exact and the brute-force cosine
@@ -1462,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_resolve_docs": q_dedup_resolve_docs,
         "simhash_neardup_docs": q_simhash_neardup_docs,
         "topk_cosine": q_topk_cosine,
+        "topk_cosine_partial": q_topk_cosine_partial,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "lsh_topk_exhaustive": q_lsh_topk_exhaustive,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
@@ -1505,6 +1523,8 @@ def oracle_sql() -> dict[str, str]:
         "neardup_components_docs": _NEARDUP_COMPONENTS_ORACLE,
         "dedup_resolve_docs": _DEDUP_RESOLVE_ORACLE,
         "topk_cosine": _TOPK_COSINE_ORACLE,
+        # the map-side-reduced form is exact too — same value oracle
+        "topk_cosine_partial": _TOPK_COSINE_ORACLE,
         # exhaustive probing (n_probe = k_cells / probe_hamming = n_planes)
         # makes IVF / multi-probe LSH exact, so the brute-force top-k SQL
         # is a true value oracle for both ANN paths

@@ -75,6 +75,7 @@ HEADLINE = [
     "neardup_components_docs",
     "simhash_neardup_docs",
     "topk_cosine",
+    "topk_cosine_partial",
     "lsh_topk_embeddings",
     "embedding_neardup",
 ]

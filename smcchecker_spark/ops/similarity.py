@@ -161,6 +161,91 @@ def lsh_topk(
     )
 
 
+def brute_force_topk_partial(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k with MAP-SIDE reduction — the scale path next
+    to ``brute_force_topk`` (which stays as the simplest-possible oracle
+    formulation).
+
+    The plain form shuffles |corpus| × |queries| scored rows into the
+    per-query rank exchange. Here each corpus partition computes scores
+    against the (small, collected) query matrix as ONE numpy GEMM per
+    Arrow batch and keeps only its local top-k per query, so the rank
+    exchange receives ≤ k × |queries| rows PER PARTITION — at 10^12
+    corpus rows that's the difference between shuffling the corpus and
+    shuffling kilobytes. Scores are rounded to 6 (like the plain form)
+    before the final rank; ties broken by neighbor id.
+
+    Output: (query_id, neighbor_id, score, rank) — same contract as
+    ``brute_force_topk``.
+    """
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[0] for r in q_rows]
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    QT = Qn.T.copy()  # dim × nq
+    nq = len(qids)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(
+                "query_id", queries.schema[query_id_col].dataType
+            ),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def partition_topk(batches):
+        # per-query running candidates: (neighbor ids, scores), pruned to
+        # k after every batch so partition-local state is O(nq × k)
+        cids = [np.empty(0, dtype=object) for _ in range(nq)]
+        cscores = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Xn = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+            )
+            S = Xn @ QT  # one GEMM: batch × nq cosines
+            ids = np.asarray(pdf[id_col].values, dtype=object)
+            for j in range(nq):
+                s = np.concatenate([cscores[j], S[:, j]])
+                i = np.concatenate([cids[j], ids])
+                if len(s) > k:
+                    # argpartition is O(m); exact order resolved at the end
+                    keep = np.argpartition(-s, k - 1)[:k]
+                    s, i = s[keep], i[keep]
+                cscores[j], cids[j] = s, i
+        if not any(len(s) for s in cscores):
+            return
+        rows = {
+            "query_id": np.concatenate(
+                [np.repeat(qids[j], len(cids[j])) for j in range(nq)]
+            ),
+            "neighbor_id": np.concatenate(cids),
+            "score": np.round(np.concatenate(cscores), 6),
+        }
+        yield pd.DataFrame(rows)
+
+    local = corpus.mapInPandas(partition_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return local.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------

@@ -203,6 +203,26 @@ def test_lsh_topk_finds_self_and_neardup(spark, vectors):
     assert ids[0] == 0 and 20 in ids  # near-identical vectors share buckets
 
 
+def test_brute_force_topk_partial_matches_plain(spark, vectors):
+    """Map-side-reduced top-k must reproduce the plain form exactly
+    (same rounded scores, same ranks) — including with tiny partitions
+    (repartition(7) forces many partial heaps + the final rank merge)."""
+    queries = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plain = similarity.brute_force_topk(
+        vectors, queries, k=4, vec_col="embedding"
+    )
+    part = similarity.brute_force_topk_partial(
+        vectors.repartition(7), queries, k=4, vec_col="embedding"
+    )
+    p = {(r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+         for r in plain.collect()}
+    q = {(r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+         for r in part.collect()}
+    assert p == q and len(p) == 12
+
+
 def test_lsh_multiprobe_exhaustive_equals_brute_force(spark, vectors):
     """probe_hamming = n_planes probes every bucket → exact = brute force
     (this is the oracle mode lsh_topk_exhaustive uses); probe_hamming=1
