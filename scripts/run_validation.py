@@ -117,6 +117,12 @@ def main(argv=None) -> int:
     p.add_argument("--waves", type=int, default=None,
                    help="partitions per wave (checkpoint mode)")
     p.add_argument("--fmt", default="parquet", help="input format")
+    p.add_argument(
+        "--gated-append", default=None, metavar="DEST",
+        help="on zero errors, append the validated input rows to DEST "
+        "(parquet path; an Iceberg catalog.db.table identifier when "
+        "--fmt iceberg) — the reference's /load gate (proj/load.py:23-24)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -170,6 +176,19 @@ def main(argv=None) -> int:
     n_warn = violations.filter("severity = 'warning'").count()
     statuses = {r["part_id"]: r["status"] for r in verdicts.collect()}
     print(f"errors={n_err} warnings={n_warn} partitions={statuses}")
+    if args.gated_append:
+        from smcchecker_spark.tables import IcebergTable, as_table
+
+        sink = (
+            IcebergTable(args.gated_append)
+            if args.fmt == "iceberg"
+            else as_table(args.gated_append)
+        )
+        if n_err == 0:
+            sink.append(df)
+            print(f"gated append: loaded -> {args.gated_append}")
+        else:
+            print(f"gated append: REFUSED ({n_err} errors)")
     return 0 if n_err == 0 else 1
 
 

@@ -67,6 +67,36 @@ def test_cli_end_to_end(spark, tmp_path):
     assert verd.count() == 4
 
 
+def test_cli_gated_append(spark, tmp_path):
+    """--gated-append mirrors the reference's /load gate: refuse on any
+    error, all-or-nothing append on a clean run (proj/load.py:23-24)."""
+    dirty = fixtures.generate_images(spark, n_rows=80, n_parts=2, seed=3)
+    dirty.write.parquet(str(tmp_path / "dirty"))
+    clean = fixtures.generate_images(
+        spark, n_rows=80, n_parts=2, seed=3, clean=True)
+    clean.write.parquet(str(tmp_path / "clean"))
+    cfg = {
+        "name": "s", "table": "images",
+        "row_id_col": "image_id", "part_id_col": "part_id",
+        "constraints": [{"type": "not_null", "column": "caption"}],
+    }
+    (tmp_path / "suite.json").write_text(json.dumps(cfg))
+    dest = tmp_path / "prod"
+
+    def run(src):
+        return main([
+            "--input", str(tmp_path / src),
+            "--suite", str(tmp_path / "suite.json"),
+            "--out", str(tmp_path / "out"),
+            "--gated-append", str(dest),
+        ])
+
+    assert run("dirty") == 1
+    assert not dest.exists()  # refused: nothing written
+    assert run("clean") == 0
+    assert spark.read.parquet(str(dest)).count() == 80
+
+
 def test_cli_checkpoint_resume(spark, tmp_path):
     df = fixtures.generate_images(spark, n_rows=120, n_parts=4, seed=9)
     df.write.parquet(str(tmp_path / "in"))
