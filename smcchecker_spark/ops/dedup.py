@@ -675,11 +675,11 @@ def connected_components(
     no collect_list of neighbor sets, so a hub node with millions of
     neighbors is just a hot groupBy key (partial agg absorbs it) and a
     skewed join key (AQE splits it), never a single giant row. Iteration
-    state is localCheckpointed every two rounds: without it the lineage
-    doubles every round and replanning dominates. Convergence = (count,
-    hash-checksum) of the edge set stable across a two-round step (sound
-    because the iteration is monotone — no oscillation); ``max_iter``
-    exhaustion raises rather than returning wrong labels.
+    state is localCheckpointed every round: each star references its
+    input several times, so without a materialization barrier the plan
+    (and recomputation) grows geometrically per round. Convergence =
+    (count, hash-checksum) of the edge set stable across a round;
+    ``max_iter`` exhaustion raises rather than returning wrong labels.
 
     Only ids appearing in ``pairs`` are returned; isolated docs are
     trivially their own component.
@@ -735,16 +735,16 @@ def connected_components(
     )
     fp = fingerprint(edges)
     for _ in range(max_iter):
-        # TWO large/small rounds per checkpoint + fingerprint action:
-        # fixed per-job overhead dominates the (cheap) per-round dataflow
-        # locally, and large/small-star is monotone (Kiveris et al. §4 —
-        # no oscillation), so a 2-round convergence check is sound; worst
-        # case it runs 2 extra no-op rounds on the already-converged
-        # (tiny) star forest
-        new_edges = star(star(edges, large=True), large=False)
-        new_edges = star(
-            star(new_edges, large=True), large=False
-        ).localCheckpoint(eager=True)
+        # ONE large/small round per checkpoint: each star() references its
+        # input ~3× (symmetrize union + groupBy + join-back), so stacking
+        # two unmaterialized rounds per checkpoint makes the physical plan
+        # reference `edges` ~9× and recompute the inner round's exchanges —
+        # measured 5× slower than materializing every round. The extra
+        # fingerprint action per round is cheap: it aggregates the
+        # just-checkpointed RDD, not the star dataflow.
+        new_edges = star(star(edges, large=True), large=False).localCheckpoint(
+            eager=True
+        )
         new_fp = fingerprint(new_edges)
         edges = new_edges
         if new_fp == fp:
