@@ -48,34 +48,87 @@ DECODE_STRUCT = (
 _UDF_CACHE: dict[str, object] = {}
 
 
+# Flush thresholds for decode_facts_batches: decoded images are buffered
+# ACROSS Arrow batches before hashing, because phash cost at thumbnail
+# sizes is per-numpy-call overhead and imagecodec.phash64_batch amortizes
+# it by stacking same-shape images — a single ~1024-row Arrow batch of
+# size-diverse images yields shape groups of only ~1-2 members. The
+# iterator pandas_udf contract only requires TOTAL output rows == total
+# input rows (yield boundaries are free), so flushing at ~16k rows / 128
+# MB of decoded pixels (whichever first) is safe: large images degrade
+# gracefully to per-batch flushing, tiny ones get full amortization.
+DECODE_BUFFER_ROWS = 16384
+DECODE_BUFFER_BYTES = 128 << 20
+
+
+def decode_facts_batches(
+    batches: Iterator[pd.Series],
+    rows_cap: int = DECODE_BUFFER_ROWS,
+    bytes_cap: int = DECODE_BUFFER_BYTES,
+) -> Iterator[pd.DataFrame]:
+    """Pure-python core of the decode UDF (testable without Spark):
+    pd.Series of encoded payloads → pd.DataFrame batches of decode facts,
+    one output row per input row in input order, re-chunked at the
+    buffering thresholds above."""
+    parts: list[dict] = []
+    arrs: list[np.ndarray] = []
+    arr_pos: list[int] = []
+    total = px_bytes = 0
+
+    def flush() -> pd.DataFrame:
+        nonlocal parts, arrs, arr_pos, total, px_bytes
+        ph = np.zeros(total, dtype=np.int64)
+        if arrs:
+            ph[np.asarray(arr_pos)] = ic.phash64_batch(arrs)
+        out = pd.DataFrame(
+            {
+                "ok": np.concatenate([p["ok"] for p in parts]),
+                "w": np.concatenate([p["w"] for p in parts]),
+                "h": np.concatenate([p["h"] for p in parts]),
+                "fmt": np.concatenate([p["fmt"] for p in parts]),
+                "phash": ph,
+                "err": np.concatenate([p["err"] for p in parts]),
+            }
+        )
+        parts, arrs, arr_pos = [], [], []
+        total = px_bytes = 0
+        return out
+
+    for s in batches:
+        n = len(s)
+        ok = np.zeros(n, dtype=bool)
+        w = np.full(n, -1, dtype=np.int64)
+        h = np.full(n, -1, dtype=np.int64)
+        fmt = np.full(n, None, dtype=object)
+        err = np.full(n, None, dtype=object)
+        for i, b in enumerate(s.values):
+            if b is None:
+                err[i] = "null payload"
+                continue
+            try:
+                arr, f = ic.decode_image(bytes(b))
+                ok[i] = True
+                h[i], w[i] = arr.shape[:2]
+                fmt[i] = f
+                arrs.append(arr)
+                arr_pos.append(total + i)
+                px_bytes += arr.nbytes
+            except ValueError as e:
+                err[i] = str(e)
+        parts.append({"ok": ok, "w": w, "h": h, "fmt": fmt, "err": err})
+        total += n
+        if total >= rows_cap or px_bytes >= bytes_cap:
+            yield flush()
+    if total:
+        yield flush()
+
+
 def decode_facts_udf():
     if "decode_facts" not in _UDF_CACHE:
 
         @pandas_udf(DECODE_STRUCT)
         def decode_facts(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-            for s in batches:
-                n = len(s)
-                ok = np.zeros(n, dtype=bool)
-                w = np.full(n, -1, dtype=np.int64)
-                h = np.full(n, -1, dtype=np.int64)
-                fmt = np.full(n, None, dtype=object)
-                ph = np.zeros(n, dtype=np.int64)
-                err = np.full(n, None, dtype=object)
-                for i, b in enumerate(s.values):
-                    if b is None:
-                        err[i] = "null payload"
-                        continue
-                    try:
-                        arr, f = ic.decode_image(bytes(b))
-                        ok[i] = True
-                        h[i], w[i] = arr.shape[:2]
-                        fmt[i] = f
-                        ph[i] = ic.phash64(arr)
-                    except ValueError as e:
-                        err[i] = str(e)
-                yield pd.DataFrame(
-                    {"ok": ok, "w": w, "h": h, "fmt": fmt, "phash": ph, "err": err}
-                )
+            yield from decode_facts_batches(batches)
 
         _UDF_CACHE["decode_facts"] = decode_facts
     return _UDF_CACHE["decode_facts"]

@@ -49,6 +49,84 @@ def test_phash_properties():
     assert ic.hamming64(ic.phash64(a), ic.phash64(c)) > 2
 
 
+def _phash64_ref(arr):
+    """Independent scalar reference (the pre-batch formulation) — guards
+    phash64_batch against semantic drift: hashes stored by older code
+    must keep validating."""
+    g = ic._block_mean_8x8(ic.luma(arr))
+    bits = (g > g.mean()).flatten()
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return int(np.int64(np.uint64(val)))
+
+
+def test_phash64_batch_parity():
+    rng = np.random.default_rng(3)
+    arrs = []
+    # degenerate sizes (h or w < 8 → repeated reduceat boundaries)
+    for h in range(1, 13):
+        for w in range(1, 13):
+            arrs.append(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+    # mixed random sizes, duplicated shapes to exercise group stacking
+    for _ in range(400):
+        h, w = int(rng.integers(1, 64)), int(rng.integers(1, 64))
+        arrs.append(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+    got = ic.phash64_batch(arrs)
+    assert got.dtype == np.int64
+    for i, a in enumerate(arrs):
+        assert got[i] == _phash64_ref(a), (i, a.shape)
+        assert got[i] == ic.phash64(a)
+    # chunked stacking (tiny byte cap → many sub-stacks) is still exact
+    import smcchecker_spark.imagecodec as icm
+
+    old = icm._PHASH_STACK_BYTES
+    icm._PHASH_STACK_BYTES = 4096
+    try:
+        assert np.array_equal(ic.phash64_batch(arrs), got)
+    finally:
+        icm._PHASH_STACK_BYTES = old
+
+
+def test_decode_facts_buffering_rechunks_and_preserves_order():
+    """decode_facts_batches buffers rows across input batches (flush at
+    rows_cap) and must emit one row per input row, in order, with the
+    same facts the scalar path computes — including null/corrupt rows
+    interleaved at buffer boundaries."""
+    import pandas as pd
+
+    from smcchecker_spark.image import decode_facts_batches
+
+    rng = np.random.default_rng(5)
+    payloads, expect = [], []
+    for i in range(37):
+        kind = i % 4
+        if kind == 0:
+            payloads.append(None)
+            expect.append((False, "null payload"))
+        elif kind == 1:
+            payloads.append(b"\x89PNG\r\n\x1a\xffjunk")
+            expect.append((False, None))  # some decode error
+        else:
+            h, w = int(rng.integers(1, 20)), int(rng.integers(1, 20))
+            arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            enc = ic.encode_png(arr) if kind == 2 else ic.encode_fake_lossy(arr)
+            payloads.append(enc)
+            dec, fmt = ic.decode_image(enc)
+            expect.append((True, (dec.shape[1], dec.shape[0], fmt, ic.phash64(dec))))
+    batches = [pd.Series(payloads[lo : lo + 5]) for lo in range(0, 37, 5)]
+    frames = list(decode_facts_batches(iter(batches), rows_cap=12))
+    assert len(frames) > 1  # re-chunking actually happened
+    out = pd.concat(frames, ignore_index=True)
+    assert len(out) == 37
+    for i, (ok, detail) in enumerate(expect):
+        assert bool(out["ok"][i]) == ok, i
+        if ok:
+            w, h, fmt, ph = detail
+            assert (out["w"][i], out["h"][i], out["fmt"][i]) == (w, h, fmt)
+            assert out["phash"][i] == ph
+        elif detail:
+            assert out["err"][i] == detail
+
+
 @pytest.fixture(scope="module")
 def images(spark):
     return fixtures.generate_images(spark, n_rows=N, n_parts=8, seed=42).cache()
