@@ -123,6 +123,55 @@ def decode_facts_batches(
         yield flush()
 
 
+def psnr_pair_batches(
+    batches: Iterator[tuple[pd.Series, pd.Series]],
+    rows_cap: int = DECODE_BUFFER_ROWS,
+    bytes_cap: int = DECODE_BUFFER_BYTES,
+) -> Iterator[pd.Series]:
+    """Pure-python core of the PSNR UDF: (payload_a, payload_b) Series
+    pairs → float64 Series batches, one value per input row in input
+    order (NaN = undecodable / shape mismatch; +inf reported as 1e9 to
+    stay Arrow-friendly). Buffers decoded pairs across Arrow batches and
+    scores them with imagecodec.psnr_batch, mirroring
+    decode_facts_batches (see DECODE_BUFFER_* rationale above)."""
+    sizes: list[int] = []
+    arrs_a: list[np.ndarray] = []
+    arrs_b: list[np.ndarray] = []
+    pair_pos: list[int] = []
+    total = px_bytes = 0
+
+    def flush() -> pd.Series:
+        nonlocal sizes, arrs_a, arrs_b, pair_pos, total, px_bytes
+        vals = np.full(total, np.nan)
+        if arrs_a:
+            v = ic.psnr_batch(arrs_a, arrs_b)
+            vals[np.asarray(pair_pos)] = np.where(np.isinf(v), 1e9, v)
+        out = pd.Series(vals)
+        sizes, arrs_a, arrs_b, pair_pos = [], [], [], []
+        total = px_bytes = 0
+        return out
+
+    for a, b in batches:
+        n = len(a)
+        for i, (xa, xb) in enumerate(zip(a.values, b.values)):
+            if xa is None or xb is None:
+                continue
+            try:
+                pa, _ = ic.decode_image(bytes(xa))
+                pb, _ = ic.decode_image(bytes(xb))
+            except ValueError:
+                continue
+            arrs_a.append(pa)
+            arrs_b.append(pb)
+            pair_pos.append(total + i)
+            px_bytes += pa.nbytes + pb.nbytes
+        total += n
+        if total >= rows_cap or px_bytes >= bytes_cap:
+            yield flush()
+    if total:
+        yield flush()
+
+
 def decode_facts_udf():
     if "decode_facts" not in _UDF_CACHE:
 
@@ -147,21 +196,7 @@ def psnr_pair_udf():
         def psnr_pair(
             batches: Iterator[tuple[pd.Series, pd.Series]],
         ) -> Iterator[pd.Series]:
-            for a, b in batches:
-                out = np.full(len(a), np.nan)
-                for i, (xa, xb) in enumerate(zip(a.values, b.values)):
-                    if xa is None or xb is None:
-                        continue
-                    try:
-                        pa, _ = ic.decode_image(bytes(xa))
-                        pb, _ = ic.decode_image(bytes(xb))
-                    except ValueError:
-                        continue
-                    if pa.shape != pb.shape:
-                        continue
-                    v = ic.psnr(pa, pb)
-                    out[i] = 1e9 if v == float("inf") else v
-                yield pd.Series(out)
+            yield from psnr_pair_batches(batches)
 
         _UDF_CACHE["psnr_pair"] = psnr_pair
     return _UDF_CACHE["psnr_pair"]

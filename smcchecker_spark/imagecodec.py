@@ -339,6 +339,32 @@ def hamming64(a: int, b: int) -> int:
     return bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1")
 
 
+def psnr_batch(arrs_a: list[np.ndarray], arrs_b: list[np.ndarray]) -> np.ndarray:
+    """Vectorized :func:`psnr` over many image pairs → float64 array
+    (input order; NaN where the pair's shapes differ, +inf on exact
+    match). Same shape-grouped stacking as :func:`phash64_batch` — the
+    per-pair cost at thumbnail sizes is numpy-call overhead, not math."""
+    n = len(arrs_a)
+    out = np.full(n, np.nan)
+    groups: dict[tuple, list[int]] = {}
+    for i in range(n):
+        if arrs_a[i].shape != arrs_b[i].shape:
+            continue
+        groups.setdefault(arrs_a[i].shape, []).append(i)
+    for shape, idxs in groups.items():
+        per_img = int(np.prod(shape)) * 8 * 2
+        step = max(1, _PHASH_STACK_BYTES // per_img)
+        for lo in range(0, len(idxs), step):
+            chunk = idxs[lo : lo + step]
+            a = np.stack([arrs_a[i] for i in chunk]).astype(np.float64)
+            b = np.stack([arrs_b[i] for i in chunk]).astype(np.float64)
+            mse = ((a - b) ** 2).mean(axis=tuple(range(1, a.ndim)))
+            with np.errstate(divide="ignore"):
+                vals = 10.0 * np.log10(255.0**2 / mse)  # mse==0 → +inf
+            out[np.asarray(chunk)] = vals
+    return out
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     if a.shape != b.shape:

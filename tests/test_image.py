@@ -127,6 +127,50 @@ def test_decode_facts_buffering_rechunks_and_preserves_order():
             assert out["err"][i] == detail
 
 
+def test_psnr_pair_batches_matches_scalar():
+    import pandas as pd
+
+    from smcchecker_spark.image import psnr_pair_batches
+
+    rng = np.random.default_rng(9)
+    pa, pb, expect = [], [], []
+    for i in range(23):
+        kind = i % 5
+        if kind == 0:  # null side
+            pa.append(None)
+            pb.append(ic.encode_png(rng.integers(0, 256, (9, 9, 3), dtype=np.uint8)))
+            expect.append(np.nan)
+        elif kind == 1:  # corrupt side
+            pa.append(b"\x89PNG\r\n\x1a\xffbad")
+            pb.append(ic.encode_png(rng.integers(0, 256, (9, 9, 3), dtype=np.uint8)))
+            expect.append(np.nan)
+        elif kind == 2:  # shape mismatch
+            pa.append(ic.encode_png(rng.integers(0, 256, (8, 9, 3), dtype=np.uint8)))
+            pb.append(ic.encode_png(rng.integers(0, 256, (9, 8, 3), dtype=np.uint8)))
+            expect.append(np.nan)
+        elif kind == 3:  # lossless identical → +inf → 1e9
+            arr = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+            pa.append(ic.encode_png(arr))
+            pb.append(ic.encode_png(arr))
+            expect.append(1e9)
+        else:  # lossy pair → scalar psnr value
+            arr = rng.integers(0, 256, (13, 13, 3), dtype=np.uint8)
+            pa.append(ic.encode_png(arr))
+            pb.append(ic.encode_fake_lossy(arr))
+            expect.append(ic.psnr(arr, ic.decode_fake_lossy(pb[-1])))
+    batches = [
+        (pd.Series(pa[lo : lo + 4]), pd.Series(pb[lo : lo + 4]))
+        for lo in range(0, 23, 4)
+    ]
+    out = pd.concat(psnr_pair_batches(iter(batches), rows_cap=7), ignore_index=True)
+    assert len(out) == 23
+    for i, e in enumerate(expect):
+        if np.isnan(e):
+            assert np.isnan(out[i]), i
+        else:
+            assert out[i] == pytest.approx(e, abs=1e-9), i
+
+
 @pytest.fixture(scope="module")
 def images(spark):
     return fixtures.generate_images(spark, n_rows=N, n_parts=8, seed=42).cache()
