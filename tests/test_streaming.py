@@ -17,6 +17,7 @@ from smcchecker_spark.constraints import (
     Unique,
     ValidationContext,
 )
+from smcchecker_spark.image import ImageConsistent
 from smcchecker_spark.streaming import StreamingValidator
 
 
@@ -29,6 +30,9 @@ def suite_ctx(spark):
             NotNull("caption"),
             MaxLength("caption", max_length=256),
             InLookup("fmt", lookup="lu_fmt", lookup_key="fmt"),
+            # the Arrow decode UDF must work identically inside
+            # foreachBatch micro-batches (incl. its cross-batch buffering)
+            ImageConsistent(),
         ],
     )
     return suite, ValidationContext(lookups={"lu_fmt": fixtures.lu_fmt(spark)})
