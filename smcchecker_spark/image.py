@@ -101,20 +101,20 @@ def decode_facts_batches(
         h = np.full(n, -1, dtype=np.int64)
         fmt = np.full(n, None, dtype=object)
         err = np.full(n, None, dtype=object)
-        for i, b in enumerate(s.values):
-            if b is None:
-                err[i] = "null payload"
+        # one batched decode per Arrow batch: fake-lossy dequantization is
+        # a single numpy pass over all lossy images in the batch
+        b_arrs, b_fmts, b_errs = ic.decode_image_batch(s.values)
+        for i in range(n):
+            arr = b_arrs[i]
+            if arr is None:
+                err[i] = b_errs[i]
                 continue
-            try:
-                arr, f = ic.decode_image(bytes(b))
-                ok[i] = True
-                h[i], w[i] = arr.shape[:2]
-                fmt[i] = f
-                arrs.append(arr)
-                arr_pos.append(total + i)
-                px_bytes += arr.nbytes
-            except ValueError as e:
-                err[i] = str(e)
+            ok[i] = True
+            h[i], w[i] = arr.shape[:2]
+            fmt[i] = b_fmts[i]
+            arrs.append(arr)
+            arr_pos.append(total + i)
+            px_bytes += arr.nbytes
         parts.append({"ok": ok, "w": w, "h": h, "fmt": fmt, "err": err})
         total += n
         if total >= rows_cap or px_bytes >= bytes_cap:
@@ -153,13 +153,11 @@ def psnr_pair_batches(
 
     for a, b in batches:
         n = len(a)
-        for i, (xa, xb) in enumerate(zip(a.values, b.values)):
-            if xa is None or xb is None:
-                continue
-            try:
-                pa, _ = ic.decode_image(bytes(xa))
-                pb, _ = ic.decode_image(bytes(xb))
-            except ValueError:
+        dec_a, _, _ = ic.decode_image_batch(a.values)
+        dec_b, _, _ = ic.decode_image_batch(b.values)
+        for i in range(n):
+            pa, pb = dec_a[i], dec_b[i]
+            if pa is None or pb is None:
                 continue
             arrs_a.append(pa)
             arrs_b.append(pb)

@@ -86,6 +86,91 @@ def test_phash64_batch_parity():
         icm._PHASH_STACK_BYTES = old
 
 
+def _png_with_extra_chunks(arr):
+    """Re-pack an encode_png payload with an ancillary chunk and the IDAT
+    split in two — spec-valid, but NOT the fixed layout the decode fast
+    path matches, so it must take the generic chunk-walk."""
+    import struct
+    import zlib
+
+    data = ic.encode_png(arr)
+    ln = int.from_bytes(data[33:37], "big")
+    idat = data[41 : 41 + ln]
+    mid = len(idat) // 2
+
+    def chunk(tag, payload):
+        crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+    return (
+        data[:33]  # SIG + IHDR
+        + chunk(b"tEXt", b"comment\x00hi")
+        + chunk(b"IDAT", idat[:mid])
+        + chunk(b"IDAT", idat[mid:])
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_fast_path_and_generic_agree():
+    rng = np.random.default_rng(21)
+    for h, w in [(1, 1), (3, 17), (24, 24), (40, 9)]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        fast = ic.decode_png(ic.encode_png(arr))  # fixed layout → fast path
+        slow = ic.decode_png(_png_with_extra_chunks(arr))  # generic loop
+        assert np.array_equal(fast, arr) and np.array_equal(slow, arr)
+    # a flipped payload byte must still fail CRC validation (the fast
+    # path rejects it and the generic loop raises)
+    data = bytearray(ic.encode_png(arr))
+    data[43] ^= 0xFF  # inside IDAT payload
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        ic.decode_png(bytes(data))
+
+
+def test_decode_image_batch_matches_scalar():
+    """decode_image_batch (batched fake-lossy dequantize, shared with the
+    facts UDF) is slot-aligned and bit-identical to scalar decode_image,
+    including every error message."""
+    rng = np.random.default_rng(23)
+    payloads = []
+    for i in range(60):
+        h, w = int(rng.integers(1, 30)), int(rng.integers(1, 30))
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        payloads.append(
+            ic.encode_png(arr) if i % 3 else ic.encode_fake_lossy(arr)
+        )
+    bad = [
+        None,
+        b"garbage",
+        b"\x89PNG\r\n\x1a\n\x00bad",
+        payloads[0][:25],  # truncated PNG
+        payloads[2][:20],  # truncated fake-lossy
+        b"RIFF0000WEBPxxxx",
+        b"\xff\xd8\xff\xe0notfakelossy",
+        b"\xff\xd8\xffFLSY" + b"\x00" * 12,
+    ]
+    mixed = payloads[:30] + bad + payloads[30:]
+    arrs, fmts, errs = ic.decode_image_batch(mixed)
+    for i, p in enumerate(mixed):
+        try:
+            ref_arr, ref_fmt = ic.decode_image(p)
+        except ValueError as e:
+            assert arrs[i] is None and errs[i] == str(e), i
+        else:
+            assert errs[i] is None and fmts[i] == ref_fmt, i
+            assert np.array_equal(arrs[i], ref_arr), i
+
+
+def test_dequant_lut_matches_formula():
+    """The LUT gather must equal the original clip((q<<s)|mid) formula
+    for every (q, shift) — including corrupt-payload q values that
+    overflow 255 and rely on the clip."""
+    for shift in range(1, 8):
+        q = np.arange(256, dtype=np.uint16)
+        ref = ((q << shift) | (1 << (shift - 1))).clip(0, 255).astype(np.uint8)
+        got = ic._dequantize(np.arange(256, dtype=np.uint8), shift)
+        assert np.array_equal(got, ref), shift
+
+
 def test_decode_facts_buffering_rechunks_and_preserves_order():
     """decode_facts_batches buffers rows across input batches (flush at
     rows_cap) and must emit one row per input row, in order, with the
