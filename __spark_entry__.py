@@ -1221,6 +1221,61 @@ def q_simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Derived deterministic "phash" for the image-near-dedup oracle: pure
+# xor/shift bitwise mixing of event_id — identical semantics in Spark
+# and DuckDB (arithmetic >> and wrap-free << for event_id < 2^20, so no
+# ANSI/overflow divergence). 3× bit replication (x ^ x<<21 ^ x<<42)
+# puts every pair of distinct non-planted ids ≥ 3 bits apart; rows with
+# event_id % 100 < 6 instead share their block's base hash with ONE low
+# bit flipped, so within-block pairs sit at Hamming 2 — planted
+# near-dups the banding must find (plus a handful of deterministic
+# incidental pairs, which both engines compute identically).
+_PHASH_MIX_SPARK = (
+    "CASE WHEN event_id % 100 < 6 THEN "
+    "(event_id - event_id % 100) "
+    "^ shiftleft(event_id - event_id % 100, 21) "
+    "^ shiftleft(event_id - event_id % 100, 42) "
+    "^ shiftleft(1, cast(event_id % 100 AS int)) "
+    "ELSE event_id ^ shiftleft(event_id, 21) ^ shiftleft(event_id, 42) END"
+)
+
+
+def q_phash_neardup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dedup path: pairs with stored-phash Hamming distance
+    <= 2 via ops.dedup.phash_near_dups (chunk-blocked banding, exact by
+    pigeonhole, zero UDFs — near-dedup of 10^12 validated images never
+    re-reads payload bytes). Testdata has no image table, so a
+    deterministic bitwise mix of event_id stands in for the stored
+    phash column and DuckDB brute-forces the same pairs as the value
+    oracle; the REAL stored-phash path over actual encoded images is
+    exercised in tests/test_dedup.py."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.expr(_PHASH_MIX_SPARK).alias("phash")
+    )
+    return dedup.phash_near_dups(
+        ev, id_col="event_id", phash_col="phash", max_hamming=2
+    )
+
+
+_PHASH_NEARDUP_ORACLE = """
+WITH p AS (
+  SELECT event_id AS id,
+         CASE WHEN event_id % 100 < 6 THEN
+           xor(xor(xor(event_id - event_id % 100,
+                       (event_id - event_id % 100) << 21),
+                   (event_id - event_id % 100) << 42),
+               1 << CAST(event_id % 100 AS INT))
+         ELSE xor(xor(event_id, event_id << 21), event_id << 42)
+         END AS phash
+  FROM events
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM p a JOIN p b ON a.id < b.id
+WHERE bit_count(xor(a.phash, b.phash)) <= 2
+"""
+
+
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -1478,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_components_docs": q_neardup_components_docs,
         "dedup_resolve_docs": q_dedup_resolve_docs,
         "simhash_neardup_docs": q_simhash_neardup_docs,
+        "phash_neardup_events": q_phash_neardup_events,
         "topk_cosine": q_topk_cosine,
         "topk_cosine_partial": q_topk_cosine_partial,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -1534,6 +1590,10 @@ def oracle_sql() -> dict[str, str]:
         # stats are a true value oracle for the sketch pipeline
         "column_stats_smallndv": _SMALLNDV_ORACLE,
         "embedding_neardup": _EMB_NEARDUP_ORACLE,
+        # derived-fingerprint variant of the image phash near-dedup —
+        # deterministic bitwise mix both engines compute identically,
+        # so the banded pairing is brute-force value-checked
+        "phash_neardup_events": _PHASH_NEARDUP_ORACLE,
         # rows-only (approximate / non-SQL-expressible): column_stats_approx,
         #   lsh_topk_embeddings, simhash_neardup_docs, images_validate
     }

@@ -74,6 +74,7 @@ HEADLINE = [
     "minhash_neardup_docs",
     "neardup_components_docs",
     "simhash_neardup_docs",
+    "phash_neardup_events",
     "topk_cosine",
     "topk_cosine_partial",
     "lsh_topk_embeddings",

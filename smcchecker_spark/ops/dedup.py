@@ -600,39 +600,47 @@ def simhash(
     )
 
 
-def simhash_near_dups(
-    df: DataFrame,
-    id_col: str,
-    text_col: str = "text",
+def hamming_near_dups(
+    sigs: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "hash",
     max_hamming: int = 3,
     chunks: int = 4,
-    min_parallelism: int | None = None,
     hot_bucket: int = 256,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """Pairs with simhash Hamming distance ≤ d, blocked on 16-bit chunks
-    (pigeonhole: ≤3 flipped bits leave ≥1 of 4 chunks identical), so
-    pairing is per (chunk_id, chunk_value) bucket instead of a cross
-    join. In-bucket pairing routes through ``bucketed_pairs``: a popular
-    chunk value (boilerplate corpora, near-empty docs sharing a chunk)
-    becomes a chunked broadcast self-join spread across tasks, never one
-    O(m²) task. The 8-byte fingerprint rides inside the member struct,
-    so Hamming distance is computed at pair time from the struct fields
-    — ONE simhash-UDF pass, no signature re-join. Doc ids must be
-    unique."""
+    """Pairs with Hamming distance ≤ ``max_hamming`` between stored
+    64-bit fingerprints → (id_a, id_b, hamming), blocked on
+    (64/chunks)-bit chunks (pigeonhole: ≤ chunks-1 flipped bits leave
+    ≥ 1 chunk identical, so recall is EXACT while pairing runs per
+    (chunk_id, chunk_value) bucket instead of a cross join). In-bucket
+    pairing routes through ``bucketed_pairs``: a popular chunk value
+    (boilerplate corpora, flat/black images sharing a phash chunk)
+    becomes a chunked broadcast self-join spread across tasks, never
+    one O(m²) task. The 8-byte fingerprint rides inside the member
+    struct, so Hamming distance is computed at pair time from the
+    struct fields — no signature re-join, and the whole op is native
+    Column expressions (no Python UDF). Ids must be unique."""
     assert 64 % chunks == 0
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs chunks > max_hamming for "
+            f"exact recall (pigeonhole); got chunks={chunks}"
+        )
     width = 64 // chunks
-    sh = simhash(df, id_col, text_col, min_parallelism=min_parallelism)
     mask = (1 << width) - 1
+    sh = sigs.select(
+        F.col(id_col).alias("id"), F.col(hash_col).cast("long").alias("h")
+    )
     chunked = sh.select(
         # id FIRST: struct order (= pair order a < b) is id order
-        F.struct(F.col("id"), F.col("simhash")).alias("m"),
+        F.struct(F.col("id"), F.col("h")).alias("m"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * width)
+                        F.shiftright("h", c * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("val"),
                     )
@@ -647,11 +655,52 @@ def simhash_near_dups(
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        F.bit_count(
-            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-        ).alias("hamming"),
+        F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias("hamming"),
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def phash_near_dups(
+    df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    hot_bucket: int = 256,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """IMAGE near-duplicates by stored perceptual hash: pairs whose
+    phash Hamming distance is ≤ ``max_hamming`` (re-encodes, mild
+    quantization — imagecodec's lossy roundtrip moves phash ≤ 2 bits;
+    see tests/test_image.py). The validation engine's decode UDF already
+    materialized phash once per image (image.py decode facts), so
+    near-dedup over 10^12 images never touches payload bytes again:
+    it is pure chunk-blocked shuffle + skew-guarded in-bucket pairing
+    via :func:`hamming_near_dups` — no UDF, no decode, broadcastable
+    verify. Feed the output to :func:`connected_components` /
+    :func:`resolve_duplicates` exactly like the text pair ops."""
+    return hamming_near_dups(
+        df, id_col, phash_col, max_hamming, chunks, hot_bucket, max_bucket
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    min_parallelism: int | None = None,
+    hot_bucket: int = 256,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Pairs with simhash Hamming distance ≤ d — ONE simhash-UDF pass,
+    then the shared chunk-blocked pairing (:func:`hamming_near_dups`,
+    q.v. for the skew discipline). Doc ids must be unique."""
+    sh = simhash(df, id_col, text_col, min_parallelism=min_parallelism)
+    return hamming_near_dups(
+        sh, "id", "simhash", max_hamming, chunks, hot_bucket, max_bucket
+    )
 
 
 def connected_components(

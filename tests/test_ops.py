@@ -171,6 +171,45 @@ def test_simhash_near_dups(spark, docs):
     assert not any(4 in p for p in got)
 
 
+def test_phash_near_dups_real_images(spark):
+    """Image near-dedup over REAL stored phashes: lossy re-encodes of an
+    image land within the Hamming gate; distinct images never pair.
+    Result must equal the brute-force all-pairs answer exactly
+    (pigeonhole: max_hamming=3 < chunks=4)."""
+    from smcchecker_spark import imagecodec as ic
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(24):
+        arr = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        rows.append((i * 10, ic.phash64(arr)))
+        if i < 5:  # plant a near-dup: lossy roundtrip moves phash <= 2 bits
+            lossy = ic.decode_fake_lossy(ic.encode_fake_lossy(arr))
+            rows.append((i * 10 + 1, ic.phash64(lossy)))
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.phash_near_dups(df, max_hamming=3).collect()
+    }
+    brute = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            d = ic.hamming64(rows[i][1], rows[j][1])
+            if d <= 3:
+                a, b = sorted((rows[i][0], rows[j][0]))
+                brute.add((a, b, d))
+    assert got == brute
+    planted = {(i * 10, i * 10 + 1) for i in range(5)}
+    assert planted <= {(a, b) for a, b, _ in got}
+
+
+def test_hamming_near_dups_rejects_lossy_banding():
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="pigeonhole"):
+        dedup.hamming_near_dups(None, max_hamming=4, chunks=4)
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.default_rng(42)
