@@ -1276,6 +1276,51 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 2
 """
 
 
+def q_phash_dedup_resolve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IMAGE near-dup removal: banded stored-phash pairing →
+    connected components → keep the component-min canonical image; rows
+    in no pair pass through. Same derived-fingerprint trick as
+    ``phash_neardup_events`` so the survivor set is value-checked
+    against a recursive-CTE transitive closure in DuckDB."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.expr(_PHASH_MIX_SPARK).alias("phash")
+    )
+    pairs = dedup.phash_near_dups(
+        ev, id_col="event_id", phash_col="phash", max_hamming=2
+    )
+    return dedup.resolve_duplicates(ev, pairs, "event_id").select("event_id")
+
+
+_PHASH_RESOLVE_ORACLE = """
+WITH RECURSIVE ph AS (
+  SELECT event_id AS id,
+         CASE WHEN event_id % 100 < 6 THEN
+           xor(xor(xor(event_id - event_id % 100,
+                       (event_id - event_id % 100) << 21),
+                   (event_id - event_id % 100) << 42),
+               1 << CAST(event_id % 100 AS INT))
+         ELSE xor(xor(event_id, event_id << 21), event_id << 42)
+         END AS phash
+  FROM events
+),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM ph a JOIN ph b ON a.id < b.id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 2
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION SELECT id_b, id_a FROM p),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+SELECT e.event_id FROM events e LEFT JOIN comp c ON e.event_id = c.id
+WHERE c.id IS NULL OR c.component = e.event_id
+"""
+
+
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -1534,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_resolve_docs": q_dedup_resolve_docs,
         "simhash_neardup_docs": q_simhash_neardup_docs,
         "phash_neardup_events": q_phash_neardup_events,
+        "phash_dedup_resolve_events": q_phash_dedup_resolve_events,
         "topk_cosine": q_topk_cosine,
         "topk_cosine_partial": q_topk_cosine_partial,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
@@ -1594,6 +1640,7 @@ def oracle_sql() -> dict[str, str]:
         # deterministic bitwise mix both engines compute identically,
         # so the banded pairing is brute-force value-checked
         "phash_neardup_events": _PHASH_NEARDUP_ORACLE,
+        "phash_dedup_resolve_events": _PHASH_RESOLVE_ORACLE,
         # rows-only (approximate / non-SQL-expressible): column_stats_approx,
         #   lsh_topk_embeddings, simhash_neardup_docs, images_validate
     }

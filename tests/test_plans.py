@@ -193,6 +193,34 @@ def test_simhash_pairs_single_udf_pass(spark, tmp_path_factory):
     assert "ReusedExchange" in final, final
 
 
+def test_phash_near_dups_no_udf_single_scan(spark, tmp_path_factory):
+    """Image near-dedup over a STORED phash column must stay entirely
+    JVM-side (zero Python stages — payload bytes are never re-read) and
+    scan the fingerprint table once, with exchange reuse across the
+    skew-split branches."""
+    from smcchecker_spark.ops import dedup
+
+    path = str(tmp_path_factory.mktemp("ph") / "imgs.parquet")
+    spark.range(300).select(
+        F.col("id").alias("image_id"),
+        # 30 groups sharing a phash → buckets > 8, hot branch live
+        (F.col("id") % 30).cast("long").alias("phash"),
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    out = dedup.phash_near_dups(df, hot_bucket=8)
+    out.collect()
+    final = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "ArrowEvalPython" not in final, final
+    assert "BatchEvalPython" not in final, final
+    assert len(re.findall(r"Scan parquet", final)) == 1, final
+    assert "ReusedExchange" in final, final
+
+
 def test_minhash_est_attach_prunes_resign_pass(spark, tmp_path_factory):
     """Regression (advisor): with_est=True used to re-scan the corpus and
     re-run the signature UDF over EVERY doc for the est attach. Now the
