@@ -123,6 +123,31 @@ def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Per-image decoded-pixel ceiling (1 GiB). Validation executors process
+# UNTRUSTED payloads; a header claiming absurd dims must be rejected
+# before any proportional allocation happens.
+MAX_PIXEL_BYTES = 1 << 30
+
+
+def _inflate_exact(body: bytes, expected: int, what: str) -> bytes:
+    """Bounded zlib inflate: the decoders know the pixel-buffer size from
+    the header BEFORE inflating, so cap decompression at that size — an
+    executor validating hostile payloads must never materialize a
+    decompression bomb (a few-KB body claiming small dims can otherwise
+    inflate to GBs before the post-hoc size check). Wrong-size streams
+    (incl. truncated deflate data) raise the same ValueError the length
+    check used to."""
+    if expected > MAX_PIXEL_BYTES:
+        raise ValueError(f"{what} dimensions exceed the decoded-size cap")
+    d = zlib.decompressobj()
+    # max_length=0 means UNLIMITED to zlib — degenerate 0-pixel headers
+    # must still bound the inflate (1 byte is enough to prove excess)
+    out = d.decompress(body, expected or 1)
+    if len(out) != expected or d.unconsumed_tail or not d.eof:
+        raise ValueError(f"{what} pixel payload has wrong size")
+    return out
+
+
 def _pixels_from_scanlines(buf: bytes, w: int, h: int) -> np.ndarray:
     """Shared decode tail: decompressed scanline bytes → HxWx3 uint8."""
     rowlen = 1 + w * 3
@@ -166,7 +191,9 @@ def decode_png(data: bytes) -> np.ndarray:
             w = int.from_bytes(data[16:20], "big")
             h = int.from_bytes(data[20:24], "big")
             return _pixels_from_scanlines(
-                zlib.decompress(data[41 : 41 + ln]), w, h
+                _inflate_exact(data[41 : 41 + ln], h * (1 + w * 3), "PNG"),
+                w,
+                h,
             )
     pos = len(PNG_SIG)
     w = h = None
@@ -194,7 +221,9 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    return _pixels_from_scanlines(zlib.decompress(idat), w, h)
+    return _pixels_from_scanlines(
+        _inflate_exact(idat, h * (1 + w * 3), "PNG"), w, h
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -233,10 +262,7 @@ def _parse_fake_lossy(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("truncated FAKE-LOSSY payload")
     if shift < 1 or shift > 7:
         raise ValueError(f"bad FAKE-LOSSY shift {shift}")
-    q = zlib.decompress(body)
-    if len(q) != h * w * 3:
-        raise ValueError("FAKE-LOSSY pixel payload has wrong size")
-    return w, h, shift, q
+    return w, h, shift, _inflate_exact(body, h * w * 3, "FAKE-LOSSY")
 
 
 @lru_cache(maxsize=8)

@@ -160,6 +160,54 @@ def test_decode_image_batch_matches_scalar():
             assert np.array_equal(arrs[i], ref_arr), i
 
 
+def test_decompression_bomb_bounded():
+    """Hostile payloads must never materialize more pixels than the
+    header declares: a deflate stream inflating to ~100 MB behind a
+    small-dims header is rejected by the bounded inflate, and absurd
+    declared dims are rejected before any allocation."""
+    import struct
+    import zlib
+
+    bomb = zlib.compress(b"\x00" * (100 << 20), 9)  # ~100 KB body
+    # PNG fast-path layout with 4x4 dims but a bomb IDAT
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    png = (
+        ic.PNG_SIG
+        + ic._chunk(b"IHDR", ihdr)
+        + ic._chunk(b"IDAT", bomb)
+        + ic._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="wrong size"):
+        ic.decode_png(png)
+    # fake-lossy wrapper, 2x2 dims, bomb body
+    fl = (
+        ic.JPEG_SOI + ic.FAKE_LOSSY_TAG
+        + struct.pack(">HHB", 2, 2, 2)
+        + struct.pack(">I", len(bomb)) + bomb + ic.JPEG_EOI
+    )
+    with pytest.raises(ValueError, match="wrong size"):
+        ic.decode_fake_lossy(fl)
+    # absurd declared dims: rejected by the cap, not allocated
+    big = struct.pack(">HHB", 65535, 65535, 2)
+    fl2 = (
+        ic.JPEG_SOI + ic.FAKE_LOSSY_TAG + big
+        + struct.pack(">I", 4) + b"xxxx" + ic.JPEG_EOI
+    )
+    with pytest.raises(ValueError, match="decoded-size cap"):
+        ic.decode_fake_lossy(fl2)
+    # zero-dim header + bomb body: still bounded (max_length=0 would
+    # mean "unlimited" to zlib)
+    ihdr0 = struct.pack(">IIBBBBB", 4, 0, 8, 2, 0, 0, 0)
+    png0 = (
+        ic.PNG_SIG
+        + ic._chunk(b"IHDR", ihdr0)
+        + ic._chunk(b"IDAT", bomb)
+        + ic._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="wrong size"):
+        ic.decode_png(png0)
+
+
 def test_dequant_lut_matches_formula():
     """The LUT gather must equal the original clip((q<<s)|mid) formula
     for every (q, shift) — including corrupt-payload q values that
