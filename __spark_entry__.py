@@ -1512,7 +1512,12 @@ def q_images_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smcchecker_spark.package import ensure_shipped
 
     ensure_shipped(spark)
-    df = fixtures.generate_images(spark, n_rows=2000, n_parts=8, seed=42)
+    # materialize the generator output once: the suite's union branches
+    # (row pass + Unique agg + Unique join-back) would otherwise each
+    # re-run the mapInPandas fixture generator
+    df = fixtures.generate_images(
+        spark, n_rows=2000, n_parts=8, seed=42
+    ).localCheckpoint()
     suite = Suite(
         name="images_core",
         table="images",
