@@ -119,9 +119,15 @@ def main(argv=None) -> int:
     p.add_argument("--fmt", default="parquet", help="input format")
     p.add_argument(
         "--gated-append", default=None, metavar="DEST",
-        help="on zero errors, append the validated input rows to DEST "
-        "(parquet path; an Iceberg catalog.db.table identifier when "
-        "--fmt iceberg) — the reference's /load gate (proj/load.py:23-24)",
+        help="on zero errors, append the validated input rows to DEST — "
+        "the reference's /load gate (proj/load.py:23-24). Sink type is "
+        "chosen by --dest-fmt, NOT by the input --fmt (validate staged "
+        "parquet, load an Iceberg prod table).",
+    )
+    p.add_argument(
+        "--dest-fmt", default="parquet", choices=["parquet", "iceberg"],
+        help="sink format for --gated-append: parquet path or Iceberg "
+        "catalog.db.table identifier",
     )
     args = p.parse_args(argv)
 
@@ -141,17 +147,26 @@ def main(argv=None) -> int:
     from smcchecker_spark.run import ValidationRunner
 
     suite, row_id_col, part_id_col = load_suite(args.suite)
+    def _read(path: str):
+        # catalog-registered Iceberg tables are read as spark.table(id),
+        # not .format("iceberg").load(path); other formats are path loads
+        if args.fmt == "iceberg":
+            from smcchecker_spark.tables import IcebergTable
+
+            return IcebergTable(path).read(spark)
+        return spark.read.format(args.fmt).load(path)
+
     ctx = ValidationContext(
         lookups={
-            n: spark.read.format(args.fmt).load(path)
+            n: _read(path)
             for n, path in (kv.split("=", 1) for kv in args.lookup)
         },
         existing={
-            n: spark.read.format(args.fmt).load(path)
+            n: _read(path)
             for n, path in (kv.split("=", 1) for kv in args.existing)
         },
     )
-    df = spark.read.format(args.fmt).load(args.input)
+    df = _read(args.input)
     runner = ValidationRunner(
         suite, ctx, row_id_col=row_id_col, part_id_col=part_id_col,
         run_id=args.run_id,
@@ -177,13 +192,9 @@ def main(argv=None) -> int:
     statuses = {r["part_id"]: r["status"] for r in verdicts.collect()}
     print(f"errors={n_err} warnings={n_warn} partitions={statuses}")
     if args.gated_append:
-        from smcchecker_spark.tables import IcebergTable, as_table
+        from smcchecker_spark.tables import sink_for
 
-        sink = (
-            IcebergTable(args.gated_append)
-            if args.fmt == "iceberg"
-            else as_table(args.gated_append)
-        )
+        sink = sink_for(args.gated_append, args.dest_fmt)
         if n_err == 0:
             sink.append(df)
             print(f"gated append: loaded -> {args.gated_append}")

@@ -161,13 +161,22 @@ def run_with_checkpoint(
     # source (hive parquet / Iceberg) the predicate prunes finished
     # partitions at the scan, so even the todo-listing reads zero bytes
     # of completed work (plan-asserted in test_checkpoint.py)
-    todo = sorted(
+    part_vals = [
         r[part_col]
         for r in resume_filter(df, done, part_col)
         .select(part_col)
         .distinct()
         .collect()
-    )
+    ]
+    if any(v is None for v in part_vals):
+        # NULL partition ids cannot be checkpointed (they belong to no
+        # wave and would be silently skipped by the isin wave filter) —
+        # fail loudly rather than finish "clean" with unvalidated rows
+        raise ValueError(
+            f"input has rows with NULL {part_col!r}; checkpointed runs "
+            "require a non-null partition id on every row"
+        )
+    todo = sorted(part_vals)
     if not todo:
         return set()
     per_wave = partitions_per_wave or len(todo)

@@ -150,6 +150,12 @@ def _inflate_exact(body: bytes, expected: int, what: str) -> bytes:
 
 def _pixels_from_scanlines(buf: bytes, w: int, h: int) -> np.ndarray:
     """Shared decode tail: decompressed scanline bytes → HxWx3 uint8."""
+    if w == 0 or h == 0:
+        # zero-pixel dimensions are rejected (not decoded to an empty
+        # array): the batch hashers size their per-shape stacks by the
+        # pixel count, and a validation engine should flag, not
+        # propagate, a degenerate image
+        raise ValueError("PNG has zero-pixel dimensions")
     rowlen = 1 + w * 3
     if len(buf) != h * rowlen:
         raise ValueError("PNG pixel payload has wrong size")
@@ -262,6 +268,11 @@ def _parse_fake_lossy(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("truncated FAKE-LOSSY payload")
     if shift < 1 or shift > 7:
         raise ValueError(f"bad FAKE-LOSSY shift {shift}")
+    if w == 0 or h == 0:
+        # a zero-pixel "image" is not an image; rejecting here keeps the
+        # batch hashers (phash/psnr per-shape group sizing divides by
+        # the pixel count) free of degenerate shapes
+        raise ValueError("FAKE-LOSSY payload has zero-pixel dimensions")
     return w, h, shift, _inflate_exact(body, h * w * 3, "FAKE-LOSSY")
 
 
@@ -446,7 +457,7 @@ def phash64_batch(arrs: list[np.ndarray]) -> np.ndarray:
     for (h, w), idxs in groups.items():
         ys, xs, areas = _block_bounds_8x8(h, w)
         per_img = h * w * 3 * 8  # float64 stack bytes per image
-        step = max(1, _PHASH_STACK_BYTES // per_img)
+        step = max(1, _PHASH_STACK_BYTES // max(per_img, 1))
         for lo in range(0, len(idxs), step):
             chunk = idxs[lo : lo + step]
             n = len(chunk)
@@ -488,7 +499,7 @@ def psnr_batch(arrs_a: list[np.ndarray], arrs_b: list[np.ndarray]) -> np.ndarray
         groups.setdefault(arrs_a[i].shape, []).append(i)
     for shape, idxs in groups.items():
         per_img = int(np.prod(shape)) * 8 * 2
-        step = max(1, _PHASH_STACK_BYTES // per_img)
+        step = max(1, _PHASH_STACK_BYTES // max(per_img, 1))
         for lo in range(0, len(idxs), step):
             chunk = idxs[lo : lo + step]
             a = np.stack([arrs_a[i] for i in chunk]).astype(np.float64)

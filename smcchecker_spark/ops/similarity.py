@@ -189,9 +189,6 @@ def brute_force_topk_partial(
 
     q_rows = queries.select(query_id_col, vec_col).collect()
     qids = [r[0] for r in q_rows]
-    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-    QT = Qn.T.copy()  # dim × nq
     nq = len(qids)
 
     out_schema = T.StructType(
@@ -203,6 +200,15 @@ def brute_force_topk_partial(
             T.StructField("score", T.DoubleType()),
         ]
     )
+    if nq == 0:
+        # np.linalg.norm(axis=1) on a 0-row query matrix raises; the
+        # plain form returns empty here, so must the partial form
+        return corpus.sparkSession.createDataFrame(
+            [], out_schema.add("rank", T.IntegerType())
+        )
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    QT = Qn.T.copy()  # dim × nq
 
     def partition_topk(batches):
         # per-query running candidates: (neighbor ids, scores), pruned to
@@ -222,8 +228,21 @@ def brute_force_topk_partial(
                 s = np.concatenate([cscores[j], S[:, j]])
                 i = np.concatenate([cids[j], ids])
                 if len(s) > k:
-                    # argpartition is O(m); exact order resolved at the end
-                    keep = np.argpartition(-s, k - 1)[:k]
+                    # prune by the SAME total order as the final rank —
+                    # (rounded score desc, neighbor id asc) — or the
+                    # partition can discard a row the plain form keeps.
+                    # argpartition on rounded scores finds the k-th
+                    # boundary in O(m); only the boundary tie group
+                    # needs the id sort (usually tiny)
+                    r = np.round(s, 6)
+                    kth = r[np.argpartition(-r, k - 1)[k - 1]]
+                    above = r > kth
+                    m = int(above.sum())
+                    at = np.flatnonzero(r == kth)
+                    take = sorted(at.tolist(), key=lambda t: i[t])[: k - m]
+                    keep = np.concatenate(
+                        [np.flatnonzero(above), np.asarray(take, dtype=np.int64)]
+                    )
                     s, i = s[keep], i[keep]
                 cscores[j], cids[j] = s, i
         if not any(len(s) for s in cscores):

@@ -282,14 +282,22 @@ def gated_append_tables(
             return None
     from smcchecker_spark.tables import as_table
 
+    from pyspark.sql import Observation
+
     counts: dict[str, int] = {}
     for name in order:
         ld = loads[name]
-        counts[name] = ld.df.count()
+        # checksum count via an observation on the WRITE action itself:
+        # a separate df.count() would re-run the table's whole (often
+        # UDF-bearing) plan a second time, and on a nondeterministic
+        # plan could disagree with what was actually appended
+        obs = Observation(f"gated_append_{run_id}_{name}")
+        observed = ld.df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
         if isinstance(ld.path, str) and fmt != "parquet":
-            ld.df.write.format(fmt).mode("append").save(ld.path)
+            observed.write.format(fmt).mode("append").save(ld.path)
         else:
-            as_table(ld.path).append(ld.df)
+            as_table(ld.path).append(observed)
+        counts[name] = int(obs.get["n_rows"])
     if tracking_path:
         spark = loads[order[0]].df.sparkSession
         spark.createDataFrame(

@@ -232,18 +232,20 @@ class StreamingValidator:
         # Micro-batches are bounded by the trigger config, so caching
         # one is safe where caching the whole table would not be.
         batch_df.persist()
-        violations = compile_suite(
-            batch_df,
-            self.suite,
-            self.ctx,
-            row_id_col=self.row_id_col,
-            part_id_col=self.part_id_col,
-            # whole-column gates need an extra aggregate action per batch;
-            # acceptable (micro-batches are small), same semantics as batch
-            apply_gates=True,
-        ).withColumn("batch_id", F.lit(batch_id))
-        violations.persist()
+        violations = None
         try:
+            violations = compile_suite(
+                batch_df,
+                self.suite,
+                self.ctx,
+                row_id_col=self.row_id_col,
+                part_id_col=self.part_id_col,
+                # whole-column gates need an extra aggregate action per
+                # batch; acceptable (micro-batches are small), same
+                # semantics as batch
+                apply_gates=True,
+            ).withColumn("batch_id", F.lit(batch_id))
+            violations.persist()
             if self.violations_path:
                 violations.write.mode("append").parquet(self.violations_path)
             if self.verdicts_path:
@@ -274,7 +276,8 @@ class StreamingValidator:
                 )
                 verdicts.write.mode("append").parquet(self.verdicts_path)
         finally:
-            violations.unpersist()
+            if violations is not None:
+                violations.unpersist()
             batch_df.unpersist()
 
     def start(

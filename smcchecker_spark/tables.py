@@ -105,6 +105,20 @@ def as_table(sink: "str | ParquetTable | IcebergTable"):
     return sink
 
 
+def sink_for(dest: str, fmt: str = "parquet"):
+    """Destination string + EXPLICIT sink format → table adapter.
+
+    The sink format is its own decision — a production-shaped run
+    validates staged parquet input and gated-appends into an Iceberg
+    prod table, so the INPUT format flag must never choose the sink
+    type."""
+    if fmt == "iceberg":
+        return IcebergTable(dest)
+    if fmt == "parquet":
+        return ParquetTable(dest)
+    raise ValueError(f"unsupported sink format {fmt!r} (parquet|iceberg)")
+
+
 def resume_filter(
     df: DataFrame, done_parts: set, part_col: str = "part_id"
 ) -> DataFrame:
@@ -117,4 +131,11 @@ def resume_filter(
     """
     if not done_parts:
         return df
-    return df.filter(~F.col(part_col).isin(list(done_parts)))
+    # NULL-safe: ~isin() is NULL (not true) for NULL partition values, so
+    # a plain negated isin would silently drop NULL-part rows from every
+    # resume wave — unvalidated rows passing the gate. NULL can never be
+    # a completed partition id, so it always stays in the todo set (and
+    # fails loudly downstream where wave grouping requires a part id).
+    return df.filter(
+        F.col(part_col).isNull() | ~F.col(part_col).isin(list(done_parts))
+    )

@@ -206,3 +206,26 @@ def test_orphan_metrics_cleaned(spark, images, tmp_path):
     assert os.path.isdir(store._metrics_path("rm2", 0))
     store.cleanup_orphan_waves(spark, "rm2")
     assert not os.path.isdir(store._metrics_path("rm2", 0))
+
+
+def test_null_part_id_rows_not_silently_skipped(spark, images, tmp_path):
+    """Regression (review): rows with NULL part_id failed ~isin(done) on
+    resume and silently vanished from every wave — the run finished
+    "clean" with unvalidated rows. resume_filter must keep NULL-part
+    rows in the todo set, and run_with_checkpoint must refuse them
+    loudly."""
+    from smcchecker_spark.tables import resume_filter
+
+    with_null = images.withColumn(
+        "part_id",
+        F.when(F.col("part_id") == 5, F.lit(None).cast("int")).otherwise(
+            F.col("part_id")
+        ),
+    )
+    kept = resume_filter(with_null, done_parts={0, 1}).select("part_id")
+    assert any(r["part_id"] is None for r in kept.collect())
+
+    store = CheckpointStore(str(tmp_path / "ckpt_null"))
+    runner = ValidationRunner(_suite(), run_id="rnull")
+    with pytest.raises(ValueError, match="NULL 'part_id'"):
+        run_with_checkpoint(runner, with_null, store, partitions_per_wave=2)

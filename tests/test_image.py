@@ -208,6 +208,47 @@ def test_decompression_bomb_bounded():
         ic.decode_png(png0)
 
 
+def test_zero_dimension_payloads_are_rowlevel_errors():
+    """Regression (review): a valid deflate stream behind a 0-pixel
+    header used to decode to an empty array and crash phash64_batch
+    (ZeroDivisionError in the stack-step sizing) — killing the whole
+    task instead of flagging the row. Zero-dim payloads must be
+    per-row decode errors."""
+    import struct
+    import zlib
+
+    import pandas as pd
+
+    from smcchecker_spark.image import decode_facts_batches
+
+    ihdr0 = struct.pack(">IIBBBBB", 4, 0, 8, 2, 0, 0, 0)  # w=4, h=0
+    png0 = (
+        ic.PNG_SIG
+        + ic._chunk(b"IHDR", ihdr0)
+        + ic._chunk(b"IDAT", zlib.compress(b""))
+        + ic._chunk(b"IEND", b"")
+    )
+    fl0 = (
+        ic.JPEG_SOI + ic.FAKE_LOSSY_TAG
+        + struct.pack(">HHB", 0, 4, 2)
+        + struct.pack(">I", len(zlib.compress(b""))) + zlib.compress(b"")
+        + ic.JPEG_EOI
+    )
+    for payload in (png0, fl0):
+        with pytest.raises(ValueError, match="zero-pixel"):
+            ic.decode_image(payload)
+    # end-to-end through the UDF core, mixed with a good image: no crash,
+    # per-row errors, good row still hashed
+    rng = np.random.default_rng(41)
+    good = ic.encode_png(rng.integers(0, 256, (5, 5, 3), dtype=np.uint8))
+    out = pd.concat(
+        decode_facts_batches(iter([pd.Series([png0, good, fl0])])),
+        ignore_index=True,
+    )
+    assert list(out["ok"]) == [False, True, False]
+    assert "zero-pixel" in out["err"][0] and "zero-pixel" in out["err"][2]
+
+
 def test_dequant_lut_matches_formula():
     """The LUT gather must equal the original clip((q<<s)|mid) formula
     for every (q, shift) — including corrupt-payload q values that

@@ -262,6 +262,36 @@ def test_brute_force_topk_partial_matches_plain(spark, vectors):
     assert p == q and len(p) == 12
 
 
+def test_brute_force_topk_partial_tie_break_parity(spark):
+    """Regression (review): the per-partition prune must keep the SAME
+    rows the final (rounded score desc, id asc) rank keeps — duplicate
+    embeddings competing for the last k slots used to be dropped
+    arbitrarily by the unrounded argpartition. 8 identical vectors
+    spread across partitions + k=3 forces the boundary-tie path."""
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [(i, base) for i in range(8)]  # all ties at score 1.0
+    rows += [(100 + i, [0.0, 1.0, 0.0, 0.0]) for i in range(4)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(5)
+    queries = spark.createDataFrame(
+        [(0, base)], "query_id long, embedding array<double>"
+    )
+    plain = similarity.brute_force_topk(corpus, queries, k=3, vec_col="embedding")
+    part = similarity.brute_force_topk_partial(corpus, queries, k=3, vec_col="embedding")
+    p = [(r["neighbor_id"], r["rank"]) for r in plain.orderBy("rank").collect()]
+    q = [(r["neighbor_id"], r["rank"]) for r in part.orderBy("rank").collect()]
+    assert p == q == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_brute_force_topk_partial_empty_queries(spark, vectors):
+    empty_q = vectors.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk_partial(vectors, empty_q, k=3, vec_col="embedding")
+    assert out.count() == 0
+
+
 def test_lsh_multiprobe_exhaustive_equals_brute_force(spark, vectors):
     """probe_hamming = n_planes probes every bucket → exact = brute force
     (this is the oracle mode lsh_topk_exhaustive uses); probe_hamming=1
