@@ -190,7 +190,11 @@ def run_with_checkpoint(
         # partition-pruning predicate: on a partitioned source this skips
         # whole files/manifests, not just rows
         wave_df = df.filter(F.col(part_col).isin(batch))
-        result = runner.run(wave_df)
+        # full_scope: in-session dup detection (Unique) aggregates over
+        # the COMPLETE input, emitting only this wave's rows — per-wave
+        # scoping missed dup pairs whose members land in different waves
+        # (caught by the 500k crash+resume soak, BENCH.md)
+        result = runner.run(wave_df, full_scope=df)
         store.write_wave(runner.run_id, wave, result)
         result.violations.unpersist()
         processed.update(batch)

@@ -363,8 +363,14 @@ class Unique(JoinConstraint):
 
     def violations(self, df, ctx):
         keys = list(self.keys)
+        # duplicate keys are found over the FULL in-session table
+        # (ctx.full_scope) when validating a checkpoint-wave slice —
+        # otherwise a dup pair split across waves is invisible to both
+        # waves' per-slice aggregates. The agg side is column-pruned to
+        # the keys, so the extra per-wave pass scans ids, not data.
+        src = ctx.full_scope if ctx.full_scope is not None else df
         dup_keys = (
-            df.groupBy(*keys)
+            src.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > 1)
             .drop("__n")
@@ -566,6 +572,12 @@ class ValidationContext:
 
     lookups: dict[str, DataFrame] = field(default_factory=dict)
     existing: dict[str, DataFrame] = field(default_factory=dict)
+    # The COMPLETE in-session table when validation runs on a slice of it
+    # (checkpoint waves). In-session duplicate detection (Unique) must
+    # scope its key aggregate to the whole submission — per-slice scoping
+    # silently misses duplicate pairs that span slices. None = the df
+    # being validated IS the full scope.
+    full_scope: "DataFrame | None" = None
 
 
 @dataclass

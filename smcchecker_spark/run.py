@@ -89,13 +89,22 @@ class ValidationRunner:
             return F.col(self.part_id_col).cast("int")
         return F.spark_partition_id()
 
-    def run(self, df: DataFrame) -> ValidationResult:
+    def run(
+        self, df: DataFrame, full_scope: DataFrame | None = None
+    ) -> ValidationResult:
         started = datetime.now(timezone.utc)
 
+        ctx = self.ctx
+        if full_scope is not None:
+            # wave mode: df is a slice; in-session dup detection must
+            # aggregate over the whole submission (see ValidationContext)
+            from dataclasses import replace
+
+            ctx = replace(ctx, full_scope=full_scope)
         core = compile_suite(
             df,
             self.suite,
-            self.ctx,
+            ctx,
             tier="core",
             row_id_col=self.row_id_col,
             part_id_col=self.part_id_col,
@@ -121,7 +130,7 @@ class ValidationRunner:
             custom = compile_suite(
                 passing,
                 self.suite,
-                self.ctx,
+                ctx,
                 tier="custom",
                 row_id_col=self.row_id_col,
                 part_id_col=self.part_id_col,

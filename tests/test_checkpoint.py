@@ -229,3 +229,26 @@ def test_null_part_id_rows_not_silently_skipped(spark, images, tmp_path):
     runner = ValidationRunner(_suite(), run_id="rnull")
     with pytest.raises(ValueError, match="NULL 'part_id'"):
         run_with_checkpoint(runner, with_null, store, partitions_per_wave=2)
+
+
+def test_unique_scopes_to_full_table_across_waves(spark, tmp_path):
+    """Regression (500k soak): a duplicate key pair whose members land in
+    DIFFERENT checkpoint waves must still be flagged — per-wave Unique
+    aggregation silently missed cross-wave dup pairs."""
+    from smcchecker_spark.constraints import Unique
+
+    rows = [(f"id{i:03d}", i % 4, f"c{i}") for i in range(40)]
+    rows.append(("id001", 3, "dup-in-far-partition"))  # id001 is in part 1
+    df = spark.createDataFrame(rows, "image_id string, part_id int, caption string")
+    suite = Suite("u", "images", [Unique(["image_id"])])
+
+    # waves of ONE partition → the dup pair spans waves by construction
+    store = CheckpointStore(str(tmp_path / "ckpt_xwave"))
+    runner = ValidationRunner(suite, run_id="xw")
+    run_with_checkpoint(runner, df, store, partitions_per_wave=1)
+    flagged = {
+        (r["row_id"], r["part_id"])
+        for r in store.violations(spark, "xw").collect()
+    }
+    # both members of the pair flagged, each in its own partition's wave
+    assert flagged == {("id001", 1), ("id001", 3)}
