@@ -212,6 +212,12 @@ class StreamingValidator:
     (plus a ``batch_id`` lineage column); ``verdicts_path`` one row per
     (batch_id, part_id) — the per-partition pass/fail contract at
     micro-batch granularity.
+
+    Scope note: join-level checks (Unique) see ONE micro-batch — that is
+    the streaming semantic by design (a stream has no "whole table").
+    Cross-batch duplicate suppression is the separate watermark-bounded
+    ``streaming_dedup`` operator; batch/wave runs get whole-submission
+    dup scope via ``ValidationContext.full_scope``.
     """
 
     suite: Suite
