@@ -192,8 +192,16 @@ def compile_suite(
     whole-column preconditions (IntRange's parse gate).
     """
     ctx = ctx or ValidationContext()
+    # whole-COLUMN gates (IntRange's all-values-parse precondition) are a
+    # full-table decision in the reference (proj/core/metadata.py:237-245)
+    # — when validating a checkpoint-wave slice, evaluate them over the
+    # complete in-session table, or a wave whose slice happens to parse
+    # would run a check the whole-table gate suppresses
+    gate_df = ctx.full_scope if ctx.full_scope is not None else df
     gates = (
-        evaluate_preconditions(df, suite.active(tier)) if apply_gates else {}
+        evaluate_preconditions(gate_df, suite.active(tier))
+        if apply_gates
+        else {}
     )
     parts: list[DataFrame] = []
     row_pass = compile_row_pass(df, suite, tier, row_id_col, part_id_col, gates)

@@ -252,3 +252,30 @@ def test_unique_scopes_to_full_table_across_waves(spark, tmp_path):
     }
     # both members of the pair flagged, each in its own partition's wave
     assert flagged == {("id001", 1), ("id001", 3)}
+
+
+def test_intrange_parse_gate_scopes_to_full_table_across_waves(spark, tmp_path):
+    """The whole-column parse gate (reference: metadata.py:237-245) is a
+    FULL-TABLE decision: a wave whose slice happens to parse cleanly must
+    not run the int-range check when another wave holds an unparseable
+    value."""
+    from smcchecker_spark.constraints import IntRange
+
+    rows = [("a", 0, "99999999999"), ("b", 1, "5"), ("c", 1, "oops")]
+    df = spark.createDataFrame(rows, "image_id string, part_id int, v string")
+    suite = Suite("g", "t", [IntRange("v", width="int2")])
+
+    # single-wave run: the 'oops' value trips the gate → no violations
+    store = CheckpointStore(str(tmp_path / "ckpt_gate1"))
+    run_with_checkpoint(
+        ValidationRunner(suite, run_id="g1"), df, store, partitions_per_wave=2
+    )
+    assert store.violations(spark, "g1").count() == 0
+
+    # one-partition waves: partition 0 alone parses cleanly, but the gate
+    # must still see partition 1's 'oops' and suppress the check
+    store2 = CheckpointStore(str(tmp_path / "ckpt_gate2"))
+    run_with_checkpoint(
+        ValidationRunner(suite, run_id="g2"), df, store2, partitions_per_wave=1
+    )
+    assert store2.violations(spark, "g2").count() == 0
