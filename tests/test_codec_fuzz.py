@@ -108,3 +108,33 @@ def test_phash_reduceat_matches_loop(h, w, seed):
             want[bi, bj] = g[y0:y1, x0:x1].mean()
     got = ic._block_mean_8x8(g)
     assert np.allclose(got, want, rtol=0, atol=1e-9)
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.binary(min_size=0, max_size=256), seed=st.integers(0, 2**31))
+def test_batch_slot_isolation_with_hostile_payload(data, seed):
+    """decode_image_batch shares one dequantize buffer across a batch's
+    fake-lossy payloads — a hostile payload anywhere in the batch must
+    not shift, corrupt, or fail any OTHER slot (offsets are derived only
+    from successfully parsed payloads)."""
+    a, b, c = _arr(9, 7, seed), _arr(5, 5, seed ^ 1), _arr(3, 13, seed ^ 2)
+    batch = [
+        ic.encode_fake_lossy(a),
+        bytes(data),
+        ic.encode_png(b),
+        ic.encode_fake_lossy(c),
+        None,
+    ]
+    arrs, fmts, errs = ic.decode_image_batch(batch)
+    assert np.array_equal(arrs[0], ic.decode_fake_lossy(batch[0]))
+    assert np.array_equal(arrs[2], b)
+    assert np.array_equal(arrs[3], ic.decode_fake_lossy(batch[3]))
+    assert errs[4] == "null payload"
+    # the hostile slot either decodes to a valid array or errors — and
+    # matches exactly what the scalar path says about the same bytes
+    try:
+        ref, ref_fmt = ic.decode_image(batch[1])
+        assert errs[1] is None and fmts[1] == ref_fmt
+        assert np.array_equal(arrs[1], ref)
+    except ValueError as e:
+        assert arrs[1] is None and errs[1] == str(e)
