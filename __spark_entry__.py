@@ -30,7 +30,8 @@ from smcchecker_spark.constraints import (
     ValidationContext,
 )
 from smcchecker_spark.compile import compile_suite
-from smcchecker_spark.ops import dedup, similarity
+from smcchecker_spark.ops import contamination, dedup, pack, similarity
+from smcchecker_spark.ops import sample as sample_ops
 from smcchecker_spark.ops import text as text_ops
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -1539,6 +1540,182 @@ def q_images_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline: deterministic sampling / splits, repetition
+# quality, decontamination, sequence packing
+# ---------------------------------------------------------------------------
+
+
+def q_det_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content hash — stable under
+    re-runs, resume, and repartitioning (ops/sample.py). Map-only."""
+    docs = _t(spark, sf_dir, "documents")
+    return sample_ops.det_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+_DET_SPLIT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN (('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 15))::BIGINT
+                  % 1000000) < 100000 THEN 'test'
+            WHEN (('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 15))::BIGINT
+                  % 1000000) < 900000 THEN 'train'
+            ELSE 'val' END AS split
+FROM documents
+"""
+
+
+def q_mix_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix sampling: per-language deterministic sample sized so
+    each language contributes ~share×budget characters (ops/sample.py
+    budget_mix_sample: one tiny groupBy + a map-only filter)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sample_ops.budget_mix_sample(
+        docs,
+        "doc_id",
+        "lang",
+        "n_chars",
+        {"en": 0.5, "de": 0.2, "fr": 0.2, "zh": 0.1},
+        budget=30000.0,
+    )
+
+
+_MIX_BUDGET_ORACLE = """
+WITH totals AS (SELECT lang, sum(n_chars) AS t FROM documents GROUP BY 1),
+shares(lang, share) AS (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.2), ('zh', 0.1)),
+fr AS (SELECT lang, least(1.0, (share * 30000.0) / t) AS f
+       FROM totals JOIN shares USING (lang))
+SELECT d.* FROM documents d LEFT JOIN fr USING (lang)
+WHERE (('0x' || substr(md5('mix' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000)
+      < coalesce(CAST(trunc(f * 1000000) AS BIGINT), 0)
+"""
+
+
+def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition metrics, one fused projection
+    (ops/text.py repetition_features): dup-word / dup-bigram fractions
+    and top-word share."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_ops.repetition_features(docs).drop("text")
+
+
+_REPETITION_ORACLE = r"""
+WITH tkarr AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+wc AS (
+  SELECT doc_id, sum(cnt) AS n, count(*) AS nd, max(cnt) AS top
+  FROM (SELECT doc_id, w, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(t) AS w FROM tkarr) GROUP BY 1, 2)
+  GROUP BY 1
+),
+bgc AS (
+  SELECT doc_id, sum(cnt) AS n, count(*) AS nd
+  FROM (SELECT doc_id, g, count(*) AS cnt
+        FROM (SELECT doc_id,
+                     unnest([array_to_string(t[i+1:i+2], ' ')
+                             for i in range(0, greatest(len(t)-2, 0)+1)]) AS g
+              FROM tkarr) GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(wc.n, 0) AS INT) AS n_tokens,
+       round(coalesce((wc.n - wc.nd) / greatest(wc.n, 1), 0), 6) AS dup_word_frac,
+       round(coalesce((bgc.n - bgc.nd) / greatest(bgc.n, 1), 0), 6) AS dup_bigram_frac,
+       round(coalesce(wc.top / greatest(wc.n, 1), 0), 6) AS top_word_frac
+FROM documents d
+LEFT JOIN wc ON d.doc_id = wc.doc_id
+LEFT JOIN bgc ON d.doc_id = bgc.doc_id
+"""
+
+
+def _bench_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic stand-in benchmark/eval set: every 13th document."""
+    return docs.filter(F.col("doc_id") % 13 == 0)
+
+
+def q_contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scores: per-doc word-3-shingle overlap
+    against the benchmark set (ops/contamination.py — one corpus scan,
+    broadcast benchmark shingles)."""
+    docs = _t(spark, sf_dir, "documents")
+    return contamination.shingle_overlap(docs, _bench_docs(docs), "doc_id")
+
+
+_CONTAMINATION_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i+1:i+3], ' ')
+                        for i in range(0, greatest(len(t)-3, 0)+1)]) AS s
+  FROM tk
+),
+ex AS (SELECT doc_id, unnest(s) AS s FROM sh),
+bsh AS (SELECT DISTINCT s FROM ex WHERE doc_id % 13 = 0 AND s <> ''),
+hits AS (SELECT ex.doc_id, count(*) AS n FROM ex JOIN bsh USING (s) GROUP BY 1),
+base AS (
+  SELECT d.doc_id, coalesce(len(sh.s), 1) AS n_shingles
+  FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+)
+SELECT base.doc_id AS id,
+       CAST(n_shingles AS INT) AS n_shingles,
+       CAST(coalesce(hits.n, 0) AS INT) AS n_hits,
+       round(coalesce(hits.n, 0) / greatest(n_shingles, 1), 6) AS overlap
+FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
+"""
+
+
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end decontamination: corpus minus every doc sharing any
+    word-3-shingle with the benchmark set."""
+    docs = _t(spark, sf_dir, "documents")
+    return contamination.decontaminate(docs, _bench_docs(docs), "doc_id")
+
+
+_DECONTAMINATE_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+ex AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(t[i+1:i+3], ' ')
+                               for i in range(0, greatest(len(t)-3, 0)+1)])) AS s
+  FROM tk
+),
+bsh AS (SELECT DISTINCT s FROM ex WHERE doc_id % 13 = 0 AND s <> ''),
+bad AS (SELECT DISTINCT ex.doc_id FROM ex JOIN bsh USING (s))
+SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+def q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate-then-chop bin assignment by global
+    prefix sum over doc_id order — distributed two-pass prefix sum, no
+    single-partition window (ops/pack.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return pack.pack_sequences(
+        docs, "doc_id", "n_chars", capacity=4096, num_ranges=8
+    ).select("doc_id", "bin_id", "bin_offset")
+
+
+_PACK_ORACLE = """
+SELECT doc_id,
+       CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096
+            AS BIGINT) AS bin_id,
+       CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS bin_offset
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -1594,6 +1771,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "engine_caption_parity": q_engine_caption_parity,
         "images_validate": q_images_validate,
+        "det_split_docs": q_det_split_docs,
+        "mix_budget_docs": q_mix_budget_docs,
+        "repetition_docs": q_repetition_docs,
+        "contamination_docs": q_contamination_docs,
+        "decontaminate_docs": q_decontaminate_docs,
+        "pack_docs": q_pack_docs,
     }
 
 
@@ -1646,6 +1829,12 @@ def oracle_sql() -> dict[str, str]:
         # so the banded pairing is brute-force value-checked
         "phash_neardup_events": _PHASH_NEARDUP_ORACLE,
         "phash_dedup_resolve_events": _PHASH_RESOLVE_ORACLE,
+        "det_split_docs": _DET_SPLIT_ORACLE,
+        "mix_budget_docs": _MIX_BUDGET_ORACLE,
+        "repetition_docs": _REPETITION_ORACLE,
+        "contamination_docs": _CONTAMINATION_ORACLE,
+        "decontaminate_docs": _DECONTAMINATE_ORACLE,
+        "pack_docs": _PACK_ORACLE,
         # rows-only (approximate / non-SQL-expressible): column_stats_approx,
         #   lsh_topk_embeddings, simhash_neardup_docs, images_validate
     }

@@ -1,0 +1,167 @@
+"""Deterministic sampling and split assignment for training-data pipelines.
+
+Everything here is a pure narrow projection — NO shuffle, NO rand().
+Training pipelines need splits/samples that are
+
+- **stable under re-runs and resume**: a checkpoint-resumed job must put
+  every row in the same split as the first attempt (``F.rand`` re-draws
+  per task attempt; a content hash never moves),
+- **stable under repartitioning**: adding executors or compacting files
+  must not change membership (per-partition RNG streams do),
+- **independent across uses**: the dedup fingerprint and the split
+  bucket must not correlate (salt the hash per purpose).
+
+The bucket function is md5-based so an ANSI-SQL oracle (DuckDB) can
+reproduce every assignment bit-for-bit — the whole module is
+oracle-checkable, unlike RNG sampling.
+
+Reference parity note: the reference engine (SCCWRP/smcchecker) has no
+sampling surface — this is part of the beyond-reference training-data
+pipeline layer the brief asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 10^6 buckets: split fractions are honored to ±1e-6 of the hash space,
+# and 15 hex digits (60 bits) of md5 keep the bucket math in a BIGINT so
+# the DuckDB oracle expression ('0x'||substr(md5(x),1,15))::BIGINT matches.
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(col: Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 1e6) from the md5 of ``salt || value``.
+
+    md5 (not xxhash64) is deliberate: it exists with identical semantics
+    in every SQL engine, so assignments are portable and auditable. The
+    hash runs once per row inside whole-stage codegen — for a 10^12-row
+    scan this is a map-only pass, no exchange.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (h % _BUCKETS).cast("int")
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by content hash of ``id_col``.
+
+    The filter is a plain comparison on a codegen'd expression, so it
+    pushes below everything Catalyst can move it below and costs one
+    map-only pass. Unlike ``df.sample`` the selection is a FUNCTION OF
+    THE ROW — re-runs, resumes, and repartitions keep the same rows.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.filter(hash_bucket(F.col(id_col), salt) < int(fraction * _BUCKETS))
+
+
+def det_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label (train/val/test/...) by hash range.
+
+    ``fractions`` maps label → share; shares must sum to 1 (±1e-9).
+    Labels are assigned to contiguous bucket ranges in SORTED label
+    order, so the mapping is a pure function of (id, salt, fractions) —
+    documented and reproducible by the SQL oracle. One CASE expression,
+    map-only; at 10^12 rows this adds nothing to the scan.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    b = hash_bucket(F.col(id_col), salt)
+    expr = None
+    hi = 0
+    for label in sorted(fractions):
+        hi += int(round(fractions[label] * _BUCKETS))
+        cond = b < F.lit(hi)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(
+            cond, F.lit(label)
+        )
+    # rounding can leave a sliver of buckets above the last boundary;
+    # fold it into the (sorted-) last label so every row gets a split
+    last = sorted(fractions)[-1]
+    return df.withColumn(split_col, expr.otherwise(F.lit(last)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the scalable ``sampleBy``).
+
+    ``fractions`` maps stratum value → keep fraction; strata not listed
+    keep ``default_fraction``. The per-stratum threshold is a literal
+    CASE map — no join, no shuffle, map-only — so skewed strata cost
+    nothing extra (contrast ``sampleBy``, which is also map-only but
+    RNG-based and thus unstable under retry/resume).
+    """
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0,1], got {v}")
+    pairs: list[Column] = []
+    for k in sorted(fractions):
+        pairs.append(F.lit(str(k)))
+        pairs.append(F.lit(int(fractions[k] * _BUCKETS)))
+    thresh = F.coalesce(
+        F.create_map(*pairs)[F.col(strata_col).cast("string")],
+        F.lit(int(default_fraction * _BUCKETS)),
+    )
+    return df.filter(hash_bucket(F.col(id_col), salt) < thresh)
+
+
+def budget_mix_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weight_col: str,
+    target_shares: dict[str, float],
+    budget: float,
+    salt: str = "mix",
+) -> DataFrame:
+    """Sample a training MIX: pick rows so each stratum contributes
+    ~``target_shares[stratum] * budget`` total ``weight_col`` (e.g.
+    tokens), assuming per-stratum weight is roughly i.i.d. across rows.
+
+    Two stages:
+
+    1. one groupBy on the stratum → per-stratum totals (output is
+       |strata| rows — tiny; partial aggregation absorbs stratum skew),
+       collected to the driver to compute keep fractions
+       ``min(1, share*budget/total)``;
+    2. :func:`stratified_hash_sample` with those fractions — map-only.
+
+    The collect is bounded by the number of strata (sources/domains:
+    thousands at most), never by rows — this is the legitimate
+    "aggregate to driver, broadcast a literal plan back" pattern.
+    Oversubscribed strata (share*budget > available weight) keep
+    everything; honoring the budget exactly would require upsampling,
+    which is a caller decision.
+    """
+    totals = {
+        r["s"]: r["w"]
+        for r in df.groupBy(F.col(strata_col).cast("string").alias("s"))
+        .agg(F.sum(weight_col).alias("w"))
+        .collect()
+    }
+    fractions = {
+        s: min(1.0, (share * budget) / totals[s])
+        for s, share in target_shares.items()
+        if s in totals and totals[s] and totals[s] > 0
+    }
+    return stratified_hash_sample(df, id_col, strata_col, fractions, salt=salt)

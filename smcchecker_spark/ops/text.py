@@ -112,6 +112,81 @@ def lang_id(col: Column) -> Column:
     )
 
 
+def raw_word_shingles(col: Column, k: int = 2) -> Column:
+    """k-word shingles WITHOUT dedup (for repetition metrics, which need
+    multiplicity; :func:`word_shingles` dedups for MinHash)."""
+    tk = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - k, F.lit(0)))
+    return F.when(F.size(tk) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(tk, i + 1, k), " "))
+    )
+
+
+def dup_word_fraction(col: Column) -> Column:
+    """Fraction of token occurrences that repeat an earlier token:
+    (n - n_distinct) / n. 0 for empty docs. One of the Gopher-style
+    repetition signals ("Scaling Language Models", Rae et al. 2021,
+    §A1.1) used to drop boilerplate/spam before training."""
+    tk = tokens(col)
+    n = F.size(tk)
+    return F.round(
+        (n - F.size(F.array_distinct(tk))) / F.greatest(n, F.lit(1)), 6
+    )
+
+
+def dup_shingle_fraction(col: Column, k: int = 2) -> Column:
+    """Fraction of word k-gram occurrences that are repeats — catches
+    looped phrases that word-level dedup misses."""
+    sh = raw_word_shingles(col, k)
+    n = F.size(sh)
+    return F.round(
+        (n - F.size(F.array_distinct(sh))) / F.greatest(n, F.lit(1)), 6
+    )
+
+
+def top_word_fraction(col: Column) -> Column:
+    """Share of the single most frequent token: max multiplicity / n.
+
+    Computed as the longest run in the SORTED token array via one
+    ``aggregate`` fold — O(n log n) per row, no explode/groupBy (an
+    exploded formulation shuffles one row per token: |corpus|×|doc len|
+    rows through an exchange, versus zero exchanges here). The fold is
+    an interpreted HOF, but it runs on ≤ doc-length arrays inside the
+    same projection as the other features — still one scan.
+    """
+    tk = F.array_sort(tokens(col))
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, w: Column) -> Column:
+        run = F.when(w.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            w.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    best = F.aggregate(tk, zero, step, lambda acc: acc["best"])
+    return F.round(best / F.greatest(F.size(tk), F.lit(1)), 6)
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition metrics, fused into one
+    projection (single scan, zero exchanges): duplicate-word fraction,
+    duplicate-bigram fraction, top-word share. Pipelines threshold these
+    to drop template/spam documents before dedup and training."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "dup_word_frac": dup_word_fraction(c),
+            "dup_bigram_frac": dup_shingle_fraction(c, 2),
+            "top_word_frac": top_word_fraction(c),
+        }
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of case/whitespace-
     normalized text (md5 so a DuckDB oracle matches bit-for-bit)."""

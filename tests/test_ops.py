@@ -37,6 +37,32 @@ def test_text_features(spark, docs):
     assert feats[0]["fingerprint"] != feats[2]["fingerprint"]
 
 
+def test_repetition_features(spark):
+    rows = [
+        (1, "spam spam spam spam"),          # one token repeated 4×
+        (2, "a b c d"),                      # all distinct
+        (3, "go stop go stop go stop"),      # looped bigram
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.repetition_features(df).collect()}
+    assert got[1]["dup_word_frac"] == 0.75 and got[1]["top_word_frac"] == 1.0
+    assert got[2]["dup_word_frac"] == 0.0 and got[2]["top_word_frac"] == 0.25
+    # "go stop" ×3 among 5 bigrams: 3 distinct bigrams → (5-3)/5
+    assert got[3]["dup_bigram_frac"] == 0.6
+    assert got[4]["dup_word_frac"] == 0.0 and got[4]["top_word_frac"] == 0.0
+    assert got[5]["n_tokens"] == 0 and got[5]["dup_bigram_frac"] == 0.0
+
+
+def test_repetition_features_single_scan(spark):
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    plan = (
+        text.repetition_features(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_exact_dedup(spark, docs):
     groups = dedup.exact_duplicates(docs, "doc_id")
     got = {r["doc_id"]: r["group_size"] for r in groups.collect()}

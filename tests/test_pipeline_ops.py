@@ -1,0 +1,231 @@
+"""Tests for the training-data pipeline ops: deterministic sampling /
+splits (ops/sample.py), sequence packing (ops/pack.py), and benchmark
+decontamination (ops/contamination.py)."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from smcchecker_spark.ops import contamination as CT
+from smcchecker_spark.ops import pack
+from smcchecker_spark.ops import sample as S
+
+
+# ---------------------------------------------------------------------------
+# ops/sample.py
+# ---------------------------------------------------------------------------
+
+
+def test_det_split_covers_every_row_and_is_stable(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = S.det_split(df, "doc_id", fr).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in out}
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # shares within a loose tolerance (hash uniformity, n=2000)
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+
+    # partitioning-independence: same labels at 1 and 7 partitions
+    a = S.det_split(df.coalesce(1), "doc_id", fr).collect()
+    b = S.det_split(df.repartition(7), "doc_id", fr).collect()
+    assert {(r["doc_id"], r["split"]) for r in a} == {
+        (r["doc_id"], r["split"]) for r in b
+    }
+
+
+def test_det_split_validates_fractions(spark):
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        S.det_split(df, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_hash_sample_nested_and_disjoint_by_salt(spark):
+    df = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    q = {r["doc_id"] for r in S.hash_sample(df, "doc_id", 0.25).collect()}
+    h = {r["doc_id"] for r in S.hash_sample(df, "doc_id", 0.5).collect()}
+    # same salt → samples are NESTED (bucket < t1 ⊂ bucket < t2): growing
+    # the sample keeps everything already selected — resume-friendly
+    assert q <= h
+    assert abs(len(h) / 3000 - 0.5) < 0.04
+    # different salt → decorrelated selection
+    other = {r["doc_id"] for r in S.hash_sample(df, "doc_id", 0.5, salt="x").collect()}
+    overlap = len(h & other) / 3000
+    assert 0.15 < overlap < 0.35  # ~0.25 if independent
+
+
+def test_hash_sample_is_map_only(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = S.hash_sample(df, "doc_id", 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_hash_sample_per_stratum(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 2).cast("string").alias("s")
+    )
+    out = S.stratified_hash_sample(df, "doc_id", "s", {"0": 0.5, "1": 0.1})
+    counts = {r["s"]: r["count"] for r in out.groupBy("s").count().collect()}
+    assert abs(counts["0"] / 2000 - 0.5) < 0.06
+    assert abs(counts["1"] / 2000 - 0.1) < 0.04
+    # unlisted strata default to 0 kept
+    df2 = df.withColumn("s", F.lit("zz"))
+    assert S.stratified_hash_sample(df2, "doc_id", "s", {"0": 0.5}).count() == 0
+
+
+def test_budget_mix_sample_hits_target_weights(spark):
+    # two strata, weight 10 per row → totals a=10000, b=5000
+    df = spark.range(0, 1500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, "a").otherwise("b").alias("src"),
+        F.lit(10).alias("w"),
+    )
+    out = S.budget_mix_sample(
+        df, "doc_id", "src", "w", {"a": 0.5, "b": 0.5}, budget=6000.0
+    )
+    got = {
+        r["src"]: r["t"]
+        for r in out.groupBy("src").agg(F.sum("w").alias("t")).collect()
+    }
+    # each stratum should contribute ~3000 weight (0.5 × 6000)
+    assert abs(got["a"] - 3000) / 3000 < 0.15
+    assert abs(got["b"] - 3000) / 3000 < 0.15
+    # oversubscribed stratum keeps everything instead of upsampling
+    out2 = S.budget_mix_sample(
+        df, "doc_id", "src", "w", {"b": 1.0}, budget=1_000_000.0
+    )
+    assert out2.filter(F.col("src") == "b").count() == 500
+    assert out2.filter(F.col("src") == "a").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ops/pack.py
+# ---------------------------------------------------------------------------
+
+
+def _single_window_reference(df, order_col, size_col, capacity):
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(
+        F.sum(F.coalesce(F.col(size_col).cast("long"), F.lit(0))).over(w), F.lit(0)
+    )
+    return df.select(
+        order_col,
+        F.floor(start / capacity).cast("long").alias("bin_id"),
+        start.cast("long").alias("bin_offset"),
+    )
+
+
+def test_pack_matches_single_window_reference(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"])
+        for r in pack.pack_sequences(
+            docs, "doc_id", "n_chars", 4096, num_ranges=8
+        ).select("doc_id", "bin_id", "bin_offset").collect()
+    }
+    exp = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"])
+        for r in _single_window_reference(docs, "doc_id", "n_chars", 4096).collect()
+    }
+    assert got == exp
+
+
+def test_pack_invariant_to_range_count(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 97 + 1).alias("sz")
+    )
+    ref = None
+    for p in (1, 3, 16):
+        got = sorted(
+            (r["k"], r["bin_id"], r["bin_offset"])
+            for r in pack.pack_sequences(df, "k", "sz", 256, num_ranges=p).collect()
+        )
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref
+
+
+def test_pack_no_single_partition_exchange(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), F.lit(7).alias("sz")
+    )
+    packed = pack.pack_sequences(df, "k", "sz", 64, num_ranges=8)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_pack_null_sizes_and_oversized_rows(spark):
+    rows = [(1, None), (2, 50), (3, 500), (4, 10)]  # capacity 100; row 3 straddles
+    df = spark.createDataFrame(rows, "k int, sz int")
+    got = {
+        r["k"]: (r["bin_id"], r["bin_offset"])
+        for r in pack.pack_sequences(df, "k", "sz", 100, num_ranges=2).collect()
+    }
+    # starts: k1@0, k2@0, k3@50, k4@550
+    assert got == {1: (0, 0), 2: (0, 0), 3: (0, 50), 4: (5, 550)}
+    with pytest.raises(ValueError):
+        pack.pack_sequences(df, "k", "sz", 0)
+
+
+def test_bin_fill_stats(spark):
+    df = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(10).alias("sz"))
+    packed = pack.pack_sequences(df, "k", "sz", 50, num_ranges=4)
+    stats = pack.bin_fill_stats(packed, "sz", capacity=50).collect()
+    assert all(r["n_docs"] == 5 and r["total_size"] == 50 and r["fill"] == 1.0
+               for r in stats)
+    assert len(stats) == 20
+
+
+# ---------------------------------------------------------------------------
+# ops/contamination.py
+# ---------------------------------------------------------------------------
+
+
+def test_shingle_overlap_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),     # shares 'alpha beta gamma'
+            (2, "zeta eta theta iota kappa"),          # no overlap
+            (3, ""),                                   # empty → 0, survives
+            (4, "alpha beta gamma"),                   # the full bench doc
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame([(99, "alpha beta gamma")], "doc_id int, text string")
+    got = {r["id"]: (r["n_hits"], r["overlap"])
+           for r in CT.shingle_overlap(docs, bench, "doc_id").collect()}
+    assert got[1][0] == 1 and got[1][1] > 0
+    assert got[2] == (0, 0.0)
+    assert got[3] == (0, 0.0)
+    assert got[4] == (1, 1.0)
+
+
+def test_decontaminate_drops_only_hits(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w v"), (3, "")],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id int, text string")
+    kept = {r["doc_id"] for r in CT.decontaminate(docs, bench, "doc_id").collect()}
+    assert kept == {2, 3}
+
+
+def test_shingle_overlap_shuffle_fallback_parity(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(40)],
+        "doc_id int, text string",
+    )
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    a = sorted(map(tuple, CT.shingle_overlap(docs, bench, "doc_id").collect()))
+    b = sorted(map(tuple, CT.shingle_overlap(
+        docs, bench, "doc_id", broadcast_bench=False).collect()))
+    assert a == b
+
+
+def test_empty_bench_contaminates_nothing(spark):
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id int, text string")
+    bench = spark.createDataFrame([(9, "")], "doc_id int, text string")
+    got = CT.shingle_overlap(docs, bench, "doc_id").collect()
+    assert got[0]["n_hits"] == 0
+    assert CT.decontaminate(docs, bench, "doc_id").count() == 1
