@@ -198,6 +198,34 @@ def _steal_jiffies() -> int:
 QUIET_STEAL_RATE = float(os.environ.get("BENCH_QUIET_STEAL", "50"))
 
 
+def _hw_level(cores: int) -> float | None:
+    """Same-window hardware control: the engine's decode kernel as
+    ``cores`` independent taskset-pinned Python processes — no JVM, no
+    serde, no scheduler (tools/hw_ceiling.py). Returns images/sec, or
+    None when unavailable. ~6 s."""
+    if not PIN_CPUS or os.environ.get("BENCH_HW_CEILING", "1") != "1":
+        return None
+    try:
+        # best-of-3, mirroring the engine levels' best-of-N: both
+        # estimators answer "what does this level sustain in the best
+        # sub-window", so transient interference biases neither ratio
+        # side. A single 4 s probe measured ±20% run-to-run — noisier
+        # than the engine reading it is meant to normalize.
+        best = 0.0
+        for _ in range(3):
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "hw_ceiling.py"), "--_level", str(cores)],
+                capture_output=True, text=True, timeout=300,
+                env=dict(os.environ, HW_CEILING_SECONDS="3"),
+            )
+            best = max(best, float(out.stdout.strip().splitlines()[-1]))
+        return best
+    except Exception:
+        return None
+
+
 def _measure_scaling_pair(n: int) -> tuple[float, float, list[dict]]:
     """Matched-conditions scaling measurement. This shared box's
     steal-time drifts on a minutes scale, so a sequential A-then-B
@@ -205,6 +233,20 @@ def _measure_scaling_pair(n: int) -> tuple[float, float, list[dict]]:
     (observed efficiency swung 0.53–0.91 for the same binary). Instead:
     several ROUNDS, each timing local[n] then local[4n] back-to-back
     (same ambient window), efficiency + steal rate recorded per round.
+
+    The deliverable compute of this host additionally BREATHES ±20% on a
+    multi-minute scale WITHOUT showing up in /proc/stat steal (measured:
+    the Spark-free decode kernel's per-core rate moved 2.5k → 2.0k
+    img/s/core across an hour at steal < 5 j/s; a drift boundary landing
+    between a round's two levels makes the raw ratio read 0.59–1.15 for
+    identical code). So each level is bracketed by a same-window
+    HARDWARE CONTROL — the identical decode kernel as N independent
+    pinned Python processes (_hw_level) — and each round also reports
+    ``normalized_efficiency``: the engine:hardware throughput ratio at
+    4N divided by the same ratio at N. Host drift hits the control and
+    the engine alike and cancels; what remains is the engine's own
+    scaling loss (serde, scheduler, shuffle, GC). Raw numbers stay
+    reported — normalization is context, not replacement.
 
     Retry policy (advisor r1): extra rounds are gated on the INDEPENDENT
     quiet-window signal — the per-round /proc/stat steal rate — never on
@@ -218,23 +260,34 @@ def _measure_scaling_pair(n: int) -> tuple[float, float, list[dict]]:
     defect shows up as quiet-round efficiencies being low."""
     rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
     max_rounds = int(os.environ.get("BENCH_MAX_ROUNDS", str(max(rounds, 4))))
-    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    # best-of-3 per level: each level reading carries ±3-4% run-to-run
+    # variance (BENCH.md characterization); a third repeat tightens the
+    # downward tail of both levels before their ratio is taken
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     best = (0.0, 0.0)
     info: list[dict] = []
     while True:
         s0, t0 = _steal_jiffies(), time.time()
+        hw_n = _hw_level(n)
         thr_n = _validate_images_throughput(n, repeats)
+        hw_4n = _hw_level(4 * n)
         thr_4n = _validate_images_throughput(4 * n, repeats)
         steal_rate = (_steal_jiffies() - s0) / max(time.time() - t0, 1e-9)
-        info.append(
-            {
-                "efficiency": round((thr_4n / thr_n) / 4.0, 3),
-                "images_per_sec_n": round(thr_n, 1),
-                "images_per_sec_4n": round(thr_4n, 1),
-                "steal_rate": round(steal_rate, 1),
-                "quiet": steal_rate < QUIET_STEAL_RATE,
-            }
-        )
+        eff = (thr_4n / thr_n) / 4.0
+        rec = {
+            "efficiency": round(eff, 3),
+            "images_per_sec_n": round(thr_n, 1),
+            "images_per_sec_4n": round(thr_4n, 1),
+            "steal_rate": round(steal_rate, 1),
+            "quiet": steal_rate < QUIET_STEAL_RATE,
+        }
+        if hw_n and hw_4n:
+            hw_eff = (hw_4n / hw_n) / 4.0
+            rec["hw_images_per_sec_n"] = round(hw_n, 1)
+            rec["hw_images_per_sec_4n"] = round(hw_4n, 1)
+            rec["hw_efficiency"] = round(hw_eff, 3)
+            rec["normalized_efficiency"] = round(eff / hw_eff, 3)
+        info.append(rec)
         if thr_4n / thr_n > (best[1] / best[0] if best[0] else 0.0):
             best = (thr_n, thr_4n)
         if len(info) >= max_rounds:
@@ -312,6 +365,16 @@ def main() -> None:
                     "rounds": round_info,
                     "quiet_steal_rate_threshold": QUIET_STEAL_RATE,
                     "cpu_pinned": PIN_CPUS,
+                    # engine efficiency ÷ same-window Spark-free hardware
+                    # control efficiency, per round (see
+                    # _measure_scaling_pair docstring): the host's ±20%
+                    # multi-minute capacity drift hits both identically
+                    # and cancels, leaving the engine's own scaling loss
+                    "normalized_efficiency_quiet_rounds": [
+                        r["normalized_efficiency"]
+                        for r in round_info
+                        if r["quiet"] and "normalized_efficiency" in r
+                    ],
                 },
             }
         )
