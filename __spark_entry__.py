@@ -1693,6 +1693,60 @@ SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
+def q_scrub_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (clean.scrub_pii): deterministically plant an email
+    / phone / IPv4 into documents, then redact with typed placeholders
+    and per-kind counts — one fused map-only projection."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 1,
+                F.concat(F.lit(" reach user"), F.col("doc_id").cast("string"),
+                         F.lit("@mail.example.com")),
+            )
+            .when(
+                F.col("doc_id") % 7 == 2,
+                F.concat(F.lit(" call +1 555-000-"),
+                         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            )
+            .when(F.col("doc_id") % 7 == 3, F.lit(" host 10.1.2.3 up"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return clean.scrub_pii(planted)
+
+
+_SCRUB_PII_ORACLE = r"""
+WITH planted AS (
+  SELECT doc_id,
+         coalesce(text, '') ||
+         CASE WHEN doc_id % 7 = 1
+                THEN ' reach user' || doc_id::VARCHAR || '@mail.example.com'
+              WHEN doc_id % 7 = 2
+                THEN ' call +1 555-000-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+              WHEN doc_id % 7 = 3 THEN ' host 10.1.2.3 up'
+              ELSE '' END AS t
+  FROM documents
+),
+s1 AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+              regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g') AS t
+       FROM planted),
+s2 AS (SELECT doc_id, n_email,
+              CAST(len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ipv4,
+              regexp_replace(t, '\b(\d{1,3}\.){3}\d{1,3}\b', '<ipv4>', 'g') AS t
+       FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ipv4,
+              CAST(len(regexp_extract_all(t, '\+?\d[\d\s().-]{7,}\d')) AS INT) AS n_phone,
+              regexp_replace(t, '\+?\d[\d\s().-]{7,}\d', '<phone>', 'g') AS t
+       FROM s2)
+SELECT doc_id, t AS text, n_email, n_ipv4, n_phone FROM s3
+"""
+
+
 def q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: concatenate-then-chop bin assignment by global
     prefix sum over doc_id order — distributed two-pass prefix sum, no
@@ -1776,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": q_repetition_docs,
         "contamination_docs": q_contamination_docs,
         "decontaminate_docs": q_decontaminate_docs,
+        "scrub_pii_docs": q_scrub_pii_docs,
         "pack_docs": q_pack_docs,
     }
 
@@ -1834,6 +1889,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_docs": _REPETITION_ORACLE,
         "contamination_docs": _CONTAMINATION_ORACLE,
         "decontaminate_docs": _DECONTAMINATE_ORACLE,
+        "scrub_pii_docs": _SCRUB_PII_ORACLE,
         "pack_docs": _PACK_ORACLE,
         # rows-only (approximate / non-SQL-expressible): column_stats_approx,
         #   lsh_topk_embeddings, simhash_neardup_docs, images_validate

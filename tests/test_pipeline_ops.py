@@ -229,3 +229,93 @@ def test_empty_bench_contaminates_nothing(spark):
     got = CT.shingle_overlap(docs, bench, "doc_id").collect()
     assert got[0]["n_hits"] == 0
     assert CT.decontaminate(docs, bench, "doc_id").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# clean.py PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_pii_planted(spark):
+    from smcchecker_spark import clean
+
+    rows = [
+        (1, "mail bob+x@ex.org now"),
+        (2, "ip 8.8.8.8 and phone +44 (0) 7911-123456"),
+        (3, None),
+        (4, "clean row"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r["id"]: r for r in clean.scrub_pii(df).collect()}
+    assert got[1]["text"] == "mail <email> now" and got[1]["n_email"] == 1
+    assert "<ipv4>" in got[2]["text"] and "<phone>" in got[2]["text"]
+    # progressive counts: the IP's digits are NOT double-counted as phone
+    assert got[2]["n_ipv4"] == 1 and got[2]["n_phone"] == 1
+    assert got[3]["text"] == "" and got[4]["text"] == "clean row"
+
+
+def test_scrub_pii_map_only_and_idempotent(spark):
+    from smcchecker_spark import clean
+
+    df = spark.createDataFrame([(1, "a@b.co x 192.168.1.1")], "id int, text string")
+    out = clean.scrub_pii(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "ArrowEvalPython" not in plan
+    # placeholders don't re-match: scrubbing twice is a fixpoint
+    once = out.select("id", "text")
+    twice = clean.scrub_pii(once).select("id", "text")
+    assert once.collect() == twice.collect()
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): pack + split invariants
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=60),
+    capacity=st.integers(min_value=1, max_value=200),
+    ranges=st.integers(min_value=1, max_value=5),
+)
+def test_pack_property_prefix_sum(sizes, capacity, ranges):
+    spark = _SPARK[0]
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "k int, sz int")
+    got = {
+        r["k"]: (r["bin_id"], r["bin_offset"])
+        for r in pack.pack_sequences(df, "k", "sz", capacity, num_ranges=ranges).collect()
+    }
+    run = 0
+    for i, s in enumerate(sizes):
+        assert got[i] == (run // capacity, run)
+        run += s
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    fr=st.floats(min_value=0.0, max_value=1.0),
+    salt=st.text(alphabet="abcxyz", max_size=4),
+)
+def test_hash_sample_property_deterministic_subset(fr, salt):
+    spark = _SPARK[0]
+    df = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in S.hash_sample(df, "doc_id", fr, salt).collect()}
+    b = {r["doc_id"] for r in S.hash_sample(df, "doc_id", fr, salt).collect()}
+    assert a == b                       # pure function of content
+    if fr == 1.0:
+        assert len(a) == 400
+    smaller = {r["doc_id"] for r in S.hash_sample(df, "doc_id", fr / 2, salt).collect()}
+    assert smaller <= a                 # nested thresholds
+
+
+_SPARK = [None]
+
+
+@pytest.fixture(autouse=True)
+def _capture_spark(spark):
+    _SPARK[0] = spark
+    yield
