@@ -90,6 +90,11 @@ def _shingles_udf(k: int):
     return _SHINGLE_CACHE[k]
 
 
+# public alias — the canonical Arrow-batched shingler, shared by the
+# Jaccard verify stage here and ops/contamination.py's corpus pass
+shingles_udf = _shingles_udf
+
+
 def _seeded_hash(seed: int):
     # NB: the lambda passed to F.transform must take exactly ONE argument —
     # a two-arg lambda (even `lambda s, i=i: ...` with a default!) is
