@@ -79,6 +79,14 @@ HEADLINE = [
     "topk_cosine_partial",
     "lsh_topk_embeddings",
     "embedding_neardup",
+    # training-data pipeline ops (round 2): splits/mix, repetition
+    # quality, decontamination, PII scrub, sequence packing
+    "det_split_docs",
+    "mix_budget_docs",
+    "repetition_docs",
+    "contamination_docs",
+    "scrub_pii_docs",
+    "pack_docs",
 ]
 
 

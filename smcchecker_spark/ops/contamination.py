@@ -103,8 +103,10 @@ def decontaminate(
     broadcast_bench: bool = True,
 ) -> DataFrame:
     """Drop documents whose benchmark shingle overlap exceeds
-    ``max_overlap`` (default: any hit). One corpus scan + broadcast
-    join; the kept rows keep their original columns."""
+    ``max_overlap`` (default: any hit). Two corpus scans — one to score
+    (see :func:`shingle_overlap`), one for the keep-filter (broadcast
+    anti-join on the contaminated-id sliver); kept rows keep their
+    original columns."""
     scores = shingle_overlap(
         df, bench, id_col, text_col, bench_text_col, k, broadcast_bench
     )

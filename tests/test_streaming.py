@@ -269,3 +269,46 @@ def test_streaming_dedup_suppresses_rearrivals(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "out"))
     keys = sorted(r["key"] for r in got.collect())
     assert keys == list(range(15))  # one row per key, re-arrivals dropped
+
+
+def test_pipeline_ops_stream_equals_batch(spark, tmp_path):
+    """The stateless training-data pipeline ops (PII scrub, deterministic
+    split/sample, repetition features) are pure projections/filters, so
+    the SAME functions run unchanged on a streaming DataFrame and must
+    produce bit-identical rows to the batch run over the same files —
+    content-hash determinism is what makes the split/sample safe under
+    micro-batch re-execution."""
+    from smcchecker_spark import clean
+    from smcchecker_spark.ops import sample as S
+    from smcchecker_spark.ops import text as T
+
+    src = str(tmp_path / "docs_src")
+    rows = [
+        (i, f"doc {i} mail u{i}@x.io word word tail{i % 7}") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.parquet(src)
+
+    def transform(d):
+        d = clean.scrub_pii(d)
+        d = S.det_split(d, "doc_id", {"train": 0.8, "val": 0.2})
+        d = S.hash_sample(d, "doc_id", 0.5)
+        return T.repetition_features(d)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName("pipe_ops_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.table("pipe_ops_stream").collect())
+    )
+    exp = sorted(map(tuple, transform(spark.read.parquet(src)).collect()))
+    assert got == exp and len(got) > 0
