@@ -426,6 +426,55 @@ def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tdigest_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME distributed t-digest pipeline (per-batch partial sketch →
+    serialized centroid bytes → driver merge → quantile) run in its EXACT
+    regime: with delta=100000 the k-scale width between adjacent
+    singleton centroids is 2*delta/(pi*n) > 1 for any n < ~63k, so
+    ``_compress`` never merges and the digest is exactly the sorted
+    multiset with unit weights. Its quantile then reduces to midpoint
+    interpolation over sorted values (positions (i-0.5)/n) — a
+    deterministic, SQL-expressible function, turning the sketch pipeline
+    into a value-oracle-checkable query (the delta=100 variant above
+    stays rows-only). Subset: event_id % 97 == 0 (~1% of events — ~100
+    rows at sf0.01, ~1k at sf0.1, far below the exactness bound)."""
+    from smcchecker_spark.package import ensure_shipped
+
+    ensure_shipped(spark)
+    ev = _t(spark, sf_dir, "events").filter((F.col("event_id") % 97) == 0)
+    td = stats.tdigest_sketch(ev, "value", delta=100_000)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    return spark.createDataFrame(
+        [(q, float(round(td.quantile(q), 6))) for q in qs], "q double, est double"
+    )
+
+
+# midpoint-interpolation quantile: np.interp(q*n, [0.5,...,n-0.5], sorted)
+_TDIGEST_EXACT_ORACLE = """
+WITH vals AS (
+  SELECT value AS v, ROW_NUMBER() OVER (ORDER BY value) AS i,
+         COUNT(*) OVER () AS n
+  FROM events WHERE event_id % 97 = 0 AND value IS NOT NULL
+),
+qs AS (SELECT UNNEST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+tgt AS (
+  SELECT CAST(q AS DOUBLE) AS q, CAST(q AS DOUBLE) * n AS t, n
+  FROM qs, (SELECT MAX(n) AS n FROM vals)
+)
+SELECT tgt.q,
+  ROUND(CASE
+    WHEN tgt.t <= 0.5 THEN (SELECT v FROM vals WHERE i = 1)
+    WHEN tgt.t >= tgt.n - 0.5 THEN (SELECT v FROM vals WHERE i = tgt.n)
+    ELSE (
+      SELECT lo.v + (tgt.t - (lo.i - 0.5)) * (hi.v - lo.v)
+      FROM vals lo JOIN vals hi ON hi.i = lo.i + 1
+      WHERE lo.i = CAST(FLOOR(tgt.t + 0.5) AS BIGINT)
+    )
+  END, 6) AS est
+FROM tgt
+"""
+
+
 def q_clean_fix_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preprocess stage (C1 trim + C2 case-fix-vs-lookup): dirtied source
     values are restored to the lookup's canonical spelling."""
@@ -1769,6 +1818,99 @@ FROM documents
 """
 
 
+def q_curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline — the composed flagship for the
+    training-data ops: corpus (with planted exact duplicates) → quality
+    gate (n_tokens ≥ 5, quality ≥ 0.3) → benchmark decontamination
+    (word-3-shingle overlap vs the eval holdout) → exact-dedup resolve
+    (keep the min-id doc per normalized-text fingerprint) → PII scrub
+    with audit counts. Every stage is independently oracle-checked
+    elsewhere; this query value-checks their COMPOSITION in one
+    DataFrame job (one corpus scan feeds the gate, the decontamination
+    keep-filter is a broadcast anti-join, the dedup resolve is one
+    window over the fingerprint shuffle, the scrub is a fused map-only
+    projection on the survivors)."""
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    c = F.col("text")
+    gated = docs.select(
+        "doc_id",
+        "text",
+        text_ops.token_count(c).alias("n_tokens"),
+        text_ops.quality_score(c).alias("quality"),
+    ).filter((F.col("n_tokens") >= 5) & (F.col("quality") >= 0.3))
+    bench = _bench_docs(_t(spark, sf_dir, "documents"))
+    decon = contamination.decontaminate(gated, bench, "doc_id")
+    fp = decon.withColumn("fingerprint", text_ops.fingerprint(c))
+    w = Window.partitionBy("fingerprint")
+    canon = (
+        fp.withColumn("keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep"))
+        .drop("keep")
+    )
+    return clean.scrub_pii(canon, "text")
+
+
+_CURATE_ORACLE = r"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+),
+feats AS (
+  SELECT doc_id, text,
+    CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tokens,
+    round(least(length(coalesce(text, '')) / 200.0, 1.0) *
+          (CASE WHEN length(coalesce(text, '')) > 10000 THEN 0.5 ELSE 1.0 END) *
+          greatest(0.0, 1.0 -
+            (length(regexp_replace(coalesce(text, ''), '[^!-/:-@\[-`{-~]', '', 'g')) /
+             greatest(length(coalesce(text, '')), 1)) * 4) *
+          (CASE WHEN (length(regexp_replace(trim(coalesce(text, '')), '\s', '', 'g')) /
+                      greatest(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                               ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1))
+                BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END), 6) AS quality
+  FROM u
+),
+gated AS (SELECT * FROM feats WHERE n_tokens >= 5 AND quality >= 0.3),
+gex AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(t[i+1:i+3], ' ')
+                               for i in range(0, greatest(len(t)-3, 0)+1)])) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM gated WHERE trim(coalesce(text, '')) <> '')
+),
+bsh AS (
+  SELECT DISTINCT unnest(list_distinct([array_to_string(t[i+1:i+3], ' ')
+                          for i in range(0, greatest(len(t)-3, 0)+1)])) AS s
+  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE doc_id % 13 = 0 AND trim(coalesce(text, '')) <> '')
+),
+bad AS (SELECT DISTINCT gex.doc_id FROM gex JOIN bsh USING (s) WHERE s <> ''),
+decon AS (SELECT * FROM gated WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+canon AS (
+  SELECT *, md5(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))))
+            AS fingerprint
+  FROM decon
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY
+    md5(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))))
+),
+s1 AS (SELECT doc_id, n_tokens, quality, fingerprint,
+              CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g') AS t
+       FROM canon),
+s2 AS (SELECT doc_id, n_tokens, quality, fingerprint, n_email,
+              CAST(len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ipv4,
+              regexp_replace(t, '\b(\d{1,3}\.){3}\d{1,3}\b', '<ipv4>', 'g') AS t
+       FROM s1),
+s3 AS (SELECT doc_id, n_tokens, quality, fingerprint, n_email, n_ipv4,
+              CAST(len(regexp_extract_all(t, '\+?\d[\d\s().-]{7,}\d')) AS INT) AS n_phone,
+              regexp_replace(t, '\+?\d[\d\s().-]{7,}\d', '<phone>', 'g') AS t
+       FROM s2)
+SELECT doc_id, n_tokens, quality, fingerprint, t AS text, n_email, n_ipv4, n_phone
+FROM s3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1790,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_dup_production": q_engine_dup_production,
         "engine_subset_logic": q_engine_subset_logic,
         "tdigest_quantiles": q_tdigest_quantiles,
+        "tdigest_exact_quantiles": q_tdigest_exact_quantiles,
         "clean_fix_case": q_clean_fix_case,
         "pricing_summary": q_pricing_summary,
         "revenue_by_region": q_revenue_by_region,
@@ -1832,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": q_decontaminate_docs,
         "scrub_pii_docs": q_scrub_pii_docs,
         "pack_docs": q_pack_docs,
+        "curate_docs": q_curate_docs,
     }
 
 
@@ -1878,6 +2022,9 @@ def oracle_sql() -> dict[str, str]:
         # small-NDV columns: the HLL++ sketch is exact, so the exact-SQL
         # stats are a true value oracle for the sketch pipeline
         "column_stats_smallndv": _SMALLNDV_ORACLE,
+        # exact-regime t-digest (delta >> n: no centroid merges, quantile
+        # == midpoint interpolation) — true value oracle for the sketch
+        "tdigest_exact_quantiles": _TDIGEST_EXACT_ORACLE,
         "embedding_neardup": _EMB_NEARDUP_ORACLE,
         # derived-fingerprint variant of the image phash near-dedup —
         # deterministic bitwise mix both engines compute identically,
@@ -1891,6 +2038,9 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": _DECONTAMINATE_ORACLE,
         "scrub_pii_docs": _SCRUB_PII_ORACLE,
         "pack_docs": _PACK_ORACLE,
+        # composed end-to-end curation (gate → decontaminate → dedup →
+        # scrub) — every stage's oracle fragment chained into one query
+        "curate_docs": _CURATE_ORACLE,
         # rows-only (approximate / non-SQL-expressible): column_stats_approx,
         #   lsh_topk_embeddings, simhash_neardup_docs, images_validate
     }

@@ -80,6 +80,27 @@ def test_tdigest_merge_and_quantiles():
     assert back.quantile(0.5) == pytest.approx(merged.quantile(0.5), abs=1e-9)
 
 
+def test_tdigest_exact_regime():
+    """delta >> n: the k-scale width between adjacent singletons
+    (2*delta/(pi*n)) stays > 1, so _compress never merges and the
+    quantile is EXACTLY midpoint interpolation over the sorted values —
+    the property q_tdigest_exact_quantiles' SQL oracle relies on.
+    Exercised through the partial→serialize→merge path (7 chunks)."""
+    rng = np.random.default_rng(7)
+    v = rng.normal(50, 10, 500)
+    merged = stats.TDigest(100_000)
+    for chunk in np.array_split(v, 7):
+        p = stats.TDigest(100_000)
+        p.add(chunk)
+        merged = merged.merge(stats.TDigest.from_bytes(p.to_bytes()))
+    n = v.size
+    sv = np.sort(v)
+    cum = np.arange(1, n + 1) - 0.5
+    for q in (0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0):
+        assert merged.quantile(q) == float(np.interp(q * n, cum, sv))
+    assert merged.means.size == n  # every point is its own centroid
+
+
 def test_tdigest_distributed(spark, num_df):
     td = stats.tdigest_sketch(num_df, "x")
     assert td.total == 2000
