@@ -30,6 +30,7 @@ from smcchecker_spark.constraints import (
     ValidationContext,
 )
 from smcchecker_spark.compile import compile_suite
+from smcchecker_spark.vector import VectorFinite, VectorNormRange, VectorShape
 from smcchecker_spark.ops import contamination, dedup, pack, similarity
 from smcchecker_spark.ops import sample as sample_ops
 from smcchecker_spark.ops import text as text_ops
@@ -158,6 +159,104 @@ _MESSAGES_ORACLE = (
     "       string_agg(error_message, '; ' ORDER BY error_message) AS error_message\n"
     'FROM v GROUP BY "table", row_id'
 )
+
+
+def _dirty_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically corrupt the embeddings table with SQL-expressible
+    transforms: truncated vectors (shape), 40x mis-scaled vectors (norm),
+    NaN first element (finiteness), duplicated vec_ids (uniqueness)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    c = F.col("embedding")
+    vid = F.col("vec_id")
+    base = emb.select(
+        "vec_id",
+        F.when(vid % 23 == 1, F.slice(c, 1, 63))
+        .when(
+            vid % 29 == 2,
+            F.transform(c, lambda x: x * F.lit(40.0).cast("float")),
+        )
+        .when(
+            vid % 31 == 3,
+            F.concat(
+                F.array(F.lit(float("nan")).cast("float")),
+                F.slice(c, 2, 63),
+            ),
+        )
+        .otherwise(c)
+        .alias("embedding"),
+        "label",
+    )
+    dirty = base.unionByName(base.filter(vid % 37 == 4))
+    return dirty.withColumn("part_id", (F.col("vec_id") % 8).cast("int"))
+
+
+def q_engine_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The constraint engine over an array<float> embedding column:
+    VectorShape / VectorFinite / VectorNormRange (vector.py) fused into
+    the same single row-pass as scalar checks, plus Unique — the
+    embedding-corpus analogue of the flagship documents suite."""
+    dirty = _dirty_embeddings(spark, sf_dir)
+    suite = Suite(
+        name="embeddings_core",
+        table="embeddings",
+        constraints=[
+            VectorShape("embedding", dim=64),
+            VectorFinite("embedding"),
+            VectorNormRange("embedding", lo=0.5, hi=8.0),
+            Unique(["vec_id"]),
+        ],
+    )
+    return compile_suite(
+        dirty, suite, row_id_col="vec_id", part_id_col="part_id"
+    )
+
+
+_EMBEDDING_SUITE_ORACLE = """
+WITH base AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 23 = 1 THEN embedding[1:63]
+              WHEN vec_id % 29 = 2 THEN list_transform(embedding, x -> x * CAST(40.0 AS FLOAT))
+              WHEN vec_id % 31 = 3 THEN list_concat([CAST('nan' AS FLOAT)], embedding[2:])
+              ELSE embedding END AS embedding,
+         label
+  FROM embeddings
+),
+d AS (
+  SELECT *, CAST(vec_id % 8 AS INT) AS part_id FROM (
+    SELECT * FROM base UNION ALL SELECT * FROM base WHERE vec_id % 37 = 4
+  )
+),
+normed AS (
+  SELECT *, sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS l2
+  FROM d
+)
+SELECT 'embeddings' AS "table", CAST(vec_id AS VARCHAR) AS row_id,
+       'embedding' AS columns, 'Invalid Vector Shape' AS error_type,
+       TRUE AS is_core_error,
+       'The vector column embedding must have exactly 64 elements' AS error_message,
+       'vectorshape_embedding' AS check_name, 'error' AS severity, part_id
+FROM d WHERE embedding IS NOT NULL AND len(embedding) <> 64
+UNION ALL
+SELECT 'embeddings', CAST(vec_id AS VARCHAR), 'embedding', 'Non-finite Value',
+       TRUE,
+       'The vector column embedding contains a NaN, infinite, or NULL element',
+       'vectorfinite_embedding', 'error', part_id
+FROM d WHERE embedding IS NOT NULL
+         AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0
+UNION ALL
+SELECT 'embeddings', CAST(vec_id AS VARCHAR), 'embedding', 'Value out of range',
+       TRUE,
+       'The vector column embedding must have an L2 norm between 0.5 and 8.0',
+       'vectornormrange_embedding', 'error', part_id
+FROM normed WHERE embedding IS NOT NULL AND NOT isnan(l2)
+              AND NOT (l2 BETWEEN 0.5 AND 8.0)
+UNION ALL
+SELECT 'embeddings', CAST(vec_id AS VARCHAR), 'vec_id', 'Duplicated Rows',
+       TRUE,
+       'You have duplicated rows based on the primary key fields vec_id',
+       'unique_vec_id', 'error', part_id
+FROM d WHERE vec_id IN (SELECT vec_id FROM d GROUP BY vec_id HAVING count(*) > 1)
+"""
 
 
 def q_engine_intrange_part(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1931,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_custom_gated": q_engine_custom_gated,
         "engine_dup_production": q_engine_dup_production,
         "engine_subset_logic": q_engine_subset_logic,
+        "engine_embedding_suite": q_engine_embedding_suite,
         "tdigest_quantiles": q_tdigest_quantiles,
         "tdigest_exact_quantiles": q_tdigest_exact_quantiles,
         "clean_fix_case": q_clean_fix_case,
@@ -1989,6 +2089,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_custom_gated": _CUSTOM_GATED_ORACLE,
         "engine_dup_production": _DUP_PROD_ORACLE,
         "engine_subset_logic": _SUBSET_ORACLE,
+        "engine_embedding_suite": _EMBEDDING_SUITE_ORACLE,
         "clean_fix_case": _CLEAN_ORACLE,
         "pricing_summary": _PRICING_ORACLE,
         "revenue_by_region": _REVENUE_ORACLE,

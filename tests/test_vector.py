@@ -1,0 +1,135 @@
+"""Embedding-vector constraints (vector.py): exact violation sets over a
+hand-built corpus covering every edge the planted entry-query corrupts plus
+the ones it can't (NULL vector, empty vector, +/-Inf, NULL element), and a
+plan assertion that a vector suite stays a pure-JVM single pass (no
+Arrow/Python stage — HOF expressions only)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from smcchecker_spark.compile import compile_suite
+from smcchecker_spark.constraints import Suite
+from smcchecker_spark.vector import (
+    VectorFinite,
+    VectorNormRange,
+    VectorShape,
+    l2_norm,
+)
+
+NAN = float("nan")
+INF = float("inf")
+
+ROWS = [
+    ("ok", [0.6, 0.8]),                # norm 1.0, dim 2 — clean
+    ("null_vec", None),                # NotNull's business: no vector flags
+    ("empty", []),                     # norm 0 < lo -> norm flag; size 0 -> shape
+    ("short", [1.0]),                  # shape flag only (norm 1.0 in range)
+    ("long", [0.5, 0.5, 0.5, 0.5]),    # shape flag only (norm 1.0)
+    ("nan_el", [NAN, 1.0]),            # finite flag ONLY (NaN norm excluded)
+    ("pos_inf", [INF, 0.0]),           # finite flag; norm Inf > hi -> norm flag too
+    ("neg_inf", [-INF, 0.0]),          # finite flag; norm Inf -> norm flag
+    ("null_el", [None, 1.0]),          # finite flag (null element)
+    ("scaled", [30.0, 40.0]),          # norm 50 > hi -> norm flag
+    ("tiny", [0.01, 0.0]),             # norm 0.01 < lo -> norm flag
+]
+
+SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("v", ArrayType(FloatType(), containsNull=True)),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def violations(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    suite = Suite(
+        name="vec",
+        table="emb",
+        constraints=[
+            VectorShape("v", dim=2),
+            VectorFinite("v"),
+            VectorNormRange("v", lo=0.1, hi=10.0),
+        ],
+    )
+    out = compile_suite(df, suite, row_id_col="id", part_id_col=None)
+    rows = out.select("row_id", "check_name").collect()
+    by_check = {}
+    for r in rows:
+        by_check.setdefault(r.check_name, set()).add(r.row_id)
+    return by_check
+
+
+def test_shape_flags_exactly_wrong_dims(violations):
+    assert violations.get("vectorshape_v", set()) == {"empty", "short", "long"}
+
+
+def test_finite_flags_nan_inf_and_null_elements(violations):
+    assert violations.get("vectorfinite_v", set()) == {
+        "nan_el",
+        "pos_inf",
+        "neg_inf",
+        "null_el",
+    }
+
+
+def test_norm_range_flags_misscaled_but_not_nan(violations):
+    # nan_el is excluded (NaN norm -> VectorFinite's flag, not a range flag);
+    # pos_inf/neg_inf have norm +Inf which IS out of range; null_el's norm is
+    # NULL (null element poisons the fold) so it cannot range-flag.
+    assert violations.get("vectornormrange_v", set()) == {
+        "empty",
+        "pos_inf",
+        "neg_inf",
+        "scaled",
+        "tiny",
+    }
+
+
+def test_null_vector_never_flags(violations):
+    flagged = set().union(*violations.values()) if violations else set()
+    assert "null_vec" not in flagged
+    assert "ok" not in flagged
+
+
+def test_l2_norm_matches_python(spark):
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in ROWS if r[1] and all(
+            x is not None and math.isfinite(x) for x in r[1]
+        )],
+        SCHEMA,
+    )
+    got = {r.id: r.n for r in df.select("id", l2_norm(F.col("v")).alias("n")).collect()}
+    for rid, vec in [(r[0], r[1]) for r in ROWS]:
+        if rid in got:
+            exact = math.sqrt(sum(float(x) ** 2 for x in vec))
+            assert got[rid] == pytest.approx(exact, rel=1e-6), rid
+
+
+def test_vector_suite_plan_is_pure_jvm(spark):
+    """The fused row pass with vector constraints must carry NO Python
+    stage: size/exists/aggregate are JVM-side HOF expressions."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    suite = Suite(
+        name="vec",
+        table="emb",
+        constraints=[
+            VectorShape("v", dim=2),
+            VectorFinite("v"),
+            VectorNormRange("v", lo=0.1, hi=10.0),
+        ],
+    )
+    out = compile_suite(df, suite, row_id_col="id", part_id_col=None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
