@@ -30,6 +30,11 @@ from smcchecker_spark.constraints import (
     ValidationContext,
 )
 from smcchecker_spark.compile import compile_suite
+from smcchecker_spark.image import (
+    AspectRatioRange,
+    BytesPerPixelRange,
+    MinResolution,
+)
 from smcchecker_spark.vector import VectorFinite, VectorNormRange, VectorShape
 from smcchecker_spark.ops import contamination, dedup, pack, similarity
 from smcchecker_spark.ops import sample as sample_ops
@@ -256,6 +261,69 @@ SELECT 'embeddings', CAST(vec_id AS VARCHAR), 'vec_id', 'Duplicated Rows',
        'You have duplicated rows based on the primary key fields vec_id',
        'unique_vec_id', 'error', part_id
 FROM d WHERE vec_id IN (SELECT vec_id FROM d GROUP BY vec_id HAVING count(*) > 1)
+"""
+
+
+def q_engine_image_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free image-policy gates (image.py: MinResolution /
+    AspectRatioRange / BytesPerPixelRange) over metadata columns derived
+    deterministically from events — pure-JVM fused pass, value-oracled.
+    The same constraints run against real generated image payloads in
+    tests/test_image_policy.py; here the arithmetic is what's verified."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 5000).cast("int").alias("w"),
+        ((F.col("event_id") * 7) % 3000).cast("int").alias("h"),
+        ((F.col("event_id") * 13) % 40000).cast("int").alias("n_bytes"),
+    ).withColumn("part_id", (F.col("event_id") % 8).cast("int"))
+    suite = Suite(
+        name="images_policy",
+        table="events_images",
+        constraints=[
+            MinResolution("w", h_col="h", min_w=64, min_h=64),
+            AspectRatioRange(
+                "w", h_col="h", lo=0.5, hi=2.0,
+                severity="warning", is_core=False,
+            ),
+            BytesPerPixelRange(
+                "n_bytes", w_col="w", h_col="h", lo=0.01, hi=2.0,
+                length_is_column=True,
+            ),
+        ],
+    )
+    return compile_suite(ev, suite, row_id_col="event_id", part_id_col="part_id")
+
+
+_IMAGE_POLICY_ORACLE = """
+WITH d AS (
+  SELECT event_id,
+         CAST(event_id % 5000 AS INT) AS w,
+         CAST((event_id * 7) % 3000 AS INT) AS h,
+         CAST((event_id * 13) % 40000 AS INT) AS n_bytes,
+         CAST(event_id % 8 AS INT) AS part_id
+  FROM events
+)
+SELECT 'events_images' AS "table", CAST(event_id AS VARCHAR) AS row_id,
+       'w,h' AS columns, 'Image Policy Violation' AS error_type,
+       TRUE AS is_core_error,
+       'Image dimensions below the minimum resolution 64x64' AS error_message,
+       'minresolution_w_h' AS check_name, 'error' AS severity, part_id
+FROM d WHERE w < 64 OR h < 64
+UNION ALL
+SELECT 'events_images', CAST(event_id AS VARCHAR), 'w,h',
+       'Image Policy Violation', FALSE,
+       'Image aspect ratio (w/h) outside the allowed range [0.5, 2.0]',
+       'aspectratio_w_h', 'warning', part_id
+FROM d WHERE h > 0
+         AND (CAST(w AS DOUBLE) < 0.5 * h OR CAST(w AS DOUBLE) > 2.0 * h)
+UNION ALL
+SELECT 'events_images', CAST(event_id AS VARCHAR), 'n_bytes,w,h',
+       'Image Policy Violation', TRUE,
+       'Image payload size per pixel outside the allowed range [0.01, 2.0] bytes/pixel',
+       'bytesperpixel_n_bytes', 'error', part_id
+FROM d WHERE CAST(w AS DOUBLE) * h > 0
+         AND (n_bytes < 0.01 * (CAST(w AS DOUBLE) * h)
+              OR n_bytes > 2.0 * (CAST(w AS DOUBLE) * h))
 """
 
 
@@ -2031,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_dup_production": q_engine_dup_production,
         "engine_subset_logic": q_engine_subset_logic,
         "engine_embedding_suite": q_engine_embedding_suite,
+        "engine_image_policy": q_engine_image_policy,
         "tdigest_quantiles": q_tdigest_quantiles,
         "tdigest_exact_quantiles": q_tdigest_exact_quantiles,
         "clean_fix_case": q_clean_fix_case,
@@ -2090,6 +2159,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_dup_production": _DUP_PROD_ORACLE,
         "engine_subset_logic": _SUBSET_ORACLE,
         "engine_embedding_suite": _EMBEDDING_SUITE_ORACLE,
+        "engine_image_policy": _IMAGE_POLICY_ORACLE,
         "clean_fix_case": _CLEAN_ORACLE,
         "pricing_summary": _PRICING_ORACLE,
         "revenue_by_region": _REVENUE_ORACLE,

@@ -314,3 +314,145 @@ class PsnrAtLeast(Constraint):
             f"Decoded pixels differ from reference beyond the "
             f"{self.min_db} dB PSNR gate (or payload undecodable)"
         )
+
+
+# ---------------------------------------------------------------------------
+# Decode-free image-policy gates. A web-scale curation pass runs these
+# BEFORE paying decode cost: they read only the metadata columns of the
+# input_hint schema (w, h, fmt, bytes — /root/repo/BASELINE.json) and
+# compile to plain JVM comparisons inside the same fused row pass, so a
+# policy-only suite has no Python stage at all. NULL dims are NotNull's
+# business — each predicate is isNotNull-guarded like the scalar checks.
+# ---------------------------------------------------------------------------
+
+ERR_POLICY = "Image Policy Violation"
+
+
+@dataclass(frozen=True)
+class MinResolution(Constraint):
+    """Stored dims must be at least min_w x min_h (tiny thumbnails,
+    tracking pixels, and zero-area headers are dropped without decoding).
+    ``column`` is the width column."""
+
+    h_col: str = "h"
+    min_w: int = 64
+    min_h: int = 64
+
+    @property
+    def name(self) -> str:
+        return f"minresolution_{self.column}_{self.h_col}"
+
+    @property
+    def columns_label(self) -> str:
+        return f"{self.column},{self.h_col}"
+
+    @property
+    def error_type(self) -> str:
+        return ERR_POLICY
+
+    def violation_expr(self, df: DataFrame) -> Column:
+        w, h = df[self.column], df[self.h_col]
+        return (
+            w.isNotNull()
+            & h.isNotNull()
+            & ((w < F.lit(self.min_w)) | (h < F.lit(self.min_h)))
+        )
+
+    def message(self) -> str:
+        return (
+            f"Image dimensions below the minimum resolution "
+            f"{self.min_w}x{self.min_h}"
+        )
+
+
+@dataclass(frozen=True)
+class AspectRatioRange(Constraint):
+    """w/h must lie in [lo, hi] (extreme banners/strips are poor training
+    images). Expressed multiplicatively (w < lo*h, w > hi*h) so neither
+    engine divides — ANSI-mode Spark throws on /0 and DuckDB disagrees
+    about float x/0, but int-product comparisons are exact in both.
+    Rows with h <= 0 are skipped here (MinResolution's flag).
+    ``column`` is the width column."""
+
+    h_col: str = "h"
+    lo: float = 0.2
+    hi: float = 5.0
+
+    @property
+    def name(self) -> str:
+        return f"aspectratio_{self.column}_{self.h_col}"
+
+    @property
+    def columns_label(self) -> str:
+        return f"{self.column},{self.h_col}"
+
+    @property
+    def error_type(self) -> str:
+        return ERR_POLICY
+
+    def violation_expr(self, df: DataFrame) -> Column:
+        w = df[self.column].cast("double")
+        h = df[self.h_col].cast("double")
+        return (
+            df[self.column].isNotNull()
+            & df[self.h_col].isNotNull()
+            & (h > F.lit(0))
+            & ((w < F.lit(self.lo) * h) | (w > F.lit(self.hi) * h))
+        )
+
+    def message(self) -> str:
+        return (
+            f"Image aspect ratio (w/h) outside the allowed range "
+            f"[{self.lo}, {self.hi}]"
+        )
+
+
+@dataclass(frozen=True)
+class BytesPerPixelRange(Constraint):
+    """Compression-ratio sanity: payload bytes per pixel must lie in
+    [lo, hi]. Too few bytes/pixel flags a truncated or mis-labeled
+    payload; too many flags a decompression-bomb-shaped one — both
+    caught without decoding. ``column`` is the binary payload column, or
+    (``length_is_column=True``) an integer byte-count metadata column —
+    big tables commonly carry n_bytes so even the length probe can skip
+    the payload scan. Rows with w*h <= 0 are skipped (MinResolution's
+    flag)."""
+
+    w_col: str = "w"
+    h_col: str = "h"
+    lo: float = 0.01
+    hi: float = 20.0
+    length_is_column: bool = False
+
+    @property
+    def name(self) -> str:
+        return f"bytesperpixel_{self.column}"
+
+    @property
+    def columns_label(self) -> str:
+        return f"{self.column},{self.w_col},{self.h_col}"
+
+    @property
+    def error_type(self) -> str:
+        return ERR_POLICY
+
+    def violation_expr(self, df: DataFrame) -> Column:
+        nb = (
+            df[self.column].cast("double")
+            if self.length_is_column
+            else F.length(df[self.column]).cast("double")
+        )
+        px = df[self.w_col].cast("double") * df[self.h_col].cast("double")
+        return (
+            df[self.column].isNotNull()
+            & df[self.w_col].isNotNull()
+            & df[self.h_col].isNotNull()
+            & (px > F.lit(0))
+            & ((nb < F.lit(self.lo) * px) | (nb > F.lit(self.hi) * px))
+        )
+
+    def message(self) -> str:
+        return (
+            f"Image payload size per pixel outside the allowed range "
+            f"[{self.lo}, {self.hi}] bytes/pixel"
+        )

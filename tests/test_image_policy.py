@@ -1,0 +1,98 @@
+"""Decode-free image-policy gates (image.py: MinResolution /
+AspectRatioRange / BytesPerPixelRange) against REAL generated payloads:
+expected flag sets are recomputed in pandas from the fixture's own
+metadata, so the test verifies the compiled Column arithmetic (including
+the true binary length() path) rather than a planted distribution. The
+arithmetic is also value-oracled at the driver gate via the
+engine_image_policy query."""
+
+import pytest
+
+from smcchecker_spark import fixtures
+from smcchecker_spark.compile import compile_suite
+from smcchecker_spark.constraints import Suite
+from smcchecker_spark.image import (
+    AspectRatioRange,
+    BytesPerPixelRange,
+    MinResolution,
+)
+
+MIN_W, MIN_H = 16, 16
+AR_LO, AR_HI = 0.5, 2.0
+BPP_LO, BPP_HI = 1.0, 3.5
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = fixtures.generate_images(spark, n_rows=400, n_parts=8, seed=7,
+                                  clean=True)
+    pdf = df.selectExpr(
+        "image_id", "w", "h", "length(bytes) AS nb"
+    ).toPandas()
+    return df, pdf
+
+
+@pytest.fixture(scope="module")
+def flagged(spark, corpus):
+    df, _ = corpus
+    suite = Suite(
+        name="policy",
+        table="images",
+        constraints=[
+            MinResolution("w", h_col="h", min_w=MIN_W, min_h=MIN_H),
+            AspectRatioRange("w", h_col="h", lo=AR_LO, hi=AR_HI),
+            BytesPerPixelRange("bytes", w_col="w", h_col="h",
+                               lo=BPP_LO, hi=BPP_HI),
+        ],
+    )
+    out = compile_suite(df, suite, row_id_col="image_id",
+                        part_id_col="part_id")
+    rows = out.select("row_id", "check_name").collect()
+    by_check = {}
+    for r in rows:
+        by_check.setdefault(r.check_name, set()).add(r.row_id)
+    return by_check
+
+
+def test_min_resolution_matches_recompute(corpus, flagged):
+    _, pdf = corpus
+    want = set(pdf[(pdf.w < MIN_W) | (pdf.h < MIN_H)].image_id)
+    assert flagged.get("minresolution_w_h", set()) == want
+    assert want, "fixture should contain sub-16px images"
+
+
+def test_aspect_ratio_matches_recompute(corpus, flagged):
+    _, pdf = corpus
+    want = set(pdf[(pdf.w < AR_LO * pdf.h) | (pdf.w > AR_HI * pdf.h)].image_id)
+    assert flagged.get("aspectratio_w_h", set()) == want
+    assert want, "fixture should contain >2:1 aspect ratios"
+
+
+def test_bytes_per_pixel_matches_recompute(corpus, flagged):
+    _, pdf = corpus
+    px = pdf.w * pdf.h
+    want = set(pdf[(pdf.nb < BPP_LO * px) | (pdf.nb > BPP_HI * px)].image_id)
+    assert flagged.get("bytesperpixel_bytes", set()) == want
+
+
+def test_policy_only_suite_has_no_python_stage(spark, corpus):
+    """The whole point of the policy gates: a curation pre-pass with no
+    decode — the plan must carry no Arrow/Python eval at all."""
+    df, _ = corpus
+    suite = Suite(
+        name="policy",
+        table="images",
+        constraints=[
+            MinResolution("w", h_col="h", min_w=MIN_W, min_h=MIN_H),
+            AspectRatioRange("w", h_col="h", lo=AR_LO, hi=AR_HI),
+            BytesPerPixelRange("bytes", w_col="w", h_col="h",
+                               lo=BPP_LO, hi=BPP_HI),
+        ],
+    )
+    out = compile_suite(df, suite, row_id_col="image_id",
+                        part_id_col="part_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the fixture generator itself is mapInPandas (one Python stage);
+    # the POLICY pass must add none beyond it
+    assert plan.count("ArrowEvalPython") == 0, plan
+    assert plan.count("BatchEvalPython") == 0, plan
