@@ -61,6 +61,8 @@ PIN_CPUS = shutil.which("taskset") is not None and os.environ.get(
 
 HEADLINE = [
     "engine_suite_documents",
+    "engine_embedding_suite",
+    "engine_image_policy",
     "pricing_summary",
     "revenue_by_region",
     "semi_join_orders",
