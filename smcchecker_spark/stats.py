@@ -530,3 +530,116 @@ def tdigest_sketch(df: DataFrame, column: str, delta: int = 100) -> TDigest:
     for r in parts:
         out = out.merge(TDigest.from_bytes(bytes(r["sketch"])))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Profile → suggested constraint suite (closing the north-star loop:
+# "column-level stats feed uniqueness / referential-integrity / range
+# checks", /root/repo/BASELINE.json:6). The reference hand-maintains its
+# rules in information_schema tables (proj/core/metadata.py); at corpus
+# scale the first draft of a suite should come from the data itself —
+# profile a trusted snapshot once, review, then enforce on every
+# subsequent load.
+# ---------------------------------------------------------------------------
+
+
+def suggest_suite(
+    df: DataFrame,
+    name: str,
+    table: str,
+    columns: list[str] | None = None,
+    profile: DataFrame | None = None,
+    notnull_max_rate: float = 0.0,
+    unique_min_ratio: float = 0.98,
+    lookup_max_ndv: int = 32,
+    range_slack: float = 0.0,
+):
+    """Profile ``df`` (or accept a precomputed ``column_stats`` profile)
+    and derive a candidate Suite + ValidationContext:
+
+    - null_rate <= ``notnull_max_rate``          -> NotNull
+    - approx_ndv >= ``unique_min_ratio`` x non-null, non-floating column
+                                                 -> Unique (HLL is ~2%
+      approximate; near-unique columns can be falsely suggested — the
+      suggestions are a reviewed starting point, and the enforced Unique
+      check itself is exact)
+    - string column with approx_ndv <= ``lookup_max_ndv``
+                                                 -> InLookup vs the
+      observed distinct set (ONE extra tiny aggregate for all such
+      columns together; the sets are bounded by the threshold)
+    - numeric column                             -> Range over
+      [min - slack*span, max + slack*span]
+
+    Driver-side work is one collect of the per-column profile (one row
+    per column) plus one collect of the bounded lookup sets — never data
+    rows. By construction the suggested suite passes on the profiled
+    snapshot itself (modulo the documented near-unique HLL caveat);
+    tests/test_profile.py locks that property.
+    """
+    from smcchecker_spark.constraints import (
+        InLookup,
+        NotNull,
+        Range,
+        Suite,
+        Unique,
+        ValidationContext,
+    )
+
+    columns = columns or df.columns
+    prof = {
+        r["column"]: r
+        for r in (
+            profile if profile is not None else column_stats(df, columns)
+        ).collect()
+    }
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    numeric = {
+        c for c, t in fields.items() if isinstance(t, T.NumericType)
+    }
+    non_float = {
+        c
+        for c, t in fields.items()
+        if not isinstance(t, (T.FloatType, T.DoubleType, T.BinaryType))
+    }
+    stringy = {c for c, t in fields.items() if isinstance(t, T.StringType)}
+
+    constraints = []
+    lookup_cols: list[str] = []
+    for c in columns:
+        r = prof.get(c)
+        if r is None or not r["n_rows"]:
+            continue
+        non_null = r["n_rows"] - r["null_count"]
+        if r["null_rate"] <= notnull_max_rate:
+            constraints.append(NotNull(c))
+        if (
+            c in non_float
+            and non_null
+            and r["approx_ndv"] >= unique_min_ratio * non_null
+        ):
+            constraints.append(Unique([c]))
+        if c in stringy and 0 < r["approx_ndv"] <= lookup_max_ndv:
+            lookup_cols.append(c)
+        if c in numeric and r["min"] is not None and r["max"] is not None:
+            lo, hi = float(r["min"]), float(r["max"])
+            pad = range_slack * (hi - lo)
+            constraints.append(Range(c, lo=lo - pad, hi=hi + pad))
+
+    lookups: dict[str, DataFrame] = {}
+    if lookup_cols:
+        sets = df.agg(
+            *[F.collect_set(F.col(c)).alias(c) for c in lookup_cols]
+        ).collect()[0]
+        spark = df.sparkSession
+        for c in lookup_cols:
+            lookups[f"lu_{c}"] = spark.createDataFrame(
+                [(v,) for v in sets[c]], f"{c} string"
+            )
+            constraints.append(
+                InLookup(c, lookup=f"lu_{c}", lookup_key=c)
+            )
+
+    return (
+        Suite(name=name, table=table, constraints=constraints),
+        ValidationContext(lookups=lookups),
+    )
