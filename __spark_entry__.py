@@ -1985,6 +1985,79 @@ FROM documents
 """
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report: doc count, exact-dup count/rate
+    (md5 fingerprint seen >1 across the WHOLE corpus), mean length,
+    language spread — the monitoring rollup a curation pipeline runs per
+    ingest wave. Duplicates are planted (doc_id % 31 == 7 re-ingested)
+    so the dup path is exercised.
+
+    Scale shape: ONE text scan computes the fingerprint; everything
+    after shuffles only (source, fp, count) triples (map-side combined)
+    and bounded per-source rows — document text never reaches a second
+    stage. Global dup detection joins per-(source,fp) counts to the
+    fp-level totals, so a fingerprint hot enough to matter is already
+    aggregated before the join."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", "lang", "n_chars",
+        text_ops.fingerprint(F.col("text")).alias("fp"),
+    )
+    d = d.unionByName(d.filter(F.col("doc_id") % 31 == 7))
+    sfp = d.groupBy("source", "fp").agg(F.count(F.lit(1)).alias("c"))
+    g = sfp.groupBy("fp").agg(F.sum("c").alias("gs"))
+    dup = (
+        sfp.join(g, "fp")
+        .filter(F.col("gs") > 1)
+        .groupBy("source")
+        .agg(F.sum("c").alias("n_dup_docs"))
+    )
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return base.join(dup, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_dup_docs"), F.lit(0)).alias("n_dup_docs"),
+        F.round(
+            F.coalesce(F.col("n_dup_docs"), F.lit(0))
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_frac"),
+        "mean_chars",
+        "n_langs",
+    )
+
+
+_CORPUS_REPORT_ORACLE = r"""
+WITH d0 AS (
+  SELECT doc_id, source, lang, n_chars,
+         md5(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))) AS fp
+  FROM documents
+),
+d AS (SELECT * FROM d0 UNION ALL SELECT * FROM d0 WHERE doc_id % 31 = 7),
+sfp AS (SELECT source, fp, count(*) AS c FROM d GROUP BY 1, 2),
+g AS (SELECT fp, sum(c) AS gs FROM sfp GROUP BY 1),
+dup AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_dup_docs
+  FROM sfp JOIN g USING (fp) WHERE gs > 1 GROUP BY 1
+),
+base AS (
+  SELECT source, count(*) AS n_docs,
+         round(avg(n_chars), 6) AS mean_chars,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM d GROUP BY 1
+)
+SELECT base.source, n_docs,
+       coalesce(n_dup_docs, 0) AS n_dup_docs,
+       round(coalesce(n_dup_docs, 0) / CAST(n_docs AS DOUBLE), 6) AS dup_frac,
+       mean_chars, n_langs
+FROM base LEFT JOIN dup USING (source)
+"""
+
+
 def q_curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation pipeline — the composed flagship for the
     training-data ops: corpus (with planted exact duplicates) → quality
@@ -2145,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii_docs": q_scrub_pii_docs,
         "pack_docs": q_pack_docs,
         "curate_docs": q_curate_docs,
+        "corpus_report": q_corpus_report,
     }
 
 
@@ -2212,6 +2286,7 @@ def oracle_sql() -> dict[str, str]:
         # composed end-to-end curation (gate → decontaminate → dedup →
         # scrub) — every stage's oracle fragment chained into one query
         "curate_docs": _CURATE_ORACLE,
+        "corpus_report": _CORPUS_REPORT_ORACLE,
         # rows-only (approximate / non-SQL-expressible): column_stats_approx,
         #   lsh_topk_embeddings, simhash_neardup_docs, images_validate
     }
