@@ -49,7 +49,18 @@ import sys
 
 def build_constraint(spec: dict):
     from smcchecker_spark import constraints as C
-    from smcchecker_spark.image import ImageConsistent, PsnrAtLeast
+    from smcchecker_spark.image import (
+        AspectRatioRange,
+        BytesPerPixelRange,
+        ImageConsistent,
+        MinResolution,
+        PsnrAtLeast,
+    )
+    from smcchecker_spark.vector import (
+        VectorFinite,
+        VectorNormRange,
+        VectorShape,
+    )
 
     kind = spec["type"]
     args = {k: v for k, v in spec.items() if k != "type"}
@@ -69,6 +80,12 @@ def build_constraint(spec: dict):
         "subset_of": C.SubsetOf,
         "image_consistent": ImageConsistent,
         "psnr_at_least": PsnrAtLeast,
+        "min_resolution": MinResolution,
+        "aspect_ratio_range": AspectRatioRange,
+        "bytes_per_pixel_range": BytesPerPixelRange,
+        "vector_shape": VectorShape,
+        "vector_finite": VectorFinite,
+        "vector_norm_range": VectorNormRange,
     }
     if kind not in factory:
         raise SystemExit(f"unknown constraint type {kind!r}")

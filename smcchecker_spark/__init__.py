@@ -41,6 +41,11 @@ from smcchecker_spark.constraints import (  # noqa: F401
     Unique,
 )
 from smcchecker_spark.compile import compile_suite  # noqa: F401
+from smcchecker_spark.vector import (  # noqa: F401
+    VectorFinite,
+    VectorNormRange,
+    VectorShape,
+)
 from smcchecker_spark.run import ValidationRunner  # noqa: F401
 from smcchecker_spark.tables import (  # noqa: F401
     IcebergTable,

@@ -30,6 +30,12 @@ def test_build_constraint_all_types():
         {"type": "not_in_existing", "keys": ["a"], "existing": "prod"},
         {"type": "subset_of", "keys": ["a"], "other": "t"},
         {"type": "image_consistent"},
+        {"type": "min_resolution", "column": "w", "h_col": "h", "min_w": 32, "min_h": 32},
+        {"type": "aspect_ratio_range", "column": "w", "h_col": "h", "lo": 0.5, "hi": 2.0},
+        {"type": "bytes_per_pixel_range", "column": "bytes", "lo": 0.1, "hi": 10.0},
+        {"type": "vector_shape", "column": "emb", "dim": 64},
+        {"type": "vector_finite", "column": "emb"},
+        {"type": "vector_norm_range", "column": "emb", "lo": 0.5, "hi": 2.0},
     ]
     names = [build_constraint(s).name for s in specs]
     assert len(names) == len(set(names)) == len(specs)
