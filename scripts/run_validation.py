@@ -120,11 +120,64 @@ def load_suite(path: str):
     )
 
 
+def suggest_cmd(spark, args) -> int:
+    """--suggest: profile the input into a candidate suite config
+    (stats.suggest_suite) written as JSON, with the derived lookup sets
+    as lu_<col>.parquet files beside it — review, then validate with
+    --suite <json> --lookup lu_<col>=<path>."""
+    import os
+
+    from smcchecker_spark import stats
+
+    df = spark.read.format(args.fmt).load(args.input)
+    table = args.table or os.path.basename(args.input.rstrip("/")).split(".")[0]
+    suite, ctx = stats.suggest_suite(df, name=f"{table}_auto", table=table)
+
+    spec_of = {
+        "NotNull": lambda c: {"type": "not_null", "column": c.column},
+        "Unique": lambda c: {"type": "unique", "keys": list(c.keys)},
+        "Range": lambda c: {"type": "range", "column": c.column,
+                            "lo": c.lo, "hi": c.hi},
+        "InLookup": lambda c: {"type": "in_lookup", "column": c.column,
+                               "lookup": c.lookup,
+                               "lookup_key": c.lookup_key},
+    }
+    cfg = {
+        "name": suite.name,
+        "table": suite.table,
+        "row_id_col": args.row_id,
+        "part_id_col": None,
+        "constraints": [
+            spec_of[type(c).__name__](c) for c in suite.constraints
+        ],
+    }
+    dest_dir = os.path.dirname(os.path.abspath(args.suggest)) or "."
+    os.makedirs(dest_dir, exist_ok=True)
+    lookup_args = []
+    for name, lu_df in ctx.lookups.items():
+        path = os.path.join(dest_dir, f"{name}.parquet")
+        lu_df.write.mode("overwrite").parquet(path)
+        lookup_args.append(f"--lookup {name}={path}")
+    with open(args.suggest, "w") as f:
+        json.dump(cfg, f, indent=2)
+    print(f"wrote {args.suggest} ({len(cfg['constraints'])} constraints)")
+    if lookup_args:
+        print("validate with: " + " ".join(lookup_args))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True, help="table path (parquet dir)")
-    p.add_argument("--suite", required=True, help="suite config JSON")
-    p.add_argument("--out", required=True, help="output dir (violations/, verdicts/)")
+    p.add_argument("--suite", help="suite config JSON")
+    p.add_argument("--suggest", metavar="DEST.json",
+                   help="profile --input into a candidate suite config "
+                   "(+ lu_*.parquet lookup sets beside it) and exit")
+    p.add_argument("--table", default=None,
+                   help="table name for --suggest (default: input basename)")
+    p.add_argument("--row-id", default="image_id",
+                   help="row id column recorded in the suggested config")
+    p.add_argument("--out", help="output dir (violations/, verdicts/)")
     p.add_argument("--lookup", action="append", default=[],
                    metavar="NAME=PATH", help="lookup table (repeatable)")
     p.add_argument("--existing", action="append", default=[],
@@ -147,6 +200,8 @@ def main(argv=None) -> int:
         "catalog.db.table identifier",
     )
     args = p.parse_args(argv)
+    if not args.suggest and (not args.suite or not args.out):
+        p.error("--suite and --out are required (unless using --suggest)")
 
     from pyspark.sql import SparkSession
 
@@ -159,6 +214,9 @@ def main(argv=None) -> int:
         from smcchecker_spark.package import ensure_shipped
 
         ensure_shipped(spark)
+
+    if args.suggest:
+        return suggest_cmd(spark, args)
 
     from smcchecker_spark.constraints import ValidationContext
     from smcchecker_spark.run import ValidationRunner

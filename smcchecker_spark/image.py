@@ -456,3 +456,56 @@ class BytesPerPixelRange(Constraint):
             f"Image payload size per pixel outside the allowed range "
             f"[{self.lo}, {self.hi}] bytes/pixel"
         )
+
+
+def suggest_image_policy(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    w_col: str = "w",
+    h_col: str = "h",
+    slack: float = 1e-6,
+) -> list[Constraint]:
+    """Profile a trusted snapshot's observed envelope into policy gates —
+    the image-payload counterpart of ``stats.suggest_suite`` (north-star
+    "stats feed the checks"). ONE aggregate pass collects min/max of
+    dims, aspect ratio, and bytes/pixel; returns
+    [MinResolution, AspectRatioRange, BytesPerPixelRange] bounds that
+    the snapshot itself passes.
+
+    ``slack`` is a relative widening (default 1e-6) applied to the ratio
+    bounds: the constraints compare multiplicatively (w < lo*h) while
+    the profile aggregates a rounded division, so a boundary row could
+    otherwise flag itself by one ulp. Raise it (e.g. 0.05) to tolerate
+    drift beyond the observed envelope.
+    """
+    w = F.col(w_col).cast("double")
+    h = F.col(h_col).cast("double")
+    nb = F.length(F.col(bytes_col)).cast("double")
+    aspect = F.when(h > 0, w / h)
+    bpp = F.when(w * h > 0, nb / (w * h))
+    row = df.agg(
+        F.min(w_col).alias("min_w"),
+        F.min(h_col).alias("min_h"),
+        F.min(aspect).alias("ar_lo"),
+        F.max(aspect).alias("ar_hi"),
+        F.min(bpp).alias("bpp_lo"),
+        F.max(bpp).alias("bpp_hi"),
+    ).collect()[0]
+    return [
+        MinResolution(
+            w_col, h_col=h_col, min_w=int(row.min_w), min_h=int(row.min_h)
+        ),
+        AspectRatioRange(
+            w_col,
+            h_col=h_col,
+            lo=row.ar_lo * (1 - slack),
+            hi=row.ar_hi * (1 + slack),
+        ),
+        BytesPerPixelRange(
+            bytes_col,
+            w_col=w_col,
+            h_col=h_col,
+            lo=row.bpp_lo * (1 - slack),
+            hi=row.bpp_hi * (1 + slack),
+        ),
+    ]

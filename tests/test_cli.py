@@ -128,3 +128,34 @@ def test_cli_checkpoint_resume(spark, tmp_path):
     main(args)  # resume is a no-op, outputs still written from checkpoint
     v = spark.read.parquet(str(tmp_path / "out" / "violations"))
     assert v.select("row_id").distinct().count() == v.count()  # no dup appends
+
+
+def test_cli_suggest_roundtrip(spark, tmp_path, sf_dir):
+    """--suggest profiles the input into a suite config + lookup parquet
+    sidecars; validating the same input with that config passes clean
+    (the snapshot passes its own suggested suite)."""
+    dest = tmp_path / "auto_suite.json"
+    rc = main([
+        "--input", f"{sf_dir}/documents.parquet",
+        "--suggest", str(dest),
+        "--row-id", "doc_id",
+    ])
+    assert rc == 0
+    cfg = json.loads(dest.read_text())
+    kinds = {c["type"] for c in cfg["constraints"]}
+    assert {"not_null", "unique", "range", "in_lookup"} <= kinds
+    lu_args = [
+        f"lu_{c}={tmp_path / ('lu_' + c + '.parquet')}"
+        for c in ("lang", "source")
+    ]
+    for kv in lu_args:
+        assert (tmp_path / kv.split("=")[1].rsplit("/", 1)[-1]).exists()
+    rc = main([
+        "--input", f"{sf_dir}/documents.parquet",
+        "--suite", str(dest),
+        "--out", str(tmp_path / "out"),
+        *[a for kv in lu_args for a in ("--lookup", kv)],
+    ])
+    assert rc == 0  # clean input → zero violations → exit 0
+    v = spark.read.parquet(str(tmp_path / "out" / "violations"))
+    assert v.count() == 0

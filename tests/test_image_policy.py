@@ -96,3 +96,44 @@ def test_policy_only_suite_has_no_python_stage(spark, corpus):
     # the POLICY pass must add none beyond it
     assert plan.count("ArrowEvalPython") == 0, plan
     assert plan.count("BatchEvalPython") == 0, plan
+
+
+def test_suggested_policy_passes_own_snapshot(spark, corpus):
+    from smcchecker_spark.image import suggest_image_policy
+
+    df, pdf = corpus
+    cons = suggest_image_policy(df)
+    suite = Suite(name="auto_policy", table="images", constraints=cons)
+    out = compile_suite(df, suite, row_id_col="image_id",
+                        part_id_col="part_id")
+    assert out.count() == 0
+    # derived bounds reflect the observed envelope
+    mr = next(c for c in cons if c.name.startswith("minresolution"))
+    assert mr.min_w == pdf.w.min() and mr.min_h == pdf.h.min()
+
+
+def test_suggested_policy_flags_outliers(spark, corpus):
+    from pyspark.sql import functions as F
+
+    from smcchecker_spark.image import suggest_image_policy
+
+    df, _ = corpus
+    cons = suggest_image_policy(df)
+    suite = Suite(name="auto_policy", table="images", constraints=cons)
+    # a banner-shaped, tiny, and truncated row — outside every observed bound
+    outlier = df.limit(1).select(
+        F.lit("outlier").alias("image_id"),
+        F.col("bytes").substr(1, 8).alias("bytes"),
+        F.lit(2).cast("int").alias("w"),
+        F.lit(500).cast("int").alias("h"),
+        "fmt", "caption", "phash", "part_id",
+    )
+    dirty = df.select("image_id", "bytes", "w", "h", "fmt", "caption",
+                      "phash", "part_id").unionByName(outlier)
+    out = compile_suite(dirty, suite, row_id_col="image_id",
+                        part_id_col="part_id")
+    got = {r.check_name for r in out.select("check_name").distinct().collect()}
+    assert {"minresolution_w_h", "aspectratio_w_h",
+            "bytesperpixel_bytes"} <= got
+    flagged = {r.row_id for r in out.select("row_id").distinct().collect()}
+    assert flagged == {"outlier"}
