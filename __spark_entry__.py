@@ -36,7 +36,7 @@ from smcchecker_spark.image import (
     MinResolution,
 )
 from smcchecker_spark.vector import VectorFinite, VectorNormRange, VectorShape
-from smcchecker_spark.ops import contamination, dedup, pack, similarity
+from smcchecker_spark.ops import contamination, dedup, pack, sessions, similarity
 from smcchecker_spark.ops import sample as sample_ops
 from smcchecker_spark.ops import text as text_ops
 
@@ -1985,6 +1985,61 @@ FROM documents
 """
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (ops/sessions.py):
+    per-user sessions split on >30-minute silence, rolled up to
+    (user, session) stats. ONE shuffle — the rollup reuses the window's
+    user partitioning. Microsecond-integer timestamps keep both engines
+    exact; ties broken by event_id."""
+    ev = _t(spark, sf_dir, "events")
+    return sessions.session_stats(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        gap_seconds=1800,
+        tiebreak_col="event_id",
+        agg_cols={"value": "sum"},
+    ).select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        "start_us",
+        "end_us",
+        "duration_us",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+_SESSIONIZE_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+),
+lagged AS (
+  SELECT *,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT *,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_seq
+  FROM lagged
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       min(ts_us) AS start_us,
+       max(ts_us) AS end_us,
+       max(ts_us) - min(ts_us) AS duration_us,
+       round(sum(value), 6) AS sum_value
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health report: doc count, exact-dup count/rate
     (md5 fingerprint seen >1 across the WHOLE corpus), mean length,
@@ -2219,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_docs": q_pack_docs,
         "curate_docs": q_curate_docs,
         "corpus_report": q_corpus_report,
+        "sessionize_events": q_sessionize_events,
     }
 
 
@@ -2287,6 +2343,7 @@ def oracle_sql() -> dict[str, str]:
         # scrub) — every stage's oracle fragment chained into one query
         "curate_docs": _CURATE_ORACLE,
         "corpus_report": _CORPUS_REPORT_ORACLE,
+        "sessionize_events": _SESSIONIZE_ORACLE,
         # rows-only (approximate / non-SQL-expressible): column_stats_approx,
         #   lsh_topk_embeddings, simhash_neardup_docs, images_validate
     }

@@ -83,6 +83,8 @@ HEADLINE = [
     "embedding_neardup",
     # training-data pipeline ops (round 2): splits/mix, repetition
     # quality, decontamination, PII scrub, sequence packing
+    "sessionize_events",
+    "corpus_report",
     "det_split_docs",
     "mix_budget_docs",
     "repetition_docs",

@@ -1,0 +1,75 @@
+"""ops/sessions.py — gap-based sessionization semantics (strict-gap
+boundary, tie-break determinism, per-key isolation) against a hand-built
+event log, plus the one-exchange plan claim (the stats rollup reuses the
+window's key partitioning). Value parity vs SQL is the driver-gate
+``sessionize_events`` oracle."""
+
+from datetime import datetime
+
+import pytest
+
+from smcchecker_spark.ops import sessions
+
+GAP = 60  # seconds
+
+
+def _ts(s: float) -> datetime:
+    return datetime(2024, 1, 1, 0, 0, 0).fromtimestamp(1704067200 + s)
+
+
+ROWS = [
+    # (event_id, user, seconds-offset)  — u1: 3 sessions
+    (1, "u1", 0.0),
+    (2, "u1", 30.0),
+    (3, "u1", 90.0),       # 60s gap exactly -> NOT a new session (strict >)
+    (4, "u1", 150.5),      # 60.5s gap -> new session
+    (5, "u1", 400.0),      # new session
+    # u2: single session, duplicate timestamps (tie-break by event_id)
+    (6, "u2", 10.0),
+    (7, "u2", 10.0),
+    (8, "u2", 20.0),
+]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.createDataFrame(
+        [(i, u, _ts(s)) for i, u, s in ROWS],
+        "event_id long, user_id string, ts timestamp",
+    )
+
+
+def test_session_assignment(events):
+    got = {
+        r.event_id: r.session_seq
+        for r in sessions.sessionize(
+            events, key_col="user_id", ts_col="ts", gap_seconds=GAP,
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 3, 6: 1, 7: 1, 8: 1}
+
+
+def test_session_stats(events):
+    out = sessions.session_stats(
+        events, key_col="user_id", ts_col="ts", gap_seconds=GAP,
+        tiebreak_col="event_id",
+    )
+    rows = {(r.user_id, r.session_seq): r for r in out.collect()}
+    assert len(rows) == 4
+    s1 = rows[("u1", 1)]
+    assert s1.n_events == 3 and s1.duration_us == 90_000_000
+    assert rows[("u1", 3)].n_events == 1
+    assert rows[("u2", 1)].n_events == 3
+
+
+def test_rollup_reuses_window_partitioning(events):
+    """groupBy(user, session_seq) clusters a superset of the window's
+    HashPartitioning(user) — EnsureRequirements must add no second
+    exchange."""
+    out = sessions.session_stats(
+        events, key_col="user_id", ts_col="ts", gap_seconds=GAP,
+        tiebreak_col="event_id",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan
