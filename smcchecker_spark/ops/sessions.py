@@ -86,3 +86,40 @@ def session_stats(
     for col, how in (agg_cols or {}).items():
         aggs.append(getattr(F, how)(col).alias(f"{how}_{col}"))
     return s.groupBy(key_col, "session_seq").agg(*aggs)
+
+
+def streaming_session_stats(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+    agg_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Streaming analogue via Spark's native ``session_window``: state is
+    one open session per key, merged as events arrive, finalized and
+    evicted once the watermark passes the session end — O(active keys)
+    state, the exact contract a 10^12-event stream needs.
+
+    Boundary semantics differ from batch ``sessionize`` by a half-open
+    edge: the native session window spans [ts, last_ts + gap), so an
+    event arriving EXACTLY ``gap`` after the previous one starts a new
+    session, where the batch path's strict ``> gap`` keeps it. With
+    continuous (microsecond) timestamps the boundary case has measure
+    zero; tests assert parity away from it.
+
+    Output: (key, session struct(start, end), n_events, optional aggs).
+    ``session.end`` is last event + gap by the native definition.
+    """
+    gap = f"{int(gap_seconds)} seconds"
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    for col, how in (agg_cols or {}).items():
+        aggs.append(getattr(F, how)(col).alias(f"{how}_{col}"))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), gap).alias("session"),
+        )
+        .agg(*aggs)
+    )

@@ -73,3 +73,44 @@ def test_rollup_reuses_window_partitioning(events):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_streaming_sessions_match_batch(spark, events, tmp_path):
+    """Native session_window streaming path == batch sessionize away
+    from the half-open gap boundary: same sessions per key, same event
+    counts, same session starts. One micro-batch (availableNow) in
+    complete mode emits every session's final state (session merging
+    rules out update mode)."""
+    # drop the exact-gap-boundary event (id 3): the two paths define it
+    # differently (documented in streaming_session_stats)
+    df = events.filter("event_id <> 3")
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = sessions.streaming_session_stats(
+        stream, key_col="user_id", ts_col="ts", gap_seconds=GAP,
+        watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session.start, r.n_events)
+        for r in spark.sql("select * from sess_stream").collect()
+    }
+
+    batch = sessions.session_stats(
+        df, key_col="user_id", ts_col="ts", gap_seconds=GAP,
+        tiebreak_col="event_id",
+    )
+    want = {
+        (r.user_id, datetime.fromtimestamp(r.start_us / 1e6), r.n_events)
+        for r in batch.collect()
+    }
+    assert got == want and len(want) == 4
