@@ -1985,6 +1985,56 @@ FROM documents
 """
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column drift (stats.embedding_drift): centroid cosine
+    distance + mean-norm shift between a planted-drift snapshot (element
+    0 shifted +0.2 on odd vec_ids — an encoder-skew stand-in) and the
+    original. One aggregate pass per snapshot; the 64 per-dim avg
+    aggregates map-side combine like any agg."""
+    emb = _t(spark, sf_dir, "embeddings")
+    c = F.col("embedding")
+    cur = emb.select(
+        F.when(
+            F.col("vec_id") % 2 == 1,
+            F.concat(
+                F.array(c[0] + F.lit(0.2).cast("float")),
+                F.slice(c, 2, 63),
+            ),
+        )
+        .otherwise(c)
+        .alias("embedding"),
+    )
+    out = stats.embedding_drift(cur, emb, dim=64)
+    return out.select(
+        F.round("mean_cosine_distance", 6).alias("mean_cosine_distance"),
+        F.round("norm_shift", 6).alias("norm_shift"),
+    )
+
+
+_EDRIFT_D = 64
+_EDRIFT_NORM = (
+    "avg(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))))"
+)
+_EMBEDDING_DRIFT_ORACLE = f"""
+WITH cur AS (
+  SELECT CASE WHEN vec_id % 2 = 1
+              THEN list_concat([embedding[1] + CAST(0.2 AS FLOAT)], embedding[2:])
+              ELSE embedding END AS embedding
+  FROM embeddings
+),
+a AS (SELECT {", ".join(f"avg(CAST(embedding[{i+1}] AS DOUBLE)) AS a{i}" for i in range(_EDRIFT_D))},
+             {_EDRIFT_NORM} AS norm_a FROM cur),
+b AS (SELECT {", ".join(f"avg(CAST(embedding[{i+1}] AS DOUBLE)) AS b{i}" for i in range(_EDRIFT_D))},
+             {_EDRIFT_NORM} AS norm_b FROM embeddings)
+SELECT round(1 - ({" + ".join(f"a{i}*b{i}" for i in range(_EDRIFT_D))})
+             / (sqrt({" + ".join(f"a{i}*a{i}" for i in range(_EDRIFT_D))})
+                * sqrt({" + ".join(f"b{i}*b{i}" for i in range(_EDRIFT_D))})), 6)
+           AS mean_cosine_distance,
+       round(norm_a - norm_b, 6) AS norm_shift
+FROM a, b
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream (ops/sessions.py):
     per-user sessions split on >30-minute silence, rolled up to
@@ -2275,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_docs": q_curate_docs,
         "corpus_report": q_corpus_report,
         "sessionize_events": q_sessionize_events,
+        "embedding_drift": q_embedding_drift,
     }
 
 
@@ -2344,6 +2395,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_docs": _CURATE_ORACLE,
         "corpus_report": _CORPUS_REPORT_ORACLE,
         "sessionize_events": _SESSIONIZE_ORACLE,
+        "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         # rows-only (approximate / non-SQL-expressible): column_stats_approx,
         #   lsh_topk_embeddings, simhash_neardup_docs, images_validate
     }

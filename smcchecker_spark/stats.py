@@ -643,3 +643,76 @@ def suggest_suite(
         Suite(name=name, table=table, constraints=constraints),
         ValidationContext(lookups=lookups),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift — the vector-column member of the drift family (KS/PSI
+# cover scalar columns; 10^12-row embedding corpora drift too: encoder
+# version bumps shift the mean direction, normalization bugs shift norms).
+# ---------------------------------------------------------------------------
+
+
+def embedding_mean_vector(
+    df: DataFrame, col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """One-row DataFrame with the elementwise mean vector (double).
+    ONE aggregate pass — dim avg() aggregates, map-side combined like any
+    other agg; nothing per-row leaves the executors."""
+    if dim is None:
+        dim = df.select(F.size(F.col(col)).alias("d")).first()["d"]
+    return df.agg(
+        F.array(
+            *[F.avg(F.col(col)[i].cast("double")) for i in range(dim)]
+        ).alias("mean_vec")
+    )
+
+
+def embedding_drift(
+    cur: DataFrame,
+    base: DataFrame,
+    col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """One-row drift report between two snapshots of a vector column:
+
+    - ``mean_cosine_distance``: 1 - cos(mean_cur, mean_base) — direction
+      drift of the centroid (encoder-version skew).
+    - ``norm_shift``: avg L2 norm difference (cur - base) —
+      normalization drift.
+
+    Both are single aggregate passes per snapshot crossJoined as 1-row
+    DataFrames; the cosine arithmetic runs on the two mean vectors only.
+    """
+    from smcchecker_spark.vector import l2_norm
+
+    if dim is None:
+        dim = cur.select(F.size(F.col(col)).alias("d")).first()["d"]
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.array(
+                *[F.avg(F.col(col)[i].cast("double")) for i in range(dim)]
+            ).alias(f"mv_{tag}"),
+            F.avg(l2_norm(F.col(col))).alias(f"norm_{tag}"),
+        )
+
+    j = side(cur, "a").crossJoin(side(base, "b"))
+    dot = F.aggregate(
+        F.zip_with("mv_a", "mv_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def mag(c: str) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.col(c), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+
+    return j.select(
+        (F.lit(1.0) - dot / (mag("mv_a") * mag("mv_b"))).alias(
+            "mean_cosine_distance"
+        ),
+        (F.col("norm_a") - F.col("norm_b")).alias("norm_shift"),
+    )

@@ -147,3 +147,39 @@ def test_column_stats_binary_payload(spark):
     # grouped variant carries the same semantics per partition
     by = column_stats_by(df, "part_id", ["bytes"]).collect()
     assert len(by) == 4 and all(int(r["min"]) > 0 for r in by)
+
+
+def test_embedding_drift_invariants(spark):
+    """Identical snapshots -> zero drift; pure rescaling -> norm shift
+    with (near-)zero direction drift; a directional shift moves the
+    centroid cosine. Value parity vs SQL is the driver-gate
+    embedding_drift oracle."""
+    from pyspark.sql import functions as F
+
+    from smcchecker_spark.stats import embedding_drift
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+
+    same = embedding_drift(emb, emb, dim=64).first()
+    assert abs(same.mean_cosine_distance) < 1e-12
+    assert same.norm_shift == 0.0
+
+    scaled = emb.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")),
+    )
+    s = embedding_drift(scaled, emb, dim=64).first()
+    assert s.norm_shift == pytest.approx(1.0, rel=1e-3)  # norms ~1 -> ~2
+    assert abs(s.mean_cosine_distance) < 1e-6  # direction preserved
+
+    shifted = emb.withColumn(
+        "embedding",
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(0.5).cast("float")),
+            F.slice("embedding", 2, 63),
+        ),
+    )
+    d = embedding_drift(shifted, emb, dim=64).first()
+    assert d.mean_cosine_distance > 0.01
