@@ -843,3 +843,36 @@ def resolve_duplicates(
     return joined.filter(
         comp["component"].isNull() | (comp["component"] == df[id_col])
     ).drop(comp["id"]).drop(comp["component"])
+
+
+def image_near_dups(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    hot_bucket: int = 256,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """IMAGE near-duplicates for tables WITHOUT a stored phash column:
+    ONE Arrow-batched decode pass (image.py's decode-facts UDF — the
+    same kernel the validation suite runs, batched and buffer-capped)
+    computes phash64 per payload, then the stored-phash path takes over
+    (:func:`hamming_near_dups`): chunk-blocked banding, skew-guarded
+    in-bucket pairing, exact pigeonhole recall — payload bytes are
+    never read again after the signature pass. Undecodable payloads are
+    excluded from pairing (they have no perceptual content; the
+    validation suite is where they get flagged)."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from smcchecker_spark.image import decode_facts_udf
+
+    facts = decode_facts_udf()(F.col(bytes_col))
+    sigs = (
+        df.select(F.col(id_col), facts.alias("__f"))
+        .where(F.col("__f.ok"))
+        .select(id_col, F.col("__f.phash").alias("__phash"))
+    )
+    return hamming_near_dups(
+        sigs, id_col, "__phash", max_hamming, chunks, hot_bucket, max_bucket
+    )

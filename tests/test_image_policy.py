@@ -137,3 +137,30 @@ def test_suggested_policy_flags_outliers(spark, corpus):
             "bytesperpixel_bytes"} <= got
     flagged = {r.row_id for r in out.select("row_id").distinct().collect()}
     assert flagged == {"outlier"}
+
+
+def test_image_near_dups_from_raw_bytes(spark):
+    """dedup.image_near_dups: no stored phash — one decode pass computes
+    it, then banding pairs lossy re-encodes with their originals and
+    nothing else; a corrupt payload is excluded, not fatal."""
+    import numpy as np
+
+    from smcchecker_spark import imagecodec as ic
+    from smcchecker_spark.ops import dedup
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(40):
+        arr = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        rows.append((f"orig{i}", ic.encode_png(arr)))
+        if i % 2 == 0:  # lossy re-encode twin (phash moves <= 2 bits)
+            rows.append((f"twin{i}", ic.encode_fake_lossy(arr)))
+    rows.append(("corrupt", b"\x89PNG but not really"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+
+    pairs = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in dedup.image_near_dups(df, max_hamming=3).collect()
+    }
+    want = {(f"orig{i}", f"twin{i}") for i in range(0, 40, 2)}
+    assert pairs == want
