@@ -1985,6 +1985,46 @@ FROM documents
 """
 
 
+def q_image_decontaminate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual benchmark decontamination (contamination.phash_overlap):
+    corpus images whose phash lands within 3 bits of ANY benchmark
+    image. Benchmark bands broadcast; the corpus makes one map-only
+    pass, shuffling nothing but the flagged-id rollup. Derived-
+    fingerprint trick (same as phash_neardup_events): a bitwise mix of
+    event_id stands in for phash, the benchmark is a 1-bit-perturbed 1%
+    slice, and DuckDB brute-forces the same flags; the real-payload path
+    is exercised in tests/test_image_policy.py."""
+    mix = "event_id ^ shiftleft(event_id, 21) ^ shiftleft(event_id, 42)"
+    ev = _t(spark, sf_dir, "events")
+    corpus = ev.select("event_id", F.expr(mix).alias("phash"))
+    bench = ev.filter("event_id % 101 = 0").select(
+        F.expr(f"{mix} ^ shiftleft(1, cast(event_id % 3 as int))").alias(
+            "phash"
+        )
+    )
+    return contamination.phash_overlap(
+        corpus, bench, id_col="event_id", max_hamming=3
+    )
+
+
+_IMAGE_DECONTAM_ORACLE = """
+WITH c AS (
+  SELECT event_id,
+         xor(xor(event_id, event_id << 21), event_id << 42) AS phash
+  FROM events
+),
+b AS (
+  SELECT xor(xor(xor(event_id, event_id << 21), event_id << 42),
+             1 << CAST(event_id % 3 AS INT)) AS phash
+  FROM events WHERE event_id % 101 = 0
+)
+SELECT c.event_id,
+       CAST(min(bit_count(xor(c.phash, b.phash))) AS INT) AS min_hamming
+FROM c JOIN b ON bit_count(xor(c.phash, b.phash)) <= 3
+GROUP BY c.event_id
+"""
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-column drift (stats.embedding_drift): centroid cosine
     distance + mean-norm shift between a planted-drift snapshot (element
@@ -2326,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "sessionize_events": q_sessionize_events,
         "embedding_drift": q_embedding_drift,
+        "image_decontaminate_events": q_image_decontaminate_events,
     }
 
 
@@ -2396,6 +2437,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": _CORPUS_REPORT_ORACLE,
         "sessionize_events": _SESSIONIZE_ORACLE,
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
+        "image_decontaminate_events": _IMAGE_DECONTAM_ORACLE,
         # rows-only (approximate / non-SQL-expressible): column_stats_approx,
         #   lsh_topk_embeddings, simhash_neardup_docs, images_validate
     }

@@ -85,6 +85,8 @@ HEADLINE = [
     # quality, decontamination, PII scrub, sequence packing
     "sessionize_events",
     "corpus_report",
+    "embedding_drift",
+    "image_decontaminate_events",
     "det_split_docs",
     "mix_budget_docs",
     "repetition_docs",

@@ -117,3 +117,97 @@ def decontaminate(
     return df.join(
         F.broadcast(bad), df[id_col] == F.col("_bad_id"), "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# IMAGE decontamination — the perceptual analogue of n-gram overlap:
+# training images whose phash is within Hamming distance of ANY
+# benchmark/eval image leak eval content into training.
+# ---------------------------------------------------------------------------
+
+
+def phash_overlap(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    bench_phash_col: str | None = None,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Corpus ids whose phash is within ``max_hamming`` bits of any
+    benchmark phash → (id, min_hamming).
+
+    Shape at 10^12 corpus rows: the benchmark side is SMALL by nature,
+    so its chunk bands are built once and BROADCAST; the corpus makes
+    ONE map-only pass (explode ``chunks`` band structs per row →
+    broadcast hash join → exact bit_count verify) — the corpus is never
+    shuffled at all until the final tiny groupBy on flagged ids.
+    Pigeonhole (max_hamming < chunks) keeps recall exact, same as
+    :func:`~smcchecker_spark.ops.dedup.hamming_near_dups`.
+    """
+    assert 64 % chunks == 0
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs chunks > max_hamming for "
+            f"exact recall (pigeonhole); got chunks={chunks}"
+        )
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    bench_ph = bench_phash_col or phash_col
+
+    def bands(df: DataFrame, ph: str, keep: list) -> DataFrame:
+        h = F.col(ph).cast("long")
+        return df.select(
+            *keep,
+            h.alias("__h"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("chunk"),
+                            F.shiftright(h, c * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("val"),
+                        )
+                        for c in range(chunks)
+                    ]
+                )
+            ).alias("cc"),
+        ).select(*keep, "__h", "cc.chunk", "cc.val")
+
+    bench_bands = bands(bench, bench_ph, []).select(
+        "chunk", "val", F.col("__h").alias("__bh")
+    ).distinct()
+    corpus_bands = bands(corpus, phash_col, [F.col(id_col)])
+    hits = (
+        corpus_bands.join(
+            F.broadcast(bench_bands), on=["chunk", "val"], how="inner"
+        )
+        .select(
+            id_col,
+            F.bit_count(
+                F.col("__h").bitwiseXOR(F.col("__bh"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return hits.groupBy(id_col).agg(F.min("hamming").alias("min_hamming"))
+
+
+def decontaminate_images(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    bench_phash_col: str | None = None,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Drop corpus rows perceptually matching a benchmark image:
+    broadcast anti-join of the corpus against the flagged-id set."""
+    flagged = phash_overlap(
+        corpus, bench, id_col, phash_col, bench_phash_col,
+        max_hamming, chunks,
+    ).select(id_col)
+    return corpus.join(F.broadcast(flagged), on=id_col, how="left_anti")

@@ -164,3 +164,33 @@ def test_image_near_dups_from_raw_bytes(spark):
     }
     want = {(f"orig{i}", f"twin{i}") for i in range(0, 40, 2)}
     assert pairs == want
+
+
+def test_decontaminate_images_real_payloads(spark):
+    """contamination.decontaminate_images drops exactly the corpus
+    images whose phash near-matches a benchmark image (here: the
+    benchmark holds lossy re-encodes of 10 corpus images)."""
+    import numpy as np
+
+    from smcchecker_spark import imagecodec as ic
+    from smcchecker_spark.ops import contamination
+
+    rng = np.random.default_rng(23)
+    corpus_rows, bench_rows = [], []
+    for i in range(50):
+        arr = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        corpus_rows.append((f"img{i}", int(ic.phash64(arr))))
+        if i < 10:  # benchmark contains a lossy re-encode of img0..img9
+            twin = ic.decode_fake_lossy(ic.encode_fake_lossy(arr))
+            bench_rows.append((int(ic.phash64(twin)),))
+    corpus = spark.createDataFrame(corpus_rows, "image_id string, phash long")
+    bench = spark.createDataFrame(bench_rows, "phash long")
+
+    flagged = contamination.phash_overlap(corpus, bench, max_hamming=3)
+    assert {r.image_id for r in flagged.collect()} == {
+        f"img{i}" for i in range(10)
+    }
+    kept = contamination.decontaminate_images(corpus, bench, max_hamming=3)
+    assert {r.image_id for r in kept.collect()} == {
+        f"img{i}" for i in range(10, 50)
+    }
