@@ -132,6 +132,20 @@ def suggest_cmd(spark, args) -> int:
     df = spark.read.format(args.fmt).load(args.input)
     table = args.table or os.path.basename(args.input.rstrip("/")).split(".")[0]
     suite, ctx = stats.suggest_suite(df, name=f"{table}_auto", table=table)
+    constraints = list(suite.constraints)
+
+    # image-shaped input (the input_hint schema: w/h ints + binary
+    # payload): also derive the decode-free policy gates from the
+    # snapshot's observed envelope (image.suggest_image_policy)
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if (
+        types.get("w", "").startswith("int")
+        and types.get("h", "").startswith("int")
+        and types.get("bytes") == "binary"
+    ):
+        from smcchecker_spark.image import suggest_image_policy
+
+        constraints.extend(suggest_image_policy(df))
 
     spec_of = {
         "NotNull": lambda c: {"type": "not_null", "column": c.column},
@@ -141,6 +155,16 @@ def suggest_cmd(spark, args) -> int:
         "InLookup": lambda c: {"type": "in_lookup", "column": c.column,
                                "lookup": c.lookup,
                                "lookup_key": c.lookup_key},
+        "MinResolution": lambda c: {
+            "type": "min_resolution", "column": c.column, "h_col": c.h_col,
+            "min_w": c.min_w, "min_h": c.min_h},
+        "AspectRatioRange": lambda c: {
+            "type": "aspect_ratio_range", "column": c.column,
+            "h_col": c.h_col, "lo": c.lo, "hi": c.hi},
+        "BytesPerPixelRange": lambda c: {
+            "type": "bytes_per_pixel_range", "column": c.column,
+            "w_col": c.w_col, "h_col": c.h_col, "lo": c.lo, "hi": c.hi,
+            "length_is_column": c.length_is_column},
     }
     cfg = {
         "name": suite.name,
@@ -148,7 +172,7 @@ def suggest_cmd(spark, args) -> int:
         "row_id_col": args.row_id,
         "part_id_col": None,
         "constraints": [
-            spec_of[type(c).__name__](c) for c in suite.constraints
+            spec_of[type(c).__name__](c) for c in constraints
         ],
     }
     dest_dir = os.path.dirname(os.path.abspath(args.suggest)) or "."

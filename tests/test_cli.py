@@ -159,3 +159,36 @@ def test_cli_suggest_roundtrip(spark, tmp_path, sf_dir):
     assert rc == 0  # clean input → zero violations → exit 0
     v = spark.read.parquet(str(tmp_path / "out" / "violations"))
     assert v.count() == 0
+
+
+def test_cli_suggest_image_table(spark, tmp_path):
+    """--suggest on an image-shaped input also derives the decode-free
+    policy gates from the observed envelope; the snapshot validates
+    clean against its own suggested config."""
+    df = fixtures.generate_images(spark, n_rows=150, n_parts=4, seed=5,
+                                  clean=True)
+    df.write.parquet(str(tmp_path / "imgs"))
+    dest = tmp_path / "img_suite.json"
+    rc = main([
+        "--input", str(tmp_path / "imgs"),
+        "--suggest", str(dest),
+        "--row-id", "image_id",
+    ])
+    assert rc == 0
+    cfg = json.loads(dest.read_text())
+    kinds = {c["type"] for c in cfg["constraints"]}
+    assert {"min_resolution", "aspect_ratio_range",
+            "bytes_per_pixel_range"} <= kinds
+    lu = [
+        a for c in cfg["constraints"] if c["type"] == "in_lookup"
+        for a in ("--lookup",
+                  f"{c['lookup']}={tmp_path / (c['lookup'] + '.parquet')}")
+    ]
+    rc = main([
+        "--input", str(tmp_path / "imgs"),
+        "--suite", str(dest),
+        "--out", str(tmp_path / "out"),
+        *lu,
+    ])
+    assert rc == 0
+    assert spark.read.parquet(str(tmp_path / "out" / "violations")).count() == 0
