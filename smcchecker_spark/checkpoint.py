@@ -183,6 +183,12 @@ def run_with_checkpoint(
     processed: set[int] = set()
     wave = (max(store.wave_dirs(runner.run_id)) + 1
             if store.wave_dirs(runner.run_id) else 0)
+    # one artifact cache for the whole run: full-scope aggregates (the
+    # whole-column parse gates, Unique's dup-key table) are identical
+    # every wave, so without this a 100-wave run scans the complete
+    # table ~100x for answers that never change — defeating the very
+    # partition pruning the wave loop exists for
+    shared_cache: dict = {}
     for i in range(0, len(todo), per_wave):
         if fail_after_waves is not None and i // per_wave >= fail_after_waves:
             raise RuntimeError("simulated crash between waves")
@@ -194,7 +200,7 @@ def run_with_checkpoint(
         # the COMPLETE input, emitting only this wave's rows — per-wave
         # scoping missed dup pairs whose members land in different waves
         # (caught by the 500k crash+resume soak, BENCH.md)
-        result = runner.run(wave_df, full_scope=df)
+        result = runner.run(wave_df, full_scope=df, shared_cache=shared_cache)
         store.write_wave(runner.run_id, wave, result)
         result.violations.unpersist()
         processed.update(batch)

@@ -198,11 +198,19 @@ def compile_suite(
     # complete in-session table, or a wave whose slice happens to parse
     # would run a check the whole-table gate suppresses
     gate_df = ctx.full_scope if ctx.full_scope is not None else df
-    gates = (
-        evaluate_preconditions(gate_df, suite.active(tier))
-        if apply_gates
-        else {}
-    )
+    gates: dict[str, bool] = {}
+    if apply_gates:
+        # gate results are a function of gate_df alone; in wave mode
+        # (ctx.shared set by run_with_checkpoint) the full-scope aggregate
+        # is identical every wave — evaluate once per (run, tier), not
+        # once per wave
+        cache_key = ("gates", tier)
+        if ctx.shared is not None and cache_key in ctx.shared:
+            gates = ctx.shared[cache_key]
+        else:
+            gates = evaluate_preconditions(gate_df, suite.active(tier))
+            if ctx.shared is not None:
+                ctx.shared[cache_key] = gates
     parts: list[DataFrame] = []
     row_pass = compile_row_pass(df, suite, tier, row_id_col, part_id_col, gates)
     if row_pass is not None:

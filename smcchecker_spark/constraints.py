@@ -369,12 +369,24 @@ class Unique(JoinConstraint):
         # waves' per-slice aggregates. The agg side is column-pruned to
         # the keys, so the extra per-wave pass scans ids, not data.
         src = ctx.full_scope if ctx.full_scope is not None else df
+        cache_key = ("unique_dup_keys", self.keys)
         dup_keys = (
-            src.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > 1)
-            .drop("__n")
+            ctx.shared.get(cache_key) if ctx.shared is not None else None
         )
+        if dup_keys is None:
+            dup_keys = (
+                src.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .drop("__n")
+            )
+            if ctx.shared is not None and ctx.full_scope is not None:
+                # wave mode: the dup-key table is a function of the full
+                # in-session scope, identical every wave — materialize it
+                # lazily (first wave pays the agg) and reuse across waves
+                # instead of re-aggregating the complete table per wave
+                dup_keys = dup_keys.localCheckpoint(eager=False)
+                ctx.shared[cache_key] = dup_keys
         # null-safe join-back: groupBy groups NULL keys together (pandas
         # ``duplicated`` treats NaN == NaN the same way, and the reference
         # dedupes on raw pkey values) — a plain equi-join would silently
@@ -578,6 +590,14 @@ class ValidationContext:
     # silently misses duplicate pairs that span slices. None = the df
     # being validated IS the full scope.
     full_scope: "DataFrame | None" = None
+    # Cross-wave artifact cache (whole-column gate results, Unique's
+    # dup-key table). These are functions of ``full_scope`` alone, so a
+    # wave loop re-computing them per wave scans the complete table once
+    # PER WAVE for an answer that never changes. ``run_with_checkpoint``
+    # passes one dict for the whole run; None (the default) disables
+    # caching — correct for direct runs where the runner may be reused
+    # on different inputs.
+    shared: "dict | None" = None
 
 
 @dataclass

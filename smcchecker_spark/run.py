@@ -90,17 +90,31 @@ class ValidationRunner:
         return F.spark_partition_id()
 
     def run(
-        self, df: DataFrame, full_scope: DataFrame | None = None
+        self,
+        df: DataFrame,
+        full_scope: DataFrame | None = None,
+        shared_cache: dict | None = None,
     ) -> ValidationResult:
         started = datetime.now(timezone.utc)
 
-        ctx = self.ctx
-        if full_scope is not None:
-            # wave mode: df is a slice; in-session dup detection must
-            # aggregate over the whole submission (see ValidationContext)
-            from dataclasses import replace
+        from dataclasses import replace
 
-            ctx = replace(ctx, full_scope=full_scope)
+        ctx = self.ctx
+        # The full in-session scope — whole-column gates (IntRange's
+        # parse precondition) and Unique's dup-key aggregate are defined
+        # over it. In wave mode the caller passes the complete table; in
+        # a direct run df IS the complete table. Pinning it here (rather
+        # than leaving full_scope None) keeps the CUSTOM tier consistent
+        # across modes: its compile below receives the core-passing
+        # slice, and without an explicit scope its gates/dup detection
+        # would silently narrow to that slice — direct and checkpointed
+        # runs of the same data would emit different custom violations.
+        scope = full_scope if full_scope is not None else df
+        ctx = replace(
+            ctx,
+            full_scope=scope,
+            shared=shared_cache if shared_cache is not None else ctx.shared,
+        )
         core = compile_suite(
             df,
             self.suite,

@@ -279,3 +279,81 @@ def test_intrange_parse_gate_scopes_to_full_table_across_waves(spark, tmp_path):
         ValidationRunner(suite, run_id="g2"), df, store2, partitions_per_wave=1
     )
     assert store2.violations(spark, "g2").count() == 0
+
+
+def test_custom_tier_scope_parity_direct_vs_waves(spark, tmp_path):
+    """A direct run and a checkpointed run of the SAME data must emit the
+    same custom-tier violations. Two scope traps:
+
+    - whole-column gate: the unparseable value lives in a partition that
+      FAILS core — the gate is a full-table decision, so the custom-tier
+      IntRange must be suppressed in both modes (pre-fix the direct run
+      evaluated the gate over the core-passing subset only and ran it);
+    - custom-tier Unique: the dup partner lives in the core-failed
+      partition — the passing member must still be flagged in both modes.
+    """
+    from smcchecker_spark.constraints import IntRange, NotNull, Unique
+
+    rows = [
+        # part 0: passes core, parseable v, key k1
+        ("a", 0, "ok", "5", "k1"),
+        # part 1: core NotNull error + unparseable v + dup partner of k1
+        ("b", 1, None, "oops", "k1"),
+        ("c", 0, "ok", "7", "k2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, part_id int, cap string, v string, k string"
+    )
+    suite = Suite(
+        "parity", "t", [NotNull("cap")],
+        custom_constraints=[
+            IntRange("v", width="int2", is_core=False),
+            Unique(["k"], is_core=False),
+        ],
+    )
+
+    def custom_rows(violations):
+        return {
+            (r["row_id"], r["check_name"])
+            for r in violations.collect()
+            if r["check_name"] != "notnull_cap"
+        }
+
+    direct = ValidationRunner(suite, run_id="d").run(df)
+    store = CheckpointStore(str(tmp_path / "ckpt_parity"))
+    run_with_checkpoint(
+        ValidationRunner(suite, run_id="w"), df, store, partitions_per_wave=1
+    )
+    waved = custom_rows(store.violations(spark, "w"))
+    assert custom_rows(direct.violations) == waved
+    # and the shared expectation: gate suppressed IntRange everywhere;
+    # Unique flags the core-passing member 'a' (its partner 'b' sits in
+    # the core-failed partition, which never reaches the custom tier)
+    assert waved == {("a", "unique_k")}
+
+
+def test_wave_loop_evaluates_full_scope_aggregates_once(spark, tmp_path, monkeypatch):
+    """Whole-column gates are a function of the full scope — a K-wave run
+    must evaluate them once per tier, not once per wave."""
+    from smcchecker_spark import compile as compile_mod
+    from smcchecker_spark.constraints import IntRange
+
+    calls = {"n": 0}
+    real = compile_mod.evaluate_preconditions
+
+    def counting(df, constraints):
+        calls["n"] += 1
+        return real(df, constraints)
+
+    monkeypatch.setattr(compile_mod, "evaluate_preconditions", counting)
+
+    rows = [(f"i{i}", i % 4, str(i)) for i in range(16)]
+    df = spark.createDataFrame(rows, "image_id string, part_id int, v string")
+    suite = Suite("g", "t", [IntRange("v", width="int2")])
+    store = CheckpointStore(str(tmp_path / "ckpt_once"))
+    run_with_checkpoint(
+        ValidationRunner(suite, run_id="once"), df, store, partitions_per_wave=1
+    )
+    # 4 one-partition waves, ONE gate evaluation (core tier only)
+    assert calls["n"] == 1
+    assert store.violations(spark, "once").count() == 0
