@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from smcchecker_spark.ops import text as T
 
 
 def benchmark_shingles(
@@ -30,9 +29,19 @@ def benchmark_shingles(
     """Distinct word-k-shingles of the benchmark set, one per row
     (column ``s``). Empty-doc sentinel shingles ('') are dropped — an
     empty training doc does not "contaminate" against an empty eval row.
-    Compute once, reuse across corpus partitions/waves."""
+    Compute once, reuse across corpus partitions/waves.
+
+    Tokenization MUST match the corpus side exactly, so this goes through
+    the same Arrow shingler (``shingles_udf``, Python ``str.split`` =
+    Unicode whitespace) rather than the Column-expression
+    ``text.word_shingles`` (Java ``\\s+`` = ASCII whitespace): a
+    benchmark doc containing a non-breaking space (ubiquitous in scraped
+    HTML) would otherwise shingle differently on the two sides and its
+    verbatim copy in the corpus would sail through undetected."""
+    from smcchecker_spark.ops.dedup import shingles_udf
+
     return (
-        bench.select(F.explode(T.word_shingles(F.col(text_col), k)).alias("s"))
+        bench.select(F.explode(shingles_udf(k)(F.col(text_col))).alias("s"))
         .filter(F.col("s") != "")
         .distinct()
     )
@@ -101,22 +110,29 @@ def decontaminate(
     k: int = 3,
     max_overlap: float = 0.0,
     broadcast_bench: bool = True,
+    broadcast_flagged: bool = True,
 ) -> DataFrame:
     """Drop documents whose benchmark shingle overlap exceeds
     ``max_overlap`` (default: any hit). Two corpus scans — one to score
     (see :func:`shingle_overlap`), one for the keep-filter (broadcast
     anti-join on the contaminated-id sliver); kept rows keep their
-    original columns."""
+    original columns.
+
+    ``broadcast_flagged``: the default assumes decontamination flags a
+    SLIVER of the corpus (the usual regime — eval sets are tiny). A
+    benchmark holding very common shingles with ``max_overlap=0.0`` can
+    flag a large corpus fraction; forcing a broadcast would then collect
+    that whole set to the driver. Pass False in high-overlap regimes to
+    let AQE plan the anti-join (shuffle, ids only)."""
     scores = shingle_overlap(
         df, bench, id_col, text_col, bench_text_col, k, broadcast_bench
     )
     bad = scores.filter(F.col("overlap") > max_overlap).select(
         F.col("id").alias("_bad_id")
     )
-    # contaminated ids are a sliver of the corpus → broadcast anti-join
-    return df.join(
-        F.broadcast(bad), df[id_col] == F.col("_bad_id"), "left_anti"
-    )
+    if broadcast_flagged:
+        bad = F.broadcast(bad)
+    return df.join(bad, df[id_col] == F.col("_bad_id"), "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -144,16 +160,12 @@ def phash_overlap(
     broadcast hash join → exact bit_count verify) — the corpus is never
     shuffled at all until the final tiny groupBy on flagged ids.
     Pigeonhole (max_hamming < chunks) keeps recall exact, same as
-    :func:`~smcchecker_spark.ops.dedup.hamming_near_dups`.
+    :func:`~smcchecker_spark.ops.dedup.hamming_near_dups` — the banding
+    projection is shared with it (``dedup.chunk_band_structs``).
     """
-    assert 64 % chunks == 0
-    if max_hamming >= chunks:
-        raise ValueError(
-            f"max_hamming={max_hamming} needs chunks > max_hamming for "
-            f"exact recall (pigeonhole); got chunks={chunks}"
-        )
-    width = 64 // chunks
-    mask = (1 << width) - 1
+    from smcchecker_spark.ops.dedup import check_pigeonhole, chunk_band_structs
+
+    check_pigeonhole(max_hamming, chunks)
     bench_ph = bench_phash_col or phash_col
 
     def bands(df: DataFrame, ph: str, keep: list) -> DataFrame:
@@ -161,19 +173,7 @@ def phash_overlap(
         return df.select(
             *keep,
             h.alias("__h"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("chunk"),
-                            F.shiftright(h, c * width)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("val"),
-                        )
-                        for c in range(chunks)
-                    ]
-                )
-            ).alias("cc"),
+            F.explode(chunk_band_structs(h, chunks)).alias("cc"),
         ).select(*keep, "__h", "cc.chunk", "cc.val")
 
     bench_bands = bands(bench, bench_ph, []).select(
@@ -203,11 +203,19 @@ def decontaminate_images(
     bench_phash_col: str | None = None,
     max_hamming: int = 3,
     chunks: int = 4,
+    broadcast_flagged: bool = True,
 ) -> DataFrame:
     """Drop corpus rows perceptually matching a benchmark image:
-    broadcast anti-join of the corpus against the flagged-id set."""
+    anti-join of the corpus against the flagged-id set — broadcast by
+    default (benchmark sets are tiny, so flagged ids are a sliver); pass
+    ``broadcast_flagged=False`` when the benchmark perceptually matches
+    a large corpus fraction (e.g. decontaminating against a dedup of the
+    corpus itself) to let AQE plan the join instead of collecting the
+    flagged set to the driver."""
     flagged = phash_overlap(
         corpus, bench, id_col, phash_col, bench_phash_col,
         max_hamming, chunks,
     ).select(id_col)
-    return corpus.join(F.broadcast(flagged), on=id_col, how="left_anti")
+    if broadcast_flagged:
+        flagged = F.broadcast(flagged)
+    return corpus.join(flagged, on=id_col, how="left_anti")

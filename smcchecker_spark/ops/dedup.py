@@ -605,6 +605,41 @@ def simhash(
     )
 
 
+def check_pigeonhole(max_hamming: int, chunks: int) -> None:
+    """Exact-recall precondition for chunk banding: ``max_hamming`` bit
+    flips cannot touch all ``chunks`` chunks only when chunks > max_hamming."""
+    assert 64 % chunks == 0
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs chunks > max_hamming for "
+            f"exact recall (pigeonhole); got chunks={chunks}"
+        )
+
+
+def chunk_band_structs(h: Column, chunks: int) -> Column:
+    """``array<struct<chunk:int, val:long>>`` — a 64-bit fingerprint
+    split into ``chunks`` contiguous (64/chunks)-bit values. The ONE
+    banding projection behind every pigeonhole-blocked Hamming search
+    (:func:`hamming_near_dups` pair blocking, contamination.phash_overlap
+    benchmark matching); keeping it single-sourced means chunk/width/mask
+    derivation and shiftright sign handling can never diverge between
+    the two."""
+    assert 64 % chunks == 0
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(h, c * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for c in range(chunks)
+        ]
+    )
+
+
 def hamming_near_dups(
     sigs: DataFrame,
     id_col: str = "id",
@@ -626,33 +661,14 @@ def hamming_near_dups(
     struct, so Hamming distance is computed at pair time from the
     struct fields — no signature re-join, and the whole op is native
     Column expressions (no Python UDF). Ids must be unique."""
-    assert 64 % chunks == 0
-    if max_hamming >= chunks:
-        raise ValueError(
-            f"max_hamming={max_hamming} needs chunks > max_hamming for "
-            f"exact recall (pigeonhole); got chunks={chunks}"
-        )
-    width = 64 // chunks
-    mask = (1 << width) - 1
+    check_pigeonhole(max_hamming, chunks)
     sh = sigs.select(
         F.col(id_col).alias("id"), F.col(hash_col).cast("long").alias("h")
     )
     chunked = sh.select(
         # id FIRST: struct order (= pair order a < b) is id order
         F.struct(F.col("id"), F.col("h")).alias("m"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("h", c * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("cc"),
+        F.explode(chunk_band_structs(F.col("h"), chunks)).alias("cc"),
     ).select("m", "cc.chunk", "cc.val")
     pairs = bucketed_pairs(
         chunked, ["chunk", "val"],

@@ -319,3 +319,36 @@ _SPARK = [None]
 def _capture_spark(spark):
     _SPARK[0] = spark
     yield
+
+
+def test_unicode_whitespace_tokenizer_parity(spark):
+    """Benchmark and corpus sides must tokenize IDENTICALLY: a verbatim
+    eval doc containing a non-breaking space (Unicode whitespace that
+    Java's \\s+ does NOT split on) must still fully contaminate its copy
+    in the corpus. Regression: benchmark_shingles used the Column
+    shingler (ASCII \\s+) while the corpus used the Arrow shingler
+    (Python str.split, Unicode-aware), so the two sides produced
+    disjoint shingle sets for this exact text."""
+    text = "foo bar baz qux quux"
+    docs = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    bench = spark.createDataFrame([(9, text)], "doc_id int, text string")
+    got = CT.shingle_overlap(docs, bench, "doc_id").collect()[0]
+    assert got["overlap"] == 1.0
+    kept = CT.decontaminate(docs, bench, "doc_id").count()
+    assert kept == 0
+
+
+def test_decontaminate_shuffle_flagged_parity(spark):
+    """broadcast_flagged=False (the high-overlap regime escape hatch)
+    keeps the exact same survivor set."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} common common common") for i in range(20)],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "common common common")], "doc_id int, text string"
+    )
+    a = {r["doc_id"] for r in CT.decontaminate(docs, bench, "doc_id").collect()}
+    b = {r["doc_id"] for r in CT.decontaminate(
+        docs, bench, "doc_id", broadcast_flagged=False).collect()}
+    assert a == b

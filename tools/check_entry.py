@@ -3,7 +3,8 @@
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
 at the given sf dir, then compares row count, column names, and an
 order-insensitive value multiset (columns sorted by name, values
-stringified). Usage: python tools/check_entry.py [sf_dir]
+stringified). Usage: python tools/check_entry.py [sf_dir] [q1,q2,...]
+(the optional second arg restricts to named queries — fast iteration).
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only=None) -> int:
     spark = get_spark("check-entry")
     con = duckdb.connect()
     for t in TABLES:
@@ -44,6 +45,11 @@ def main(sf_dir: str) -> int:
         )
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if only:
+        missing = [n for n in only if n not in qs]
+        if missing:
+            raise SystemExit(f"unknown queries: {missing}")
+        qs = {n: qs[n] for n in only}
     failures = []
     for name, fn in qs.items():
         t0 = time.time()
@@ -91,4 +97,7 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(main(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+        sys.argv[2].split(",") if len(sys.argv) > 2 else None,
+    ))
