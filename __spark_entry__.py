@@ -1956,11 +1956,13 @@ s2 AS (SELECT doc_id, n_email,
               regexp_replace(t, '\b(\d{1,3}\.){3}\d{1,3}\b', '<ipv4>', 'g') AS t
        FROM s1),
 s3 AS (SELECT doc_id, n_email, n_ipv4,
-              CAST(len(regexp_extract_all(t, '\+?\d[\d\s().-]{7,}\d')) AS INT) AS n_phone,
-              regexp_replace(t, '\+?\d[\d\s().-]{7,}\d', '<phone>', 'g') AS t
+              CAST(len(regexp_extract_all(t, '__PHONE__')) AS INT) AS n_phone,
+              regexp_replace(t, '__PHONE__', '<phone>', 'g') AS t
        FROM s2)
 SELECT doc_id, t AS text, n_email, n_ipv4, n_phone FROM s3
 """
+# single-source the phone pattern from the engine (clean.PII_PATTERNS)
+_SCRUB_PII_ORACLE = _SCRUB_PII_ORACLE.replace("__PHONE__", clean.PII_PATTERNS["phone"])
 
 
 def q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2288,12 +2290,14 @@ s2 AS (SELECT doc_id, n_tokens, quality, fingerprint, n_email,
               regexp_replace(t, '\b(\d{1,3}\.){3}\d{1,3}\b', '<ipv4>', 'g') AS t
        FROM s1),
 s3 AS (SELECT doc_id, n_tokens, quality, fingerprint, n_email, n_ipv4,
-              CAST(len(regexp_extract_all(t, '\+?\d[\d\s().-]{7,}\d')) AS INT) AS n_phone,
-              regexp_replace(t, '\+?\d[\d\s().-]{7,}\d', '<phone>', 'g') AS t
+              CAST(len(regexp_extract_all(t, '__PHONE__')) AS INT) AS n_phone,
+              regexp_replace(t, '__PHONE__', '<phone>', 'g') AS t
        FROM s2)
 SELECT doc_id, n_tokens, quality, fingerprint, t AS text, n_email, n_ipv4, n_phone
 FROM s3
 """
+# single-source the phone pattern from the engine (clean.PII_PATTERNS)
+_CURATE_ORACLE = _CURATE_ORACLE.replace("__PHONE__", clean.PII_PATTERNS["phone"])
 
 
 # ---------------------------------------------------------------------------

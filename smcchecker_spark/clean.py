@@ -80,7 +80,20 @@ def clean_data(
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
-    "phone": r"\+?\d[\d\s().-]{7,}\d",
+    # Structured, not "any long digit-ish run": an earlier
+    # [\d\s().-]{7,} form also matched ISO dates ('2024-01-02 03'),
+    # adjacent decimals ('3.14159 2.71828'), and digit runs spanning
+    # newlines (\s includes \n) — silently corrupting ordinary numeric
+    # text at corpus scale. Three shapes, each anchored by a real phone
+    # signal: +country-code (separators then optional), parenthesized
+    # area code, or bare 3-3-4 with MANDATORY single separators.
+    # Leading-zero domestic forms ('01-02-2024'-ambiguous) are
+    # deliberately out — dd-mm-yyyy dates are indistinguishable.
+    "phone": (
+        r"\+\d{1,3}[ .-]?(?:\(\d{1,4}\)[ .-]?)?\d{2,4}(?:[ .-]?\d{2,4}){1,3}"
+        r"|\(\d{2,4}\)[ .-]?\d{2,4}(?:[ .-]?\d{2,4}){1,2}"
+        r"|\d{3}[ .-]\d{3}[ .-]\d{4}"
+    ),
 }
 
 

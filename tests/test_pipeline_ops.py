@@ -352,3 +352,26 @@ def test_decontaminate_shuffle_flagged_parity(spark):
     b = {r["doc_id"] for r in CT.decontaminate(
         docs, bench, "doc_id", broadcast_flagged=False).collect()}
     assert a == b
+
+
+def test_phone_pattern_spares_ordinary_numeric_text(spark):
+    """Regression: the earlier catch-all [\\d\\s().-]{7,} phone pattern
+    redacted ISO timestamps, adjacent decimals, and digit runs spanning
+    newlines. The structured pattern must leave those intact while still
+    catching real phone shapes."""
+    rows = [
+        (1, "released 2024-01-02 03:04, values 3.14159 2.71828"),
+        (2, "range 100-200 and 3000-4000 ts 1787039051"),
+        (3, "line one 2024-01-02\n03:04 line two"),
+        (4, "call +1 555-000-1234 or (555) 123-4567 or 555.123.4567"),
+        (5, "ISBN 978-3-16-148410-0 and card 4111 1111 1111 1111"),
+    ]
+    from smcchecker_spark import clean
+
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in clean.scrub_pii(df).collect()}
+    for i in (1, 2, 3, 5):
+        assert got[i]["n_phone"] == 0, got[i]["text"]
+        assert got[i]["text"] == rows[i - 1][1]
+    assert got[4]["n_phone"] == 3
+    assert got[4]["text"].count("<phone>") == 3
