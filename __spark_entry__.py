@@ -1440,20 +1440,34 @@ def q_simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Derived deterministic "phash" for the image-near-dedup oracle: pure
 # xor/shift bitwise mixing of event_id — identical semantics in Spark
-# and DuckDB (arithmetic >> and wrap-free << for event_id < 2^20, so no
-# ANSI/overflow divergence). 3× bit replication (x ^ x<<21 ^ x<<42)
+# and DuckDB. Shift inputs are MASKED below the sign bit (x & (2^42-1)
+# before <<21, x & (2^20-1) before <<42): DuckDB's << throws a signed-
+# overflow exception once event_id >= 2^21, while Spark's shiftleft
+# silently wraps — the masks keep both engines defined AND bit-identical
+# for every 64-bit id (and equal to the unmasked form for id < 2^20).
+# 3× bit replication (x ^ x<<21 ^ x<<42)
 # puts every pair of distinct non-planted ids ≥ 3 bits apart; rows with
 # event_id % 100 < 6 instead share their block's base hash with ONE low
 # bit flipped, so within-block pairs sit at Hamming 2 — planted
 # near-dups the banding must find (plus a handful of deterministic
 # incidental pairs, which both engines compute identically).
+def _mix_spark(b: str) -> str:
+    """x ^ (masked x)<<21 ^ (masked x)<<42 — see the comment above."""
+    return (f"{b} ^ shiftleft(({b}) & 4398046511103, 21)"
+            f" ^ shiftleft(({b}) & 1048575, 42)")
+
+
+def _mix_duck(b: str) -> str:
+    """The same mix in DuckDB spelling (xor() calls, checked <<)."""
+    return (f"xor(xor({b}, (({b}) & 4398046511103) << 21),"
+            f" (({b}) & 1048575) << 42)")
+
+
 _PHASH_MIX_SPARK = (
     "CASE WHEN event_id % 100 < 6 THEN "
-    "(event_id - event_id % 100) "
-    "^ shiftleft(event_id - event_id % 100, 21) "
-    "^ shiftleft(event_id - event_id % 100, 42) "
+    f"{_mix_spark('event_id - event_id % 100')} "
     "^ shiftleft(1, cast(event_id % 100 AS int)) "
-    "ELSE event_id ^ shiftleft(event_id, 21) ^ shiftleft(event_id, 42) END"
+    f"ELSE {_mix_spark('event_id')} END"
 )
 
 
@@ -1478,11 +1492,8 @@ _PHASH_NEARDUP_ORACLE = """
 WITH p AS (
   SELECT event_id AS id,
          CASE WHEN event_id % 100 < 6 THEN
-           xor(xor(xor(event_id - event_id % 100,
-                       (event_id - event_id % 100) << 21),
-                   (event_id - event_id % 100) << 42),
-               1 << CAST(event_id % 100 AS INT))
-         ELSE xor(xor(event_id, event_id << 21), event_id << 42)
+           xor(__MIXBASE__, 1 << CAST(event_id % 100 AS INT))
+         ELSE __MIXID__
          END AS phash
   FROM events
 )
@@ -1491,6 +1502,9 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM p a JOIN p b ON a.id < b.id
 WHERE bit_count(xor(a.phash, b.phash)) <= 2
 """
+_PHASH_NEARDUP_ORACLE = _PHASH_NEARDUP_ORACLE.replace(
+    "__MIXBASE__", _mix_duck("event_id - event_id % 100")
+).replace("__MIXID__", _mix_duck("event_id"))
 
 
 def q_phash_dedup_resolve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1512,11 +1526,8 @@ _PHASH_RESOLVE_ORACLE = """
 WITH RECURSIVE ph AS (
   SELECT event_id AS id,
          CASE WHEN event_id % 100 < 6 THEN
-           xor(xor(xor(event_id - event_id % 100,
-                       (event_id - event_id % 100) << 21),
-                   (event_id - event_id % 100) << 42),
-               1 << CAST(event_id % 100 AS INT))
-         ELSE xor(xor(event_id, event_id << 21), event_id << 42)
+           xor(__MIXBASE__, 1 << CAST(event_id % 100 AS INT))
+         ELSE __MIXID__
          END AS phash
   FROM events
 ),
@@ -1536,6 +1547,9 @@ comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
 SELECT e.event_id FROM events e LEFT JOIN comp c ON e.event_id = c.id
 WHERE c.id IS NULL OR c.component = e.event_id
 """
+_PHASH_RESOLVE_ORACLE = _PHASH_RESOLVE_ORACLE.replace(
+    "__MIXBASE__", _mix_duck("event_id - event_id % 100")
+).replace("__MIXID__", _mix_duck("event_id"))
 
 
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1996,7 +2010,7 @@ def q_image_decontaminate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id stands in for phash, the benchmark is a 1-bit-perturbed 1%
     slice, and DuckDB brute-forces the same flags; the real-payload path
     is exercised in tests/test_image_policy.py."""
-    mix = "event_id ^ shiftleft(event_id, 21) ^ shiftleft(event_id, 42)"
+    mix = _mix_spark("event_id")
     ev = _t(spark, sf_dir, "events")
     corpus = ev.select("event_id", F.expr(mix).alias("phash"))
     bench = ev.filter("event_id % 101 = 0").select(
@@ -2011,13 +2025,11 @@ def q_image_decontaminate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IMAGE_DECONTAM_ORACLE = """
 WITH c AS (
-  SELECT event_id,
-         xor(xor(event_id, event_id << 21), event_id << 42) AS phash
+  SELECT event_id, __MIXID__ AS phash
   FROM events
 ),
 b AS (
-  SELECT xor(xor(xor(event_id, event_id << 21), event_id << 42),
-             1 << CAST(event_id % 3 AS INT)) AS phash
+  SELECT xor(__MIXID__, 1 << CAST(event_id % 3 AS INT)) AS phash
   FROM events WHERE event_id % 101 = 0
 )
 SELECT c.event_id,
@@ -2025,6 +2037,9 @@ SELECT c.event_id,
 FROM c JOIN b ON bit_count(xor(c.phash, b.phash)) <= 3
 GROUP BY c.event_id
 """
+_IMAGE_DECONTAM_ORACLE = _IMAGE_DECONTAM_ORACLE.replace(
+    "__MIXID__", _mix_duck("event_id")
+)
 
 
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
