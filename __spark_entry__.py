@@ -168,14 +168,18 @@ _MESSAGES_ORACLE = (
 
 def _dirty_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministically corrupt the embeddings table with SQL-expressible
-    transforms: truncated vectors (shape), 40x mis-scaled vectors (norm),
-    NaN first element (finiteness), duplicated vec_ids (uniqueness)."""
+    transforms: truncated vectors (shape), EMPTY vectors (shape + the
+    norm-0.0 edge -- DuckDB's list_sum([]) is NULL, so the oracle
+    coalesces to match the engine's 0.0 fold), 40x mis-scaled vectors
+    (norm), NaN first element (finiteness), duplicated vec_ids
+    (uniqueness)."""
     emb = _t(spark, sf_dir, "embeddings")
     c = F.col("embedding")
     vid = F.col("vec_id")
     base = emb.select(
         "vec_id",
         F.when(vid % 23 == 1, F.slice(c, 1, 63))
+        .when(vid % 41 == 5, F.slice(c, 1, 0))
         .when(
             vid % 29 == 2,
             F.transform(c, lambda x: x * F.lit(40.0).cast("float")),
@@ -220,6 +224,7 @@ _EMBEDDING_SUITE_ORACLE = """
 WITH base AS (
   SELECT vec_id,
          CASE WHEN vec_id % 23 = 1 THEN embedding[1:63]
+              WHEN vec_id % 41 = 5 THEN embedding[1:0]
               WHEN vec_id % 29 = 2 THEN list_transform(embedding, x -> x * CAST(40.0 AS FLOAT))
               WHEN vec_id % 31 = 3 THEN list_concat([CAST('nan' AS FLOAT)], embedding[2:])
               ELSE embedding END AS embedding,
@@ -232,7 +237,7 @@ d AS (
   )
 ),
 normed AS (
-  SELECT *, sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS l2
+  SELECT *, sqrt(coalesce(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)), 0.0)) AS l2
   FROM d
 )
 SELECT 'embeddings' AS "table", CAST(vec_id AS VARCHAR) AS row_id,
@@ -2070,7 +2075,7 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EDRIFT_D = 64
 _EDRIFT_NORM = (
-    "avg(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))))"
+    "avg(sqrt(coalesce(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x)), 0.0)))"
 )
 _EMBEDDING_DRIFT_ORACLE = f"""
 WITH cur AS (
