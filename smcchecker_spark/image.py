@@ -491,6 +491,15 @@ def suggest_image_policy(
         F.min(bpp).alias("bpp_lo"),
         F.max(bpp).alias("bpp_hi"),
     ).collect()[0]
+    # an empty snapshot (or one with no positive-dim rows) aggregates to
+    # NULLs — there is no envelope to suggest; fail with the reason, not
+    # a TypeError from int(None)/None*float
+    if any(row[k] is None for k in row.asDict()):
+        raise ValueError(
+            "suggest_image_policy needs a non-empty snapshot with at "
+            "least one row of positive w/h to profile an envelope; got "
+            f"aggregates {row.asDict()}"
+        )
     return [
         MinResolution(
             w_col, h_col=h_col, min_w=int(row.min_w), min_h=int(row.min_h)

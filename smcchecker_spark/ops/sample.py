@@ -159,9 +159,24 @@ def budget_mix_sample(
         .agg(F.sum(weight_col).alias("w"))
         .collect()
     }
+    # a TARGETED stratum that exists but has no usable weight (all-NULL
+    # weight_col — e.g. a pending tokenizer backfill — or total <= 0)
+    # must fail loudly: silently assigning it fraction 0 would drop that
+    # entire slice of the intended training mix with no signal
+    broken = sorted(
+        s for s in target_shares
+        if s in totals and not (totals[s] and totals[s] > 0)
+    )
+    if broken:
+        raise ValueError(
+            f"strata {broken} have rows but no positive total "
+            f"{weight_col!r} (all NULL or <= 0); cannot honor their "
+            "target shares — backfill the weight column or drop them "
+            "from target_shares"
+        )
     fractions = {
         s: min(1.0, (share * budget) / totals[s])
         for s, share in target_shares.items()
-        if s in totals and totals[s] and totals[s] > 0
+        if s in totals
     }
     return stratified_hash_sample(df, id_col, strata_col, fractions, salt=salt)

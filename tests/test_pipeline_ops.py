@@ -375,3 +375,29 @@ def test_phone_pattern_spares_ordinary_numeric_text(spark):
         assert got[i]["text"] == rows[i - 1][1]
     assert got[4]["n_phone"] == 3
     assert got[4]["text"].count("<phone>") == 3
+
+
+def test_budget_mix_null_weight_stratum_fails_loudly(spark):
+    """A targeted stratum whose weight column is entirely NULL must raise,
+    not silently vanish from the mix (fraction 0)."""
+    rows = [(1, "web", None), (2, "web", None), (3, "code", 100)]
+    df = spark.createDataFrame(rows, "doc_id int, source string, n_tokens int")
+    with pytest.raises(ValueError, match="web"):
+        S.budget_mix_sample(
+            df, "doc_id", "source", "n_tokens",
+            {"web": 0.5, "code": 0.5}, budget=100,
+        )
+
+
+def test_suggest_image_policy_empty_snapshot_fails_loudly(spark):
+    """An empty (or all-NULL-dims) snapshot has no envelope to profile —
+    ValueError with the aggregates, not a TypeError from int(None)."""
+    import pytest as _pytest
+
+    from smcchecker_spark.image import suggest_image_policy
+
+    empty = spark.createDataFrame(
+        [], "image_id string, bytes binary, w int, h int"
+    )
+    with _pytest.raises(ValueError, match="non-empty snapshot"):
+        suggest_image_policy(empty)
