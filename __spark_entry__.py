@@ -2047,6 +2047,81 @@ _IMAGE_DECONTAM_ORACLE = _IMAGE_DECONTAM_ORACLE.replace(
 )
 
 
+def q_snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-revalidation scope (tables.snapshot_diff): partition-
+    level content diff between two snapshots of the events table — one
+    column-pruned fingerprint scan per snapshot (md5-derived row hash,
+    xor/sum/count trio), a |partitions|-row shuffle each, and a tiny
+    full-outer join. Perturbations: part 3 loses its event_id%7==0 rows
+    (changed), part 5 doubles value (changed), part 11 is dropped
+    (removed), part 2 is copied to a new part 16 (added). The DuckDB
+    oracle decides the same statuses by EXACT per-partition multiset
+    comparison (sorted md5 lists) — a stronger check than the
+    fingerprint, so a fingerprint that ever went blind here would
+    hash-mismatch."""
+    from smcchecker_spark import tables as tbl
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "part_id", (F.col("event_id") % 16).cast("int")
+    )
+    part = F.col("part_id")
+    cur = (
+        ev.filter(~((part == 3) & (F.col("event_id") % 7 == 0)))
+        .withColumn(
+            "value",
+            F.when(part == 5, F.col("value") * 2).otherwise(F.col("value")),
+        )
+        .filter(part != 11)
+        .unionByName(
+            ev.filter(part == 2).withColumn("part_id", F.lit(16).cast("int"))
+        )
+    )
+    return tbl.snapshot_diff(cur, ev, "part_id")
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH ev AS (
+  SELECT event_id, ts, user_id, event_type, value, props,
+         CAST(event_id % 16 AS INT) AS part_id
+  FROM events
+),
+cur AS (
+  SELECT event_id, ts, user_id, event_type,
+         CASE WHEN part_id = 5 THEN value * 2 ELSE value END AS value,
+         props, part_id
+  FROM ev
+  WHERE NOT (part_id = 3 AND event_id % 7 = 0) AND part_id <> 11
+  UNION ALL
+  SELECT event_id, ts, user_id, event_type, value, props, CAST(16 AS INT)
+  FROM ev WHERE part_id = 2
+),
+bf AS (
+  SELECT part_id AS part, count(*) AS n,
+         list_sort(list(md5(concat_ws(chr(31),
+           coalesce(event_id::VARCHAR, 'N'), coalesce(ts::VARCHAR, 'N'),
+           coalesce(user_id::VARCHAR, 'N'), coalesce(event_type, 'N'),
+           coalesce(value::VARCHAR, 'N'), coalesce(props, 'N'))))) AS hs
+  FROM ev GROUP BY part_id
+),
+cf AS (
+  SELECT part_id AS part, count(*) AS n,
+         list_sort(list(md5(concat_ws(chr(31),
+           coalesce(event_id::VARCHAR, 'N'), coalesce(ts::VARCHAR, 'N'),
+           coalesce(user_id::VARCHAR, 'N'), coalesce(event_type, 'N'),
+           coalesce(value::VARCHAR, 'N'), coalesce(props, 'N'))))) AS hs
+  FROM cur GROUP BY part_id
+)
+SELECT coalesce(cf.part, bf.part) AS part,
+       CASE WHEN bf.part IS NULL THEN 'added'
+            WHEN cf.part IS NULL THEN 'removed'
+            WHEN cf.n <> bf.n OR cf.hs <> bf.hs THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       coalesce(cf.n, 0) AS n_rows_current,
+       coalesce(bf.n, 0) AS n_rows_baseline
+FROM cf FULL OUTER JOIN bf ON cf.part = bf.part
+"""
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-column drift (stats.embedding_drift): centroid cosine
     distance + mean-norm shift between a planted-drift snapshot (element
@@ -2391,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "embedding_drift": q_embedding_drift,
         "image_decontaminate_events": q_image_decontaminate_events,
+        "snapshot_diff_events": q_snapshot_diff_events,
     }
 
 
@@ -2462,6 +2538,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": _SESSIONIZE_ORACLE,
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         "image_decontaminate_events": _IMAGE_DECONTAM_ORACLE,
+        "snapshot_diff_events": _SNAPSHOT_DIFF_ORACLE,
         # rows-only (approximate / non-SQL-expressible): column_stats_approx,
         #   lsh_topk_embeddings, simhash_neardup_docs, images_validate
     }

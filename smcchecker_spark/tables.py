@@ -119,6 +119,122 @@ def sink_for(dest: str, fmt: str = "parquet"):
     raise ValueError(f"unsupported sink format {fmt!r} (parquet|iceberg)")
 
 
+# ---------------------------------------------------------------------------
+# Snapshot diff → incremental revalidation
+#
+# The complement of crash-resume (``resume_filter``): between two
+# SNAPSHOTS of a table (Iceberg snapshot ids, or two parquet drops), only
+# partitions whose CONTENT changed need revalidating. At 10^12 rows the
+# point is that deciding "what changed" costs one column-pruned scan per
+# snapshot and shuffles |partitions| rows — never data — and the
+# revalidation scope becomes a partition-column predicate the source can
+# prune on.
+# ---------------------------------------------------------------------------
+
+_FP_SEP = "\x1f"
+_FP_NULL = "\x00null"
+_FP_PRIME = 1_000_000_007
+
+
+def _row_hash(cols: list[str]):
+    """Portable 60-bit content hash of a row's canonical string form —
+    md5 (not xxhash64) so any SQL engine can audit the same values; NULLs
+    get an explicit sentinel (concat_ws would silently collapse them)."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_FP_NULL)) for c in cols
+    ]
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(_FP_SEP, *parts)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def partition_fingerprints(
+    df: DataFrame, part_col: str = "part_id", cols: list[str] | None = None
+) -> DataFrame:
+    """(part, n_rows, xor_hash, sum_hash): order-independent content
+    fingerprint per partition — ONE scan, map-side partial agg, a
+    |partitions|-row shuffle.
+
+    xor_hash is the bit_xor of the row hashes (commutative: row order,
+    file splits, and shuffles don't matter). A pair of identical added
+    rows cancels in the xor, so sum_hash (row hashes mod a prime, summed)
+    and n_rows back it up; the trio is a probabilistic fingerprint, not a
+    proof — same standard the engine's checkpoint checksums use.
+    sum_hash stays in int64 up to ~9e9 rows per partition."""
+    cols = (
+        cols
+        if cols is not None
+        else sorted(c for c in df.columns if c != part_col)
+    )
+    h = _row_hash(cols)
+    return df.groupBy(F.col(part_col).alias("part")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(h).alias("xor_hash"),
+        F.sum(F.pmod(h, F.lit(_FP_PRIME))).alias("sum_hash"),
+    )
+
+
+def snapshot_diff(
+    current: DataFrame,
+    baseline: DataFrame,
+    part_col: str = "part_id",
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Partition-level diff between two table snapshots:
+    (part, status, n_rows_current, n_rows_baseline) with status in
+    {added, removed, changed, unchanged}. Two fingerprint scans + a
+    full-outer join of two |partitions|-row tables (AQE broadcasts)."""
+    cur = partition_fingerprints(current, part_col, cols)
+    base = partition_fingerprints(baseline, part_col, cols).select(
+        F.col("part").alias("bpart"),
+        F.col("n_rows").alias("b_n_rows"),
+        F.col("xor_hash").alias("b_xor"),
+        F.col("sum_hash").alias("b_sum"),
+    )
+    j = cur.join(base, cur["part"] == base["bpart"], "full_outer")
+    status = (
+        F.when(F.col("bpart").isNull(), F.lit("added"))
+        .when(F.col("part").isNull(), F.lit("removed"))
+        .when(
+            (F.col("n_rows") != F.col("b_n_rows"))
+            | (F.col("xor_hash") != F.col("b_xor"))
+            | (F.col("sum_hash") != F.col("b_sum")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.coalesce(F.col("part"), F.col("bpart")).alias("part"),
+        status.alias("status"),
+        F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows_current"),
+        F.coalesce(F.col("b_n_rows"), F.lit(0)).alias("n_rows_baseline"),
+    )
+
+
+def stale_partitions(diff: DataFrame) -> set:
+    """Partition ids needing revalidation (added or changed) — a bounded
+    collect (|partitions|, never rows), the same legitimacy class as
+    ``CheckpointStore.completed_partitions``."""
+    return {
+        r["part"]
+        for r in diff.filter(
+            F.col("status").isin("added", "changed")
+        ).select("part").collect()
+    }
+
+
+def scope_to_partitions(
+    df: DataFrame, parts: set, part_col: str = "part_id"
+) -> DataFrame:
+    """Restrict a scan to the given partitions — a partition-column
+    ``isin`` predicate, so a hive/Iceberg-partitioned source prunes the
+    rest at zero I/O (the incremental-revalidation analogue of
+    ``resume_filter``). Empty set = nothing to revalidate."""
+    if not parts:
+        return df.filter(F.lit(False))
+    return df.filter(F.col(part_col).isin(list(parts)))
+
+
 def resume_filter(
     df: DataFrame, done_parts: set, part_col: str = "part_id"
 ) -> DataFrame:

@@ -357,3 +357,83 @@ def test_wave_loop_evaluates_full_scope_aggregates_once(spark, tmp_path, monkeyp
     # 4 one-partition waves, ONE gate evaluation (core tier only)
     assert calls["n"] == 1
     assert store.violations(spark, "once").count() == 0
+
+
+def test_snapshot_diff_statuses(spark):
+    """Partition-level content diff: added / removed / changed /
+    unchanged, decided without ever shuffling data rows."""
+    from smcchecker_spark.tables import snapshot_diff, stale_partitions
+
+    base = spark.createDataFrame(
+        [(i, i % 4, f"v{i}") for i in range(40)],
+        "id long, part_id int, payload string",
+    )
+    cur = (
+        base.filter(~((F.col("part_id") == 1) & (F.col("id") == 5)))  # changed
+        .withColumn(
+            "payload",
+            F.when(F.col("part_id") == 2, F.concat("payload", F.lit("!")))
+            .otherwise(F.col("payload")),                             # changed
+        )
+        .filter(F.col("part_id") != 3)                                # removed
+        .unionByName(
+            base.filter(F.col("part_id") == 0).withColumn(
+                "part_id", F.lit(9)
+            )                                                         # added
+        )
+    )
+    got = {r["part"]: r["status"] for r in snapshot_diff(cur, base, "part_id").collect()}
+    assert got == {0: "unchanged", 1: "changed", 2: "changed",
+                   3: "removed", 9: "added"}
+    assert stale_partitions(snapshot_diff(cur, base, "part_id")) == {1, 2, 9}
+
+
+def test_snapshot_diff_order_and_dup_insensitivity(spark):
+    """The fingerprint must ignore row order / partition layout, and the
+    xor-cancellation trap (a row added TWICE xors back to the baseline
+    hash) must be caught by the count/sum backups."""
+    from smcchecker_spark.tables import snapshot_diff
+
+    base = spark.createDataFrame(
+        [(i, 0, "x") for i in range(10)], "id long, part_id int, p string"
+    )
+    shuffled = base.orderBy(F.rand(7)).repartition(7)
+    got = snapshot_diff(shuffled, base, "part_id").collect()
+    assert [(r["part"], r["status"]) for r in got] == [(0, "unchanged")]
+
+    dup_twice = base.unionByName(
+        spark.createDataFrame([(3, 0, "x"), (3, 0, "x")],
+                              "id long, part_id int, p string")
+    )
+    got2 = snapshot_diff(dup_twice, base, "part_id").collect()
+    assert [(r["part"], r["status"]) for r in got2] == [(0, "changed")]
+
+
+def test_scope_to_partitions_prunes_at_source(spark, images, tmp_path):
+    """Incremental revalidation reads ONLY stale partitions: the isin
+    predicate on the partition column becomes PartitionFilters on a
+    hive-partitioned source (the Iceberg stand-in)."""
+    import re
+
+    from smcchecker_spark.tables import ParquetTable, scope_to_partitions
+
+    src = ParquetTable(str(tmp_path / "inc_src"), partition_by=["part_id"])
+    src.overwrite(images)
+    df = src.read(spark)
+    scoped = scope_to_partitions(df, {1, 4}, "part_id")
+    plan = scoped.select("image_id")._jdf.queryExecution().explainString(
+        scoped._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert re.search(r"PartitionFilters: \[.*part_id.*\]", plan), plan
+    files = {
+        r[0] for r in scoped.select(F.input_file_name()).distinct().collect()
+    }
+    assert files and all(
+        f"part_id={p}/" in f for f in files for p in [1, 4]
+        if f"part_id={p}/" in f
+    )
+    assert {r[0] for r in scoped.select("part_id").distinct().collect()} == {1, 4}
+    # empty stale set = zero work
+    assert scope_to_partitions(df, set(), "part_id").count() == 0
