@@ -2122,6 +2122,51 @@ FROM cf FULL OUTER JOIN bf ON cf.part = bf.part
 """
 
 
+def q_crossmodal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal pair curation (ops/crossmodal.py): per-row
+    boilerplate-caption / conflicting-image flags over an image+caption
+    stand-in — props as the caption, a block-shared derived phash
+    (event_id - event_id % 20 mixed) so 20 rows share each "image".
+    ONE corpus scan feeds a (caption_fp, phash) pair agg that both
+    rollups aggregate; flags attach through two broadcast joins of the
+    flagged slivers (no corpus shuffle on the attach)."""
+    from smcchecker_spark.ops import crossmodal
+
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.col("props").alias("caption"),
+        F.expr(_mix_spark("event_id - event_id % 20")).alias("phash"),
+    )
+    return crossmodal.flag_crossmodal(
+        df, "event_id",
+        max_phashes_per_caption=80, max_captions_per_phash=15,
+    )
+
+
+_CROSSMODAL_ORACLE = """
+WITH d AS (
+  SELECT event_id, props AS caption, __MIXBLK__ AS phash
+  FROM events WHERE props IS NOT NULL
+),
+pair AS (
+  SELECT md5(regexp_replace(lower(trim(caption)), '\\s+', ' ', 'g')) AS cfp,
+         phash
+  FROM d GROUP BY 1, 2
+),
+bad_caps AS (SELECT cfp FROM pair GROUP BY cfp HAVING count(*) > 80),
+bad_imgs AS (SELECT phash FROM pair GROUP BY phash HAVING count(*) > 15)
+SELECT d.event_id,
+       md5(regexp_replace(lower(trim(d.caption)), '\\s+', ' ', 'g'))
+         IN (SELECT cfp FROM bad_caps) AS boilerplate_caption,
+       d.phash IN (SELECT phash FROM bad_imgs) AS conflicting_image
+FROM d
+"""
+_CROSSMODAL_ORACLE = _CROSSMODAL_ORACLE.replace(
+    "__MIXBLK__", _mix_duck("event_id - event_id % 20")
+)
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-column drift (stats.embedding_drift): centroid cosine
     distance + mean-norm shift between a planted-drift snapshot (element
@@ -2467,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "image_decontaminate_events": q_image_decontaminate_events,
         "snapshot_diff_events": q_snapshot_diff_events,
+        "crossmodal_events": q_crossmodal_events,
     }
 
 
@@ -2539,6 +2585,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         "image_decontaminate_events": _IMAGE_DECONTAM_ORACLE,
         "snapshot_diff_events": _SNAPSHOT_DIFF_ORACLE,
+        "crossmodal_events": _CROSSMODAL_ORACLE,
         # rows-only (approximate / non-SQL-expressible): column_stats_approx,
         #   lsh_topk_embeddings, simhash_neardup_docs, images_validate
     }
