@@ -1694,6 +1694,103 @@ FROM embeddings WHERE vec_id % 10 = 0
 """
 
 
+def _semdedup_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted semantic-dup structure over ``embeddings``: exact copies at
+    vec_id − 100000 for vec_id%10==0 (their component min is the PLANTED
+    id, so the original is the row that gets dropped — survivors are
+    non-trivial), and 0.9·v + 0.1·v_next mixes at vec_id + 200000 for
+    vec_id%20==0 (cosine ≈ 0.994 to both v and its copy — a 3-member
+    chain the closure must collapse). Every transform is reproduced
+    verbatim in the DuckDB oracle."""
+    emb = _emb_double(spark, sf_dir)
+    copies = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") - 100000
+    )
+    nxt = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("nv")
+    )
+    mixes = (
+        emb.filter(F.col("vec_id") % 20 == 0)
+        .join(nxt, "vec_id")
+        .select(
+            (F.col("vec_id") + 200000).alias("vec_id"),
+            F.zip_with(
+                "embedding", "nv", lambda x, y: 0.9 * x + 0.1 * y
+            ).alias("embedding"),
+        )
+    )
+    return emb.unionByName(copies).unionByName(mixes)
+
+
+def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (within-cluster semantic dedup) in the EXHAUSTIVE k=1
+    regime: one cell = all-pairs cosine, so the full pipeline (centroid
+    assignment UDF, skew-guarded chunked pairing — a single cell is the
+    hot-bucket case by construction — candidates-only cosine, connected
+    components, min-id resolve) is value-checked against a brute-force
+    recursive-CTE closure in DuckDB. The clustered k>1 variant stays
+    rows-only next to this (k-means cells aren't SQL-expressible)."""
+    from smcchecker_spark.package import ensure_shipped
+
+    ensure_shipped(spark)
+    base = _semdedup_base(spark, sf_dir)
+    return similarity.semantic_dedup(
+        base, k=1, id_col="vec_id", vec_col="embedding", threshold=0.95
+    ).select("vec_id")
+
+
+_SEMDEDUP_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id - 100000, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT e.vec_id + 200000,
+         list_transform(CAST(e.embedding AS DOUBLE[]),
+                        (x, i) -> 0.9 * x + 0.1 * CAST(n.embedding AS DOUBLE[])[i]) AS v
+  FROM embeddings e JOIN embeddings n ON n.vec_id = e.vec_id + 1
+  WHERE e.vec_id % 20 = 0
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM base a JOIN base b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION SELECT id_b, id_a FROM p),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+SELECT b.vec_id FROM base b LEFT JOIN comp c ON b.vec_id = c.id
+WHERE c.id IS NULL OR c.component = b.vec_id
+"""
+
+
+def q_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at its deployment shape — k=8 spherical-k-means cells,
+    paper keep-rule (drop the cluster members MOST similar to their
+    centroid, keep the least prototypical one). Cell assignment is a
+    k-means UDF → rows-only here; the k=1 sibling above value-checks
+    the machinery, and the k-monotonicity property (k=1 survivors ⊆ k>1
+    survivors) is pytest-locked."""
+    from smcchecker_spark.package import ensure_shipped
+
+    ensure_shipped(spark)
+    base = _semdedup_base(spark, sf_dir)
+    return similarity.semantic_dedup(
+        base,
+        k=8,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.95,
+        keep="far_from_centroid",
+    ).select("vec_id")
+
+
 def q_engine_caption_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FieldEquals — the north star's caption-equality parity check as a
     row constraint: documents joined with a reference copy whose caption
@@ -2497,6 +2594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
         "embedding_neardup": q_embedding_neardup,
+        "semdedup_embeddings": q_semdedup_embeddings,
+        "semdedup_clustered": q_semdedup_clustered,
         "engine_caption_parity": q_engine_caption_parity,
         "images_validate": q_images_validate,
         "det_split_docs": q_det_split_docs,
@@ -2565,6 +2664,10 @@ def oracle_sql() -> dict[str, str]:
         # == midpoint interpolation) — true value oracle for the sketch
         "tdigest_exact_quantiles": _TDIGEST_EXACT_ORACLE,
         "embedding_neardup": _EMB_NEARDUP_ORACLE,
+        # SemDeDup in the exhaustive single-cell regime — true value
+        # oracle (brute-force cosine pairs + recursive-CTE closure);
+        # the clustered k=8 variant is rows-only by nature
+        "semdedup_embeddings": _SEMDEDUP_ORACLE,
         # derived-fingerprint variant of the image phash near-dedup —
         # deterministic bitwise mix both engines compute identically,
         # so the banded pairing is brute-force value-checked

@@ -408,6 +408,27 @@ def embedding_near_dups(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .localCheckpoint(eager=True)
     )
+    return pair_cosine(df, pairs, id_col, vec_col).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def pair_cosine(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine for candidate (id_a, id_b) pairs — the candidates-only
+    vector attach shared by ``embedding_near_dups`` and
+    ``semantic_dedup``: broadcast semi-join prune → melt → ONE join →
+    regroup. Candidates << corpus after blocking, so the re-read touches
+    a sliver, and cosine is computed from the two collected vectors
+    (symmetric — collect order is irrelevant). ``df`` ids must be unique
+    (a duplicated id collects >2 vectors and drops the pair); duplicate
+    candidate pairs are collapsed at entry. Output: (id_a, id_b, cosine)
+    with cosine rounded to 6 dp."""
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
     cand_ids = F.broadcast(
         pairs.select(F.explode(F.array("id_a", "id_b")).alias("cid")).distinct()
     )
@@ -425,11 +446,137 @@ def embedding_near_dups(
         .agg(F.collect_list("vec").alias("vs"))
         .filter(F.size("vs") == 2)
     )
-    scored = j.select(
+    return j.select(
         "id_a",
         "id_b",
         F.round(
             cosine(F.element_at("vs", 1), F.element_at("vs", 2)), 6
         ).alias("cosine"),
     )
-    return scored.filter(F.col("cosine") >= threshold)
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    hot_bucket: int = 256,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Within-cluster semantic-duplicate pairs (SemDeDup blocking stage,
+    Abbas et al. 2023, arXiv:2303.09540): rows are assigned to their
+    nearest spherical-k-means centroid (ONE Arrow UDF pass — at 10^12
+    rows the cell id is computed once and stored as a partition column),
+    then candidate pairs form WITHIN cells only and exact cosine ≥ τ
+    keeps true semantic dups.
+
+    Scale discipline: a cell holds ~n/k rows, so within-cell pairing is
+    the hot-bucket case BY CONSTRUCTION — every cell routes through
+    ``dedup.bucketed_pairs``'s chunked broadcast self-join, which spreads
+    one cell's O(m²) pairing across tasks (ids-only shuffle; vectors
+    attach afterwards via the candidates-only pattern). Choose
+    k ≈ n / target_cell_size (the paper uses cells of a few thousand);
+    ``max_bucket`` is the documented lossy cap for pathological cells.
+    Misses cross-cell dup pairs by design — recall is quantified by the
+    k=1 (single-cell) regime, which is exhaustive and exactly
+    oracle-checkable. Output: (id_a, id_b, cosine)."""
+    from smcchecker_spark.ops.dedup import bucketed_pairs
+
+    cell = _cell_udf(centroids)
+    bucketed = df.select(
+        F.struct(F.col(id_col).alias("id")).alias("m"),
+        cell(F.col(vec_col)).alias("bucket"),
+    )
+    pairs = (
+        bucketed_pairs(
+            bucketed, ["bucket"], hot_bucket=hot_bucket, max_bucket=max_bucket
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .localCheckpoint(eager=True)
+    )
+    return pair_cosine(df, pairs, id_col, vec_col).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def _cell_score_udf(centroids: np.ndarray):
+    """Cosine of each row's vector to its ASSIGNED (nearest) centroid —
+    the SemDeDup keep-rule score."""
+    C = centroids.T.copy()  # dim × k
+
+    @pandas_udf("double")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            X = np.array([list(v) for v in s.values], dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            yield pd.Series(np.max(X @ C, axis=1))
+
+    return score
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: np.ndarray | None = None,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    hot_bucket: int = 256,
+    max_bucket: int | None = None,
+    keep: str = "min_id",
+    seed_sample: int = 2048,
+) -> DataFrame:
+    """SemDeDup end-to-end: within-cluster cosine pairs → connected
+    components (a dup CLUSTER collapses to one survivor, not pairwise
+    removals) → keep one canonical row per component; rows in no pair
+    pass through untouched.
+
+    ``keep``:
+      - ``"min_id"`` — deterministic smallest-id canonical (matches
+        ``dedup.resolve_duplicates``; exactly SQL-oracle-checkable).
+      - ``"far_from_centroid"`` — the paper's rule: keep the member with
+        the LOWEST cosine to its assigned centroid (retains the least
+        prototypical example), id-ascending tie-break. Scoring touches
+        only dup-cluster members (a sliver), one Arrow UDF pass.
+
+    Cells partition the corpus, so the k-cell edge set is a SUBSET of
+    the single-cell (exhaustive) edge set: survivors are monotone in k —
+    every k=1 survivor also survives at k>1 (pytest-locked property)."""
+    if centroids is None:
+        centroids = train_centroids(
+            df, id_col, vec_col, k=k, sample=seed_sample
+        )
+    edges = semantic_dup_pairs(
+        df,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        hot_bucket=hot_bucket,
+        max_bucket=max_bucket,
+    )
+    from smcchecker_spark.ops.dedup import connected_components, resolve_duplicates
+
+    if keep == "min_id":
+        return resolve_duplicates(df, edges, id_col)
+    if keep != "far_from_centroid":
+        raise ValueError(f"unknown keep rule: {keep!r}")
+    comp = connected_components(edges)
+    members = df.join(
+        comp, df[id_col] == comp["id"], "left_semi"
+    ).select(
+        F.col(id_col).alias("id"),
+        _cell_score_udf(centroids)(F.col(vec_col)).alias("cent_cos"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.asc("cent_cos"), F.asc("id")
+    )
+    keepers = (
+        comp.join(members, "id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("id")
+    )
+    drop = comp.select("id").exceptAll(keepers)
+    return df.join(drop, df[id_col] == drop["id"], "left_anti")

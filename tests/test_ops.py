@@ -521,3 +521,83 @@ def test_connected_components_string_ids(spark):
            for r in dedup.connected_components(pairs).collect()}
     assert got == {"img-a": "img-a", "img-b": "img-a", "img-c": "img-a",
                    "img-x": "img-x", "img-y": "img-x"}
+
+
+def _ids(df):
+    return {r["vec_id"] for r in df.select("vec_id").collect()}
+
+
+def test_semantic_dedup_min_id(spark, vectors):
+    """k=1 (exhaustive cell) with the deterministic min-id keep rule:
+    planted dups (0,20) and (1,21) collapse to 0 and 1; the 18 distinct
+    base vectors (max mutual cosine 0.78 on this seed) pass through."""
+    out = similarity.semantic_dedup(
+        vectors, k=1, vec_col="embedding", threshold=0.95
+    )
+    assert _ids(out) == set(range(20))
+
+
+def test_semantic_dedup_monotone_in_k(spark, vectors):
+    """Cells PARTITION the corpus, so the k-cell edge set ⊆ the
+    single-cell edge set, components only get finer, and a coarse
+    component's min survives in its finer sub-component: survivors are
+    monotone — every k=1 survivor also survives at k>1."""
+    s1 = _ids(
+        similarity.semantic_dedup(
+            vectors, k=1, vec_col="embedding", threshold=0.95
+        )
+    )
+    s4 = _ids(
+        similarity.semantic_dedup(
+            vectors, k=4, vec_col="embedding", threshold=0.95
+        )
+    )
+    assert s1 <= s4
+
+
+def test_semantic_dedup_far_from_centroid_keep_rule(spark):
+    """Paper keep rule: within a dup cluster, keep the member LEAST
+    similar to its assigned centroid. Explicit e1 centroid; a=2·e1
+    (cent_cos 1.0) pairs with b=e1+0.2·e2 (cent_cos≈0.98); c=e2 is no
+    one's dup. far_from_centroid keeps b despite a's smaller id — the
+    min_id rule on the same input keeps a instead."""
+    e = [
+        (0, [2.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.2, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(e, "vec_id long, embedding array<double>")
+    centroids = np.array([[1.0, 0.0, 0.0, 0.0]])
+    far = similarity.semantic_dedup(
+        df, centroids=centroids, vec_col="embedding",
+        threshold=0.95, keep="far_from_centroid",
+    )
+    assert _ids(far) == {1, 2}
+    near = similarity.semantic_dedup(
+        df, centroids=centroids, vec_col="embedding", threshold=0.95
+    )
+    assert _ids(near) == {0, 2}
+    with pytest.raises(ValueError):
+        similarity.semantic_dedup(
+            df, centroids=centroids, vec_col="embedding", keep="best"
+        )
+
+
+def test_semantic_dup_pairs_hot_cell_complete(spark):
+    """A cell is the hot-bucket case by construction (~n/k members):
+    with hot_bucket=8 forcing the chunked broadcast path, a 30-member
+    near-identical cell must yield all 30·29/2 pairs exactly once."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8)
+    rows = [
+        (i, [float(x) for x in base + rng.normal(0, 1e-4, 8)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = np.stack([base / np.linalg.norm(base), -base / np.linalg.norm(base)])
+    pairs = similarity.semantic_dup_pairs(
+        df, centroids, vec_col="embedding", threshold=0.99, hot_bucket=8
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert len(pairs) == len(got) == 30 * 29 // 2
+    assert all(r["cosine"] >= 0.99 for r in pairs)
