@@ -81,6 +81,7 @@ HEADLINE = [
     "topk_cosine_partial",
     "lsh_topk_embeddings",
     "embedding_neardup",
+    "semdedup_clustered",
     # training-data pipeline ops (round 2): splits/mix, repetition
     # quality, decontamination, PII scrub, sequence packing
     "sessionize_events",

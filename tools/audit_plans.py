@@ -46,6 +46,7 @@ AUDITED = [
     "simhash_neardup_docs",
     "phash_neardup_events",
     "embedding_neardup",
+    "semdedup_clustered",
     "images_validate",
     "metrics_drift",
     "sessionize_events",
@@ -90,6 +91,15 @@ NOTES = {
         "EXECUTED plan reuses one exchange — zero Python stages, 1 "
         "scan + ReusedExchange, asserted in "
         "tests/test_plans.py::test_phash_near_dups_no_udf_single_scan"
+    ),
+    "semdedup_clustered": (
+        "static plan re-expands the 3-branch union base into every "
+        "consumer and prints the chunked-pairing consumers "
+        "separately; EXECUTED dataflow materializes candidate pairs "
+        "and each components round via eager localCheckpoint (one "
+        "cell-assignment UDF pass over the corpus, candidates-only "
+        "cosine/scoring re-reads a broadcast-pruned sliver), so the "
+        "scan/exchange counts here overstate the runtime plan"
     ),
 }
 
