@@ -1443,6 +1443,69 @@ def q_simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups in md5 token-hash mode — the SAME pipeline as
+    ``simhash_neardup_docs`` (one Arrow fingerprint pass, pigeonhole
+    chunk banding, skew-guarded bucket pairing) but with the per-token
+    hash = first 8 bytes of md5, which DuckDB computes bit-identically
+    (``md5()`` + hex parse). The whole operator — tokenization, ±1 bit
+    votes, sign fingerprint, Hamming ≤ 3 pairing — is therefore a TRUE
+    value oracle vs a brute-force all-pairs ``bit_count(xor())`` in SQL;
+    the FNV production sibling stays rows-only purely because its hash
+    isn't SQL-expressible, not because the dataflow differs."""
+    from smcchecker_spark.package import ensure_shipped
+
+    ensure_shipped(spark)
+    from smcchecker_spark.session import physical_parallelism
+
+    return dedup.simhash_near_dups(
+        _docs_with_planted_dups(spark, sf_dir), "doc_id", "text", max_hamming=3,
+        min_parallelism=physical_parallelism(), token_hash="md5",
+    )
+
+
+_SIMHASH_EXACT_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+),
+d AS (SELECT doc_id, lower(coalesce(text, '')) AS txt FROM base),
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(txt), '\\s+')) AS tok
+  FROM d
+),
+-- per-token 64-bit hash = first 8 bytes of md5, big-endian (identical
+-- to the Arrow UDF's md5 mode); '' from splitting empty text is not a
+-- token (python str.split() drops it)
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv
+  FROM tok WHERE tok <> ''
+),
+votes AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(64)) AS i) b
+  GROUP BY doc_id, i
+),
+fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::UBIGINT << i)
+                  ELSE 0::UBIGINT END)::UBIGINT AS f
+  FROM votes GROUP BY doc_id
+),
+-- docs with no tokens fingerprint to 0
+allfp AS (
+  SELECT d.doc_id, coalesce(f, 0::UBIGINT) AS f
+  FROM d LEFT JOIN fp USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+FROM allfp a JOIN allfp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= 3
+"""
+
+
 # Derived deterministic "phash" for the image-near-dedup oracle: pure
 # xor/shift bitwise mixing of event_id — identical semantics in Spark
 # and DuckDB. Shift inputs are MASKED below the sign bit (x & (2^42-1)
@@ -2585,6 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_components_docs": q_neardup_components_docs,
         "dedup_resolve_docs": q_dedup_resolve_docs,
         "simhash_neardup_docs": q_simhash_neardup_docs,
+        "simhash_neardup_exact": q_simhash_neardup_exact,
         "phash_neardup_events": q_phash_neardup_events,
         "phash_dedup_resolve_events": q_phash_dedup_resolve_events,
         "topk_cosine": q_topk_cosine,
@@ -2664,6 +2728,11 @@ def oracle_sql() -> dict[str, str]:
         # == midpoint interpolation) — true value oracle for the sketch
         "tdigest_exact_quantiles": _TDIGEST_EXACT_ORACLE,
         "embedding_neardup": _EMB_NEARDUP_ORACLE,
+        # md5-token-hash simhash — the whole pipeline (tokenize, bit
+        # votes, sign fingerprint, Hamming<=3 pairing) value-checked
+        # against brute-force all-pairs bit_count(xor()); the FNV
+        # sibling stays rows-only (hash not SQL-expressible)
+        "simhash_neardup_exact": _SIMHASH_EXACT_ORACLE,
         # SemDeDup in the exhaustive single-cell regime — true value
         # oracle (brute-force cosine pairs + recursive-CTE closure);
         # the clustered k=8 variant is rows-only by nature

@@ -543,8 +543,14 @@ def ngram_jaccard_dedup(
 _SIMHASH_CACHE: dict[str, object] = {}
 
 
-def _simhash_udf():
-    if "simhash" not in _SIMHASH_CACHE:
+def _simhash_udf(token_hash: str = "fnv"):
+    if token_hash not in _TOKEN_HASHES:
+        raise ValueError(
+            f"unknown token_hash {token_hash!r}; expected one of "
+            f"{sorted(_TOKEN_HASHES)}"
+        )
+    if token_hash not in _SIMHASH_CACHE:
+        tok_hash = _TOKEN_HASHES[token_hash]
 
         @pandas_udf("long")
         def simhash64(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -553,14 +559,14 @@ def _simhash_udf():
             # Vectorized: per doc, all token-hash bit matrices at once;
             # token→±1-bit-row cache persists across rows AND batches
             # (corpus vocabularies are heavy-tailed, so the cache hit rate
-            # is high; the FNV loop runs once per distinct token).
+            # is high; the hash runs once per distinct token).
             shifts = np.arange(64, dtype=np.uint64)
             bit_cache: dict[str, np.ndarray] = {}
 
             def bit_row(tok: str) -> np.ndarray:
                 row = bit_cache.get(tok)
                 if row is None:
-                    hv = np.uint64(hash64_py(tok))
+                    hv = np.uint64(tok_hash(tok))
                     bits = ((hv >> shifts) & np.uint64(1)).astype(np.int64)
                     row = 2 * bits - 1  # ±1 votes
                     bit_cache[tok] = row
@@ -580,8 +586,8 @@ def _simhash_udf():
                     out[i] = np.int64(fp)
                 yield pd.Series(out)
 
-        _SIMHASH_CACHE["simhash"] = simhash64
-    return _SIMHASH_CACHE["simhash"]
+        _SIMHASH_CACHE[token_hash] = simhash64
+    return _SIMHASH_CACHE[token_hash]
 
 
 def hash64_py(s: str) -> int:
@@ -594,14 +600,31 @@ def hash64_py(s: str) -> int:
     return h
 
 
+def md5_hash64_py(s: str) -> int:
+    """First 8 bytes (big-endian) of md5 — slower than FNV-1a but
+    computable bit-identically in ANSI SQL (``md5()`` + hex parse), which
+    makes the md5-mode simhash fingerprint exactly oracle-checkable."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
+_TOKEN_HASHES = {"fnv": hash64_py, "md5": md5_hash64_py}
+
+
 def simhash(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     min_parallelism: int | None = None,
+    token_hash: str = "fnv",
 ) -> DataFrame:
+    """64-bit simhash fingerprints. ``token_hash``: ``"fnv"`` (default,
+    fastest) or ``"md5"`` (first 8 bytes of md5 — identical in SQL
+    engines, so downstream results are value-oracle-checkable)."""
     return _ensure_parallelism(df, min_parallelism).select(
-        F.col(id_col).alias("id"), _simhash_udf()(F.col(text_col)).alias("simhash")
+        F.col(id_col).alias("id"),
+        _simhash_udf(token_hash)(F.col(text_col)).alias("simhash"),
     )
 
 
@@ -714,11 +737,15 @@ def simhash_near_dups(
     min_parallelism: int | None = None,
     hot_bucket: int = 256,
     max_bucket: int | None = None,
+    token_hash: str = "fnv",
 ) -> DataFrame:
     """Pairs with simhash Hamming distance ≤ d — ONE simhash-UDF pass,
     then the shared chunk-blocked pairing (:func:`hamming_near_dups`,
     q.v. for the skew discipline). Doc ids must be unique."""
-    sh = simhash(df, id_col, text_col, min_parallelism=min_parallelism)
+    sh = simhash(
+        df, id_col, text_col,
+        min_parallelism=min_parallelism, token_hash=token_hash,
+    )
     return hamming_near_dups(
         sh, "id", "simhash", max_hamming, chunks, hot_bucket, max_bucket
     )

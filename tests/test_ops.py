@@ -197,6 +197,30 @@ def test_simhash_near_dups(spark, docs):
     assert not any(4 in p for p in got)
 
 
+def test_simhash_md5_mode_matches_reference(spark, docs):
+    """md5 token-hash mode: the stored fingerprint must equal an
+    independent pure-Python simhash (tokenize → md5-first-8-bytes →
+    ±1 bit votes → sign), and an unknown hash name fails fast."""
+    import hashlib
+
+    got = {r["id"]: r["simhash"]
+           for r in dedup.simhash(docs, "doc_id", token_hash="md5").collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def ref(txt):
+        votes = [0] * 64
+        for t in str(txt or "").lower().split():
+            hv = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            for i in range(64):
+                votes[i] += 1 if (hv >> i) & 1 else -1
+        fp = sum(1 << i for i in range(64) if votes[i] > 0)
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    assert got == {i: ref(t) for i, t in texts.items()}
+    with pytest.raises(ValueError, match="token_hash"):
+        dedup.simhash(docs, "doc_id", token_hash="sha1")
+
+
 def test_phash_near_dups_real_images(spark):
     """Image near-dedup over REAL stored phashes: lossy re-encodes of an
     image land within the Hamming gate; distinct images never pair.
