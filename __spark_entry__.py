@@ -2166,6 +2166,76 @@ FROM documents
 """
 
 
+def q_image_batches_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing + deterministic training-batch assembly
+    (ops/batching.py): nearest-AR bucket via exact integer fixed-point
+    argmin (map-only), then per-bucket batch numbering by the two-pass
+    distributed prefix count — no per-bucket single-task window. Image
+    dims derive deterministically from event_id (64·(1+id%13) ×
+    64·(1+(id div 7)%13)); every step — bucket argmin incl. tie rule,
+    md5 shuffle key, rank, div/mod — is reproduced verbatim in the
+    DuckDB oracle, making the whole operator value-checked."""
+    from smcchecker_spark.ops import batching
+
+    ev = _t(spark, sf_dir, "events")
+    imgs = ev.select(
+        F.col("event_id").alias("image_id"),
+        (64 * (1 + F.col("event_id") % 13)).cast("int").alias("w"),
+        (64 * (1 + F.expr("event_id div 7") % 13)).cast("int").alias("h"),
+    )
+    return batching.image_batches(
+        imgs, batch_size=64, num_ranges=8
+    ).select(
+        "image_id", "w", "h", "bucket_id", "bucket_w", "bucket_h",
+        "batch_id", "idx_in_batch",
+    )
+
+
+# Bucket list = batching.generate_aspect_buckets() defaults, pinned as
+# literals (tests assert the pin); dist = |w/h − bw/bh| in 2^-20 fixed
+# point, exact integer arithmetic — identical in both engines.
+_IMAGE_BATCHES_ORACLE = """
+WITH img AS (
+  SELECT event_id AS image_id,
+         CAST(64 * (1 + event_id % 13) AS INT) AS w,
+         CAST(64 * (1 + (event_id // 7) % 13) AS INT) AS h
+  FROM events
+),
+b(bucket_id, bw, bh) AS (VALUES
+  (0,256,832), (1,256,896), (2,256,960), (3,256,1024), (4,320,704),
+  (5,320,768), (6,384,640), (7,448,576), (8,512,512), (9,576,448),
+  (10,640,384), (11,704,320), (12,768,320), (13,832,256), (14,896,256),
+  (15,960,256), (16,1024,256)
+),
+d AS (
+  SELECT image_id, w, h, bucket_id, bw, bh,
+         (abs(CAST(w AS BIGINT) * bh - CAST(h AS BIGINT) * bw)
+          * 1048576) // bh AS dist,
+         row_number() OVER (PARTITION BY image_id
+                            ORDER BY (abs(CAST(w AS BIGINT) * bh
+                                          - CAST(h AS BIGINT) * bw)
+                                      * 1048576) // bh, bucket_id) AS rn
+  FROM img CROSS JOIN b
+),
+keyed AS (
+  SELECT image_id, w, h, bucket_id, bw, bh,
+         ('0x' || substr(md5('batch' || image_id::VARCHAR), 1, 15))::UBIGINT
+           AS k
+  FROM d WHERE rn = 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket_id
+                               ORDER BY k, image_id) - 1 AS idx
+  FROM keyed
+)
+SELECT image_id, w, h, CAST(bucket_id AS INT) AS bucket_id,
+       CAST(bw AS INT) AS bucket_w, CAST(bh AS INT) AS bucket_h,
+       CAST(idx // 64 AS BIGINT) AS batch_id,
+       CAST(idx % 64 AS INT) AS idx_in_batch
+FROM ranked
+"""
+
+
 def q_image_decontaminate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual benchmark decontamination (contamination.phash_overlap):
     corpus images whose phash lands within 3 bits of ANY benchmark
@@ -2669,6 +2739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": q_decontaminate_docs,
         "scrub_pii_docs": q_scrub_pii_docs,
         "pack_docs": q_pack_docs,
+        "image_batches_events": q_image_batches_events,
         "curate_docs": q_curate_docs,
         "corpus_report": q_corpus_report,
         "sessionize_events": q_sessionize_events,
@@ -2749,6 +2820,10 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": _DECONTAMINATE_ORACLE,
         "scrub_pii_docs": _SCRUB_PII_ORACLE,
         "pack_docs": _PACK_ORACLE,
+        # aspect-bucket + batch assembly — every step (integer
+        # fixed-point argmin, md5 shuffle key, per-bucket rank)
+        # reproduced verbatim in SQL
+        "image_batches_events": _IMAGE_BATCHES_ORACLE,
         # composed end-to-end curation (gate → decontaminate → dedup →
         # scrub) — every stage's oracle fragment chained into one query
         "curate_docs": _CURATE_ORACLE,

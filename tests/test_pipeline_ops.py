@@ -401,3 +401,95 @@ def test_suggest_image_policy_empty_snapshot_fails_loudly(spark):
     )
     with _pytest.raises(ValueError, match="non-empty snapshot"):
         suggest_image_policy(empty)
+
+
+# ---------------------------------------------------------------- batching
+
+from smcchecker_spark.ops import batching as B
+
+
+def test_generate_aspect_buckets_pin():
+    """The default bucket list is pinned — the image_batches_events
+    DuckDB oracle embeds exactly these literals, so a silent change here
+    would break the value oracle without failing any unit test."""
+    assert B.generate_aspect_buckets() == [
+        (256, 832), (256, 896), (256, 960), (256, 1024), (320, 704),
+        (320, 768), (384, 640), (448, 576), (512, 512), (576, 448),
+        (640, 384), (704, 320), (768, 320), (832, 256), (896, 256),
+        (960, 256), (1024, 256),
+    ]
+    # transpose closure: every (w, h) has its (h, w)
+    bl = set(B.generate_aspect_buckets(max_area=640 * 640))
+    assert all((h, w) in bl for (w, h) in bl)
+    with pytest.raises(ValueError, match="multiples"):
+        B.generate_aspect_buckets(min_side=100)
+
+
+def test_assign_aspect_bucket_nearest_and_ties(spark):
+    """Square → (512,512); extreme tall → the tallest bucket; an exact
+    AR tie between two buckets goes to the LOWER index (struct argmin
+    tie rule — the rule the SQL oracle reproduces)."""
+    df = spark.createDataFrame(
+        [(1, 500, 500), (2, 100, 400), (3, 2000, 2000)],
+        "image_id int, w int, h int",
+    )
+    got = {
+        r["image_id"]: (r["bucket_w"], r["bucket_h"])
+        for r in B.assign_aspect_bucket(df).collect()
+    }
+    assert got[1] == (512, 512)
+    assert got[2] == (256, 1024)
+    assert got[3] == (512, 512)
+    # tie: buckets (1,2) and (2,4) have identical AR 0.5; lower index wins
+    tie = B.assign_aspect_bucket(
+        spark.createDataFrame([(1, 50, 100)], "image_id int, w int, h int"),
+        buckets=[(2, 4), (1, 2)],
+    ).collect()[0]
+    assert (tie["bucket_w"], tie["bucket_h"]) == (2, 4)
+    with pytest.raises(ValueError, match="empty"):
+        B.assign_aspect_bucket(df, buckets=[])
+
+
+def test_image_batches_partition_invariant(spark):
+    """batch/idx assignment is a pure function of (id, salt, buckets,
+    batch_size): repartitioning the input and changing num_ranges must
+    not move a single row."""
+    df = spark.createDataFrame(
+        [(i, 64 * (1 + i % 5), 64 * (1 + (i // 3) % 5)) for i in range(300)],
+        "image_id long, w int, h int",
+    )
+    cols = ["image_id", "bucket_id", "batch_id", "idx_in_batch"]
+
+    def run(d, nr):
+        return {
+            tuple(r[c] for c in cols)
+            for r in B.image_batches(d, batch_size=16, num_ranges=nr).collect()
+        }
+
+    assert run(df, 8) == run(df.repartition(13), 3)
+
+
+def test_image_batches_shapes_and_drop_partial(spark):
+    """Every batch holds ≤ batch_size rows, idx_in_batch enumerates
+    0..n-1 within its batch, and drop_partial keeps exactly the full
+    batches of every bucket."""
+    df = spark.createDataFrame(
+        [(i, 64 * (1 + i % 7), 64 * (1 + (i // 5) % 7)) for i in range(500)],
+        "image_id long, w int, h int",
+    )
+    rows = B.image_batches(df, batch_size=32).collect()
+    assert len(rows) == 500
+    by_batch: dict[tuple, list] = {}
+    for r in rows:
+        by_batch.setdefault((r["bucket_id"], r["batch_id"]), []).append(
+            r["idx_in_batch"]
+        )
+    for idxs in by_batch.values():
+        assert sorted(idxs) == list(range(len(idxs)))
+        assert len(idxs) <= 32
+    kept = B.image_batches(df, batch_size=32, drop_partial=True).collect()
+    full = {k for k, v in by_batch.items() if len(v) == 32}
+    assert len(kept) == 32 * len(full)
+    assert {(r["bucket_id"], r["batch_id"]) for r in kept} == full
+    with pytest.raises(ValueError, match="batch_size"):
+        B.image_batches(df, batch_size=0)

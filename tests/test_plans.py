@@ -265,3 +265,37 @@ def test_exact_dedup_single_scan(spark, tmp_path_factory):
     plan = _plan(dedup.exact_duplicates(df, "doc_id"))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_aspect_bucket_assignment_map_only(spark, images_parquet):
+    """Bucket assignment is a pure projection: zero exchanges, zero
+    Python stages, one scan — the argmin compiles into literal-struct
+    array_min inside whole-stage codegen."""
+    from smcchecker_spark.ops import batching
+
+    df = spark.read.parquet(images_parquet).select("image_id", "w", "h")
+    p = _plan(batching.assign_aspect_bucket(df))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_image_batches_no_per_bucket_window(spark, images_parquet):
+    """The final batch-assignment plan: the only row shuffle is the
+    (bucket, range) hash exchange the P-way window needs — the offset
+    attach is a broadcast join, and no window runs with a bucket-only
+    (or empty) partition spec, so no bucket ever sorts in one task."""
+    from smcchecker_spark.ops import batching
+
+    df = spark.read.parquet(images_parquet).select("image_id", "w", "h")
+    out = batching.image_batches(df, batch_size=16, num_ranges=4)
+    p = _plan(out)
+    assert "BroadcastHashJoin" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # exactly one row-shuffle exchange (hashpartitioning for the window);
+    # broadcast exchanges don't move the corpus. In formatted explain the
+    # partitioning shows up on the node's "Arguments:" line.
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+    shuffles = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert len(shuffles) == 1, p
+    assert "bucket_id" in shuffles[0] and "_rid" in shuffles[0]
