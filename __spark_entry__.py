@@ -166,6 +166,84 @@ _MESSAGES_ORACLE = (
 )
 
 
+def q_engine_conditional_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (row-scoped) constraints via ``OnlyWhen``: a check
+    applies only where a SQL condition holds — the reference's filtered
+    badrows masks (proj/custom/example.py:45-50) as declarative data.
+    Compiled into the SAME fused single-scan row pass (zero extra
+    passes); NULL conditions = not applicable = pass."""
+    from smcchecker_spark.constraints import OnlyWhen
+
+    dirty = _dirty_documents(spark, sf_dir)
+    suite = Suite(
+        name="documents_conditional",
+        table="documents",
+        constraints=[
+            OnlyWhen("lang = 'en'", NotNull("text")),
+            OnlyWhen("source = 'web'", Regex("lang", pattern="^(en|es|de|fr|zh)$")),
+        ],
+    )
+    return compile_suite(
+        dirty, suite, row_id_col="doc_id", part_id_col="part_id"
+    )
+
+
+_ENGINE_CONDITIONAL_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 3 THEN NULL ELSE text END AS text,
+         CASE WHEN doc_id % 13 = 4 THEN 'xx' ELSE lang END AS lang,
+         source, n_chars
+  FROM documents
+),
+d AS (
+  SELECT *, CAST(doc_id % 8 AS INT) AS part_id FROM (
+    SELECT * FROM base UNION ALL SELECT * FROM base WHERE doc_id % 17 = 5
+  )
+)
+SELECT 'documents' AS "table", CAST(doc_id AS VARCHAR) AS row_id,
+       'text' AS columns, 'Missing Required Data' AS error_type,
+       TRUE AS is_core_error,
+       'There is an empty value here, but the column text requires a value in all rows (rule applies when lang = ''en'')' AS error_message,
+       'when_notnull_text' AS check_name, 'error' AS severity, part_id
+FROM d WHERE (lang = 'en') AND (text IS NULL OR text = '' OR lower(text) = 'nan')
+UNION ALL
+SELECT 'documents', CAST(doc_id AS VARCHAR), 'lang', 'Invalid Format', TRUE,
+       'The column lang must match the pattern ^(en|es|de|fr|zh)$ (rule applies when source = ''web'')',
+       'when_regex_lang', 'error', part_id
+FROM d WHERE (source = 'web')
+         AND lang IS NOT NULL AND NOT regexp_matches(lang, '^(en|es|de|fr|zh)$')
+"""
+
+
+def q_violations_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-check violation sampling (run.sample_violations): bounded
+    stored sample per check with EXACT counts kept — at 10^12 rows the
+    violations sink must not become a second copy of the table. One
+    tiny count aggregate fixes deterministic md5 keep-rates; the filter
+    is map-only (no shuffle of the violations), reproducible here in
+    SQL bit-for-bit."""
+    from smcchecker_spark.run import sample_violations
+
+    v = q_engine_suite_documents(spark, sf_dir).persist()
+    sampled, _counts = sample_violations(v, per_check=40, salt="bench")
+    return sampled
+
+
+_VIOLATIONS_SAMPLED_ORACLE = (
+    "WITH v AS (" + _ENGINE_SUITE_ORACLE + """),
+c AS (SELECT check_name, count(*) AS n FROM v GROUP BY check_name),
+s AS (SELECT v.*, least(1.0, 40.0 / c.n) AS rate
+      FROM v JOIN c USING (check_name))
+SELECT "table", row_id, columns, error_type, is_core_error, error_message,
+       check_name, severity, part_id
+FROM s
+WHERE (('0x' || substr(md5('bench' || check_name || '|' || row_id), 1, 15))::BIGINT
+       % 1000000) < CAST(trunc(rate * 1000000) AS BIGINT)
+"""
+)
+
+
 def _dirty_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministically corrupt the embeddings table with SQL-expressible
     transforms: truncated vectors (shape), EMPTY vectors (shape + the
@@ -2683,6 +2761,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "engine_suite_documents": q_engine_suite_documents,
+        "engine_conditional_docs": q_engine_conditional_docs,
+        "violations_sampled_docs": q_violations_sampled_docs,
         "messages_per_row": q_messages_per_row,
         "engine_intrange_part": q_engine_intrange_part,
         "engine_dtype_orders": q_engine_dtype_orders,
@@ -2753,6 +2833,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "engine_suite_documents": _ENGINE_SUITE_ORACLE,
+        # conditional (OnlyWhen) checks + per-check violation sampling —
+        # both fully value-oracle-checked (md5 keep-rates in SQL)
+        "engine_conditional_docs": _ENGINE_CONDITIONAL_ORACLE,
+        "violations_sampled_docs": _VIOLATIONS_SAMPLED_ORACLE,
         "messages_per_row": _MESSAGES_ORACLE,
         "engine_intrange_part": _INTRANGE_ORACLE,
         "engine_dtype_orders": _DTYPE_ORACLE,

@@ -87,6 +87,10 @@ def build_constraint(spec: dict):
         "vector_finite": VectorFinite,
         "vector_norm_range": VectorNormRange,
     }
+    if kind == "only_when":
+        # nested spec: {"type": "only_when", "condition": "<sql bool>",
+        # "check": {...inner row-level constraint spec...}}
+        return C.OnlyWhen(args.pop("condition"), build_constraint(args.pop("check")))
     if kind not in factory:
         raise SystemExit(f"unknown constraint type {kind!r}")
     if kind == "unique":

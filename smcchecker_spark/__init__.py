@@ -33,6 +33,7 @@ from smcchecker_spark.constraints import (  # noqa: F401
     MaxLength,
     NotInExisting,
     NotNull,
+    OnlyWhen,
     Precision,
     Range,
     Regex,

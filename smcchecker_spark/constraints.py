@@ -306,6 +306,84 @@ class FieldEquals(Constraint):
         )
 
 
+@dataclass(frozen=True)
+class OnlyWhen(Constraint):
+    """Conditional constraint: the wrapped ROW-LEVEL check applies only to
+    rows where ``condition`` (a SQL boolean expression over the row)
+    holds; rows where it is false or NULL pass unconditionally.
+
+    Reference analogue: the custom-check template's filtered badrows
+    masks (``df[df.temperature != 'asdf'].index.tolist()``,
+    /root/reference/proj/custom/example.py:45-50 via
+    custom/functions.py:checkData) — the standard way its dataset checks
+    scope a rule to a row subset. Here the condition is DATA (a SQL
+    string stored in the suite config), not evaluated Python, keeping
+    the registry's no-free-code property (SURVEY §2 U-2), and the
+    compiler fuses the gated predicate into the same single-scan
+    row pass as every other check — zero extra passes, zero joins.
+
+    Join-level constraints are rejected: scoping uniqueness/RI to a row
+    subset changes the JOIN population, which callers should express by
+    filtering the side table / full_scope explicitly, not silently here.
+    """
+
+    condition: str = ""
+    check: "Constraint | None" = None
+
+    def __init__(self, condition: str, check: Constraint):
+        if isinstance(check, JoinConstraint):
+            raise TypeError(
+                "OnlyWhen wraps row-level constraints only; scope a join "
+                "constraint by filtering its input table instead"
+            )
+        if isinstance(check, OnlyWhen):
+            raise TypeError(
+                "nested OnlyWhen — combine the conditions with AND instead"
+            )
+        object.__setattr__(self, "condition", condition)
+        object.__setattr__(self, "check", check)
+        object.__setattr__(self, "column", check.column)
+        object.__setattr__(self, "severity", check.severity)
+        object.__setattr__(self, "is_core", check.is_core)
+
+    @property
+    def name(self) -> str:
+        return f"when_{self.check.name}"
+
+    @property
+    def columns_label(self) -> str:
+        return self.check.columns_label
+
+    @property
+    def error_type(self) -> str:
+        return self.check.error_type
+
+    def _cond(self) -> Column:
+        # NULL condition = not applicable = pass (mask semantics)
+        return F.coalesce(F.expr(self.condition), F.lit(False))
+
+    def violation_expr(self, df: DataFrame) -> Column:
+        return self._cond() & self.check.violation_expr(df)
+
+    def message_expr(self, df: DataFrame) -> Column:
+        return F.concat(
+            self.check.message_expr(df),
+            F.lit(f" (rule applies when {self.condition})"),
+        )
+
+    def message(self) -> str:
+        return f"{self.check.message()} (rule applies when {self.condition})"
+
+    def precondition_expr(self, df: DataFrame) -> Optional[Column]:
+        # whole-column gates (IntRange's parse gate) must only consider
+        # rows the condition selects — an unparseable value OUTSIDE the
+        # scope must not suppress the check inside it
+        pre = self.check.precondition_expr(df)
+        if pre is None:
+            return None
+        return F.when(self._cond(), pre).otherwise(F.lit(True))
+
+
 # ---------------------------------------------------------------------------
 # Join-level constraints — compiled as join stages, not row expressions
 # ---------------------------------------------------------------------------

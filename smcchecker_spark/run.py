@@ -330,5 +330,61 @@ def gated_append_tables(
     return counts
 
 
+def sample_violations(
+    violations: DataFrame,
+    per_check: int = 1000,
+    salt: str = "vsample",
+) -> tuple[DataFrame, dict[str, int]]:
+    """Cap STORED violation rows per check while keeping counts exact.
+
+    At 10^12 rows, one systematically-broken column produces ~10^12
+    violation rows — the violations sink becomes a second copy of the
+    table. Verdicts/gating only need COUNTS (exact, returned here as a
+    dict, and already carried by ``ValidationResult.verdicts``); humans
+    debugging a failed load need a bounded SAMPLE of offending rows per
+    check. The reference's UI shows the same shape: per-check error
+    groups with row lists capped by what a browser tab can hold
+    (proj/main.py report payload).
+
+    Scale discipline: per-check exact-N (a row_number window keyed by
+    check_name) would sort one check's 10^12 violations in a single
+    task. Instead: ONE tiny aggregate (|checks| rows, map-side partials)
+    fixes a deterministic keep-rate per check, then a map-only filter
+    keeps rows whose md5 hash-bucket of (check_name, row_id) falls under
+    the rate — EXPECTED ``per_check`` rows per check (binomial, tight at
+    these sizes), zero shuffles of the violations table, reproducible
+    across retries/resume and in any SQL engine (same md5-bucket idiom
+    as ``ops.sample``). Checks with ≤ per_check violations keep
+    everything.
+
+    ``violations`` is referenced twice (count + filter) — hand in the
+    persisted result from ``ValidationRunner.run`` (it persists) or
+    persist first. Returns (sampled violations, exact counts by check).
+    """
+    if per_check <= 0:
+        raise ValueError(f"per_check must be positive, got {per_check}")
+    from smcchecker_spark.ops.sample import _BUCKETS, hash_bucket
+
+    counts = {
+        r["check_name"]: r["n"]
+        for r in violations.groupBy("check_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    pairs: list = []
+    for name in sorted(counts):
+        rate = min(1.0, per_check / counts[name]) if counts[name] else 1.0
+        pairs.append(F.lit(name))
+        pairs.append(F.lit(int(rate * _BUCKETS)))
+    if not pairs:
+        return violations, counts
+    thresh = F.coalesce(
+        F.create_map(*pairs)[F.col("check_name")], F.lit(_BUCKETS)
+    )
+    key = F.concat_ws("|", F.col("check_name"), F.col("row_id"))
+    sampled = violations.filter(hash_bucket(key, salt) < thresh)
+    return sampled, counts
+
+
 def empty_violations(spark) -> DataFrame:
     return spark.createDataFrame([], VIOLATION_SCHEMA)

@@ -295,3 +295,95 @@ def test_violation_schema_and_metadata(spark):
     assert row["severity"] == "error"
     assert row["part_id"] == 3
     assert "requires a value in all rows" in row["error_message"]
+
+
+# ------------------------------------------------------------- OnlyWhen
+
+def test_only_when_scopes_check_to_condition_rows(spark):
+    from smcchecker_spark.constraints import OnlyWhen
+
+    df = make_df(
+        spark,
+        # (id, fmt, quality): quality required only for jpeg rows
+        [("a", "jpeg", None), ("b", "png", None), ("c", "jpeg", "90"),
+         ("d", None, None)],
+        "id string, fmt string, quality string",
+    )
+    c = OnlyWhen("fmt = 'jpeg'", NotNull("quality"))
+    # NULL condition (row d) = not applicable = pass
+    assert violating_ids(df, c) == {"a"}
+    assert c.name == "when_notnull_quality"
+    assert c.error_type == NotNull("quality").error_type
+    assert "applies when fmt = 'jpeg'" in c.message()
+
+
+def test_only_when_precondition_scoped(spark):
+    """IntRange's whole-column parse gate must only consider rows the
+    condition selects: an unparseable value OUTSIDE the scope must not
+    suppress the check inside it."""
+    from smcchecker_spark.constraints import OnlyWhen
+
+    df = make_df(
+        spark,
+        [("a", "jpeg", "99999"), ("b", "png", "oops")],
+        "id string, fmt string, v string",
+    )
+    c = OnlyWhen("fmt = 'jpeg'", IntRange("v", width="int2"))
+    # 'oops' lives on a png row → the jpeg-scoped gate passes → the
+    # out-of-range jpeg row fires
+    assert violating_ids(df, c) == {"a"}
+    # but an unparseable value INSIDE the scope still suppresses it
+    df2 = make_df(
+        spark,
+        [("a", "jpeg", "99999"), ("b", "jpeg", "oops")],
+        "id string, fmt string, v string",
+    )
+    assert violating_ids(df2, c) == set()
+
+
+def test_only_when_rejects_join_and_nested(spark):
+    from smcchecker_spark.constraints import OnlyWhen
+
+    with pytest.raises(TypeError, match="row-level"):
+        OnlyWhen("1=1", Unique(["id"]))
+    with pytest.raises(TypeError, match="nested"):
+        OnlyWhen("1=1", OnlyWhen("2=2", NotNull("v")))
+
+
+# ---------------------------------------------------- violation sampling
+
+def test_sample_violations_caps_and_counts(spark):
+    from smcchecker_spark.run import sample_violations
+
+    df = make_df(
+        spark,
+        [(str(i), None if i % 2 else "x" * 50) for i in range(2000)],
+        "id string, v string",
+    )
+    suite = Suite(
+        name="t", table="t",
+        constraints=[NotNull("v"), MaxLength("v", max_length=5)],
+    )
+    v = compile_suite(df, suite, row_id_col="id", part_id_col=None).persist()
+    sampled, counts = sample_violations(v, per_check=100, salt="t")
+    assert counts == {"notnull_v": 1000, "maxlength_v": 1000}
+    by_check = {
+        r["check_name"]: r["n"]
+        for r in sampled.groupBy("check_name").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    # expected 100 per check; binomial(1000, 0.1) — ±50 is > 5 sigma
+    for n in by_check.values():
+        assert 50 <= n <= 150, by_check
+    # determinism: same input, same salt → identical sample
+    again, _ = sample_violations(v, per_check=100, salt="t")
+    assert {tuple(r) for r in again.collect()} == {
+        tuple(r) for r in sampled.collect()
+    }
+    # checks under the cap keep everything
+    all_kept, _ = sample_violations(v, per_check=5000, salt="t")
+    assert all_kept.count() == 2000
+    with pytest.raises(ValueError, match="per_check"):
+        sample_violations(v, per_check=0)
+    v.unpersist()
