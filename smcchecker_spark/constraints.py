@@ -554,17 +554,42 @@ class NotInExisting(JoinConstraint):
     keys: rows that DO match are violations. The distinct() two-phases
     map-side; the semi join is AQE-planned (broadcast when the existing
     key set is small, sort-merge otherwise).
+
+    ``distinct_keys=False`` skips the key dedup — a LEFT SEMI join's
+    output is identical with or without it, so when the production keys
+    are already unique (a primary-keyed snapshot — the usual case) the
+    distinct is a pure extra aggregation of 10^12 keys. Crucially, with
+    the snapshot stored BUCKETED on the keys (``tables.BucketedTable``),
+    skipping it lets the semi join consume the table's bucketing
+    directly: the production side is scanned pre-partitioned (and
+    pre-sorted) with ZERO exchange — only the incoming submission (a
+    sliver) shuffles to match. That is the 10^12-row RI plan; asserted
+    in tests/test_plans.py.
+
+    ``null_safe=False`` joins on plain equality instead of ``<=>``.
+    The default matches the reference (pandas ``merge`` pairs NaN keys,
+    proj/core/dupes.py:106), but Spark plans a null-safe join key as
+    ``coalesce(k, …)``/``isnull(k)`` — a partitioning expression that can
+    NEVER match a table's bucketing-by-k, so the 10^12-row production
+    side gets re-shuffled (measured: 2 exchanges vs 1). When the
+    snapshot's keys are declared NOT NULL (primary keys are), plain
+    equality is semantically identical and bucket-compatible.
     """
 
     keys: tuple[str, ...] = ()
-    existing: str = ""  # key into ctx.existing
+    existing: str = ""
+    distinct_keys: bool = True
+    null_safe: bool = True
 
-    def __init__(self, keys, existing, severity=ERROR, is_core=True):
+    def __init__(self, keys, existing, severity=ERROR, is_core=True,
+                 distinct_keys=True, null_safe=True):
         object.__setattr__(self, "keys", tuple(keys))
         object.__setattr__(self, "existing", existing)
         object.__setattr__(self, "column", ",".join(self.keys))
         object.__setattr__(self, "severity", severity)
         object.__setattr__(self, "is_core", is_core)
+        object.__setattr__(self, "distinct_keys", distinct_keys)
+        object.__setattr__(self, "null_safe", null_safe)
 
     @property
     def name(self) -> str:
@@ -590,14 +615,22 @@ class NotInExisting(JoinConstraint):
         keys = list(self.keys)
         existing = ctx.existing[self.existing].select(
             *[F.col(k).alias(f"__ex_{k}") for k in keys]
-        ).distinct()
+        )
+        if self.distinct_keys:
+            existing = existing.distinct()
         left = df.select(ROW_ID, PART_ID, *keys)
         # null-safe match: pandas ``merge`` (the reference's mechanism,
         # proj/core/dupes.py:106) matches NaN keys to NaN keys, so a
-        # NULL-keyed incoming row duplicates a NULL-keyed production row
+        # NULL-keyed incoming row duplicates a NULL-keyed production row.
+        # null_safe=False (bucket-compatible plan; see class docstring)
+        # uses plain equality — NULL probe keys then never match.
         cond = None
         for k in keys:
-            c = left[k].eqNullSafe(existing[f"__ex_{k}"])
+            c = (
+                left[k].eqNullSafe(existing[f"__ex_{k}"])
+                if self.null_safe
+                else left[k] == existing[f"__ex_{k}"]
+            )
             cond = c if cond is None else (cond & c)
         return left.join(existing, cond, "left_semi").select(ROW_ID, PART_ID)
 

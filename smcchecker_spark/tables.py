@@ -98,6 +98,60 @@ class IcebergTable:
         df.writeTo(self.identifier).createOrReplace()
 
 
+@dataclass
+class BucketedTable:
+    """Catalog table written with hash bucketing (+ optional per-bucket
+    sort) on the join keys — the co-located-join layout for 10^12-row
+    reference tables that can never broadcast.
+
+    Why this exists: the RI checks (``NotInExisting``, large
+    ``InLookup(broadcast_hint=False)``) join every incoming submission
+    against a production snapshot. Unbucketed, EVERY validation run
+    re-shuffles the full snapshot into the join's hash partitioning.
+    Stored bucketed on the keys, the snapshot scan comes out of parquet
+    ALREADY partitioned (and, with ``sort_by``, sorted) the way the
+    sort-merge join needs it — zero exchange, zero sort on the big side,
+    every run, forever. Measured plan shapes (tests/test_plans.py):
+    bucketed⋈unbucketed probe = ONE exchange (the probe sliver);
+    bucketed⋈bucketed (same n) = ZERO exchanges.
+
+    Iceberg analogue on the production cluster: a ``bucket(n, key)``
+    partition transform + storage-partitioned joins; this adapter is the
+    session-catalog spelling of the same layout (Spark's bucketing
+    metadata lives in the catalog — use a persistent metastore outside
+    tests). ``n_buckets`` should be sized so one bucket's keys fit an
+    executor core's task comfortably (total_rows / n_buckets ≈ 10-100M).
+    """
+
+    name: str
+    bucket_by: list[str] = field(default_factory=list)
+    n_buckets: int = 0
+    sort_by: list[str] = field(default_factory=list)
+
+    def _writer(self, df: DataFrame, mode: str):
+        if not self.bucket_by or self.n_buckets <= 0:
+            raise ValueError(
+                "BucketedTable writes need bucket_by columns and a "
+                f"positive n_buckets (got {self.bucket_by!r}, "
+                f"{self.n_buckets})"
+            )
+        w = df.write.mode(mode).bucketBy(self.n_buckets, *self.bucket_by)
+        if self.sort_by:
+            w = w.sortBy(*self.sort_by)
+        return w
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        # spark.table carries the bucketing metadata into the plan; a
+        # path-based parquet read of the same files would NOT
+        return spark.table(self.name)
+
+    def append(self, df: DataFrame) -> None:
+        self._writer(df, "append").saveAsTable(self.name)
+
+    def overwrite(self, df: DataFrame) -> None:
+        self._writer(df, "overwrite").saveAsTable(self.name)
+
+
 def as_table(sink: "str | ParquetTable | IcebergTable"):
     """Back-compat shim: plain string paths mean parquet."""
     if isinstance(sink, str):

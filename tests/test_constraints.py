@@ -387,3 +387,29 @@ def test_sample_violations_caps_and_counts(spark):
     with pytest.raises(ValueError, match="per_check"):
         sample_violations(v, per_check=0)
     v.unpersist()
+
+
+def test_not_in_existing_scale_flags_same_results(spark):
+    """distinct_keys=False and null_safe=False are plan-shape knobs —
+    on NOT-NULL unique production keys the violation set is identical."""
+    df = make_df(
+        spark, [("a", 1), ("b", 2), ("c", 9)], "id string, k int"
+    )
+    prod = make_df(spark, [(1,), (2,), (5,)], "k int")
+    ctx = ValidationContext(existing={"prod": prod})
+    default = violating_ids(df, NotInExisting(["k"], "prod"), ctx=ctx)
+    scale = violating_ids(
+        df,
+        NotInExisting(["k"], "prod", distinct_keys=False, null_safe=False),
+        ctx=ctx,
+    )
+    assert default == scale == {"a", "b"}
+    # the documented divergence: NULL probe keys match NULL prod keys
+    # only under the null-safe default
+    df2 = make_df(spark, [("a", None)], "id string, k int")
+    prod2 = make_df(spark, [(None,)], "k int")
+    ctx2 = ValidationContext(existing={"prod2": prod2})
+    assert violating_ids(df2, NotInExisting(["k"], "prod2"), ctx=ctx2) == {"a"}
+    assert violating_ids(
+        df2, NotInExisting(["k"], "prod2", null_safe=False), ctx=ctx2
+    ) == set()

@@ -299,3 +299,70 @@ def test_image_batches_no_per_bucket_window(spark, images_parquet):
     shuffles = re.findall(r"hashpartitioning\(([^)]*)\)", p)
     assert len(shuffles) == 1, p
     assert "bucket_id" in shuffles[0] and "_rid" in shuffles[0]
+
+
+def test_bucketed_ri_join_never_shuffles_production(spark, tmp_path_factory):
+    """The 10^12-row referential-integrity plan (tables.BucketedTable +
+    NotInExisting(distinct_keys=False, null_safe=False)): the production
+    snapshot scan comes out of parquet already bucket-partitioned and
+    sorted — the ONLY exchange in the whole check is the incoming
+    submission (a sliver); flipping either scale flag back re-shuffles
+    the big side (regression-locked)."""
+    from smcchecker_spark.constraints import (
+        NotInExisting, Suite, ValidationContext,
+    )
+    from smcchecker_spark.compile import compile_suite
+    from smcchecker_spark.tables import BucketedTable
+
+    prod = BucketedTable("t_prod_ri", bucket_by=["doc_id"], n_buckets=8,
+                         sort_by=["doc_id"])
+    prod.overwrite(
+        spark.range(5000).select(F.col("id").alias("doc_id"))
+    )
+    probe = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).alias("part_id")
+    )
+    suite = Suite("t", "t", [
+        NotInExisting(["doc_id"], existing="prod",
+                      distinct_keys=False, null_safe=False),
+    ])
+    ctx = ValidationContext(existing={"prod": prod.read(spark)})
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        v = compile_suite(probe, suite, ctx, row_id_col="doc_id",
+                          part_id_col="part_id")
+        p = _plan(v)
+        assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+        assert "SortMergeJoin" in p
+        # and the scale flags are load-bearing: defaults re-shuffle prod
+        suite2 = Suite("t", "t", [NotInExisting(["doc_id"], existing="prod")])
+        p2 = _plan(compile_suite(probe, suite2, ctx, row_id_col="doc_id",
+                                 part_id_col="part_id"))
+        assert len(re.findall(r"\(\d+\) Exchange\b", p2)) >= 2, p2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_prod_ri")
+
+
+def test_bucketed_bucketed_join_zero_exchanges(spark):
+    """Two tables bucketed on the join key with the same bucket count
+    co-locate: the equi-join plans with ZERO exchanges on either side."""
+    from smcchecker_spark.tables import BucketedTable
+
+    a = BucketedTable("t_buck_a", bucket_by=["k"], n_buckets=4, sort_by=["k"])
+    b = BucketedTable("t_buck_b", bucket_by=["k"], n_buckets=4, sort_by=["k"])
+    a.overwrite(spark.range(2000).select(F.col("id").alias("k")))
+    b.overwrite(spark.range(500).select(F.col("id").alias("k"),
+                                        (F.col("id") * 2).alias("v")))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.read(spark).join(b.read(spark), "k")
+        p = _plan(j)
+        assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 0, p
+        assert j.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_buck_a")
+        spark.sql("DROP TABLE IF EXISTS t_buck_b")
