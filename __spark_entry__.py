@@ -975,6 +975,56 @@ _SMALLNDV_ORACLE = "\nUNION ALL\n".join(
 )
 
 
+def q_hll_ndv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-partition HLL sketches (stats.partition_hll_sketches
+    → merged_ndv): the NDV path that works WITHOUT rescans — per-partition
+    sketch rows are stored with checkpoint metrics; global NDV is a union
+    over |partitions| binary rows. Oracle contract: the merged estimate
+    must land within the sketch's rsd of the EXACT ndv — the query emits
+    (column, ndv_exact, est_within_rsd); the oracle computes ndv_exact in
+    SQL and expects est_within_rsd = TRUE. The estimate itself is not
+    SQL-expressible (DataSketches binary format); its merge-consistency
+    is pytest-locked (tests/test_stats.py)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "part_id", (F.col("event_id") % 8).cast("int")
+    )
+    cols = ["event_type", "user_id"]
+    sk = stats.partition_hll_sketches(ev, "part_id", cols, lg_k=14)
+    est = stats.merged_ndv(sk)
+    exact = ev.agg(
+        *[F.count_distinct(F.col(c)).alias(c) for c in cols]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"), F.col(c).alias("ndv_exact")
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return exact.join(est, "column").select(
+        "column",
+        "ndv_exact",
+        (
+            F.abs(F.col("ndv_est") - F.col("ndv_exact"))
+            / F.col("ndv_exact")
+            <= 0.05
+        ).alias("est_within_rsd"),
+    )
+
+
+_HLL_NDV_ORACLE = """
+SELECT 'event_type' AS "column", count(DISTINCT event_type) AS ndv_exact,
+       TRUE AS est_within_rsd
+FROM events
+UNION ALL
+SELECT 'user_id', count(DISTINCT user_id), TRUE FROM events
+"""
+
+
 def q_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.histogram(_t(spark, sf_dir, "events"), "value", 0.0, 500.0, 20)
 
@@ -2785,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_exact_lineitem": q_stats_exact_lineitem,
         "column_stats_approx": q_column_stats_approx,
         "column_stats_smallndv": q_column_stats_smallndv,
+        "hll_ndv_events": q_hll_ndv_events,
         "histogram_value": q_histogram_value,
         "psi_value_drift": q_psi_value_drift,
         "audit_load_columns": q_audit_load_columns,
@@ -2879,6 +2930,9 @@ def oracle_sql() -> dict[str, str]:
         # small-NDV columns: the HLL++ sketch is exact, so the exact-SQL
         # stats are a true value oracle for the sketch pipeline
         "column_stats_smallndv": _SMALLNDV_ORACLE,
+        # mergeable HLL sketches: oracle checks exact NDV + the
+        # estimate-within-rsd contract (sketch bits not SQL-expressible)
+        "hll_ndv_events": _HLL_NDV_ORACLE,
         # exact-regime t-digest (delta >> n: no centroid merges, quantile
         # == midpoint interpolation) — true value oracle for the sketch
         "tdigest_exact_quantiles": _TDIGEST_EXACT_ORACLE,

@@ -195,6 +195,109 @@ def column_stats_by(
     ).select(group_col, "s.*")
 
 
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketches — incremental NDV without rescans
+# ---------------------------------------------------------------------------
+#
+# ``column_stats_by`` emits a per-partition approx_ndv NUMBER — useful for
+# spotting a broken partition, but per-partition NDVs cannot be combined
+# (summing double-counts values shared across partitions). These helpers
+# persist the SKETCH itself (Apache DataSketches HLL via Spark's
+# hll_sketch_agg), which IS mergeable: global NDV, any-partition-subset
+# NDV, and cross-snapshot "how many never-seen values arrived" all become
+# unions over the stored |partitions|×|columns| sketch rows — the 10^12-row
+# table is never rescanned. This is the sketch analogue of the checkpoint
+# metrics rows (north rule: per-partition lineage + metrics).
+
+
+def partition_hll_sketches(
+    df: DataFrame,
+    part_col: str = "part_id",
+    columns: list[str] | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """One row per (partition, column): ``(part, column, n_rows,
+    hll_sketch:binary)``. ONE scan, map-side partial sketch merge — the
+    exchange carries one partial sketch per (task, group), never rows.
+    Store next to the checkpoint metrics; later analyses union the
+    sketches instead of rescanning data. ``lg_k`` trades size for
+    accuracy (2^lg_k registers; 12 ≈ ±2.6% rsd, 4 KB/sketch)."""
+    columns = columns or [c for c in df.columns if c != part_col]
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.hll_sketch_agg(F.col(c).cast("string"), lg_k).alias(f"{c}__sk")
+        for c in columns
+    ]
+    grouped = df.groupBy(F.col(part_col).alias("part")).agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"{c}__sk").alias("hll_sketch"),
+        )
+        for c in columns
+    ]
+    return grouped.select(
+        "part", F.explode(F.array(*per_col)).alias("s")
+    ).select("part", "s.*")
+
+
+def merged_ndv(
+    sketches: DataFrame,
+    column_col: str = "column",
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """(column, ndv_est) from stored per-partition sketches — a union-agg
+    over |partitions| tiny binary rows, no data scan. Estimates carry the
+    sketch's documented rsd (NOT exact, even at small NDV — measured
+    500-true → 499); callers needing exactness use
+    ``column_stats_exact`` on the (much smaller) scoped slice."""
+    return (
+        sketches.groupBy(F.col(column_col).alias("column"))
+        .agg(F.hll_union_agg(sketch_col).alias("__u"))
+        .select("column", F.hll_sketch_estimate("__u").alias("ndv_est"))
+    )
+
+
+def ndv_drift_from_sketches(
+    cur: DataFrame,
+    base: DataFrame,
+    column_col: str = "column",
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Cross-snapshot NDV drift from stored sketches only: per column,
+    ``new_values_est = est(union(cur, base)) − est(base)`` — an estimate
+    of values in the current snapshot never seen in the baseline (the
+    inclusion-exclusion trick; sketches can't subtract directly).
+    Output: (column, ndv_cur, ndv_base, ndv_union, new_values_est).
+    Cost: two tiny union-aggs — the snapshots themselves are not read."""
+    cu = (
+        cur.groupBy(F.col(column_col).alias("column"))
+        .agg(F.hll_union_agg(sketch_col).alias("__c"))
+    )
+    ba = (
+        base.groupBy(F.col(column_col).alias("column"))
+        .agg(F.hll_union_agg(sketch_col).alias("__b"))
+    )
+    j = cu.join(ba, "column", "full_outer")
+    est_c = F.when(
+        F.col("__c").isNotNull(), F.hll_sketch_estimate("__c")
+    ).otherwise(F.lit(0))
+    est_b = F.when(
+        F.col("__b").isNotNull(), F.hll_sketch_estimate("__b")
+    ).otherwise(F.lit(0))
+    est_u = F.when(
+        F.col("__c").isNotNull() & F.col("__b").isNotNull(),
+        F.hll_sketch_estimate(F.hll_union("__c", "__b")),
+    ).otherwise(F.greatest(est_c, est_b))
+    return j.select(
+        "column",
+        est_c.alias("ndv_cur"),
+        est_b.alias("ndv_base"),
+        est_u.alias("ndv_union"),
+        F.greatest(est_u - est_b, F.lit(0)).alias("new_values_est"),
+    )
+
+
 def bucket_expr(col: Column, lo: float, hi: float, bins: int) -> Column:
     """width_bucket semantics: bucket 0 = underflow, bins+1 = overflow,
     1..bins = [lo,hi) split evenly. NULL values → NULL bucket."""
