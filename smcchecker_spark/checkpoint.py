@@ -51,6 +51,11 @@ class CheckpointStore:
             self.root, "metrics", f"run_id={run_id}", f"wave={wave}"
         )
 
+    def _sketches_path(self, run_id: str, wave: int) -> str:
+        return os.path.join(
+            self.root, "sketches", f"run_id={run_id}", f"wave={wave}"
+        )
+
     def completed_partitions(self, spark: SparkSession, run_id: str) -> set[int]:
         path = self._verdict_path(run_id)
         try:
@@ -89,6 +94,7 @@ class CheckpointStore:
         for w in orphans:
             shutil.rmtree(self._violations_path(run_id, w), ignore_errors=True)
             shutil.rmtree(self._metrics_path(run_id, w), ignore_errors=True)
+            shutil.rmtree(self._sketches_path(run_id, w), ignore_errors=True)
         return orphans
 
     def waves(self, spark: SparkSession, run_id: str) -> int:
@@ -108,6 +114,10 @@ class CheckpointStore:
         if result.metrics is not None:
             result.metrics.write.mode("overwrite").parquet(
                 self._metrics_path(run_id, wave)
+            )
+        if result.sketches is not None:
+            result.sketches.write.mode("overwrite").parquet(
+                self._sketches_path(run_id, wave)
             )
         if fail_before_commit:
             raise RuntimeError("simulated crash between violations and verdicts")
@@ -130,6 +140,16 @@ class CheckpointStore:
         the baseline snapshot later drift checks compare against."""
         return spark.read.parquet(
             os.path.join(self.root, "metrics", f"run_id={run_id}")
+        )
+
+    def sketches(self, spark: SparkSession, run_id: str) -> DataFrame:
+        """All committed per-(partition, column) HLL sketch rows of a run
+        (``ValidationRunner(metrics_sketches=True)``). Feed to
+        ``stats.merged_ndv`` / ``stats.ndv_drift_from_sketches`` — NDV
+        and cross-snapshot drift questions answered from these rows
+        alone, without rescanning the validated table."""
+        return spark.read.parquet(
+            os.path.join(self.root, "sketches", f"run_id={run_id}")
         )
 
 

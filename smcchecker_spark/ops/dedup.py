@@ -218,12 +218,50 @@ def minhash_signatures(
     )
 
 
+def _chunk_block_join(
+    grouped: DataFrame, key_cols: list[str], chunk: int
+) -> DataFrame:
+    """Chunked self-join of collected buckets: input rows are
+    (key_cols..., ms: sorted member array); output rows are
+    (ci, cj, ca, cb) chunk-index/chunk-array block pairs with ci ≤ cj
+    within each bucket. Chunks slice the SORTED member array, so all
+    cross-block pairs (a from ca, b from cb, a < b) enumerate each
+    bucket pair exactly once. The probe side repartitions on
+    (keys, ci) — one bucket's O(m²) pairing spreads across tasks — and
+    the build side broadcasts only the chunk arrays. Shared by the
+    struct-pair explode (``bucketed_pairs`` hot path) and the blocked
+    numpy scorers (``similarity.semantic_dup_pairs``)."""
+    last_chunk = F.ceil(F.size("ms") / F.lit(chunk)).cast("int") - 1
+    chunked = grouped.select(
+        *key_cols,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), last_chunk),
+                lambda i: F.slice("ms", i * chunk + 1, chunk),
+            )
+        ).alias("ci", "ca"),
+    )
+    probe = chunked.repartition(*key_cols, "ci")
+    build = F.broadcast(
+        chunked.select(
+            *[F.col(k).alias(f"{k}__r") for k in key_cols],
+            F.col("ci").alias("cj"),
+            F.col("ca").alias("cb"),
+        )
+    )
+    cond = F.col("ci") <= F.col("cj")
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(f"{k}__r"))
+    return probe.join(build, cond)
+
+
 def bucketed_pairs(
     members: DataFrame,
     key_cols: list[str],
     member_col: str = "m",
     hot_bucket: int = 256,
     max_bucket: int | None = None,
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """Skew-guarded all-pairs within buckets — the shared pairing stage
     behind MinHash-LSH banding, SimHash chunk blocking, and hyperplane
@@ -248,6 +286,16 @@ def bucketed_pairs(
     a bucket. ``max_bucket`` (default off) additionally hard-caps bucket
     membership — a LOSSY guard for pathological corpora where even
     distributed O(m²) is unaffordable.
+
+    ``dedup_pairs=False`` skips the final cross-bucket ``dropDuplicates``
+    — which is a SHUFFLE of every pair struct. A pair can repeat only
+    when one row lives in several buckets (LSH bands, simhash chunks);
+    when the bucket keys PARTITION the rows (SemDeDup k-means cells,
+    any groupBy-style blocking) each pair forms exactly once and the
+    dedup would re-shuffle P >> n rows — carrying the member payloads —
+    for nothing. Callers whose members carry fat payloads (vectors)
+    should also filter/score pairs in the projection right after this
+    returns, while the pairs are still pre-shuffle.
     """
     # Explicit null-key filter BEFORE the aggregate — load-bearing for
     # plan reuse, not just semantics: the hot-branch join pushes
@@ -291,34 +339,16 @@ def bucketed_pairs(
         F.explode(_ordered_pairs(F.col("ms"), F.col("ms"))).alias("p")
     ).select("p.a", "p.b")
 
-    last_chunk = F.ceil(F.size("ms") / F.lit(hot_bucket)).cast("int") - 1
-    chunked = hot.select(
-        *key_cols,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), last_chunk),
-                lambda i: F.slice("ms", i * hot_bucket + 1, hot_bucket),
-            )
-        ).alias("ci", "ca"),
-    )
-    probe = chunked.repartition(*key_cols, "ci")
-    build = F.broadcast(
-        chunked.select(
-            *[F.col(k).alias(f"{k}__r") for k in key_cols],
-            F.col("ci").alias("cj"),
-            F.col("ca").alias("cb"),
-        )
-    )
-    cond = F.col("ci") <= F.col("cj")
-    for k in key_cols:
-        cond = cond & (F.col(k) == F.col(f"{k}__r"))
     hot_pairs = (
-        probe.join(build, cond)
+        _chunk_block_join(hot, key_cols, hot_bucket)
         .select(F.explode(_ordered_pairs(F.col("ca"), F.col("cb"))).alias("p"))
         .select("p.a", "p.b")
     )
+    out = small_pairs.unionByName(hot_pairs)
+    if not dedup_pairs:
+        return out
     # members are deterministic per id, so struct-level dedup == id-level
-    return small_pairs.unionByName(hot_pairs).dropDuplicates(["a", "b"])
+    return out.dropDuplicates(["a", "b"])
 
 
 def minhash_candidate_pairs(

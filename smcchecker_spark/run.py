@@ -43,6 +43,10 @@ class ValidationResult:
     violations: DataFrame  # full violation rows (errors + warnings)
     verdicts: DataFrame  # one row per partition
     metrics: DataFrame | None = None  # per-(partition, column) stats rows
+    # per-(partition, column) mergeable HLL sketch rows (binary) — stored
+    # beside the metrics so later NDV / cross-snapshot drift analyses are
+    # sketch unions, never rescans (stats.partition_hll_sketches)
+    sketches: DataFrame | None = None
 
     @property
     def errs(self) -> DataFrame:
@@ -71,18 +75,28 @@ class ValidationRunner:
         part_id_col: str | None = "part_id",
         run_id: str = "run0",
         metrics_columns: list[str] | None = None,
+        metrics_sketches: bool = False,
     ):
         """``metrics_columns``: when set, ``run()`` additionally emits one
         stats row per (partition, column) — null rate, min/max, HLL ndv,
         approx quantiles (north rule: "each partition emits lineage +
         metrics rows to a checkpoint table"; these feed later drift
-        checks as the baseline snapshot)."""
+        checks as the baseline snapshot).
+
+        ``metrics_sketches``: additionally emit one MERGEABLE DataSketches
+        HLL row per (partition, column) (``ValidationResult.sketches``).
+        The numeric approx_ndv in the metrics rows cannot be combined
+        across partitions; the stored sketches can — global/any-subset
+        NDV and cross-snapshot new-value drift become unions over the
+        checkpointed sketch rows with zero rescans
+        (stats.merged_ndv / ndv_drift_from_sketches)."""
         self.suite = suite
         self.ctx = ctx or ValidationContext()
         self.row_id_col = row_id_col
         self.part_id_col = part_id_col
         self.run_id = run_id
         self.metrics_columns = metrics_columns
+        self.metrics_sketches = metrics_sketches
 
     def _part_expr(self, df: DataFrame):
         if self.part_id_col and self.part_id_col in df.columns:
@@ -184,6 +198,7 @@ class ValidationRunner:
             )
         )
         metrics = None
+        sketches = None
         if self.metrics_columns:
             from smcchecker_spark.stats import column_stats_by
 
@@ -194,8 +209,19 @@ class ValidationRunner:
             ).withColumnsRenamed({"__part": "part_id"}).withColumn(
                 "run_id", F.lit(self.run_id)
             )
+            if self.metrics_sketches:
+                from smcchecker_spark.stats import partition_hll_sketches
+
+                sketches = partition_hll_sketches(
+                    df.withColumn("__part", self._part_expr(df)),
+                    "__part",
+                    self.metrics_columns,
+                ).withColumnsRenamed({"part": "part_id"}).withColumn(
+                    "run_id", F.lit(self.run_id)
+                )
         return ValidationResult(
-            violations=violations, verdicts=verdicts, metrics=metrics
+            violations=violations, verdicts=verdicts, metrics=metrics,
+            sketches=sketches,
         )
 
 

@@ -437,3 +437,38 @@ def test_scope_to_partitions_prunes_at_source(spark, images, tmp_path):
     assert {r[0] for r in scoped.select("part_id").distinct().collect()} == {1, 4}
     # empty stale set = zero work
     assert scope_to_partitions(df, set(), "part_id").count() == 0
+
+
+def test_sketches_checkpointed_and_mergeable(spark, images, tmp_path):
+    """metrics_sketches=True: per-(partition, column) HLL sketch rows
+    ride the wave-commit protocol, survive a crash+resume, and the
+    stored rows alone answer the global-NDV question within the
+    sketch's rsd — no rescan of the validated table."""
+    from smcchecker_spark import stats
+
+    store = CheckpointStore(str(tmp_path / "ckpt_sk"))
+    runner = ValidationRunner(
+        _suite(), run_id="rs",
+        metrics_columns=["fmt", "caption"], metrics_sketches=True,
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_with_checkpoint(
+            runner, images, store, partitions_per_wave=2, fail_after_waves=1
+        )
+    run_with_checkpoint(runner, images, store, partitions_per_wave=2)
+
+    sk = store.sketches(spark, "rs")
+    assert {(r["part_id"], r["column"]) for r in sk.select(
+        "part_id", "column").collect()} == {
+        (p, c) for p in range(6) for c in ("fmt", "caption")
+    }
+    merged = {r["column"]: r["ndv_est"]
+              for r in stats.merged_ndv(sk).collect()}
+    exact = images.agg(
+        F.count_distinct(F.col("fmt").cast("string")).alias("fmt"),
+        F.count_distinct(F.col("caption").cast("string")).alias("caption"),
+    ).collect()[0]
+    for c in ("fmt", "caption"):
+        assert abs(merged[c] - exact[c]) <= max(1, 0.05 * exact[c]), (
+            c, merged[c], exact[c],
+        )

@@ -58,6 +58,10 @@ AUDITED = [
     "repetition_docs",
     "contamination_docs",
     "pack_docs",
+    "image_batches_events",
+    "engine_conditional_docs",
+    "violations_sampled_docs",
+    "hll_ndv_events",
 ]
 
 JOIN_RE = re.compile(
