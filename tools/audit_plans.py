@@ -98,11 +98,11 @@ NOTES = {
     ),
     "semdedup_clustered": (
         "static plan re-expands the 3-branch union base into every "
-        "consumer and prints the chunked-pairing consumers "
-        "separately; EXECUTED dataflow materializes candidate pairs "
-        "and each components round via eager localCheckpoint (one "
-        "cell-assignment UDF pass over the corpus, candidates-only "
-        "cosine/scoring re-reads a broadcast-pruned sliver), so the "
+        "consumer and prints the chunk-block join's probe/build "
+        "subtrees separately; EXECUTED dataflow: one cell-assignment "
+        "UDF pass, one cell groupBy shuffle, blocked-GEMM scoring in "
+        "mapInPandas emitting only >=threshold pairs, then components "
+        "rounds each materialized via eager localCheckpoint — the "
         "scan/exchange counts here overstate the runtime plan"
     ),
 }
