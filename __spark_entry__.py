@@ -166,6 +166,46 @@ _MESSAGES_ORACLE = (
 )
 
 
+def q_engine_monotonic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key sequence-consistency (MonotonicWithin): event ``value``
+    must not decrease per user in event_id (ingest) order — the
+    reference timeseries datasets' order checks as a declarative window
+    constraint (ONE shuffle on the key hash). The raw events table has
+    naturally non-monotone values, so the violation set is large and
+    fully determined by the data — no planting needed."""
+    from smcchecker_spark.constraints import MonotonicWithin
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "part_id", (F.col("event_id") % 8).cast("int")
+    )
+    suite = Suite(
+        name="events_seq",
+        table="events",
+        constraints=[
+            MonotonicWithin("value", keys=["user_id"], order_by="event_id"),
+        ],
+    )
+    return compile_suite(
+        ev, suite, row_id_col="event_id", part_id_col="part_id"
+    )
+
+
+_ENGINE_MONOTONIC_ORACLE = """
+WITH w AS (
+  SELECT event_id, CAST(event_id % 8 AS INT) AS part_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+  FROM events
+)
+SELECT 'events' AS "table", CAST(event_id AS VARCHAR) AS row_id,
+       'value' AS columns, 'Logic Error' AS error_type,
+       FALSE AS is_core_error,
+       'The value in value must not decrease within each (user_id) group when ordered by event_id' AS error_message,
+       'monotonic_value_by_user_id' AS check_name, 'error' AS severity,
+       part_id
+FROM w WHERE value IS NOT NULL AND prev IS NOT NULL AND value < prev
+"""
+
+
 def q_engine_conditional_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional (row-scoped) constraints via ``OnlyWhen``: a check
     applies only where a SQL condition holds — the reference's filtered
@@ -2812,6 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "engine_suite_documents": q_engine_suite_documents,
         "engine_conditional_docs": q_engine_conditional_docs,
+        "engine_monotonic_events": q_engine_monotonic_events,
         "violations_sampled_docs": q_violations_sampled_docs,
         "messages_per_row": q_messages_per_row,
         "engine_intrange_part": q_engine_intrange_part,
@@ -2887,6 +2928,7 @@ def oracle_sql() -> dict[str, str]:
         # conditional (OnlyWhen) checks + per-check violation sampling —
         # both fully value-oracle-checked (md5 keep-rates in SQL)
         "engine_conditional_docs": _ENGINE_CONDITIONAL_ORACLE,
+        "engine_monotonic_events": _ENGINE_MONOTONIC_ORACLE,
         "violations_sampled_docs": _VIOLATIONS_SAMPLED_ORACLE,
         "messages_per_row": _MESSAGES_ORACLE,
         "engine_intrange_part": _INTRANGE_ORACLE,

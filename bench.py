@@ -94,6 +94,12 @@ HEADLINE = [
     "contamination_docs",
     "scrub_pii_docs",
     "pack_docs",
+    # round-2 additions: aspect-bucket batch assembly, conditional
+    # checks, violation sampling, sketch-based NDV
+    "image_batches_events",
+    "engine_conditional_docs",
+    "violations_sampled_docs",
+    "hll_ndv_events",
 ]
 
 

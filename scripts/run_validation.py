@@ -75,6 +75,7 @@ def build_constraint(spec: dict):
         "regex": C.Regex,
         "field_equals": C.FieldEquals,
         "unique": C.Unique,
+        "monotonic_within": C.MonotonicWithin,
         "in_lookup": C.InLookup,
         "not_in_existing": C.NotInExisting,
         "subset_of": C.SubsetOf,

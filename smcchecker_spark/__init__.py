@@ -31,6 +31,7 @@ from smcchecker_spark.constraints import (  # noqa: F401
     InLookup,
     IntRange,
     MaxLength,
+    MonotonicWithin,
     NotInExisting,
     NotNull,
     OnlyWhen,

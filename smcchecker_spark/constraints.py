@@ -685,6 +685,76 @@ class SubsetOf(JoinConstraint):
         )
 
 
+@dataclass(frozen=True)
+class MonotonicWithin(JoinConstraint):
+    """Logic Error — within each key group, ``column`` must be
+    non-decreasing (``strict=True``: strictly increasing) when rows are
+    ordered by ``order_by``. The sequence-consistency check of the
+    reference's timeseries datasets (its custom-check template flags
+    order violations as filtered badrows masks, proj/custom/
+    timeseries_custom.py via functions.py:checkData), generalized: e.g.
+    event timestamps must not run backwards in ingest order per user.
+
+    Compiled as one ``lag()`` window per key group: ONE shuffle on the
+    key hash, per-group sort on ``order_by``. Scale note: a window
+    cannot be split by AQE — one group sorts in one task, so the key
+    must be finer than any hot entity (salt upstream or use a composite
+    key when a single group can exceed a task's memory). Rows flagged
+    are those BELOW their predecessor; NULL values never flag (order
+    gaps are NotNull's job) and NULL order_by rows sort first
+    (deterministic: Spark default nulls-first ascending).
+    """
+
+    keys: tuple[str, ...] = ()
+    order_by: str = ""
+    strict: bool = False
+
+    def __init__(self, column, keys, order_by, strict=False,
+                 severity=ERROR, is_core=False):
+        object.__setattr__(self, "column", column)
+        object.__setattr__(self, "keys", tuple(keys))
+        object.__setattr__(self, "order_by", order_by)
+        object.__setattr__(self, "strict", strict)
+        object.__setattr__(self, "severity", severity)
+        object.__setattr__(self, "is_core", is_core)
+
+    @property
+    def name(self) -> str:
+        return (
+            f"monotonic_{self.column}_by_" + "_".join(self.keys)
+        )
+
+    @property
+    def error_type(self) -> str:
+        return ERR_LOGIC
+
+    def message(self) -> str:
+        kind = "strictly increase" if self.strict else "not decrease"
+        return (
+            f"The value in {self.column} must {kind} within each "
+            f"({', '.join(self.keys)}) group when ordered by {self.order_by}"
+        )
+
+    def violations(self, df, ctx):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*self.keys).orderBy(self.order_by)
+        prev = F.col("__prev")
+        bad = (
+            (F.col(self.column) <= prev)
+            if self.strict
+            else (F.col(self.column) < prev)
+        )
+        return (
+            df.select(ROW_ID, PART_ID, self.column, *self.keys, self.order_by)
+            .withColumn("__prev", F.lag(F.col(self.column)).over(w))
+            .filter(
+                F.col(self.column).isNotNull() & prev.isNotNull() & bad
+            )
+            .select(ROW_ID, PART_ID)
+        )
+
+
 @dataclass
 class ValidationContext:
     """Side tables a suite's join constraints resolve against.

@@ -413,3 +413,22 @@ def test_not_in_existing_scale_flags_same_results(spark):
     assert violating_ids(
         df2, NotInExisting(["k"], "prod2", null_safe=False), ctx=ctx2
     ) == set()
+
+
+def test_monotonic_within(spark):
+    from smcchecker_spark.constraints import MonotonicWithin
+
+    df = make_df(
+        spark,
+        # (id, user, seq, v): u1 regresses at seq 3; u2 is flat (ties ok
+        # unless strict); NULL v rows never flag
+        [("a", 1, 1, 10.0), ("b", 1, 2, 20.0), ("c", 1, 3, 15.0),
+         ("d", 2, 1, 5.0), ("e", 2, 2, 5.0), ("f", 2, 3, None)],
+        "id string, user int, seq int, v double",
+    )
+    c = MonotonicWithin("v", keys=["user"], order_by="seq")
+    assert violating_ids(df, c) == {"c"}
+    strict = MonotonicWithin("v", keys=["user"], order_by="seq", strict=True)
+    assert violating_ids(df, strict) == {"c", "e"}
+    assert "must not decrease" in c.message()
+    assert c.name == "monotonic_v_by_user"
