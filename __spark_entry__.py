@@ -166,6 +166,46 @@ _MESSAGES_ORACLE = (
 )
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric embedding quantization (ops/quant.py): the 4x
+    storage path for vector columns, pure Column HOFs (no Python stage,
+    map-only). Scale surfaces as integer micro-units (bit-safe compare)
+    and the per-row reconstruction bound |v − q·s| ≤ s/2 as a boolean
+    the oracle expects TRUE — quantized values themselves are
+    value-checked element-for-element."""
+    from smcchecker_spark.ops import quant
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quant.quantize_embeddings(emb)
+    err = quant.max_abs_error_expr(
+        F.col("embedding"), F.col("q"), F.col("q_scale")
+    )
+    return q.select(
+        "vec_id",
+        F.transform("q", lambda x: x.cast("int")).alias("q"),
+        F.round(F.col("q_scale") * 1e6).cast("long").alias("scale_micro"),
+        (err <= F.col("q_scale") / 2 + 1e-12).alias("err_ok"),
+    )
+
+
+_QUANTIZE_ORACLE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         greatest(
+           list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) / 127.0,
+           1e-12) AS sc
+  FROM embeddings
+)
+SELECT vec_id,
+       list_transform(embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) / sc) AS INT)) AS q,
+       CAST(round(sc * 1000000) AS BIGINT) AS scale_micro,
+       TRUE AS err_ok
+FROM s
+"""
+
+
 def q_engine_monotonic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key sequence-consistency (MonotonicWithin): event ``value``
     must not decrease per user in event_id (ingest) order — the
@@ -2853,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_suite_documents": q_engine_suite_documents,
         "engine_conditional_docs": q_engine_conditional_docs,
         "engine_monotonic_events": q_engine_monotonic_events,
+        "quantize_embeddings": q_quantize_embeddings,
         "violations_sampled_docs": q_violations_sampled_docs,
         "messages_per_row": q_messages_per_row,
         "engine_intrange_part": q_engine_intrange_part,
@@ -2929,6 +2970,9 @@ def oracle_sql() -> dict[str, str]:
         # both fully value-oracle-checked (md5 keep-rates in SQL)
         "engine_conditional_docs": _ENGINE_CONDITIONAL_ORACLE,
         "engine_monotonic_events": _ENGINE_MONOTONIC_ORACLE,
+        # int8 quantization: q values element-checked; scale in integer
+        # micro-units; reconstruction bound as an expected-TRUE boolean
+        "quantize_embeddings": _QUANTIZE_ORACLE,
         "violations_sampled_docs": _VIOLATIONS_SAMPLED_ORACLE,
         "messages_per_row": _MESSAGES_ORACLE,
         "engine_intrange_part": _INTRANGE_ORACLE,

@@ -493,3 +493,58 @@ def test_image_batches_shapes_and_drop_partial(spark):
     assert {(r["bucket_id"], r["batch_id"]) for r in kept} == full
     with pytest.raises(ValueError, match="batch_size"):
         B.image_batches(df, batch_size=0)
+
+
+# ------------------------------------------------------------- quantization
+
+def test_quantize_roundtrip_error_bound(spark):
+    from smcchecker_spark.ops import quant
+
+    df = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: F.sin(F.col("id") * 0.7 + i * 1.3) * 3.5,
+        ).alias("embedding"),
+    )
+    q = quant.quantize_embeddings(df)
+    rows = q.select(
+        "vec_id", "q_scale",
+        quant.max_abs_error_expr(
+            F.col("embedding"), F.col("q"), F.col("q_scale")
+        ).alias("err"),
+        F.array_max(F.transform("q", lambda x: F.abs(x))).alias("qmax"),
+    ).collect()
+    assert len(rows) == 200
+    for r in rows:
+        # per-element reconstruction error <= scale/2 (round-to-nearest)
+        assert r["err"] <= r["q_scale"] / 2 + 1e-12, r
+        assert r["qmax"] <= 127
+    # all-zero vector: eps floor, zeros out, zero error
+    z = quant.quantize_embeddings(
+        spark.createDataFrame([(1, [0.0, 0.0])], "vec_id int, embedding array<double>")
+    ).collect()[0]
+    assert list(z["q"]) == [0, 0] and z["q_scale"] == 1e-12
+
+
+def test_quantized_cosine_close_and_scale_free(spark):
+    """Scales cancel: quantized cosine from the int8 arrays tracks the
+    float cosine within the quantization-noise bound (~1.5/127)."""
+    from smcchecker_spark.ops import quant
+    from smcchecker_spark.ops.similarity import cosine as fcos
+
+    df = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda i: F.cos(F.col("id") * 1.1 + i * 0.37) * 2.0,
+        ).alias("embedding"),
+    )
+    q = quant.quantize_embeddings(df)
+    a = q.alias("a"); b = q.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        fcos(F.col("a.embedding"), F.col("b.embedding")).alias("fc"),
+        quant.quantized_cosine(F.col("a.q"), F.col("b.q")).alias("qc"),
+    )
+    mx = pairs.agg(F.max(F.abs(F.col("fc") - F.col("qc")))).collect()[0][0]
+    assert mx < 0.02, mx
