@@ -356,6 +356,69 @@ def gated_append_tables(
     return counts
 
 
+def split_by_verdict(
+    result: ValidationResult,
+    df: DataFrame,
+    row_id_col: str,
+    severity: str = ERROR,
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine split: (clean_rows, quarantined_rows) — rows with at
+    least one ``severity``-level violation route to quarantine, the rest
+    are loadable. The beyond-reference load mode: the reference refuses
+    the WHOLE submission on any error (proj/load.py:23-24 →
+    ``gated_append``); at 10^12 rows a 0.1% bad slice must not block
+    the other 99.9%.
+
+    Shape: ONE distinct over the violating row ids (map-side partial —
+    ids only, never violation payloads), then one semi and one anti join
+    of the corpus against that id set (AQE broadcasts it when small,
+    sort-merge otherwise; both joins reuse the same exchange). Hand in
+    the persisted ``ValidationRunner.run`` result — ``violations`` is
+    referenced by both halves. clean ∪ quarantine == df exactly (same
+    null-safe id semantics in both joins: NULL row ids never match and
+    thus stay clean — give quarantined rows a non-null id upstream)."""
+    bad_ids = (
+        result.violations.filter(F.col("severity") == severity)
+        .select(F.col("row_id").alias("__bad_id"))
+        .distinct()
+    )
+    key = df[row_id_col].cast("string")
+    clean = df.join(
+        bad_ids, key == bad_ids["__bad_id"], "left_anti"
+    )
+    quarantined = df.join(
+        bad_ids, key == bad_ids["__bad_id"], "left_semi"
+    )
+    return clean, quarantined
+
+
+def quarantine_append(
+    result: ValidationResult,
+    df: DataFrame,
+    row_id_col: str,
+    good_sink,
+    quarantine_sink,
+) -> tuple[int, int]:
+    """Split-mode load: clean rows append to ``good_sink``, violating
+    rows to ``quarantine_sink`` (both: path string or a ``tables.*``
+    adapter). Counts come from observations on the write actions
+    themselves (no second pass over UDF-bearing plans — same rationale
+    as ``gated_append_tables``). Returns (n_clean, n_quarantined)."""
+    from pyspark.sql import Observation
+
+    from smcchecker_spark.tables import as_table
+
+    clean, bad = split_by_verdict(result, df, row_id_col)
+    oc, ob = Observation("q_clean"), Observation("q_bad")
+    as_table(good_sink).append(
+        clean.observe(oc, F.count(F.lit(1)).alias("n"))
+    )
+    as_table(quarantine_sink).append(
+        bad.observe(ob, F.count(F.lit(1)).alias("n"))
+    )
+    return int(oc.get["n"]), int(ob.get["n"])
+
+
 def sample_violations(
     violations: DataFrame,
     per_check: int = 1000,

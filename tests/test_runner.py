@@ -134,3 +134,46 @@ def test_gated_append_tables_fk_order_all_or_nothing(spark, tmp_path):
     tr = {(r["tablename"], r["n_rows"]) for r in
           spark.read.parquet(tracking).collect()}
     assert tr == {("parent", 2), ("child", 2)}
+
+
+def test_split_by_verdict_partitions_exactly(spark):
+    from smcchecker_spark import fixtures
+    from smcchecker_spark.constraints import NotNull, Suite
+    from smcchecker_spark.run import ValidationRunner, split_by_verdict
+
+    df = fixtures.generate_images(spark, n_rows=400, n_parts=4, seed=7)
+    suite = Suite("s", "images", [NotNull("caption")])
+    res = ValidationRunner(suite, row_id_col="image_id").run(df)
+    clean, bad = split_by_verdict(res, df, "image_id")
+    # routing is id-level: EVERY row sharing a violating id quarantines
+    # (the fixture plants duplicate image_ids, so this can exceed the
+    # distinct violating-id count)
+    bad_ids = {r["row_id"] for r in res.violations.select("row_id").collect()}
+    expect_bad = df.filter(
+        F.col("image_id").cast("string").isin(list(bad_ids))
+    ).count()
+    assert bad.count() == expect_bad
+    assert clean.count() + bad.count() == 400
+    # clean really is clean: re-validating it yields zero violations
+    res2 = ValidationRunner(suite, row_id_col="image_id").run(clean)
+    assert res2.violations.count() == 0
+
+
+def test_quarantine_append_routes_both_sides(spark, tmp_path):
+    from smcchecker_spark import fixtures
+    from smcchecker_spark.constraints import NotNull, Suite
+    from smcchecker_spark.run import ValidationRunner, quarantine_append
+
+    df = fixtures.generate_images(spark, n_rows=300, n_parts=3, seed=9)
+    suite = Suite("s", "images", [NotNull("caption")])
+    res = ValidationRunner(suite, row_id_col="image_id").run(df)
+    good_p = str(tmp_path / "good")
+    quar_p = str(tmp_path / "quar")
+    n_clean, n_bad = quarantine_append(res, df, "image_id", good_p, quar_p)
+    assert n_clean + n_bad == 300 and n_bad > 0
+    assert spark.read.parquet(good_p).count() == n_clean
+    quar = spark.read.parquet(quar_p)
+    assert quar.count() == n_bad
+    # quarantined rows are exactly the violating ids
+    bad_ids = {r["row_id"] for r in res.violations.select("row_id").collect()}
+    assert {str(r["image_id"]) for r in quar.collect()} == bad_ids
