@@ -206,6 +206,86 @@ FROM s
 """
 
 
+def q_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic (skew.heavy_hitters): top-5 event_type values
+    with corpus share — the decision input for salted_repartition /
+    hot-bucket guards. Map-side partial counts + TakeOrderedAndProject
+    (no global sort, no unpartitioned window)."""
+    from smcchecker_spark import skew
+
+    return skew.heavy_hitters(_t(spark, sf_dir, "events"), "event_type", top=5)
+
+
+_HEAVY_HITTERS_ORACLE = """
+WITH c AS (
+  SELECT coalesce(CAST(event_type AS VARCHAR), 'NULL') AS value,
+         count(*) AS n
+  FROM events GROUP BY 1
+), t AS (SELECT count(*) AS tot FROM events)
+SELECT value, n, round(CAST(n AS DOUBLE) / tot, 6) AS share
+FROM c, t
+ORDER BY n DESC, value ASC
+LIMIT 5
+"""
+
+
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over int8-QUANTIZED vectors
+    (ops/quant.py quantized_topk): the search path once the float
+    column is dropped for storage. Integer dot products make the whole
+    search — scores included — bit-for-bit reproducible in SQL, unlike
+    the float-cosine path (which needs 6-dp rounding tolerance)."""
+    from smcchecker_spark.ops import quant
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qc = quant.quantize_embeddings(emb)
+    queries = qc.filter(F.col("vec_id").isin([1, 2, 3])).select(
+        F.col("vec_id").alias("query_id"), "q"
+    )
+    return quant.quantized_topk(qc, queries, k=5)
+
+
+def _gen_quantized_topk_oracle(dim: int = 64) -> str:
+    num = " + ".join(f"a.q[{i}] * b.q[{i}]" for i in range(1, dim + 1))
+    na = " + ".join(f"a.q[{i}] * a.q[{i}]" for i in range(1, dim + 1))
+    nb = " + ".join(f"b.q[{i}] * b.q[{i}]" for i in range(1, dim + 1))
+    return f"""
+WITH s AS (
+  SELECT vec_id,
+         greatest(
+           list_max(list_transform(embedding,
+                                    x -> abs(CAST(x AS DOUBLE)))) / 127.0,
+           1e-12) AS sc,
+         embedding
+  FROM embeddings
+),
+qt AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) / sc) AS BIGINT))
+           AS q
+  FROM s
+),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round(CAST(({num}) AS DOUBLE) /
+               (greatest(sqrt(CAST(({na}) AS DOUBLE)), 1e-12) *
+                greatest(sqrt(CAST(({nb}) AS DOUBLE)), 1e-12)), 6) AS score
+  FROM qt a CROSS JOIN (SELECT * FROM qt WHERE vec_id IN (1, 2, 3)) b
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+_QUANTIZED_TOPK_ORACLE = _gen_quantized_topk_oracle()
+
+
 def q_engine_monotonic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key sequence-consistency (MonotonicWithin): event ``value``
     must not decrease per user in event_id (ingest) order — the
@@ -2894,6 +2974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_conditional_docs": q_engine_conditional_docs,
         "engine_monotonic_events": q_engine_monotonic_events,
         "quantize_embeddings": q_quantize_embeddings,
+        "quantized_topk": q_quantized_topk,
+        "heavy_hitters_events": q_heavy_hitters_events,
         "violations_sampled_docs": q_violations_sampled_docs,
         "messages_per_row": q_messages_per_row,
         "engine_intrange_part": q_engine_intrange_part,
@@ -2973,6 +3055,10 @@ def oracle_sql() -> dict[str, str]:
         # int8 quantization: q values element-checked; scale in integer
         # micro-units; reconstruction bound as an expected-TRUE boolean
         "quantize_embeddings": _QUANTIZE_ORACLE,
+        # int-dot scoring: the ONLY ANN path whose scores are exactly
+        # SQL-reproducible (integer arithmetic; no rounding tolerance)
+        "quantized_topk": _QUANTIZED_TOPK_ORACLE,
+        "heavy_hitters_events": _HEAVY_HITTERS_ORACLE,
         "violations_sampled_docs": _VIOLATIONS_SAMPLED_ORACLE,
         "messages_per_row": _MESSAGES_ORACLE,
         "engine_intrange_part": _INTRANGE_ORACLE,

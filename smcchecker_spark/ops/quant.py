@@ -105,3 +105,43 @@ def quantized_cosine(qa: Column, qb: Column) -> Column:
     return num / (
         F.greatest(na, F.lit(1e-12)) * F.greatest(nb, F.lit(1e-12))
     )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    q_col: str = "q",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k over QUANTIZED tables — the similarity-search
+    path once the float column is dropped for storage. Same plan shape
+    as ``similarity.brute_force_topk`` (broadcast queries, per-query
+    rank window, neighbor-id tie-break), but the score is built from
+    INTEGER dot products: exact, engine-independent arithmetic, so
+    unlike the float path the whole search — scores included — is
+    reproducible bit-for-bit in an ANSI-SQL oracle.
+    Output: (query_id, neighbor_id, score, rank)."""
+    from pyspark.sql import Window
+
+    qs = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(q_col).alias("qq"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(q_col).alias("cq")
+    )
+    scored = c.crossJoin(qs).select(
+        "query_id",
+        "neighbor_id",
+        F.round(quantized_cosine(F.col("qq"), F.col("cq")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

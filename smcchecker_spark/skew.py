@@ -52,3 +52,49 @@ def salted_count(
         .agg(F.count(F.lit(1)).alias("__c"))
     )
     return partial.groupBy(*key_cols).agg(F.sum("__c").alias("count"))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    column: str,
+    top: int = 20,
+    min_share: float = 0.0,
+) -> DataFrame:
+    """The salting-decision diagnostic: the ``top`` most frequent values
+    of a column with their corpus share — the numbers that tell you
+    whether a key needs ``salted_repartition`` / a hot-bucket guard
+    before it becomes a shuffle key. Output: (value:string, n, share),
+    share-descending, value-ascending tie-break; ``min_share`` drops the
+    long tail (0.01 = report only keys holding ≥1% of rows).
+
+    Shape: one column-pruned scan for the per-value counts (map-side
+    partials absorb the hot keys — that is the point), top-k via
+    TakeOrderedAndProject (per-partition top-k, no global sort shuffle,
+    ``top`` rows to the driver), plus one count() scan for the share
+    denominator. Deliberately NOT an unpartitioned window over the
+    counts — a high-NDV column would sort its whole distinct-value set
+    in one task. NULL is reported as the literal string 'NULL' (a NULL
+    hot key is still a hot key — groupBy groups them)."""
+    if top <= 0:
+        raise ValueError(f"top must be positive, got {top}")
+    total = df.count()
+    counts = (
+        df.select(
+            F.coalesce(F.col(column).cast("string"), F.lit("NULL")).alias(
+                "value"
+            )
+        )
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = (
+        counts.orderBy(F.desc("n"), F.asc("value"))
+        .limit(top)
+        .select(
+            "value", "n",
+            F.round(F.col("n") / F.lit(max(total, 1)), 6).alias("share"),
+        )
+    )
+    if min_share > 0:
+        out = out.filter(F.col("share") >= min_share)
+    return out

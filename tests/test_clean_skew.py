@@ -68,3 +68,26 @@ def test_salted_repartition_spreads_hot_key(spark):
     # a plain repartition("k") would put all 2000 rows in ONE partition
     assert len(nonempty) >= 4
     assert max(nonempty) < 2000
+
+
+def test_heavy_hitters(spark):
+    from smcchecker_spark import skew
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 10 < 8 else ("warm" if i % 10 == 8 else None))
+         for i in range(1000)],
+        "id int, k string",
+    )
+    rows = skew.heavy_hitters(df, "k", top=2).collect()
+    # warm and NULL tie at 100; the documented tie-break is value-asc,
+    # and 'NULL' < 'warm'
+    assert [(r["value"], r["n"]) for r in rows] == [("hot", 800), ("NULL", 100)]
+    assert abs(rows[0]["share"] - 0.8) < 1e-9
+    # NULL keys surface as a reportable value; min_share trims the tail
+    all3 = skew.heavy_hitters(df, "k", top=5).collect()
+    assert ("NULL", 100) in {(r["value"], r["n"]) for r in all3}
+    trimmed = skew.heavy_hitters(df, "k", top=5, min_share=0.5).collect()
+    assert [r["value"] for r in trimmed] == ["hot"]
+    import pytest as _p
+    with _p.raises(ValueError, match="top"):
+        skew.heavy_hitters(df, "k", top=0)
