@@ -522,6 +522,57 @@ def drift_violations(
     return spark.createDataFrame(rows, VIOLATION_SCHEMA), measured
 
 
+def sketch_drift_violations(
+    cur_sketches: DataFrame,
+    base_sketches: DataFrame,
+    max_new_ratio: float = 0.1,
+    table: str = "table",
+    severity: str = "warning",
+) -> tuple[DataFrame, DataFrame]:
+    """NDV drift as violation rows, computed from STORED sketch rows
+    alone (``partition_hll_sketches`` / checkpoint ``sketches`` table) —
+    neither snapshot is rescanned. A column whose estimated
+    never-seen-before value count exceeds ``max_new_ratio`` of its
+    baseline NDV flags one table-level violation (row_id='__TABLE__',
+    same convention as ``drift_violations``); a column absent from the
+    baseline always flags (everything is new). Default severity
+    'warning': NDV expansion is usually a schema-evolution smell, not a
+    hard error.
+
+    Returns (violations DF, per-column drift DF from
+    :func:`ndv_drift_from_sketches`). Cost: two |partitions|-row
+    union-aggs and a |columns|-row collect."""
+    drift = ndv_drift_from_sketches(cur_sketches, base_sketches)
+    rows = []
+    for r in drift.collect():
+        base = r["ndv_base"]
+        new = r["new_values_est"]
+        ratio = (new / base) if base else float("inf") if new else 0.0
+        if ratio > max_new_ratio:
+            shown = f"{ratio:.4f}" if base else "inf"
+            rows.append(
+                (
+                    table,
+                    "__TABLE__",
+                    r["column"],
+                    "Distribution Drift",
+                    False,
+                    (
+                        f"Column {r['column']} gained ~{new} never-seen "
+                        f"values (ratio {shown} > {max_new_ratio} of "
+                        f"baseline ndv {base})"
+                    ),
+                    f"ndv_drift_{r['column']}",
+                    severity,
+                    -1,
+                )
+            )
+    from smcchecker_spark.compile import VIOLATION_SCHEMA
+
+    spark = cur_sketches.sparkSession
+    return spark.createDataFrame(rows, VIOLATION_SCHEMA), drift
+
+
 # ---------------------------------------------------------------------------
 # t-digest (mergeable quantile sketch; partial-per-batch → driver merge)
 # ---------------------------------------------------------------------------

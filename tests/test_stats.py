@@ -241,3 +241,32 @@ def test_hll_ndv_drift_new_values(spark):
     ).collect()[0]
     assert only_cur["ndv_base"] == 0
     assert only_cur["new_values_est"] == only_cur["ndv_cur"]
+
+
+def test_sketch_drift_violations(spark):
+    from smcchecker_spark import stats
+
+    base_df = spark.range(4000).select(
+        (F.col("id") % 100).alias("stable"),
+        (F.col("id") % 100).alias("growing"),
+        (F.col("id") % 4).alias("part_id"),
+    )
+    cur_df = spark.range(4000).select(
+        (F.col("id") % 100).alias("stable"),
+        (F.col("id") % 400).alias("growing"),  # 300 never-seen values
+        (F.col("id") % 4).alias("part_id"),
+    )
+    base = stats.partition_hll_sketches(base_df, "part_id", ["stable", "growing"])
+    cur = stats.partition_hll_sketches(cur_df, "part_id", ["stable", "growing"])
+    v, drift = stats.sketch_drift_violations(cur, base, max_new_ratio=0.5,
+                                             table="t")
+    rows = {r["columns"]: r for r in v.collect()}
+    assert set(rows) == {"growing"}
+    r = rows["growing"]
+    assert r["check_name"] == "ndv_drift_growing"
+    assert r["severity"] == "warning" and r["row_id"] == "__TABLE__"
+    # a column with no baseline sketch always flags
+    v2, _ = stats.sketch_drift_violations(
+        cur, base.filter(F.col("column") == "stable"), max_new_ratio=0.5
+    )
+    assert {r["columns"] for r in v2.collect()} == {"growing"}
