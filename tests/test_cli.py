@@ -36,9 +36,16 @@ def test_build_constraint_all_types():
         {"type": "vector_shape", "column": "emb", "dim": 64},
         {"type": "vector_finite", "column": "emb"},
         {"type": "vector_norm_range", "column": "emb", "lo": 0.5, "hi": 2.0},
+        {"type": "only_when", "condition": "fmt = 'jpeg'",
+         "check": {"type": "not_null", "column": "quality"}},
+        {"type": "monotonic_within", "column": "v", "keys": ["user"],
+         "order_by": "seq", "strict": True},
     ]
     names = [build_constraint(s).name for s in specs]
     assert len(names) == len(set(names)) == len(specs)
+    # nested spec round-trips the inner constraint's semantics
+    ow = build_constraint(specs[-2])
+    assert ow.name == "when_notnull_quality" and ow.condition == "fmt = 'jpeg'"
     with pytest.raises(SystemExit):
         build_constraint({"type": "nope", "column": "a"})
 
