@@ -75,3 +75,95 @@ def test_upload_lifecycle(spark):
     # messages aggregate per row (reference generic.py:25-51 semantics)
     msgs = {r["row_id"]: r["error_message"] for r in res.messages_per_row().collect()}
     assert "empty value" in msgs["i2"]
+
+
+def test_round2_production_cycle(spark, tmp_path):
+    """The round-2 production loop end-to-end on one fixture:
+
+    1. validate increment A with per-partition metrics + HLL sketches,
+       checkpointed in waves;
+    2. quarantine-split: bad rows aside, clean remainder appended to the
+       partitioned production table;
+    3. increment B arrives (one partition changed, one added): snapshot
+       diff scopes revalidation to exactly the stale partitions;
+    4. sketch-based NDV drift between the two increments' stored sketch
+       rows flags the column whose value universe exploded — without
+       rescanning either increment.
+    """
+    from smcchecker_spark import fixtures, stats
+    from smcchecker_spark.checkpoint import CheckpointStore, run_with_checkpoint
+    from smcchecker_spark.constraints import NotNull, Suite
+    from smcchecker_spark.run import (
+        ValidationRunner, quarantine_append, split_by_verdict,
+    )
+    from smcchecker_spark.tables import (
+        ParquetTable, snapshot_diff, stale_partitions, scope_to_partitions,
+    )
+    from pyspark.sql import functions as F
+
+    suite = Suite("img", "images", [NotNull("caption")])
+    inc_a = fixtures.generate_images(spark, n_rows=240, n_parts=4, seed=1)
+
+    # 1. checkpointed validation with sketch lineage
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    runner = ValidationRunner(
+        suite, row_id_col="image_id", run_id="rA",
+        metrics_columns=["fmt", "caption"], metrics_sketches=True,
+    )
+    run_with_checkpoint(runner, inc_a, store, partitions_per_wave=2)
+    sk_a = store.sketches(spark, "rA")
+    assert sk_a.count() == 8  # 4 parts x 2 columns
+
+    # 2. quarantine split into the production table
+    res = runner.run(inc_a)
+    prod = ParquetTable(str(tmp_path / "prod"), partition_by=["part_id"])
+    quar = ParquetTable(str(tmp_path / "quar"))
+    n_clean, n_bad = quarantine_append(
+        res, inc_a, "image_id", prod, quar
+    )
+    assert n_clean + n_bad == 240 and n_bad > 0
+    clean, _ = split_by_verdict(res, inc_a, "image_id")
+    assert prod.read(spark).count() == n_clean
+
+    # 3. increment B: part 1's captions mutate, part 4 is new
+    inc_b = fixtures.generate_images(spark, n_rows=240, n_parts=4, seed=1)
+    inc_b = inc_b.withColumn(
+        "caption",
+        F.when(
+            F.col("part_id") == 1, F.concat(F.col("caption"), F.lit("!"))
+        ).otherwise(F.col("caption")),
+    ).unionByName(
+        fixtures.generate_images(spark, n_rows=60, n_parts=1, seed=2)
+        .withColumn("part_id", F.lit(4))
+    )
+    diff = snapshot_diff(inc_b, inc_a, "part_id")
+    stale = stale_partitions(diff)
+    assert stale == {1, 4}
+    scoped = scope_to_partitions(inc_b, stale, "part_id")
+    assert set(
+        r["part_id"] for r in scoped.select("part_id").distinct().collect()
+    ) == {1, 4}
+    # revalidate ONLY the stale slice (full_scope = the whole increment)
+    res_b = ValidationRunner(suite, row_id_col="image_id", run_id="rB").run(
+        scoped, full_scope=inc_b
+    )
+    assert res_b.verdicts.count() == 2
+
+    # 4. sketch drift: plant an NDV explosion in B's fmt column, sketch
+    # both increments, and flag it from the stored sketch rows alone
+    exploded = inc_b.withColumn(
+        "fmt",
+        F.concat(
+            F.lit("fmt_"),
+            F.pmod(F.xxhash64("image_id"), F.lit(97)).cast("string"),
+        ),
+    )
+    sk_b = stats.partition_hll_sketches(exploded, "part_id", ["fmt", "caption"])
+    # caption gains ~0.5x new values too (mutated part 1 + the new part
+    # 4) — a 2x threshold separates the planted 24x fmt explosion from it
+    v, drift = stats.sketch_drift_violations(
+        sk_b, sk_a.select("column", "hll_sketch"),
+        max_new_ratio=2.0, table="images",
+    )
+    flagged = {r["columns"] for r in v.collect()}
+    assert flagged == {"fmt"}
