@@ -37,6 +37,7 @@ from smcchecker_spark.image import (
 )
 from smcchecker_spark.vector import VectorFinite, VectorNormRange, VectorShape
 from smcchecker_spark.ops import contamination, dedup, pack, sessions, similarity
+from smcchecker_spark.ops import asof as asof_ops
 from smcchecker_spark.ops import sample as sample_ops
 from smcchecker_spark.ops import text as text_ops
 
@@ -2248,6 +2249,29 @@ FROM documents
 """
 
 
+def q_cap_per_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: at most 10 documents per source, selected by
+    the deterministic (hash_bucket, id) order; small sources pass
+    wholesale without a sort (ops/sample.py cap_per_key)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sample_ops.cap_per_key(docs, "doc_id", "source", cap=10).select(
+        "doc_id", "source"
+    )
+
+
+_CAP_PER_KEY_ORACLE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY (('0x' || substr(md5('cap' || doc_id::VARCHAR), 1, 15))::BIGINT
+                     % 1000000), doc_id
+         ) AS rn
+  FROM documents
+) t WHERE rn <= 10
+"""
+
+
 def q_mix_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix sampling: per-language deterministic sample sized so
     each language contributes ~share×budget characters (ops/sample.py
@@ -2735,6 +2759,36 @@ FROM a, b
 """
 
 
+def q_asof_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature attachment: for every click, the user's
+    most recent purchase at-or-before it (ops/asof.py — one shuffle on
+    user_id, union-stream + carry-forward window, no range join). The
+    right side is pre-aggregated to unique (user_id, ts) so the match is
+    unambiguous and the DuckDB ASOF LEFT JOIN oracle is exact."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_ops.asof_join(left, right, "user_id", left_ts="ts").select(
+        "event_id", "user_id", "asof_ts", "asof_purchase_value"
+    )
+
+
+_ASOF_ORACLE = """
+SELECT l.event_id, l.user_id, r.ts AS asof_ts,
+       r.purchase_value AS asof_purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS purchase_value
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream (ops/sessions.py):
     per-user sessions split on >30-minute silence, rolled up to
@@ -3028,6 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_caption_parity": q_engine_caption_parity,
         "images_validate": q_images_validate,
         "det_split_docs": q_det_split_docs,
+        "cap_per_source_docs": q_cap_per_source_docs,
         "mix_budget_docs": q_mix_budget_docs,
         "repetition_docs": q_repetition_docs,
         "contamination_docs": q_contamination_docs,
@@ -3038,6 +3093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_docs": q_curate_docs,
         "corpus_report": q_corpus_report,
         "sessionize_events": q_sessionize_events,
+        "asof_purchase_events": q_asof_purchase_events,
         "embedding_drift": q_embedding_drift,
         "image_decontaminate_events": q_image_decontaminate_events,
         "snapshot_diff_events": q_snapshot_diff_events,
@@ -3124,6 +3180,9 @@ def oracle_sql() -> dict[str, str]:
         "phash_neardup_events": _PHASH_NEARDUP_ORACLE,
         "phash_dedup_resolve_events": _PHASH_RESOLVE_ORACLE,
         "det_split_docs": _DET_SPLIT_ORACLE,
+        # per-key cap: window selection over a deterministic hash order —
+        # exact-mode semantics are plain ROW_NUMBER in SQL
+        "cap_per_source_docs": _CAP_PER_KEY_ORACLE,
         "mix_budget_docs": _MIX_BUDGET_ORACLE,
         "repetition_docs": _REPETITION_ORACLE,
         "contamination_docs": _CONTAMINATION_ORACLE,
@@ -3139,6 +3198,8 @@ def oracle_sql() -> dict[str, str]:
         "curate_docs": _CURATE_ORACLE,
         "corpus_report": _CORPUS_REPORT_ORACLE,
         "sessionize_events": _SESSIONIZE_ORACLE,
+        # union-stream as-of join vs DuckDB's native ASOF LEFT JOIN
+        "asof_purchase_events": _ASOF_ORACLE,
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         "image_decontaminate_events": _IMAGE_DECONTAM_ORACLE,
         "snapshot_diff_events": _SNAPSHOT_DIFF_ORACLE,

@@ -180,3 +180,63 @@ def budget_mix_sample(
         if s in totals
     }
     return stratified_hash_sample(df, id_col, strata_col, fractions, salt=salt)
+
+
+def cap_per_key(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    cap: int,
+    salt: str = "cap",
+    exact: bool = True,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``key_col`` value — the corpus
+    balancing op ("max N documents per domain") that stops a handful of
+    boilerplate-heavy hosts from dominating a web-scale training mix.
+
+    Which rows survive is a pure function of the data: rows are ranked
+    within their key by ``(hash_bucket(id, salt), id)`` — a deterministic
+    total order, so re-runs, resumes, and repartitions keep the same
+    rows, and an ANSI-SQL oracle reproduces the selection bit-for-bit.
+
+    Skew discipline (``exact=True``): a naive window row_number sorts
+    EVERY key's rows, and the one hot domain with 10^9 rows lands in a
+    single task's sort. Instead, a per-key count (partial agg, |keys|
+    output rows) splits the input: keys with ≤ ``cap`` rows pass through
+    WHOLESALE — no sort, their row_number could never exceed the cap —
+    and only oversized keys pay the window. Domain distributions are
+    heavy-tailed, so the window input shrinks from |corpus| to the few
+    oversized keys' rows. The count join and the window hash-partition
+    on the same key, so EnsureRequirements inserts no second exchange
+    between them.
+
+    ``exact=False``: for corpora where even one key's rows overflow a
+    task (billions of rows under one registrable domain), rank-by-sort
+    is the wrong tool. The threshold mode keeps rows whose hash bucket
+    falls below ``cap/count`` of the bucket space — map-only after the
+    counts join, NO window, NO sort — yielding ~``cap`` rows per
+    oversized key (binomial error ~sqrt(cap)). Same determinism
+    properties; the kept set is not a prefix of the exact mode's.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql import Window
+
+    b = hash_bucket(F.col(id_col), salt)
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
+    j = df.join(counts, key_col)
+    if not exact:
+        # ceil, so cap >= count keeps everything (threshold = _BUCKETS)
+        thresh = F.ceil(F.lit(cap) * F.lit(_BUCKETS) / F.col("__n"))
+        return j.filter(
+            (F.col("__n") <= cap) | (b < thresh)
+        ).drop("__n")
+    small = j.filter(F.col("__n") <= cap).drop("__n")
+    big = j.filter(F.col("__n") > cap).drop("__n")
+    w = Window.partitionBy(key_col).orderBy(b.asc(), F.col(id_col).asc())
+    capped = (
+        big.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+    return small.unionByName(capped)

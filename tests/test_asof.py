@@ -1,0 +1,88 @@
+"""Tests for the distributed as-of join (ops/asof.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from smcchecker_spark.ops.asof import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01 10:00:00")),  # before any right → NULL
+            (2, "u1", _ts("2024-01-01 12:00:00")),  # tie with right @12 → match
+            (3, "u1", _ts("2024-01-01 15:00:00")),  # after 12 and 14 → 14
+            (4, "u2", _ts("2024-01-01 15:00:00")),  # other key → u2's 11
+            (5, "u3", _ts("2024-01-01 15:00:00")),  # key with no right → NULL
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 12:00:00"), 100.0),
+            ("u1", _ts("2024-01-01 14:00:00"), 200.0),
+            ("u2", _ts("2024-01-01 11:00:00"), 300.0),
+        ],
+        "user_id string, ts timestamp, price double",
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(spark, sides):
+    left, right = sides
+    out = asof_join(left, right, "user_id", left_ts="ts").collect()
+    got = {r["event_id"]: (r["asof_ts"], r["asof_price"]) for r in out}
+    assert len(got) == 5
+    assert got[1] == (None, None)
+    assert got[2] == (_ts("2024-01-01 12:00:00"), 100.0)  # at-or-before
+    assert got[3] == (_ts("2024-01-01 14:00:00"), 200.0)
+    assert got[4] == (_ts("2024-01-01 11:00:00"), 300.0)
+    assert got[5] == (None, None)
+
+
+def test_asof_tolerance_and_tie_break(spark, sides):
+    left, right = sides
+    out = asof_join(left, right, "user_id", left_ts="ts", tolerance_s=3600).collect()
+    got = {r["event_id"]: r["asof_price"] for r in out}
+    # event 3 (15:00) is 1h after 14:00 → still in window; event 4 (15:00)
+    # is 4h after u2's 11:00 → nulled, NOT matched to anything older
+    assert got[3] == 200.0
+    assert got[4] is None
+
+    # deterministic tie: two right rows at the same (key, ts) — greatest
+    # payload struct (ts first, then price) wins
+    dup = right.union(
+        right.filter(F.col("price") == 100.0).withColumn("price", F.lit(50.0))
+    )
+    out2 = asof_join(left, dup, "user_id", left_ts="ts").collect()
+    got2 = {r["event_id"]: r["asof_price"] for r in out2}
+    assert got2[2] == 100.0
+
+
+def test_asof_is_partitioning_independent_and_single_exchange(spark, sides):
+    left, right = sides
+    a = asof_join(left.repartition(7), right.coalesce(1), "user_id")
+    b = asof_join(left.coalesce(1), right.repartition(5), "user_id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # plan shape: ONE hash exchange (on the key), no join operator at all —
+    # the as-of is a union + window, so hot keys degrade to a sort, never
+    # to a pair enumeration
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    # executed adaptive plans print Final + Initial sections — count the final
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoop"):
+        assert bad not in plan
+
+
+def test_asof_validates_columns(spark, sides):
+    left, right = sides
+    with pytest.raises(ValueError):
+        asof_join(left, right.select("user_id", "price"), "user_id")

@@ -575,3 +575,68 @@ def test_quantized_topk_matches_float_ranking(spark):
     want = sim.brute_force_topk(corpus, queries, k=3).collect()
     key = lambda rows: sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in rows)
     assert key(got) == key(want)
+
+
+# ---------------------------------------------------------------------------
+# ops/sample.py — cap_per_key (domain balancing)
+# ---------------------------------------------------------------------------
+
+
+def _cap_fixture(spark):
+    # one hot key (300 rows), several small keys (<= cap) — the shape
+    # cap_per_key's skew split is built for
+    rows = [(i, "hot") for i in range(300)]
+    rows += [(1000 + i, "a") for i in range(3)]
+    rows += [(2000 + i, "b") for i in range(5)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_cap_per_key_exact_semantics(spark):
+    df = _cap_fixture(spark)
+    out = S.cap_per_key(df, "doc_id", "source", cap=5)
+    got = {(r["doc_id"], r["source"]) for r in out.collect()}
+    # small keys pass wholesale
+    assert {(d, s) for (d, s) in got if s == "a"} == {(1000 + i, "a") for i in range(3)}
+    assert {(d, s) for (d, s) in got if s == "b"} == {(2000 + i, "b") for i in range(5)}
+    # hot key: exactly cap rows, and exactly the 5 smallest by
+    # (hash_bucket, id) — the documented deterministic order
+    hot = sorted(d for (d, s) in got if s == "hot")
+    assert len(hot) == 5
+    ranked = (
+        df.filter(F.col("source") == "hot")
+        .select("doc_id", S.hash_bucket(F.col("doc_id"), "cap").alias("b"))
+        .collect()
+    )
+    expect = sorted(
+        (r["doc_id"] for r in ranked),
+        key=lambda d: (next(r["b"] for r in ranked if r["doc_id"] == d), d),
+    )[:5]
+    assert hot == sorted(expect)
+    # partitioning-independence
+    again = {
+        (r["doc_id"], r["source"])
+        for r in S.cap_per_key(df.repartition(7), "doc_id", "source", 5).collect()
+    }
+    assert again == got
+
+
+def test_cap_per_key_threshold_mode(spark):
+    df = _cap_fixture(spark)
+    out = S.cap_per_key(df, "doc_id", "source", cap=50, exact=False)
+    counts = {
+        r["source"]: r["count"]
+        for r in out.groupBy("source").count().collect()
+    }
+    # small keys keep everything; the hot key lands near the cap
+    # (binomial: 300 draws at p=50/300 → sd ~6.5; 4 sd bound)
+    assert counts["a"] == 3 and counts["b"] == 5
+    assert abs(counts["hot"] - 50) < 27
+    # map-only after the counts join: no window in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_cap_per_key_validates_cap(spark):
+    df = _cap_fixture(spark)
+    with pytest.raises(ValueError):
+        S.cap_per_key(df, "doc_id", "source", 0)
