@@ -2249,6 +2249,35 @@ FROM documents
 """
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping 40-token windows stepping
+    every 32 tokens (ops/text.py chunk_documents) — map-only 1→k
+    explode, pure Column HOFs, no Python stage, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.chunk_documents(
+        docs, "doc_id", chunk_tokens=40, overlap_tokens=8
+    )
+
+
+_CHUNK_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         CAST(CEIL(GREATEST(len(toks) - 8, 0) / 32.0) AS INT) AS n_chunks
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(s AS INT) AS chunk_id,
+       array_to_string(toks[s*32+1 : s*32+40], ' ') AS chunk_text,
+       CAST(len(toks[s*32+1 : s*32+40]) AS INT) AS chunk_tokens
+FROM c, UNNEST(range(0, c.n_chunks)) AS g(s)
+"""
+
+
 def q_cap_per_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain balancing: at most 10 documents per source, selected by
     the deterministic (hash_bucket, id) order; small sources pass
@@ -3083,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_validate": q_images_validate,
         "det_split_docs": q_det_split_docs,
         "cap_per_source_docs": q_cap_per_source_docs,
+        "chunk_docs": q_chunk_docs,
         "mix_budget_docs": q_mix_budget_docs,
         "repetition_docs": q_repetition_docs,
         "contamination_docs": q_contamination_docs,
@@ -3183,6 +3213,8 @@ def oracle_sql() -> dict[str, str]:
         # per-key cap: window selection over a deterministic hash order —
         # exact-mode semantics are plain ROW_NUMBER in SQL
         "cap_per_source_docs": _CAP_PER_KEY_ORACLE,
+        # context-window chunking — token slices reproduced in SQL
+        "chunk_docs": _CHUNK_ORACLE,
         "mix_budget_docs": _MIX_BUDGET_ORACLE,
         "repetition_docs": _REPETITION_ORACLE,
         "contamination_docs": _CONTAMINATION_ORACLE,

@@ -270,3 +270,53 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "stopword_ratio": F.round(stopword_ratio(c), 6),
         }
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    context-window chunking step before tokenization/packing in a
+    training pipeline (and before embedding in a retrieval one).
+
+    Output: one row per chunk — (id, chunk_id, chunk_text, chunk_tokens)
+    with ``chunk_id`` 0-based in document order. Chunks start every
+    ``chunk_tokens - overlap_tokens`` tokens; the last chunk is shorter
+    when the document doesn't divide evenly, and a start past
+    ``n - overlap`` is never emitted (a chunk that adds no new tokens is
+    pure duplication). Documents with zero tokens yield NO rows — empty
+    payloads belong to the validation suite, not the chunker.
+
+    Execution: pure Column higher-order functions (sequence → transform
+    → posexplode) — a map-only 1→k explode, no shuffle, no Python stage.
+    HOFs run interpreted (no codegen), which is fine here: per row the
+    work is ~n/step array-joins, dominated by string materialization
+    that a UDF would pay too — and staying JVM-side keeps the op usable
+    inside a fused pass. The whole computation is a deterministic
+    function of the text, so an ANSI-SQL oracle reproduces every chunk
+    bit-for-bit.
+    """
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap ({overlap_tokens}) < chunk ({chunk_tokens})"
+        )
+    step = chunk_tokens - overlap_tokens
+    tk = tokens(F.col(text_col))
+    n = F.size(tk)
+    # number of chunks = ceil(max(n - overlap, 0) / step); 0 for empty docs
+    n_chunks = F.ceil(
+        F.greatest(n - overlap_tokens, F.lit(0)) / F.lit(step)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), n_chunks - 1, F.lit(1))
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(tk, s * step + 1, chunk_tokens), " ")
+    )
+    return (
+        df.filter(n > 0)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        .withColumn("chunk_tokens", token_count(F.col("chunk_text")))
+    )

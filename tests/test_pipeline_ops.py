@@ -640,3 +640,47 @@ def test_cap_per_key_validates_cap(spark):
     df = _cap_fixture(spark)
     with pytest.raises(ValueError):
         S.cap_per_key(df, "doc_id", "source", 0)
+
+
+# ---------------------------------------------------------------------------
+# ops/text.py — chunk_documents
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    from smcchecker_spark.ops import text as T
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"),
+         (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = T.chunk_documents(df, "doc_id", chunk_tokens=4, overlap_tokens=1)
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["chunk_tokens"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, 0, "w0 w1 w2 w3", 4),
+        (1, 1, "w3 w4 w5 w6", 4),
+        (1, 2, "w6 w7 w8 w9", 4),
+        (2, 0, "a b", 2),
+    ]
+    # every token appears in some chunk (coverage), consecutive chunks
+    # share exactly `overlap` tokens, empty/null docs emit nothing
+    toks = set()
+    for _, _, txt, _ in rows[:3]:
+        toks.update(txt.split())
+    assert toks == {f"w{i}" for i in range(10)}
+
+    # map-only: no exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_chunk_documents_validates_overlap(spark):
+    from smcchecker_spark.ops import text as T
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        T.chunk_documents(df, "doc_id", chunk_tokens=4, overlap_tokens=4)
