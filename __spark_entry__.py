@@ -2788,6 +2788,30 @@ FROM a, b
 """
 
 
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values over two quantized dimensions (ops/layout.py) —
+    the clustering key behind multi-dimensional file pruning. Pure
+    codegen'd bit math; the oracle reproduces the interleave with
+    integer division/modulo arithmetic."""
+    from smcchecker_spark.ops import layout
+
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("user_id") % 256
+    y = F.col("event_id") % 256
+    return ev.select("event_id", layout.zvalue([x, y], bits=8).alias("zval"))
+
+
+# bit b of col j lands at output bit 2b+j — same formula as ops/layout.py
+_ZORDER_ORACLE = "SELECT event_id, CAST(" + " + ".join(
+    term
+    for b in range(8)
+    for term in (
+        f"(((user_id % 256) // {1 << b}) % 2) * {1 << (2 * b)}",
+        f"(((event_id % 256) // {1 << b}) % 2) * {1 << (2 * b + 1)}",
+    )
+) + " AS BIGINT) AS zval FROM events"
+
+
 def q_asof_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time feature attachment: for every click, the user's
     most recent purchase at-or-before it (ops/asof.py — one shuffle on
@@ -3124,6 +3148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "sessionize_events": q_sessionize_events,
         "asof_purchase_events": q_asof_purchase_events,
+        "zorder_events": q_zorder_events,
         "embedding_drift": q_embedding_drift,
         "image_decontaminate_events": q_image_decontaminate_events,
         "snapshot_diff_events": q_snapshot_diff_events,
@@ -3232,6 +3257,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": _SESSIONIZE_ORACLE,
         # union-stream as-of join vs DuckDB's native ASOF LEFT JOIN
         "asof_purchase_events": _ASOF_ORACLE,
+        # Morton interleave as integer arithmetic
+        "zorder_events": _ZORDER_ORACLE,
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         "image_decontaminate_events": _IMAGE_DECONTAM_ORACLE,
         "snapshot_diff_events": _SNAPSHOT_DIFF_ORACLE,
