@@ -2788,6 +2788,27 @@ FROM a, b
 """
 
 
+def q_bloom_anti_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered anti-join (ops/bloom.py): events from users who
+    never signed up. The bloom splits the corpus map-side; only the
+    maybe-sliver reaches the exact join — and the result is
+    bit-identical to the plain anti-join, so the SQL oracle is exact."""
+    from smcchecker_spark.ops import bloom as bloom_ops
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return bloom_ops.prefilter_anti_join(
+        ev.select("event_id", "user_id"), "user_id", signups, num_bits=1 << 14
+    )
+
+
+_BLOOM_ANTI_ORACLE = """
+SELECT event_id, user_id FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM events s
+                  WHERE s.event_type = 'signup' AND s.user_id = e.user_id)
+"""
+
+
 def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton z-values over two quantized dimensions (ops/layout.py) —
     the clustering key behind multi-dimensional file pruning. Pure
@@ -3149,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "asof_purchase_events": q_asof_purchase_events,
         "zorder_events": q_zorder_events,
+        "bloom_anti_events": q_bloom_anti_events,
         "embedding_drift": q_embedding_drift,
         "image_decontaminate_events": q_image_decontaminate_events,
         "snapshot_diff_events": q_snapshot_diff_events,
@@ -3259,6 +3281,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_events": _ASOF_ORACLE,
         # Morton interleave as integer arithmetic
         "zorder_events": _ZORDER_ORACLE,
+        # bloom prefilter changes the plan, not the answer — exact oracle
+        "bloom_anti_events": _BLOOM_ANTI_ORACLE,
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         "image_decontaminate_events": _IMAGE_DECONTAM_ORACLE,
         "snapshot_diff_events": _SNAPSHOT_DIFF_ORACLE,
