@@ -566,6 +566,17 @@ class NotInExisting(JoinConstraint):
     sliver) shuffles to match. That is the 10^12-row RI plan; asserted
     in tests/test_plans.py.
 
+    ``bloom_bits``: opt-in Bloom prefilter of the PRODUCTION side. The
+    submission's keys (the small side — one cheap aggregation) build a
+    word-packed bitmap (ops/bloom.py); production rows whose key
+    composite is definitely absent from the submission are dropped
+    MAP-SIDE before the semi join, so the 10^12-row snapshot's shuffle
+    volume collapses to (possible matches + fp sliver). No false
+    negatives — the bloom changes the plan, never the violation set
+    (parity-asserted in tests). Size it for the SUBMISSION key count
+    (~10 bits/key for ~1% fp). Composite keys hash as a unit-separator
+    concat, identically on both sides.
+
     ``null_safe=False`` joins on plain equality instead of ``<=>``.
     The default matches the reference (pandas ``merge`` pairs NaN keys,
     proj/core/dupes.py:106), but Spark plans a null-safe join key as
@@ -580,9 +591,10 @@ class NotInExisting(JoinConstraint):
     existing: str = ""
     distinct_keys: bool = True
     null_safe: bool = True
+    bloom_bits: int | None = None
 
     def __init__(self, keys, existing, severity=ERROR, is_core=True,
-                 distinct_keys=True, null_safe=True):
+                 distinct_keys=True, null_safe=True, bloom_bits=None):
         object.__setattr__(self, "keys", tuple(keys))
         object.__setattr__(self, "existing", existing)
         object.__setattr__(self, "column", ",".join(self.keys))
@@ -590,6 +602,7 @@ class NotInExisting(JoinConstraint):
         object.__setattr__(self, "is_core", is_core)
         object.__setattr__(self, "distinct_keys", distinct_keys)
         object.__setattr__(self, "null_safe", null_safe)
+        object.__setattr__(self, "bloom_bits", bloom_bits)
 
     @property
     def name(self) -> str:
@@ -619,6 +632,31 @@ class NotInExisting(JoinConstraint):
         if self.distinct_keys:
             existing = existing.distinct()
         left = df.select(ROW_ID, PART_ID, *keys)
+        if self.bloom_bits:
+            from smcchecker_spark.ops import bloom
+
+            def composite(cols: list[str]) -> Column:
+                # unit-separator concat: identical deterministic mapping
+                # on both sides, so a real match can never bloom-negative
+                return F.concat_ws(
+                    "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                              for c in cols]
+                )
+
+            words = bloom.bloom_build(
+                left.select(composite(keys).alias("__bk")), "__bk",
+                self.bloom_bits,
+            )
+            existing = (
+                bloom.might_contain(
+                    existing.withColumn(
+                        "__bk", composite([f"__ex_{k}" for k in keys])
+                    ),
+                    "__bk", words, self.bloom_bits,
+                )
+                .filter(F.col("__maybe"))
+                .drop("__maybe", "__bk")
+            )
         # null-safe match: pandas ``merge`` (the reference's mechanism,
         # proj/core/dupes.py:106) matches NaN keys to NaN keys, so a
         # NULL-keyed incoming row duplicates a NULL-keyed production row.

@@ -415,6 +415,29 @@ def test_not_in_existing_scale_flags_same_results(spark):
     ) == set()
 
 
+def test_not_in_existing_bloom_prefilter_parity(spark):
+    """bloom_bits only prunes the production side map-side — the
+    violation set is bit-identical, including null-safe matches and
+    multi-key composites."""
+    df = make_df(
+        spark,
+        [("a", 1, "x"), ("b", 2, "y"), ("c", 9, "z"), ("d", None, "x")],
+        "id string, k int, s string",
+    )
+    prod = make_df(
+        spark,
+        [(1, "x"), (2, "other"), (5, "y"), (None, "x")]
+        + [(100 + i, "bulk") for i in range(200)],
+        "k int, s string",
+    )
+    ctx = ValidationContext(existing={"prod": prod})
+    plain = violating_ids(df, NotInExisting(["k", "s"], "prod"), ctx=ctx)
+    bloomed = violating_ids(
+        df, NotInExisting(["k", "s"], "prod", bloom_bits=1 << 12), ctx=ctx
+    )
+    assert plain == bloomed == {"a", "d"}  # d: null-safe (None,'x') match
+
+
 def test_monotonic_within(spark):
     from smcchecker_spark.constraints import MonotonicWithin
 
