@@ -90,8 +90,12 @@ def might_contain(
     """``df`` plus a boolean ``flag_col``: False ⇒ the key is DEFINITELY
     not in the built set; True ⇒ it may be (members always flag True).
     k broadcast left joins on the word index — map-side, no shuffle of
-    ``df``, no row multiplication."""
+    ``df``, no row multiplication. The words table is materialized once
+    (``localCheckpoint``): the k join branches rename its columns
+    differently, which defeats exchange reuse — without the barrier the
+    build aggregation (and whatever scan feeds it) would run k times."""
     _check_params(num_bits, num_hashes)
+    words = words.localCheckpoint(eager=True)
     out = df
     hits = []
     for j, pos in enumerate(_positions(F.col(key_col), num_bits, num_hashes)):

@@ -200,39 +200,45 @@ def cap_per_key(
     rows, and an ANSI-SQL oracle reproduces the selection bit-for-bit.
 
     Skew discipline (``exact=True``): a naive window row_number sorts
-    EVERY key's rows, and the one hot domain with 10^9 rows lands in a
-    single task's sort. Instead, a per-key count (partial agg, |keys|
-    output rows) splits the input: keys with ≤ ``cap`` rows pass through
-    WHOLESALE — no sort, their row_number could never exceed the cap —
-    and only oversized keys pay the window. Domain distributions are
-    heavy-tailed, so the window input shrinks from |corpus| to the few
-    oversized keys' rows. The count join and the window hash-partition
-    on the same key, so EnsureRequirements inserts no second exchange
-    between them.
+    EVERY row by (key, md5-bucket, id) — an md5 evaluation plus a
+    three-way comparison per corpus row. Instead an order-free count
+    window splits the input (its required sort is by the key alone: no
+    md5, and degenerate on a hot key's all-equal run): keys with ≤
+    ``cap`` rows pass through WHOLESALE — their row_number could never
+    exceed the cap — and only oversized keys' rows reach the
+    hash-ordered ranking window. Domain distributions are heavy-tailed,
+    so the expensive sort shrinks from |corpus| to the few oversized
+    keys' rows. Both branches share one scan and ONE exchange: they
+    filter the same counted subplan, which is hash-partitioned on the
+    key exactly as the ranking window requires (ReuseExchange;
+    plan-asserted in tests). No formulation of an exact per-key rank
+    can spread ONE key across tasks — a key whose rows overflow a task
+    belongs in ``exact=False``.
 
     ``exact=False``: for corpora where even one key's rows overflow a
     task (billions of rows under one registrable domain), rank-by-sort
     is the wrong tool. The threshold mode keeps rows whose hash bucket
-    falls below ``cap/count`` of the bucket space — map-only after the
-    counts join, NO window, NO sort — yielding ~``cap`` rows per
-    oversized key (binomial error ~sqrt(cap)). Same determinism
-    properties; the kept set is not a prefix of the exact mode's.
+    falls below ``cap/count`` of the bucket space — one count window +
+    a filter, NO ranking sort — yielding ~``cap`` rows per oversized
+    key (binomial error ~sqrt(cap)). Same determinism properties; the
+    kept set is not a prefix of the exact mode's.
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     from pyspark.sql import Window
 
     b = hash_bucket(F.col(id_col), salt)
-    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
-    j = df.join(counts, key_col)
+    counted = df.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(key_col))
+    )
     if not exact:
         # ceil, so cap >= count keeps everything (threshold = _BUCKETS)
         thresh = F.ceil(F.lit(cap) * F.lit(_BUCKETS) / F.col("__n"))
-        return j.filter(
+        return counted.filter(
             (F.col("__n") <= cap) | (b < thresh)
         ).drop("__n")
-    small = j.filter(F.col("__n") <= cap).drop("__n")
-    big = j.filter(F.col("__n") > cap).drop("__n")
+    small = counted.filter(F.col("__n") <= cap).drop("__n")
+    big = counted.filter(F.col("__n") > cap).drop("__n")
     w = Window.partitionBy(key_col).orderBy(b.asc(), F.col(id_col).asc())
     capped = (
         big.withColumn("__rn", F.row_number().over(w))

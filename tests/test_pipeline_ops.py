@@ -631,9 +631,9 @@ def test_cap_per_key_threshold_mode(spark):
     # (binomial: 300 draws at p=50/300 → sd ~6.5; 4 sd bound)
     assert counts["a"] == 3 and counts["b"] == 5
     assert abs(counts["hot"] - 50) < 27
-    # map-only after the counts join: no window in the plan
+    # only the order-free count window — no ranking sort anywhere
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan
+    assert "row_number" not in plan
 
 
 def test_cap_per_key_validates_cap(spark):
@@ -684,3 +684,21 @@ def test_chunk_documents_validates_overlap(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         T.chunk_documents(df, "doc_id", chunk_tokens=4, overlap_tokens=4)
+
+
+def test_cap_per_key_single_scan_single_exchange(spark, tmp_path):
+    # parquet source so scans are countable; both branches (wholesale +
+    # ranked) must share ONE scan and ONE hash exchange via ReuseExchange
+    _cap_fixture(spark).write.parquet(str(tmp_path / "d"))
+    df = spark.read.parquet(str(tmp_path / "d"))
+    out = S.cap_per_key(df, "doc_id", "source", cap=5)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    import re
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    real = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(real) == 1 and "ReusedExchange" in plan

@@ -62,6 +62,11 @@ AUDITED = [
     "engine_conditional_docs",
     "violations_sampled_docs",
     "hll_ndv_events",
+    "cap_per_source_docs",
+    "chunk_docs",
+    "asof_purchase_events",
+    "zorder_events",
+    "bloom_anti_events",
 ]
 
 JOIN_RE = re.compile(
