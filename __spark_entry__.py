@@ -2788,6 +2788,52 @@ FROM a, b
 """
 
 
+def q_weighted_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted without-replacement sampling per key (A-Res priorities
+    over the md5 uniform; ops/sample.py weighted_sample_per_key):
+    20 events per type, selection mass proportional to value. The
+    quantized priority makes the order engine-portable, so the SQL
+    oracle reproduces the exact selection."""
+    ev = _t(spark, sf_dir, "events")
+    return sample_ops.weighted_sample_per_key(
+        ev, "event_id", "event_type", "value", k=20
+    ).select("event_id", "event_type")
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY ROUND(
+             LN((((('0x' || substr(md5('wsample' || event_id::VARCHAR), 1, 15))::BIGINT
+                   % 1000000) + 0.5) / 1000000.0)) / value, 9) DESC,
+             event_id
+         ) AS rn
+  FROM events WHERE value IS NOT NULL AND value > 0
+) t WHERE rn <= 20
+"""
+
+
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level corpus report in ONE pass: per-(source, lang),
+    per-source, and grand-total doc counts / char totals via rollup —
+    Spark expands the grouping sets inside a single aggregation (one
+    scan, partial aggs per level), vs three separate groupBy jobs."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.rollup("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_CORPUS_ROLLUP_ORACLE = """
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP(source, lang)
+"""
+
+
 def q_bloom_anti_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered anti-join (ops/bloom.py): events from users who
     never signed up. The bloom splits the corpus map-side; only the
@@ -3171,6 +3217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_events": q_asof_purchase_events,
         "zorder_events": q_zorder_events,
         "bloom_anti_events": q_bloom_anti_events,
+        "corpus_rollup": q_corpus_rollup,
+        "weighted_sample_events": q_weighted_sample_events,
         "embedding_drift": q_embedding_drift,
         "image_decontaminate_events": q_image_decontaminate_events,
         "snapshot_diff_events": q_snapshot_diff_events,
@@ -3283,6 +3331,10 @@ def oracle_sql() -> dict[str, str]:
         "zorder_events": _ZORDER_ORACLE,
         # bloom prefilter changes the plan, not the answer — exact oracle
         "bloom_anti_events": _BLOOM_ANTI_ORACLE,
+        # grouping-sets expansion inside one aggregation
+        "corpus_rollup": _CORPUS_ROLLUP_ORACLE,
+        # A-Res weighted sampling: quantized priority + id tie-break
+        "weighted_sample_events": _WEIGHTED_SAMPLE_ORACLE,
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         "image_decontaminate_events": _IMAGE_DECONTAM_ORACLE,
         "snapshot_diff_events": _SNAPSHOT_DIFF_ORACLE,

@@ -100,6 +100,13 @@ HEADLINE = [
     "engine_conditional_docs",
     "violations_sampled_docs",
     "hll_ndv_events",
+    # round-2 additions: domain capping, chunking, as-of join, z-order,
+    # bloom-prefiltered anti-join
+    "cap_per_source_docs",
+    "chunk_docs",
+    "asof_purchase_events",
+    "zorder_events",
+    "bloom_anti_events",
 ]
 
 

@@ -246,3 +246,57 @@ def cap_per_key(
         .drop("__rn")
     )
     return small.unionByName(capped)
+
+
+def weighted_sample_per_key(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement of ``k`` rows per key —
+    selection probability proportional to ``weight_col`` (Efraimidis &
+    Spirakis A-Res: rank rows by u^(1/w) for uniform u, keep the top k;
+    equivalently by ln(u)/w, used here for numeric range). The uniform
+    draw is the md5 hash bucket, so like everything in this module the
+    sample is a pure function of (id, salt) — stable under re-runs,
+    resume, and repartitioning — and reproducible by an ANSI-SQL oracle.
+
+    The priority is ROUNDED to 9 decimals before ranking (ties then
+    break by id): pow/log differ across engines in the last ulp, and an
+    unquantized order would let a 1-ulp flip change which row ranks
+    k-th. Nine digits leave the selection statistically indistinguishable
+    while making the order engine-portable and replay-exact.
+
+    Rows with NULL or non-positive weight are EXCLUDED — they carry zero
+    selection mass (w→0⁺ ⇒ priority → -∞), and admitting them would make
+    "proportional to weight" silently false. Same skew caveat as
+    ``cap_per_key`` exact mode: one key's ranking sort is one task's
+    work; the count-window wholesale split applies here too (keys with
+    ≤ k weighted rows keep them all, no sort).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    u = (hash_bucket(F.col(id_col), salt) + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    pri = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    eligible = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col).cast("double") > 0)
+    )
+    counted = eligible.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(key_col))
+    )
+    small = counted.filter(F.col("__n") <= k).drop("__n")
+    big = counted.filter(F.col("__n") > k).drop("__n")
+    w = Window.partitionBy(key_col).orderBy(
+        pri.desc(), F.col(id_col).asc()
+    )
+    picked = (
+        big.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    return small.unionByName(picked)

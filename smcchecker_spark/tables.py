@@ -309,3 +309,105 @@ def resume_filter(
     return df.filter(
         F.col(part_col).isNull() | ~F.col(part_col).isin(list(done_parts))
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (table maintenance)
+# ---------------------------------------------------------------------------
+#
+# Long-running validation pipelines accrete small files: every checkpoint
+# wave appends a few violation/metrics files per partition, and streaming
+# foreachBatch sinks append per trigger. At 10^12-row scale the scan cost
+# of a partition is dominated by file-open overhead once files shrink
+# below a row group. Iceberg solves this with rewrite_data_files (a
+# snapshot-atomic replace); the parquet stand-in below mirrors the same
+# observable behavior — per-partition file census, selective rewrite,
+# rename-swap — so callers code against one surface.
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def file_census(spark: SparkSession, path: str) -> list[dict]:
+    """One dict per leaf directory (partition) under ``path``:
+    {partition, n_files, bytes} counting data files only. Driver-side
+    listing — bounded by partition/file counts, never rows (the same
+    listing any planner does)."""
+    fs, root, jvm = _hadoop_fs(spark, path)
+    out: dict[str, dict] = {}
+    it = fs.listFiles(root, True)  # recursive
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        name = p.getName()
+        if not name.endswith(".parquet") or name.startswith(("_", ".")):
+            continue
+        part = p.getParent().toString()
+        rec = out.setdefault(
+            part, {"partition": part, "n_files": 0, "bytes": 0}
+        )
+        rec["n_files"] += 1
+        rec["bytes"] += st.getLen()
+    return sorted(out.values(), key=lambda r: r["partition"])
+
+
+def compact_path(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    min_files: int = 2,
+) -> list[dict]:
+    """Rewrite every leaf partition whose file count exceeds what
+    ``target_file_bytes`` warrants. Returns the actions taken:
+    {partition, files_before, files_after, bytes}.
+
+    Each selected partition is read (its files only — no sibling I/O),
+    coalesced to ``ceil(bytes / target)`` files, written beside the
+    original, and swapped in by rename (orig → .compact_old, tmp → orig,
+    delete old) — the closest a filesystem gets to Iceberg's
+    snapshot-atomic rewrite_data_files; a crash between the renames
+    leaves the ``.compact_old`` directory intact for manual recovery,
+    never a half-written partition in place. Readers concurrent with the
+    swap are NOT isolated (use the Iceberg seam for that); run
+    compaction between waves, which is when the checkpoint orchestrator
+    is idle anyway.
+
+    ``min_files``: partitions with fewer files are never touched — a
+    single-file partition cannot get better.
+    """
+    fs, _, jvm = _hadoop_fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    actions = []
+    for rec in file_census(spark, path):
+        want = max(1, -(-rec["bytes"] // target_file_bytes))  # ceil
+        if rec["n_files"] < min_files or rec["n_files"] <= want:
+            continue
+        part = rec["partition"]
+        tmp = part + ".compact_tmp"
+        old = part + ".compact_old"
+        (
+            spark.read.parquet(part)
+            .coalesce(int(want))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        if not fs.rename(Path(part), Path(old)):
+            raise IOError(f"compaction swap failed renaming {part}")
+        if not fs.rename(Path(tmp), Path(part)):
+            # put the original back before failing
+            fs.rename(Path(old), Path(part))
+            raise IOError(f"compaction swap failed installing {tmp}")
+        fs.delete(Path(old), True)
+        after = sum(r["n_files"] for r in file_census(spark, part))
+        actions.append(
+            {
+                "partition": part,
+                "files_before": rec["n_files"],
+                "files_after": after,
+                "bytes": rec["bytes"],
+            }
+        )
+    return actions

@@ -1,0 +1,46 @@
+"""Tests for small-file compaction (tables.file_census / compact_path)."""
+
+from pyspark.sql import functions as F
+
+from smcchecker_spark import tables
+
+
+def test_compact_path_merges_small_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # two hive partitions, each fragmented into 8 tiny files
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 2).alias("p")
+    )
+    df.repartition(8).write.partitionBy("p").parquet(path)
+
+    before = tables.file_census(spark, path)
+    assert len(before) == 2 and all(r["n_files"] == 8 for r in before)
+
+    actions = tables.compact_path(spark, path, target_file_bytes=1 << 30)
+    assert len(actions) == 2
+    assert all(a["files_before"] == 8 and a["files_after"] == 1 for a in actions)
+
+    after = tables.file_census(spark, path)
+    assert all(r["n_files"] == 1 for r in after)
+
+    # data identical (partition column included via the hive layout)
+    got = spark.read.parquet(path)
+    assert got.count() == 2000
+    assert got.select(F.sum("id")).first()[0] == sum(range(2000))
+    assert got.select(F.sum("p")).first()[0] == 1000
+
+    # idempotent: nothing left to compact
+    assert tables.compact_path(spark, path, target_file_bytes=1 << 30) == []
+
+
+def test_compact_path_respects_target_size(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    spark.range(0, 50_000).repartition(10).write.parquet(path)
+    rec = tables.file_census(spark, path)[0]
+    # target = ~half the partition bytes → 2 output files, not 1
+    actions = tables.compact_path(
+        spark, path, target_file_bytes=max(rec["bytes"] // 2, 1)
+    )
+    assert len(actions) == 1
+    assert actions[0]["files_after"] in (2, 3)  # ceil(bytes/target)
+    assert spark.read.parquet(path).count() == 50_000

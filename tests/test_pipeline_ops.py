@@ -702,3 +702,45 @@ def test_cap_per_key_single_scan_single_exchange(spark, tmp_path):
         if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln
     ]
     assert len(real) == 1 and "ReusedExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# ops/sample.py — weighted_sample_per_key
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_per_key_semantics(spark):
+    rows = [(i, "a", 1.0 if i < 400 else 100.0) for i in range(500)]
+    rows += [(1000 + i, "b", 1.0) for i in range(3)]
+    rows += [(2000, "c", None), (2001, "c", -1.0), (2002, "c", 2.0)]
+    df = spark.createDataFrame(rows, "doc_id long, key string, w double")
+
+    out = S.weighted_sample_per_key(df, "doc_id", "key", "w", k=50)
+    got = [(r["doc_id"], r["key"]) for r in out.collect()]
+    by_key = {}
+    for d, kk in got:
+        by_key.setdefault(kk, []).append(d)
+    # exactly k for the oversized key; wholesale for small keys;
+    # null/non-positive weights excluded
+    assert len(by_key["a"]) == 50
+    assert sorted(by_key["b"]) == [1000, 1001, 1002]
+    assert by_key["c"] == [2002]
+    # weight bias: the 100 heavy rows (20% of key a) must dominate the
+    # sample — expected share ~96%, so ≥ 35 of 50 is a generous bound
+    heavy = sum(1 for d in by_key["a"] if d >= 400)
+    assert heavy >= 35
+
+    # determinism under repartitioning
+    again = [
+        (r["doc_id"], r["key"])
+        for r in S.weighted_sample_per_key(
+            df.repartition(7), "doc_id", "key", "w", k=50
+        ).collect()
+    ]
+    assert sorted(again) == sorted(got)
+
+
+def test_weighted_sample_validates_k(spark):
+    df = spark.createDataFrame([(1, "a", 1.0)], "doc_id long, key string, w double")
+    with pytest.raises(ValueError):
+        S.weighted_sample_per_key(df, "doc_id", "key", "w", 0)
