@@ -86,3 +86,44 @@ def test_asof_validates_columns(spark, sides):
     left, right = sides
     with pytest.raises(ValueError):
         asof_join(left, right.select("user_id", "price"), "user_id")
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized parity vs pandas.merge_asof (seeded): same backward
+    at-or-before semantics on multi-key data with duplicate left
+    timestamps and unique (key, ts) right rows."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    left_pd = pd.DataFrame(
+        {
+            "eid": np.arange(300),
+            "k": rng.integers(0, 8, 300),
+            "t": rng.integers(0, 1000, 300).astype("float64"),
+        }
+    )
+    right_rows = sorted(
+        {(int(k), float(t)) for k, t in zip(rng.integers(0, 8, 120),
+                                            rng.integers(0, 1000, 120))}
+    )
+    right_pd = pd.DataFrame(right_rows, columns=["k", "t"])
+    right_pd["price"] = rng.normal(size=len(right_pd)).round(6)
+
+    want = pd.merge_asof(
+        left_pd.sort_values("t", kind="mergesort"),
+        right_pd.sort_values("t", kind="mergesort"),
+        on="t", by="k", direction="backward", suffixes=("", "_r"),
+    )
+    expected = {
+        int(r.eid): (None if pd.isna(r.price) else round(float(r.price), 6))
+        for r in want.itertuples()
+    }
+
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    got = {
+        r["eid"]: (None if r["asof_price"] is None else round(r["asof_price"], 6))
+        for r in asof_join(left, right, "k", left_ts="t").collect()
+    }
+    assert got == expected
