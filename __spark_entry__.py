@@ -2788,6 +2788,49 @@ FROM a, b
 """
 
 
+def q_expectations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level expectations (stats.check_expectations): six bounds
+    evaluated in ONE aggregation over one scan — the snapshot-quality
+    gate that complements the row-level suite."""
+    li = _t(spark, sf_dir, "lineitem")
+    return stats.check_expectations(
+        li,
+        [
+            stats.Expectation("row_count", lo=1000),
+            stats.Expectation("null_rate", "l_quantity", hi=0.5),
+            stats.Expectation("ndv", "l_returnflag", lo=2, hi=3),
+            stats.Expectation("min", "l_discount", lo=0.0),
+            stats.Expectation("max", "l_tax", hi=0.05),
+            stats.Expectation("mean", "l_quantity", lo=20.0, hi=30.0),
+        ],
+    )
+
+
+_EXPECTATIONS_ORACLE = """
+WITH a AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS row_count,
+         CAST(AVG(CASE WHEN l_quantity IS NULL THEN 1.0 ELSE 0.0 END) AS DOUBLE)
+           AS nr_quantity,
+         CAST(COUNT(DISTINCT l_returnflag) AS DOUBLE) AS ndv_flag,
+         CAST(MIN(l_discount) AS DOUBLE) AS min_disc,
+         CAST(MAX(l_tax) AS DOUBLE) AS max_tax,
+         CAST(AVG(l_quantity) AS DOUBLE) AS mean_qty
+  FROM lineitem
+)
+SELECT u.check, u.value, u.lo, u.hi,
+       COALESCE((u.lo IS NULL OR u.value >= u.lo)
+                AND (u.hi IS NULL OR u.value <= u.hi), FALSE) AS ok
+FROM a, UNNEST([
+  {'check': 'row_count',            'value': a.row_count,  'lo': 1000.0, 'hi': NULL},
+  {'check': 'null_rate(l_quantity)','value': a.nr_quantity,'lo': NULL,   'hi': 0.5},
+  {'check': 'ndv(l_returnflag)',    'value': a.ndv_flag,   'lo': 2.0,    'hi': 3.0},
+  {'check': 'min(l_discount)',      'value': a.min_disc,   'lo': 0.0,    'hi': NULL},
+  {'check': 'max(l_tax)',           'value': a.max_tax,    'lo': NULL,   'hi': 0.05},
+  {'check': 'mean(l_quantity)',     'value': a.mean_qty,   'lo': 20.0,   'hi': 30.0}
+]) AS t(u)
+"""
+
+
 def q_weighted_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted without-replacement sampling per key (A-Res priorities
     over the md5 uniform; ops/sample.py weighted_sample_per_key):
@@ -3219,6 +3262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_anti_events": q_bloom_anti_events,
         "corpus_rollup": q_corpus_rollup,
         "weighted_sample_events": q_weighted_sample_events,
+        "expectations_lineitem": q_expectations_lineitem,
         "embedding_drift": q_embedding_drift,
         "image_decontaminate_events": q_image_decontaminate_events,
         "snapshot_diff_events": q_snapshot_diff_events,
@@ -3335,6 +3379,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_rollup": _CORPUS_ROLLUP_ORACLE,
         # A-Res weighted sampling: quantized priority + id tie-break
         "weighted_sample_events": _WEIGHTED_SAMPLE_ORACLE,
+        # aggregate assertions reproduced as one SQL aggregation + UNNEST
+        "expectations_lineitem": _EXPECTATIONS_ORACLE,
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         "image_decontaminate_events": _IMAGE_DECONTAM_ORACLE,
         "snapshot_diff_events": _SNAPSHOT_DIFF_ORACLE,

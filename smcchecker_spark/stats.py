@@ -870,3 +870,109 @@ def embedding_drift(
         ),
         (F.col("norm_a") - F.col("norm_b")).alias("norm_shift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Table-level expectations (aggregate assertions)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """A bound on ONE aggregate metric — the table-level complement to
+    the row-level constraint DSL (a Deequ-style check: "this snapshot
+    has ≥ N rows", "null rate of caption ≤ 0.1%", "ndv(fmt) between 3
+    and 10"). ``column=None`` only for ``row_count``. Bounds are
+    inclusive; None = unbounded on that side.
+
+    Metrics: row_count | null_rate | ndv | min | max | mean.
+    ``ndv`` is exact by default (a shuffle of distinct values); set
+    ``approx=True`` to use the HLL++ sketch — rsd ~2%, leave slack in
+    the bounds accordingly.
+    """
+
+    metric: str
+    column: str | None = None
+    lo: float | None = None
+    hi: float | None = None
+    approx: bool = False
+
+    def __post_init__(self):
+        known = {"row_count", "null_rate", "ndv", "min", "max", "mean"}
+        if self.metric not in known:
+            raise ValueError(f"unknown metric {self.metric!r}; one of {sorted(known)}")
+        if (self.column is None) != (self.metric == "row_count"):
+            raise ValueError("column is required exactly when metric != row_count")
+        if self.lo is None and self.hi is None:
+            raise ValueError("at least one of lo/hi must be set")
+
+    @property
+    def name(self) -> str:
+        return self.metric if self.column is None else f"{self.metric}({self.column})"
+
+    def agg_expr(self) -> Column:
+        c = F.col(self.column) if self.column else None
+        if self.metric == "row_count":
+            e = F.count(F.lit(1))
+        elif self.metric == "null_rate":
+            e = F.avg(c.isNull().cast("double"))
+        elif self.metric == "ndv":
+            e = (
+                F.approx_count_distinct(c)
+                if self.approx
+                else F.count_distinct(c)
+            )
+        elif self.metric == "min":
+            e = F.min(c)
+        elif self.metric == "max":
+            e = F.max(c)
+        else:
+            e = F.avg(c)
+        return e.cast("double").alias(self.name)
+
+
+def check_expectations(
+    df: DataFrame, expectations: list[Expectation]
+) -> DataFrame:
+    """Evaluate every expectation in ONE aggregation over one scan —
+    adding an expectation never adds I/O, exactly like adding a row
+    check to the fused pass. Output: one row per expectation
+    (check, value, lo, hi, ok) — feed ``filter(~ok)`` to a violations
+    sink or a load gate (``run.gated_append`` accepts any emptiness
+    predicate). Numeric metrics only (min/max/mean cast to double);
+    exact-ndv expectations each add a distinct-aggregate path, the one
+    metric that cannot be a pure fold — prefer ``approx=True`` at
+    10^12 rows.
+    """
+    if not expectations:
+        raise ValueError("no expectations given")
+    names = [e.name for e in expectations]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate expectations: {sorted(names)}")
+    agg = df.agg(*[e.agg_expr() for e in expectations])
+    rows = []
+    for e in expectations:
+        val = F.col(e.name)
+        ok = F.lit(True)
+        if e.lo is not None:
+            ok = ok & (val >= F.lit(float(e.lo)))
+        if e.hi is not None:
+            ok = ok & (val <= F.lit(float(e.hi)))
+        # a NULL metric (all-null column min/max/mean) fails any bound
+        ok = F.coalesce(ok, F.lit(False))
+        rows.append(
+            F.struct(
+                F.lit(e.name).alias("check"),
+                val.alias("value"),
+                F.lit(None if e.lo is None else float(e.lo))
+                .cast("double")
+                .alias("lo"),
+                F.lit(None if e.hi is None else float(e.hi))
+                .cast("double")
+                .alias("hi"),
+                ok.alias("ok"),
+            )
+        )
+    return agg.select(
+        F.explode(F.array(*rows)).alias("e")
+    ).select("e.check", "e.value", "e.lo", "e.hi", "e.ok")

@@ -270,3 +270,67 @@ def test_sketch_drift_violations(spark):
         cur, base.filter(F.col("column") == "stable"), max_new_ratio=0.5
     )
     assert {r["columns"] for r in v2.collect()} == {"growing"}
+
+
+# ---------------------------------------------------------------------------
+# Expectations (table-level aggregate assertions)
+# ---------------------------------------------------------------------------
+
+
+def test_check_expectations_one_pass(spark):
+    from smcchecker_spark.stats import Expectation, check_expectations
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "a"), (4, 40.0, None)],
+        "id long, v double, s string",
+    )
+    out = check_expectations(
+        df,
+        [
+            Expectation("row_count", lo=4, hi=4),
+            Expectation("null_rate", "v", hi=0.2),       # 0.25 → fail
+            Expectation("null_rate", "s", hi=0.5),       # 0.25 → ok
+            Expectation("ndv", "s", lo=2, hi=2),
+            Expectation("min", "v", lo=0),
+            Expectation("max", "v", hi=30),              # 40 → fail
+            Expectation("mean", "id", lo=2.5, hi=2.5),
+        ],
+    )
+    got = {r["check"]: (r["value"], r["ok"]) for r in out.collect()}
+    assert got["row_count"] == (4.0, True)
+    assert got["null_rate(v)"] == (0.25, False)
+    assert got["null_rate(s)"] == (0.25, True)
+    assert got["ndv(s)"] == (2.0, True)
+    assert got["min(v)"] == (10.0, True)
+    assert got["max(v)"] == (40.0, False)
+    assert got["mean(id)"] == (2.5, True)
+
+    # ONE scan, ONE aggregate — expectations never multiply I/O
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Scan ExistingRDD") == 1
+
+    # all-null column: NULL metric fails closed
+    df2 = spark.createDataFrame([(1, None), (2, None)], "id long, v double")
+    out2 = check_expectations(df2, [Expectation("min", "v", lo=0)])
+    assert out2.first()["ok"] is False
+
+
+def test_check_expectations_validates(spark):
+    from smcchecker_spark.stats import Expectation, check_expectations
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        Expectation("median", "v", lo=0)
+    with _pt.raises(ValueError):
+        Expectation("row_count", "v", lo=0)
+    with _pt.raises(ValueError):
+        Expectation("min", "v")
+    df = spark.range(3)
+    with _pt.raises(ValueError):
+        check_expectations(df, [])
+    with _pt.raises(ValueError):
+        check_expectations(
+            df, [Expectation("min", "id", lo=0), Expectation("min", "id", hi=9)]
+        )
