@@ -107,6 +107,9 @@ HEADLINE = [
     "asof_purchase_events",
     "zorder_events",
     "bloom_anti_events",
+    "weighted_sample_events",
+    "corpus_rollup",
+    "expectations_lineitem",
 ]
 
 

@@ -67,6 +67,9 @@ AUDITED = [
     "asof_purchase_events",
     "zorder_events",
     "bloom_anti_events",
+    "weighted_sample_events",
+    "corpus_rollup",
+    "expectations_lineitem",
 ]
 
 JOIN_RE = re.compile(
