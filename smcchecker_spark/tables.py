@@ -411,3 +411,94 @@ def compact_path(
             }
         )
     return actions
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str | None = None,
+) -> dict:
+    """Upsert ``updates`` into a parquet table: rows whose key matches an
+    existing row REPLACE it; new keys are inserted. The parquet stand-in
+    for Iceberg's MERGE INTO, with the same scale discipline:
+
+    - **partition-scoped rewrite** (``partition_col`` set, table written
+      with that hive layout): only partitions whose value appears in
+      ``updates`` are read (partition-pruned scan) and swapped; every
+      other partition's files are untouched bytes. Keys match within
+      their partition value — a row whose partition value changes is an
+      INSERT in the new partition and leaves the old row in place
+      (exactly the caveat Iceberg documents for static overwrite; do
+      key-partition-stable CDC or delete first).
+    - **whole-table rewrite** (no ``partition_col``): one anti-join +
+      union + swap. Fine for metadata-sized tables; at 10^12 rows use
+      the partitioned form.
+
+    Returns {partitions_rewritten, rows_updated, rows_inserted}.
+    Duplicate keys in ``updates`` are rejected — "the" new row would be
+    ambiguous. Swap is rename-based like :func:`compact_path` (crash
+    leaves ``.merge_old`` behind, never a half-written partition);
+    concurrent readers are not isolated — the Iceberg seam is the
+    snapshot-atomic path.
+    """
+    dup = (
+        updates.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1)
+    )
+    if dup.count() > 0:
+        raise ValueError(f"updates contain duplicate keys on {key_cols}")
+    fs, _, jvm = _hadoop_fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+
+    updates = updates.localCheckpoint(eager=True)  # referenced 3x below
+    target = spark.read.parquet(path)
+    if partition_col is not None:
+        vals = [r[0] for r in updates.select(partition_col).distinct().collect()]
+        scoped = target.filter(F.col(partition_col).isin(vals))
+        match_keys = list(key_cols) + [partition_col]
+    else:
+        vals = None
+        scoped = target
+        match_keys = list(key_cols)
+
+    kept = scoped.join(updates.select(*match_keys), match_keys, "left_anti")
+    n_before = scoped.count()
+    n_kept = kept.count()
+    n_upd = n_before - n_kept
+    merged = kept.unionByName(updates.select(*scoped.columns))
+
+    tmp = path + ".merge_tmp"
+    if partition_col is not None:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+        swapped = 0
+        for v in vals:
+            sub = f"{partition_col}={v}"
+            src, dst = Path(f"{tmp}/{sub}"), Path(f"{path}/{sub}")
+            old = Path(f"{path}/{sub}.merge_old")
+            if fs.exists(dst):
+                if not fs.rename(dst, old):
+                    raise IOError(f"merge swap failed moving {sub} aside")
+            if not fs.rename(src, dst):
+                if fs.exists(old):
+                    fs.rename(old, dst)
+                raise IOError(f"merge swap failed installing {sub}")
+            if fs.exists(old):
+                fs.delete(old, True)
+            swapped += 1
+        fs.delete(Path(tmp), True)
+    else:
+        merged.write.mode("overwrite").parquet(tmp)
+        old = Path(path + ".merge_old")
+        if not fs.rename(Path(path), old):
+            raise IOError("merge swap failed moving table aside")
+        if not fs.rename(Path(tmp), Path(path)):
+            fs.rename(old, Path(path))
+            raise IOError("merge swap failed installing merged table")
+        fs.delete(old, True)
+        swapped = 1
+    return {
+        "partitions_rewritten": swapped,
+        "rows_updated": n_upd,
+        "rows_inserted": updates.count() - n_upd,
+    }

@@ -44,3 +44,74 @@ def test_compact_path_respects_target_size(spark, tmp_path):
     assert len(actions) == 1
     assert actions[0]["files_after"] in (2, 3)  # ceil(bytes/target)
     assert spark.read.parquet(path).count() == 50_000
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_partition_scoped(spark, tmp_path):
+    path = str(tmp_path / "m")
+    base = spark.createDataFrame(
+        [(i, i % 4, f"v{i}") for i in range(40)], "k long, p long, v string"
+    )
+    base.write.partitionBy("p").parquet(path)
+    untouched = {
+        r["f"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("p").isin(2, 3))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+
+    updates = spark.createDataFrame(
+        [(0, 0, "NEW0"), (5, 1, "NEW5"), (100, 0, "INS100")],
+        "k long, p long, v string",
+    )
+    res = tables.merge_upsert(spark, path, updates, ["k"], partition_col="p")
+    assert res == {
+        "partitions_rewritten": 2, "rows_updated": 2, "rows_inserted": 1
+    }
+
+    got = {r["k"]: (r["p"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert len(got) == 41
+    assert got[0] == (0, "NEW0") and got[5] == (1, "NEW5")
+    assert got[100] == (0, "INS100")
+    assert got[7] == (3, "v7")  # untouched partition intact
+
+    # untouched partitions: the very same files (no rewrite)
+    after = {
+        r["f"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("p").isin(2, 3))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert after == untouched
+
+
+def test_merge_upsert_whole_table_and_duplicate_rejection(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "m2")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).write.parquet(path)
+    res = tables.merge_upsert(
+        spark, path,
+        spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"),
+        ["k"],
+    )
+    assert res["rows_updated"] == 1 and res["rows_inserted"] == 1
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+    with pytest.raises(ValueError):
+        tables.merge_upsert(
+            spark, path,
+            spark.createDataFrame([(9, "x"), (9, "y")], "k long, v string"),
+            ["k"],
+        )
