@@ -976,3 +976,75 @@ def check_expectations(
     return agg.select(
         F.explode(F.array(*rows)).alias("e")
     ).select("e.check", "e.value", "e.lo", "e.hi", "e.ok")
+
+
+def suggest_expectations(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    profile: DataFrame | None = None,
+    row_count_slack: float = 0.5,
+    rate_slack: float = 0.02,
+    ndv_slack: float = 0.25,
+    bound_slack: float = 0.1,
+) -> list[Expectation]:
+    """Close the stats→checks loop at TABLE level: profile a trusted
+    snapshot (or accept a precomputed ``column_stats`` profile) and
+    derive :class:`Expectation` bounds the NEXT snapshot must satisfy —
+    the aggregate complement of :func:`suggest_suite`:
+
+    - row_count ≥ (1 - ``row_count_slack``) × observed (growth is fine;
+      a half-empty drop is the classic upstream failure),
+    - per column: null_rate ≤ observed + ``rate_slack``,
+    - per column: ndv within (1 ± ``ndv_slack``) × observed, as
+      ``approx=True`` (the observed value is itself an HLL estimate —
+      keep ``ndv_slack`` well above 2×rsd),
+    - per NUMERIC column: min/max within the observed range widened by
+      ``bound_slack`` × span.
+
+    By construction the suggestions pass on the profiled snapshot
+    itself (test-locked). One profile scan; everything else is
+    driver-side arithmetic over one row per column.
+    """
+    columns = columns or df.columns
+    prof = {
+        r["column"]: r
+        for r in (
+            profile if profile is not None else column_stats(df, columns)
+        ).collect()
+    }
+    numeric = {
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, T.NumericType)
+    }
+    n = next(iter(prof.values()))["n_rows"] if prof else 0
+    out = [Expectation("row_count", lo=max(1, int(n * (1 - row_count_slack))))]
+    for c in columns:
+        r = prof[c]
+        out.append(
+            Expectation(
+                "null_rate", c, hi=min(1.0, float(r["null_rate"]) + rate_slack)
+            )
+        )
+        ndv = int(r["approx_ndv"])
+        out.append(
+            Expectation(
+                "ndv", c,
+                lo=max(0, int(ndv * (1 - ndv_slack))),
+                hi=max(1, int(-(-ndv * (1 + ndv_slack) // 1))),
+                approx=True,
+            )
+        )
+        if c in numeric and r["min"] is not None and r["max"] is not None:
+            lo, hi = float(r["min"]), float(r["max"])
+            span = max(hi - lo, 1e-12)
+            out.append(
+                Expectation(
+                    "min", c, lo=lo - bound_slack * span, hi=hi
+                )
+            )
+            out.append(
+                Expectation(
+                    "max", c, lo=lo, hi=hi + bound_slack * span
+                )
+            )
+    return out

@@ -77,3 +77,20 @@ def test_range_slack_widens_bounds(docs):
     )
     trng = next(c for c in tight.constraints if c.name == "range_n_chars")
     assert rng.lo < trng.lo and rng.hi > trng.hi
+
+
+def test_suggest_expectations_pass_on_profiled_snapshot(spark, sf_dir):
+    """The suggested table-level expectations must hold on the snapshot
+    they were profiled from (the suggest→check loop's base property)."""
+    from smcchecker_spark.stats import check_expectations, suggest_expectations
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", "l_returnflag", "l_tax"
+    )
+    exps = suggest_expectations(li)
+    out = check_expectations(li, exps)
+    bad = [r["check"] for r in out.collect() if not r["ok"]]
+    assert bad == []
+    # shape: 1 row_count + (null_rate + ndv) per column + min/max for
+    # the two numeric columns
+    assert len(exps) == 1 + 2 * 3 + 2 * 2
