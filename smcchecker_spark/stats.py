@@ -910,8 +910,14 @@ class Expectation:
     def name(self) -> str:
         return self.metric if self.column is None else f"{self.metric}({self.column})"
 
-    def agg_expr(self) -> Column:
+    def agg_expr(self, dtype=None) -> Column:
         c = F.col(self.column) if self.column else None
+        if c is not None and isinstance(
+            dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)
+        ):
+            # ANSI forbids timestamp→double; compare in epoch seconds
+            # (bounds too: a freshness floor is lo=<epoch of as_of - age>)
+            c = F.unix_micros(c.cast("timestamp")) / F.lit(1e6)
         if self.metric == "row_count":
             e = F.count(F.lit(1))
         elif self.metric == "null_rate":
@@ -949,7 +955,10 @@ def check_expectations(
     names = [e.name for e in expectations]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate expectations: {sorted(names)}")
-    agg = df.agg(*[e.agg_expr() for e in expectations])
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    agg = df.agg(
+        *[e.agg_expr(dtypes.get(e.column)) for e in expectations]
+    )
     rows = []
     for e in expectations:
         val = F.col(e.name)

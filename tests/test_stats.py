@@ -334,3 +334,25 @@ def test_check_expectations_validates(spark):
         check_expectations(
             df, [Expectation("min", "id", lo=0), Expectation("min", "id", hi=9)]
         )
+
+
+def test_check_expectations_timestamp_freshness(spark):
+    """min/max/mean on timestamp columns compare in epoch seconds —
+    a freshness gate is max(ts) >= epoch(as_of - max_age)."""
+    import datetime as dt
+
+    from smcchecker_spark.stats import Expectation, check_expectations
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0, 0)),
+         (2, dt.datetime(2024, 1, 2, 0, 0, 0))],
+        "id long, ts timestamp",
+    )
+    as_of = dt.datetime(2024, 1, 2, 6, 0, 0, tzinfo=dt.timezone.utc)
+    floor = (as_of - dt.timedelta(days=1)).timestamp()
+    fresh = check_expectations(df, [Expectation("max", "ts", lo=floor)])
+    assert fresh.first()["ok"] is True
+    stale = check_expectations(
+        df, [Expectation("max", "ts", lo=floor + 86400.0)]
+    )
+    assert stale.first()["ok"] is False
