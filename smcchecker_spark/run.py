@@ -260,7 +260,8 @@ def with_audit_columns(
 
 
 def gated_append(
-    result: ValidationResult, df: DataFrame, path, fmt: str = "parquet"
+    result: ValidationResult, df: DataFrame, path, fmt: str = "parquet",
+    expectations: "list | None" = None,
 ) -> bool:
     """Load-path gate: append the data only when there are zero errors.
 
@@ -270,9 +271,20 @@ def gated_append(
     or a ``tables.ParquetTable`` / ``tables.IcebergTable`` adapter —
     the Iceberg spelling is an atomic ``writeTo().append()`` snapshot
     commit. Returns True when the append happened.
+
+    ``expectations``: optional table-level :class:`stats.Expectation`
+    bounds that must ALSO hold on ``df`` (row_count floor, null-rate
+    ceilings, freshness, …) — one extra aggregation pass; a snapshot
+    that is row-clean but half-missing still refuses to load.
     """
     if result.errs.limit(1).count() > 0:
         return False
+    if expectations:
+        from smcchecker_spark.stats import check_expectations
+
+        bad = check_expectations(df, expectations).filter(~F.col("ok"))
+        if bad.limit(1).count() > 0:
+            return False
     if isinstance(path, str) and fmt != "parquet":
         df.write.format(fmt).mode("append").save(path)
     else:

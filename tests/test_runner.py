@@ -91,6 +91,27 @@ def test_gated_append(spark, tmp_path):
     assert spark.read.parquet(out).count() == 2
 
 
+def test_gated_append_expectation_gate(spark, tmp_path):
+    """A row-clean snapshot that violates a table-level expectation
+    (here: a row-count floor — the half-missing-drop failure) must
+    refuse to load; with satisfiable bounds it loads."""
+    from smcchecker_spark.stats import Expectation
+
+    df = _df(spark)
+    clean = df.filter(F.col("image_id").isin("a", "b"))
+    res = ValidationRunner(
+        Suite(name="s", table="t", constraints=[NotNull("v")])
+    ).run(clean)
+    out = str(tmp_path / "load_exp")
+    assert gated_append(
+        res, clean, out, expectations=[Expectation("row_count", lo=100)]
+    ) is False
+    assert gated_append(
+        res, clean, out, expectations=[Expectation("row_count", lo=2, hi=2)]
+    ) is True
+    assert spark.read.parquet(out).count() == 2
+
+
 def test_gated_append_tables_fk_order_all_or_nothing(spark, tmp_path):
     """Multi-table submissions load in the declared FK order with
     all-or-nothing gating (proj/load.py:23-24,116-145): ONE dirty table
