@@ -661,3 +661,99 @@ def semantic_dedup(
     )
     drop = comp.select("id").exceptAll(keepers)
     return df.join(drop, df[id_col] == drop["id"], "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# IVF index persistence: build once, probe many
+# ---------------------------------------------------------------------------
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: ``{path}/centroids`` (k tiny rows) and
+    ``{path}/corpus`` with the cell assignment materialized AND used as
+    the hive partition column. That layout is the point of the index:
+    a search probing ``n_probe`` of ``k`` cells filters on the partition
+    column, so the scan reads ONLY the probed cells' files
+    (PartitionFilters — plan-asserted in tests) instead of re-scoring
+    the corpus. Assignment runs once here; searches never run the cell
+    UDF over the corpus again. Iceberg spelling: identical, with `cell`
+    as a partition transform."""
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    cell = _cell_udf(centroids)
+    (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            cell(F.col(vec_col)).alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/corpus")
+    )
+
+
+def load_ivf_centroids(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return np.array([list(r["centroid"]) for r in rows], dtype=np.float64)
+
+
+def ivf_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Search a persisted IVF index (:func:`save_ivf_index`): assign each
+    query its ``n_probe`` nearest centroids (queries are the small side —
+    one tiny Arrow pass), PRUNE the corpus scan to the union of probed
+    cells via a partition-column isin (files of unprobed cells are never
+    opened), then exact cosine + per-query rank inside the probed slice —
+    identical results to :func:`ivf_topk` with the same centroids.
+
+    The probed-cell union is collected from the query side (bounded by
+    k_cells, never by corpus or query count)."""
+    centroids = load_ivf_centroids(spark, path)
+    n_probe = min(n_probe, centroids.shape[0])
+    C = centroids.T.copy()
+
+    @pandas_udf("array<int>")
+    def probes(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            X = np.array([list(v) for v in s.values], dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(X @ C), axis=1)[:, :n_probe]
+            yield pd.Series([row.astype("int32").tolist() for row in order])
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probes(F.col(vec_col))).alias("cell"),
+    ).localCheckpoint(eager=True)  # referenced twice: cell union + join
+    cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    corpus = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("cell").isin(cells)
+    )
+    scored = corpus.join(F.broadcast(q), "cell").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

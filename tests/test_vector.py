@@ -133,3 +133,42 @@ def test_vector_suite_plan_is_pure_jvm(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# IVF index persistence
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_index_roundtrip_matches_unindexed(spark, sf_dir, tmp_path):
+    from smcchecker_spark.ops import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cent = SIM.train_centroids(emb, k=8, sample=256)
+    path = str(tmp_path / "ivf")
+    SIM.save_ivf_index(emb, cent, path)
+
+    # same results as the in-line ivf_topk with identical centroids
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in SIM.ivf_topk(emb, queries, cent, k=5, n_probe=3).collect()
+    )
+    got_df = SIM.ivf_search(spark, path, queries, k=5, n_probe=3)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in got_df.collect()
+    )
+    assert got == want and len(got) > 0
+
+    # the corpus scan is pruned to the probed cells (partition filter):
+    # with ONE query probing 2 of 8 cells, the scan's PartitionFilters
+    # carries a 2-value IN list — unprobed cells' files are never read
+    one = queries.limit(1)
+    narrow = SIM.ivf_search(spark, path, one, k=5, n_probe=2)
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    seg = plan[plan.find("PartitionFilters"):][:120]
+    import re
+    m = re.search(r"IN \(([0-9,]+)\)", seg)
+    assert m and len(m.group(1).split(",")) == 2, seg
