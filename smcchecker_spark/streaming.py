@@ -226,6 +226,12 @@ class StreamingValidator:
     part_id_col: str | None = "part_id"
     violations_path: str = ""
     verdicts_path: str = ""
+    # optional table-level bounds evaluated per micro-batch (one extra
+    # aggregation of the cached batch) — rows (batch_id, check, value,
+    # lo, hi, ok) append to expectations_path; the batch-mode analogue
+    # is gated_append(expectations=...)
+    expectations: list = field(default_factory=list)
+    expectations_path: str = ""
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """The foreachBatch body — also callable directly in tests."""
@@ -281,6 +287,12 @@ class StreamingValidator:
                     )
                 )
                 verdicts.write.mode("append").parquet(self.verdicts_path)
+            if self.expectations and self.expectations_path:
+                from smcchecker_spark.stats import check_expectations
+
+                check_expectations(batch_df, self.expectations).withColumn(
+                    "batch_id", F.lit(batch_id)
+                ).write.mode("append").parquet(self.expectations_path)
         finally:
             if violations is not None:
                 violations.unpersist()

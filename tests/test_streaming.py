@@ -312,3 +312,41 @@ def test_pipeline_ops_stream_equals_batch(spark, tmp_path):
     )
     exp = sorted(map(tuple, transform(spark.read.parquet(src)).collect()))
     assert got == exp and len(got) > 0
+
+
+def test_streaming_expectations_per_batch(spark, suite_ctx, tmp_path):
+    """Table-level expectations evaluated per micro-batch: each drop
+    gets its own (batch_id, check, ok) rows — a shrunken drop fails the
+    row-count floor while the healthy one passes."""
+    from smcchecker_spark.stats import Expectation
+
+    suite, ctx = suite_ctx
+    src = str(tmp_path / "in2")
+    os.makedirs(src)
+    df = fixtures.generate_images(spark, n_rows=300, n_parts=4, seed=42)
+    df.filter(F.col("part_id") < 3).coalesce(1).write.parquet(src + "/big.parquet")
+    df.filter(F.col("part_id") == 3).limit(10).coalesce(1).write.parquet(
+        src + "/small.parquet"
+    )
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    v = StreamingValidator(
+        suite,
+        ctx,
+        violations_path=str(tmp_path / "v2"),
+        expectations=[Expectation("row_count", lo=50)],
+        expectations_path=str(tmp_path / "exp2"),
+    )
+    q = v.start(stream, checkpoint_location=str(tmp_path / "ckpt2"),
+                trigger_once=True)
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(str(tmp_path / "exp2")).collect()
+    assert len(rows) == 2  # one expectation row per micro-batch
+    oks = sorted((r["value"], r["ok"]) for r in rows)
+    assert oks[0][0] == 10.0 and oks[0][1] is False
+    assert oks[1][0] >= 50.0 and oks[1][1] is True
