@@ -106,6 +106,17 @@ def build_constraint(spec: dict):
     return factory[kind](**args)
 
 
+def load_expectations(path: str):
+    """Optional ``"expectations": [{"metric": ..., "column": ...,
+    "lo": ..., "hi": ..., "approx": ...}, ...]`` block in the suite
+    config — table-level aggregate bounds gating the load alongside the
+    row-level checks (stats.check_expectations)."""
+    from smcchecker_spark.stats import Expectation
+
+    cfg = json.load(open(path))
+    return [Expectation(**spec) for spec in cfg.get("expectations", [])]
+
+
 def load_suite(path: str):
     from smcchecker_spark.constraints import Suite
 
@@ -299,11 +310,23 @@ def main(argv=None) -> int:
         from smcchecker_spark.tables import sink_for
 
         sink = sink_for(args.gated_append, args.dest_fmt)
-        if n_err == 0:
+        bad_exp = []
+        exps = load_expectations(args.suite)
+        if n_err == 0 and exps:
+            from smcchecker_spark.stats import check_expectations
+
+            bad_exp = [
+                f"{r['check']}={r['value']}"
+                for r in check_expectations(df, exps).collect()
+                if not r["ok"]
+            ]
+        if n_err == 0 and not bad_exp:
             sink.append(df)
             print(f"gated append: loaded -> {args.gated_append}")
-        else:
+        elif n_err:
             print(f"gated append: REFUSED ({n_err} errors)")
+        else:
+            print(f"gated append: REFUSED (expectations failed: {bad_exp})")
     return 0 if n_err == 0 else 1
 
 

@@ -110,6 +110,36 @@ def test_cli_gated_append(spark, tmp_path):
     assert spark.read.parquet(str(dest)).count() == 80
 
 
+def test_cli_gated_append_expectations(spark, tmp_path):
+    """An `expectations` block in the suite config gates the load on
+    table-level bounds too: a row-clean input that misses the row-count
+    floor is refused; loosening the floor loads it."""
+    clean = fixtures.generate_images(
+        spark, n_rows=80, n_parts=2, seed=3, clean=True)
+    clean.write.parquet(str(tmp_path / "clean"))
+    dest = tmp_path / "prod_exp"
+
+    def run(floor):
+        cfg = {
+            "name": "s", "table": "images",
+            "row_id_col": "image_id", "part_id_col": "part_id",
+            "constraints": [{"type": "not_null", "column": "caption"}],
+            "expectations": [{"metric": "row_count", "lo": floor}],
+        }
+        (tmp_path / "suite_exp.json").write_text(json.dumps(cfg))
+        return main([
+            "--input", str(tmp_path / "clean"),
+            "--suite", str(tmp_path / "suite_exp.json"),
+            "--out", str(tmp_path / "out_exp"),
+            "--gated-append", str(dest),
+        ])
+
+    assert run(10_000) == 0  # row-clean: exit code reflects row errors
+    assert not dest.exists()  # …but the expectation floor refused the load
+    assert run(50) == 0
+    assert spark.read.parquet(str(dest)).count() == 80
+
+
 def test_cli_checkpoint_resume(spark, tmp_path):
     df = fixtures.generate_images(spark, n_rows=120, n_parts=4, seed=9)
     df.write.parquet(str(tmp_path / "in"))
