@@ -2267,7 +2267,8 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT doc_id, toks,
-         CAST(CEIL(GREATEST(len(toks) - 8, 0) / 32.0) AS INT) AS n_chunks
+         GREATEST(CAST(CEIL(GREATEST(len(toks) - 8, 0) / 32.0) AS INT), 1)
+           AS n_chunks
   FROM t WHERE len(toks) > 0
 )
 SELECT doc_id,

@@ -307,9 +307,11 @@ def chunk_documents(
     step = chunk_tokens - overlap_tokens
     tk = tokens(F.col(text_col))
     n = F.size(tk)
-    # number of chunks = ceil(max(n - overlap, 0) / step); 0 for empty docs
-    n_chunks = F.ceil(
-        F.greatest(n - overlap_tokens, F.lit(0)) / F.lit(step)
+    # chunks = ceil((n - overlap) / step), floored at 1 so a doc shorter
+    # than the overlap still yields its whole-doc chunk
+    n_chunks = F.greatest(
+        F.ceil(F.greatest(n - overlap_tokens, F.lit(0)) / F.lit(step)),
+        F.lit(1),
     ).cast("int")
     starts = F.sequence(F.lit(0), n_chunks - 1, F.lit(1))
     chunks = F.transform(

@@ -744,3 +744,41 @@ def test_weighted_sample_validates_k(spark):
     df = spark.createDataFrame([(1, "a", 1.0)], "doc_id long, key string, w double")
     with pytest.raises(ValueError):
         S.weighted_sample_per_key(df, "doc_id", "key", "w", 0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "dddd"]), max_size=40),
+        min_size=1, max_size=20,
+    ),
+    chunk=st.integers(min_value=2, max_value=12),
+    overlap=st.integers(min_value=0, max_value=11),
+)
+def test_chunk_property_vs_python_reference(docs, chunk, overlap):
+    """chunk_documents == the straightforward python chunker for any
+    token lists and any valid (chunk, overlap)."""
+    from smcchecker_spark.ops import text as T
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    step = chunk - overlap
+    spark = _SPARK[0]
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["chunk_tokens"])
+        for r in T.chunk_documents(df, "doc_id", "text", chunk, overlap).collect()
+    )
+    want = []
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        if n == 0:
+            continue
+        n_chunks = max(-(-max(n - overlap, 0) // step), 1)
+        for ci in range(n_chunks):
+            sl = toks[ci * step: ci * step + chunk]
+            want.append((i, ci, " ".join(sl), len(sl)))
+    assert got == sorted(want)
