@@ -49,6 +49,11 @@ from smcchecker_spark.vector import (  # noqa: F401
     VectorShape,
 )
 from smcchecker_spark.run import ValidationRunner  # noqa: F401
+from smcchecker_spark.stats import (  # noqa: F401
+    Expectation,
+    check_expectations,
+    suggest_expectations,
+)
 from smcchecker_spark.tables import (  # noqa: F401
     IcebergTable,
     ParquetTable,
