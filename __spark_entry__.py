@@ -2789,6 +2789,31 @@ FROM a, b
 """
 
 
+def q_topk_per_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact top-k per key (ops/topk.py): top-3 events per
+    user by value — map-side candidate reduction, then the window ranks
+    only k×partitions candidates per key."""
+    from smcchecker_spark.ops.topk import topk_per_key
+
+    ev = _t(spark, sf_dir, "events")
+    return topk_per_key(
+        ev.select("event_id", "user_id", "value"), "user_id", "value",
+        "event_id", k=3,
+    )
+
+
+_TOPK_PER_KEY_ORACLE = """
+SELECT event_id, user_id, value, rank FROM (
+  SELECT event_id, user_id, value,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY value DESC NULLS LAST, event_id
+         ) AS INT) AS rank
+  FROM events
+) t WHERE rank <= 3
+"""
+
+
 def q_expectations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-level expectations (stats.check_expectations): six bounds
     evaluated in ONE aggregation over one scan — the snapshot-quality
@@ -3264,6 +3289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": q_corpus_rollup,
         "weighted_sample_events": q_weighted_sample_events,
         "expectations_lineitem": q_expectations_lineitem,
+        "topk_per_user_events": q_topk_per_user_events,
         "embedding_drift": q_embedding_drift,
         "image_decontaminate_events": q_image_decontaminate_events,
         "snapshot_diff_events": q_snapshot_diff_events,
@@ -3382,6 +3408,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_events": _WEIGHTED_SAMPLE_ORACLE,
         # aggregate assertions reproduced as one SQL aggregation + UNNEST
         "expectations_lineitem": _EXPECTATIONS_ORACLE,
+        # map-side-reduced top-k == plain ROW_NUMBER semantics
+        "topk_per_user_events": _TOPK_PER_KEY_ORACLE,
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         "image_decontaminate_events": _IMAGE_DECONTAM_ORACLE,
         "snapshot_diff_events": _SNAPSHOT_DIFF_ORACLE,
