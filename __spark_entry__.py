@@ -2789,6 +2789,38 @@ FROM a, b
 """
 
 
+def q_row_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between two deterministic snapshot views of events
+    (tables.row_diff): keys + one xxhash64 per row move through the
+    full-outer join — payloads never shuffle."""
+    from smcchecker_spark import tables as tbl
+
+    ev = _t(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 5 != 0)
+    new = ev.filter(F.col("event_id") % 3 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.col("value") + 1).otherwise(
+            F.col("value")
+        ),
+    )
+    return tbl.row_diff(old, new, ["event_id"])
+
+
+_ROW_DIFF_ORACLE = """
+WITH o AS (SELECT * FROM events WHERE event_id % 5 <> 0),
+     n AS (SELECT event_id,
+                  CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END AS value
+           FROM events WHERE event_id % 3 <> 0)
+SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+       CASE WHEN o.event_id IS NULL THEN 'insert'
+            WHEN n.event_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change
+FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
+WHERE o.event_id IS NULL OR n.event_id IS NULL
+   OR o.value IS DISTINCT FROM n.value
+"""
+
+
 def q_topk_per_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact top-k per key (ops/topk.py): top-3 events per
     user by value — map-side candidate reduction, then the window ranks
@@ -3290,6 +3322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_events": q_weighted_sample_events,
         "expectations_lineitem": q_expectations_lineitem,
         "topk_per_user_events": q_topk_per_user_events,
+        "row_diff_events": q_row_diff_events,
         "embedding_drift": q_embedding_drift,
         "image_decontaminate_events": q_image_decontaminate_events,
         "snapshot_diff_events": q_snapshot_diff_events,
@@ -3410,6 +3443,8 @@ def oracle_sql() -> dict[str, str]:
         "expectations_lineitem": _EXPECTATIONS_ORACLE,
         # map-side-reduced top-k == plain ROW_NUMBER semantics
         "topk_per_user_events": _TOPK_PER_KEY_ORACLE,
+        # hash-compare CDC == direct value-compare CDC (collision-free data)
+        "row_diff_events": _ROW_DIFF_ORACLE,
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         "image_decontaminate_events": _IMAGE_DECONTAM_ORACLE,
         "snapshot_diff_events": _SNAPSHOT_DIFF_ORACLE,

@@ -110,6 +110,8 @@ HEADLINE = [
     "weighted_sample_events",
     "corpus_rollup",
     "expectations_lineitem",
+    "topk_per_user_events",
+    "row_diff_events",
 ]
 
 

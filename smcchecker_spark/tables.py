@@ -502,3 +502,54 @@ def merge_upsert(
         "rows_updated": n_upd,
         "rows_inserted": updates.count() - n_upd,
     }
+
+
+def row_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level CDC between two snapshots: one row per differing key
+    with ``change`` ∈ {insert, delete, update} plus the key columns —
+    the row-granularity complement of :func:`snapshot_diff` (partition
+    fingerprints). Scope a 10^12-row diff by running snapshot_diff
+    FIRST and feeding only stale partitions here (both inputs
+    partition-pruned); the join then shuffles changed partitions, not
+    the table.
+
+    Rows compare by an xxhash64 over ``compare_cols`` (default: all
+    non-key columns, sorted for stability) — only keys and one long per
+    row move through the full-outer join, never payloads. NULL-safe:
+    hashing a typed NULL is stable, so NULL→value and value→NULL count
+    as updates. Keys must be unique per snapshot (it is a keyed diff).
+    """
+    if not key_cols:
+        raise ValueError("row_diff needs at least one key column")
+    compare_cols = (
+        sorted(compare_cols)
+        if compare_cols is not None
+        else sorted(c for c in new.columns if c not in key_cols)
+    )
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        missing = [c for c in list(key_cols) + compare_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"{tag} snapshot lacks columns {missing}")
+        return df.select(
+            *key_cols,
+            F.xxhash64(*[F.col(c) for c in compare_cols]).alias(f"__h_{tag}"),
+        )
+
+    o, n = side(old, "old"), side(new, "new")
+    joined = o.join(n, list(key_cols), "full_outer")
+    change = (
+        F.when(F.col("__h_old").isNull(), F.lit("insert"))
+        .when(F.col("__h_new").isNull(), F.lit("delete"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("update"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )

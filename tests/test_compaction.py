@@ -115,3 +115,32 @@ def test_merge_upsert_whole_table_and_duplicate_rejection(spark, tmp_path):
             spark.createDataFrame([(9, "x"), (9, "y")], "k long, v string"),
             ["k"],
         )
+
+
+def test_row_diff_semantics(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),      # unchanged → absent from the diff
+         (2, "b", 99.0),     # update
+         (3, "c", 3.0),      # NULL → value: update
+         (5, "e", 5.0)],     # insert; k=4 deleted
+        "k long, s string, v double",
+    )
+    got = {(r["k"], r["change"]) for r in tables.row_diff(old, new, ["k"]).collect()}
+    assert got == {(2, "update"), (3, "update"), (4, "delete"), (5, "insert")}
+
+    # compare_cols scoping: ignoring v sees only membership changes
+    got2 = {
+        (r["k"], r["change"])
+        for r in tables.row_diff(old, new, ["k"], compare_cols=["s"]).collect()
+    }
+    assert got2 == {(4, "delete"), (5, "insert")}
+
+    import pytest
+    with pytest.raises(ValueError):
+        tables.row_diff(old, new, [])
+    with pytest.raises(ValueError):
+        tables.row_diff(old.drop("v"), new, ["k"])

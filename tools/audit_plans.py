@@ -70,6 +70,8 @@ AUDITED = [
     "weighted_sample_events",
     "corpus_rollup",
     "expectations_lineitem",
+    "topk_per_user_events",
+    "row_diff_events",
 ]
 
 JOIN_RE = re.compile(
