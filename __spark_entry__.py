@@ -2789,6 +2789,35 @@ FROM a, b
 """
 
 
+def q_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-replicated equi-join (skew.replicated_skew_join): every
+    event joins its type's average — event_type has ~5 values over 10k+
+    rows, the all-hot-keys shape; results are bit-identical to the
+    plain join, so the SQL oracle is exact."""
+    from smcchecker_spark import skew
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("avg_value")
+    )
+    out = skew.replicated_skew_join(
+        ev, dim, "event_type", "event_id", salt_buckets=8
+    )
+    return out.select(
+        "event_id", "event_type",
+        (F.col("value") > F.col("avg_value")).alias("above_avg"),
+    )
+
+
+_SKEW_JOIN_ORACLE = """
+SELECT e.event_id, e.event_type, e.value > d.avg_value AS above_avg
+FROM events e
+JOIN (SELECT event_type, ROUND(AVG(value), 6) AS avg_value
+      FROM events GROUP BY event_type) d
+  ON e.event_type = d.event_type
+"""
+
+
 def q_row_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level CDC between two deterministic snapshot views of events
     (tables.row_diff): keys + one xxhash64 per row move through the
@@ -3323,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_lineitem": q_expectations_lineitem,
         "topk_per_user_events": q_topk_per_user_events,
         "row_diff_events": q_row_diff_events,
+        "skew_join_events": q_skew_join_events,
         "embedding_drift": q_embedding_drift,
         "image_decontaminate_events": q_image_decontaminate_events,
         "snapshot_diff_events": q_snapshot_diff_events,
@@ -3445,6 +3475,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_user_events": _TOPK_PER_KEY_ORACLE,
         # hash-compare CDC == direct value-compare CDC (collision-free data)
         "row_diff_events": _ROW_DIFF_ORACLE,
+        # salting changes the plan, not the join result
+        "skew_join_events": _SKEW_JOIN_ORACLE,
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         "image_decontaminate_events": _IMAGE_DECONTAM_ORACLE,
         "snapshot_diff_events": _SNAPSHOT_DIFF_ORACLE,

@@ -112,6 +112,7 @@ HEADLINE = [
     "expectations_lineitem",
     "topk_per_user_events",
     "row_diff_events",
+    "skew_join_events",
 ]
 
 

@@ -98,3 +98,62 @@ def heavy_hitters(
     if min_share > 0:
         out = out.filter(F.col("share") >= min_share)
     return out
+
+
+def replicated_skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    row_id_col: str,
+    salt_buckets: int = 16,
+    hot_keys: list | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where the LEFT side is huge with hot keys and the RIGHT
+    side is also too big to broadcast — the one shape AQE's skew-join
+    split cannot always fix (it splits a skewed partition's files, but a
+    single hot KEY's rows still co-locate after the split when the
+    build side must match them).
+
+    Salt-replicate: left rows get a deterministic salt in [0, S) derived
+    from their row identity; right rows are REPLICATED S times (one per
+    salt value); the join key becomes (keys…, salt), so one hot key's
+    matches spread over S tasks. Cost: the right side shuffles S× — so
+    pass ``hot_keys`` (e.g. from :func:`heavy_hitters`) to restrict
+    salting to the hot sliver: non-hot keys join normally (salt 0, one
+    replica), and the replication multiplier applies only to right rows
+    whose key is hot. Results are identical to the plain join (each left
+    row meets each matching right row exactly once — its own salt's
+    replica). ``how``: inner or left (semantics preserved; a left row
+    with no match survives with nulls either way).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    if salt_buckets < 2:
+        raise ValueError("salt_buckets must be >= 2")
+    if hot_keys is not None and len(keys) != 1:
+        raise ValueError("hot_keys restriction supports single-key joins")
+
+    if hot_keys is None:
+        is_hot_l = F.lit(True)
+        is_hot_r = F.lit(True)
+    else:
+        is_hot_l = F.col(keys[0]).isin(list(hot_keys))
+        is_hot_r = F.col(keys[0]).isin(list(hot_keys))
+
+    l_salted = left.withColumn(
+        "__salt",
+        F.when(is_hot_l, salt_col(F.col(row_id_col), salt_buckets))
+        .otherwise(F.lit(0)),
+    )
+    r_salted = right.withColumn(
+        "__salt",
+        F.explode(
+            F.when(
+                is_hot_r,
+                F.sequence(F.lit(0), F.lit(salt_buckets - 1)),
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    return l_salted.join(r_salted, keys + ["__salt"], how).drop("__salt")

@@ -91,3 +91,40 @@ def test_heavy_hitters(spark):
     import pytest as _p
     with _p.raises(ValueError, match="top"):
         skew.heavy_hitters(df, "k", top=0)
+
+
+def test_replicated_skew_join_matches_plain_join(spark):
+    from smcchecker_spark.skew import replicated_skew_join
+
+    left = spark.range(0, 2000).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") < 1500, "hot").otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 20).cast("string"))
+        ).alias("k"),
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("hot", 2), ("k3", 30), ("k7", 70), ("absent", 99)],
+        "k string, payload int",
+    )
+    plain = left.join(right, "k", "inner").select("rid", "k", "payload")
+    salted = replicated_skew_join(
+        left, right, "k", "rid", salt_buckets=8
+    ).select("rid", "k", "payload")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+    # hot-key-restricted replication + left join semantics
+    lplain = left.join(right, "k", "left").select("rid", "k", "payload")
+    lsalted = replicated_skew_join(
+        left, right, "k", "rid", salt_buckets=8, hot_keys=["hot"], how="left"
+    ).select("rid", "k", "payload")
+    got = sorted((r["rid"], r["k"], r["payload"]) for r in lsalted.collect())
+    want = sorted((r["rid"], r["k"], r["payload"]) for r in lplain.collect())
+    assert got == want
+
+    import pytest
+    with pytest.raises(ValueError):
+        replicated_skew_join(left, right, "k", "rid", salt_buckets=1)
+    with pytest.raises(ValueError):
+        replicated_skew_join(left, right, ["k", "k"], "rid", hot_keys=["hot"])

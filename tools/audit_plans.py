@@ -72,6 +72,7 @@ AUDITED = [
     "expectations_lineitem",
     "topk_per_user_events",
     "row_diff_events",
+    "skew_join_events",
 ]
 
 JOIN_RE = re.compile(
