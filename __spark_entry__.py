@@ -2789,6 +2789,66 @@ FROM a, b
 """
 
 
+def q_dedup_resolve_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup resolution: same LSH→verify→components
+    pipeline as dedup_resolve_docs, but the kept row per cluster is the
+    argmax of a quality column (synthetic qual = doc_id % 97; ties →
+    min id) instead of the smallest id — resolve_duplicates(keep_by=…).
+    The winner window runs over cluster members only."""
+    from smcchecker_spark.session import physical_parallelism
+
+    docs = _docs_with_planted_dups(spark, sf_dir).withColumn(
+        "qual", (F.col("doc_id") % 97).cast("long")
+    )
+    pairs = dedup.ngram_jaccard_dedup(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=32, bands=16,
+        min_parallelism=physical_parallelism(),
+    )
+    return dedup.resolve_duplicates(
+        docs, pairs, "doc_id", keep_by="qual"
+    ).select("doc_id")
+
+
+# same transitive-closure components as _DEDUP_RESOLVE_ORACLE; winner =
+# argmax(doc_id % 97), tie min doc_id
+_DEDUP_RESOLVE_QUALITY_ORACLE = r"""
+WITH RECURSIVE u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+),
+tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM u
+       WHERE trim(coalesce(text, '')) <> ''),
+sh AS (SELECT doc_id,
+          list_distinct([array_to_string(t[i+1:i+3], ' ')
+                         for i in range(0, greatest(len(t)-3, 0)+1)]) AS s
+       FROM tk),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.8),
+sym AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION SELECT id_b, id_a FROM p),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+win AS (
+  SELECT id FROM (
+    SELECT c.id, ROW_NUMBER() OVER (
+      PARTITION BY c.component ORDER BY (c.id % 97) DESC, c.id
+    ) AS rn
+    FROM comp c
+  ) t WHERE rn = 1
+)
+SELECT u.doc_id FROM u LEFT JOIN comp c ON u.doc_id = c.id
+WHERE c.id IS NULL OR u.doc_id IN (SELECT id FROM win)
+"""
+
+
 def q_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salt-replicated equi-join (skew.replicated_skew_join): every
     event joins its type's average — event_type has ~5 values over 10k+
@@ -3353,6 +3413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_user_events": q_topk_per_user_events,
         "row_diff_events": q_row_diff_events,
         "skew_join_events": q_skew_join_events,
+        "dedup_resolve_quality_docs": q_dedup_resolve_quality_docs,
         "embedding_drift": q_embedding_drift,
         "image_decontaminate_events": q_image_decontaminate_events,
         "snapshot_diff_events": q_snapshot_diff_events,
@@ -3477,6 +3538,8 @@ def oracle_sql() -> dict[str, str]:
         "row_diff_events": _ROW_DIFF_ORACLE,
         # salting changes the plan, not the join result
         "skew_join_events": _SKEW_JOIN_ORACLE,
+        # quality-argmax canonical selection over the same closure
+        "dedup_resolve_quality_docs": _DEDUP_RESOLVE_QUALITY_ORACLE,
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         "image_decontaminate_events": _IMAGE_DECONTAM_ORACLE,
         "snapshot_diff_events": _SNAPSHOT_DIFF_ORACLE,

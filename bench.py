@@ -113,6 +113,7 @@ HEADLINE = [
     "topk_per_user_events",
     "row_diff_events",
     "skew_join_events",
+    "dedup_resolve_quality_docs",
 ]
 
 

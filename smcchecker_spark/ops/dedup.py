@@ -903,19 +903,43 @@ def resolve_duplicates(
     id_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    keep_by: str | None = None,
 ) -> DataFrame:
-    """Keep one canonical row (the smallest id) per near-dup component;
-    rows in no pair pass through untouched. ``components`` is tiny next
-    to the corpus (only dup-cluster members), so the filter is one
-    broadcast-or-AQE left join + null/equality check — the corpus is
-    scanned once."""
+    """Keep one canonical row per near-dup component; rows in no pair
+    pass through untouched. ``components`` is tiny next to the corpus
+    (only dup-cluster members), so the filter is one broadcast-or-AQE
+    left join + null/equality check — the corpus is scanned once.
+
+    Canonical selection: smallest id by default; with ``keep_by`` the
+    component member with the GREATEST value of that column wins (ties
+    break by smallest id) — the quality-aware policy real pipelines
+    want ("keep the longest/highest-scoring duplicate"). The argmax
+    window runs over cluster MEMBERS only (the tiny comp join), never
+    the corpus; NULL quality loses to any value."""
+    from pyspark.sql import Window
+
     comp = connected_components(pairs, id_a, id_b)
     joined = df.join(
         comp, df[id_col] == comp["id"], "left"
     )
-    return joined.filter(
-        comp["component"].isNull() | (comp["component"] == df[id_col])
-    ).drop(comp["id"]).drop(comp["component"])
+    if keep_by is None:
+        return joined.filter(
+            comp["component"].isNull() | (comp["component"] == df[id_col])
+        ).drop(comp["id"]).drop(comp["component"])
+    members = df.join(comp, df[id_col] == comp["id"], "inner")
+    w = Window.partitionBy("component").orderBy(
+        F.desc_nulls_last(keep_by), F.asc(df[id_col])
+    )
+    winners = F.broadcast(
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(df[id_col].alias("__win"))
+    )
+    out = joined.join(winners, df[id_col] == F.col("__win"), "left")
+    return (
+        out.filter(comp["component"].isNull() | F.col("__win").isNotNull())
+        .drop(comp["id"]).drop(comp["component"]).drop("__win")
+    )
 
 
 def image_near_dups(

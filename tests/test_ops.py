@@ -190,6 +190,35 @@ def test_resolve_duplicates_keeps_canonical(spark):
     assert kept == [1, 2, 7, 9]
 
 
+def test_resolve_duplicates_keep_by_quality(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 1.0), (3, "c", 9.0),   # cluster {2,3}
+         (7, "d", None), (8, "e", 2.0),                  # cluster {7,8}
+         (4, "f", 0.0)],                                 # untouched
+        "doc_id long, text string, q double",
+    )
+    pairs = spark.createDataFrame([(2, 3), (7, 8)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.resolve_duplicates(
+            docs, pairs, "doc_id", keep_by="q"
+        ).collect()
+    )
+    # argmax(q): 3 beats 2; NULL q loses, so 8 beats 7; 1/4 untouched
+    assert kept == [1, 3, 4, 8]
+
+    # tie → smallest id wins
+    tied = spark.createDataFrame(
+        [(5, "x", 1.0), (6, "y", 1.0)], "doc_id long, text string, q double"
+    )
+    tpairs = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+    kept2 = [
+        r["doc_id"]
+        for r in dedup.resolve_duplicates(tied, tpairs, "doc_id", keep_by="q").collect()
+    ]
+    assert kept2 == [5]
+
+
 def test_simhash_near_dups(spark, docs):
     pairs = dedup.simhash_near_dups(docs, "doc_id", max_hamming=3)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}

@@ -73,6 +73,7 @@ AUDITED = [
     "topk_per_user_events",
     "row_diff_events",
     "skew_join_events",
+    "dedup_resolve_quality_docs",
 ]
 
 JOIN_RE = re.compile(
