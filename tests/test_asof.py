@@ -127,3 +127,41 @@ def test_asof_matches_pandas_merge_asof(spark):
         for r in asof_join(left, right, "k", left_ts="t").collect()
     }
     assert got == expected
+
+
+def test_asof_tolerance_matches_pandas(spark):
+    """Tolerance semantics == pandas merge_asof(tolerance=...): too-old
+    matches become NULL, not next-older."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    left_pd = pd.DataFrame({
+        "eid": np.arange(150),
+        "k": rng.integers(0, 5, 150),
+        "t": rng.integers(0, 500, 150).astype("float64"),
+    })
+    right_rows = sorted({(int(k), float(t)) for k, t in
+                         zip(rng.integers(0, 5, 60), rng.integers(0, 500, 60))})
+    right_pd = pd.DataFrame(right_rows, columns=["k", "t"])
+    right_pd["price"] = np.arange(len(right_pd), dtype="float64")
+
+    want = pd.merge_asof(
+        left_pd.sort_values("t", kind="mergesort"),
+        right_pd.sort_values("t", kind="mergesort"),
+        on="t", by="k", direction="backward", tolerance=25.0,
+        suffixes=("", "_r"),
+    )
+    expected = {
+        int(r.eid): (None if pd.isna(r.price) else float(r.price))
+        for r in want.itertuples()
+    }
+    got = {
+        r["eid"]: r["asof_price"]
+        for r in asof_join(
+            spark.createDataFrame(left_pd),
+            spark.createDataFrame(right_pd),
+            "k", left_ts="t", tolerance_s=25.0,
+        ).collect()
+    }
+    assert got == expected

@@ -782,3 +782,21 @@ def test_chunk_property_vs_python_reference(docs, chunk, overlap):
             sl = toks[ci * step: ci * step + chunk]
             want.append((i, ci, " ".join(sl), len(sl)))
     assert got == sorted(want)
+
+
+def test_weighted_sample_single_scan_single_exchange(spark, tmp_path):
+    rows = [(i, "hot" if i < 300 else f"k{i%5}", 1.0 + i % 9)
+            for i in range(400)]
+    spark.createDataFrame(rows, "doc_id long, key string, w double").write.parquet(
+        str(tmp_path / "w")
+    )
+    df = spark.read.parquet(str(tmp_path / "w"))
+    out = S.weighted_sample_per_key(df, "doc_id", "key", "w", k=10)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    import re
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    real = [ln for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln]
+    assert len(real) == 1 and "ReusedExchange" in plan
