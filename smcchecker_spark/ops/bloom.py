@@ -127,14 +127,21 @@ def prefilter_anti_join(
     existing_key: str | None = None,
     num_bits: int = 1 << 20,
     num_hashes: int = 4,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Rows of ``df`` whose key is NOT in ``existing`` — bit-identical to
     ``df.join(existing, key, "left_anti")`` (NULL keys pass, matching
     anti-join semantics), but only the bloom-positive sliver reaches the
     exact join: definite negatives short-circuit map-side, so the
-    shuffled volume drops from |df| to |members| + fp·|df|."""
+    shuffled volume drops from |df| to |members| + fp·|df|.
+
+    ``words``: a prebuilt/stored bitmap (from :func:`bloom_build` with
+    the SAME num_bits/num_hashes over the same key) — pass it to skip
+    the build aggregation when many prefilters run against one snapshot
+    (the bloom is a plain DataFrame, persistable like any table)."""
     existing_key = existing_key or key_col
-    words = bloom_build(existing, existing_key, num_bits, num_hashes)
+    if words is None:
+        words = bloom_build(existing, existing_key, num_bits, num_hashes)
     flagged = might_contain(df, key_col, words, num_bits, num_hashes)
     definite_no = flagged.filter(
         ~F.col("__maybe") | F.col(key_col).isNull()

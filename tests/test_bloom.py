@@ -57,3 +57,18 @@ def test_bloom_validates_params(spark):
         bloom.bloom_build(members, "k", num_bits=100)
     with pytest.raises(ValueError):
         bloom.bloom_build(members, "k", num_bits=64, num_hashes=0)
+
+
+def test_prefilter_accepts_stored_words(spark, tmp_path):
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    existing = spark.range(0, 1000, 3).select(F.col("id").alias("k"))
+    words = bloom.bloom_build(existing, "k", 1 << 14, 4)
+    words.write.parquet(str(tmp_path / "bloom"))
+    stored = spark.read.parquet(str(tmp_path / "bloom"))
+    got = bloom.prefilter_anti_join(
+        df, "k", existing, num_bits=1 << 14, words=stored
+    )
+    want = df.join(existing, "k", "left_anti")
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in want.collect()
+    )
