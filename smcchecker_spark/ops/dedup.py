@@ -906,9 +906,12 @@ def resolve_duplicates(
     keep_by: str | None = None,
 ) -> DataFrame:
     """Keep one canonical row per near-dup component; rows in no pair
-    pass through untouched. ``components`` is tiny next to the corpus
-    (only dup-cluster members), so the filter is one broadcast-or-AQE
-    left join + null/equality check — the corpus is scanned once.
+    pass through untouched. ``components`` holds only dup-cluster
+    members — a sliver for curated corpora, but a web corpus can be
+    30%+ duplicates, so the comp join is deliberately UNHINTED: it
+    carries (id, component) longs only, shuffles fine at any scale,
+    and AQE demotes it to broadcast when comp turns out small. The
+    corpus is scanned once either way.
 
     Canonical selection: smallest id by default; with ``keep_by`` the
     component member with the GREATEST value of that column wins (ties
@@ -930,7 +933,10 @@ def resolve_duplicates(
     w = Window.partitionBy("component").orderBy(
         F.desc_nulls_last(keep_by), F.asc(df[id_col])
     )
-    winners = F.broadcast(
+    # one row per component — same order of magnitude as comp itself,
+    # which at a 30%-duplicate web corpus is NOT broadcast-scale; no
+    # hint, AQE demotes the join to broadcast when it IS small
+    winners = (
         members.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(df[id_col].alias("__win"))
