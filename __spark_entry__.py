@@ -2789,6 +2789,54 @@ FROM a, b
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts as columns — groupBy().pivot() with
+    an EXPLICIT value list (deterministic schema, and Spark skips the
+    extra distinct-values scan a bare pivot needs)."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                     for t in _EVENT_TYPES]
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: three numeric lineitem measures to long form
+    (order, measure, value) — DataFrame.unpivot (Spark's melt), the
+    shape column-stats and drift pipelines consume."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure", "value",
+    )
+
+
+_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+"""
+
+
 def q_dedup_resolve_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup resolution: same LSH→verify→components
     pipeline as dedup_resolve_docs, but the kept row per cluster is the
@@ -3414,6 +3462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_diff_events": q_row_diff_events,
         "skew_join_events": q_skew_join_events,
         "dedup_resolve_quality_docs": q_dedup_resolve_quality_docs,
+        "pivot_user_events": q_pivot_user_events,
+        "unpivot_lineitem": q_unpivot_lineitem,
         "embedding_drift": q_embedding_drift,
         "image_decontaminate_events": q_image_decontaminate_events,
         "snapshot_diff_events": q_snapshot_diff_events,
@@ -3540,6 +3590,9 @@ def oracle_sql() -> dict[str, str]:
         "skew_join_events": _SKEW_JOIN_ORACLE,
         # quality-argmax canonical selection over the same closure
         "dedup_resolve_quality_docs": _DEDUP_RESOLVE_QUALITY_ORACLE,
+        # pivot == conditional aggregation; unpivot == UNION ALL
+        "pivot_user_events": _PIVOT_ORACLE,
+        "unpivot_lineitem": _UNPIVOT_ORACLE,
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         "image_decontaminate_events": _IMAGE_DECONTAM_ORACLE,
         "snapshot_diff_events": _SNAPSHOT_DIFF_ORACLE,

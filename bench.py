@@ -114,6 +114,8 @@ HEADLINE = [
     "row_diff_events",
     "skew_join_events",
     "dedup_resolve_quality_docs",
+    "pivot_user_events",
+    "unpivot_lineitem",
 ]
 
 

@@ -74,6 +74,8 @@ AUDITED = [
     "row_diff_events",
     "skew_join_events",
     "dedup_resolve_quality_docs",
+    "pivot_user_events",
+    "unpivot_lineitem",
 ]
 
 JOIN_RE = re.compile(
