@@ -2789,6 +2789,33 @@ FROM a, b
 """
 
 
+def q_except_intersect_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-ops: EXCEPT ALL and INTERSECT ALL between two
+    overlapping doc-id multisets (duplicates planted on one side so the
+    ALL semantics — per-occurrence, not per-value — are exercised)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    a = a.unionByName(a.filter(F.col("doc_id") % 5 == 1))  # planted dups
+    b = docs.filter(F.col("doc_id") % 2 != 0)
+    return (
+        a.exceptAll(b).withColumn("op", F.lit("except"))
+        .unionByName(a.intersectAll(b).withColumn("op", F.lit("intersect")))
+    )
+
+
+_EXCEPT_INTERSECT_ORACLE = """
+WITH a AS (
+  SELECT doc_id FROM documents WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 1
+),
+b AS (SELECT doc_id FROM documents WHERE doc_id % 2 <> 0)
+SELECT doc_id, 'except' AS op FROM (SELECT doc_id FROM a EXCEPT ALL SELECT doc_id FROM b)
+UNION ALL
+SELECT doc_id, 'intersect' FROM (SELECT doc_id FROM a INTERSECT ALL SELECT doc_id FROM b)
+"""
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -3463,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join_events": q_skew_join_events,
         "dedup_resolve_quality_docs": q_dedup_resolve_quality_docs,
         "pivot_user_events": q_pivot_user_events,
+        "except_intersect_docs": q_except_intersect_docs,
         "unpivot_lineitem": q_unpivot_lineitem,
         "embedding_drift": q_embedding_drift,
         "image_decontaminate_events": q_image_decontaminate_events,
@@ -3592,6 +3620,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_resolve_quality_docs": _DEDUP_RESOLVE_QUALITY_ORACLE,
         # pivot == conditional aggregation; unpivot == UNION ALL
         "pivot_user_events": _PIVOT_ORACLE,
+        "except_intersect_docs": _EXCEPT_INTERSECT_ORACLE,
         "unpivot_lineitem": _UNPIVOT_ORACLE,
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         "image_decontaminate_events": _IMAGE_DECONTAM_ORACLE,

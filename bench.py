@@ -116,6 +116,7 @@ HEADLINE = [
     "dedup_resolve_quality_docs",
     "pivot_user_events",
     "unpivot_lineitem",
+    "except_intersect_docs",
 ]
 
 

@@ -76,6 +76,7 @@ AUDITED = [
     "dedup_resolve_quality_docs",
     "pivot_user_events",
     "unpivot_lineitem",
+    "except_intersect_docs",
 ]
 
 JOIN_RE = re.compile(
