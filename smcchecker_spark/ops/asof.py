@@ -1,22 +1,26 @@
 """Distributed as-of (point-in-time) join.
 
 ``asof_join(left, right, ...)`` attaches, to every left row, the single
-right row with the greatest event time at-or-before the left row's event
-time, per key — the "latest snapshot as of t" lookup that training-data
-pipelines need for feature attachment (latest label/price/profile before
-an example's timestamp) and that Spark has no native operator for.
+right row nearest in event time within the same key — at-or-before
+(``backward``, the default), at-or-after (``forward``), or whichever is
+closer (``nearest``) — the "latest snapshot as of t" lookup that
+training-data pipelines need for feature attachment (latest
+label/price/profile before an example's timestamp) and that Spark has
+no native operator for.
 
 Execution shape (the part that matters at 10^12 rows): the naive
 formulations are a range join (O(|L|·|R|) per key after the equi part —
 a cross-join blow-up on hot keys) or a per-key ``collect_list`` +
 binary-search UDF (one giant row per hot key). Instead both sides are
 UNIONED into one stream, shuffled ONCE on the key, sorted within
-partitions by (event time, side), and a running ``last(ignorenulls)``
-window carries the most recent right payload forward onto each left row.
-Cost = one exchange + one sort — identical to a plain sort-merge join on
-the key — and a hot key degrades to a sort, never to a quadratic pair
-enumeration. This is the standard union-stream as-of plan (same shape
-Flink's temporal join and pandas ``merge_asof`` use, distributed).
+partitions by (event time, side), and running carry windows over that
+single sort produce the backward (``last ignorenulls`` up to the
+current row) and forward (``first ignorenulls`` after it) matches.
+Cost = one exchange + one sort FOR EVERY DIRECTION — identical to a
+plain sort-merge join on the key — and a hot key degrades to a sort,
+never to a quadratic pair enumeration. This is the standard
+union-stream as-of plan (same shape Flink's temporal join and pandas
+``merge_asof`` use, distributed).
 
 Reference parity note: the reference (SCCWRP/smcchecker) has no temporal
 operators; this is part of the beyond-reference pipeline layer.
@@ -49,30 +53,39 @@ def asof_join(
     right_ts: str | None = None,
     tolerance_s: float | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the right row with the
-    greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key.
+    """As-of join: for each left row, the right row with the nearest
+    ``right_ts`` within the same ``on`` key, by ``direction``:
+
+    - ``backward`` (default): greatest right_ts <= left_ts,
+    - ``forward``: smallest right_ts >= left_ts,
+    - ``nearest``: whichever of the two is closer in time (exact ties
+      → the backward match).
 
     Output: every left column, plus each non-key right column as
-    ``{prefix}{col}`` (NULL when no right row precedes the left row, or
-    when the match is older than ``tolerance_s`` seconds).
+    ``{prefix}{col}`` (NULL when no right row qualifies, or when the
+    match is farther than ``tolerance_s`` seconds — "no match", not
+    "next-nearer match", identical to pandas ``merge_asof``).
 
     Semantics notes:
 
-    - **at-or-before**: a right row at exactly ``left_ts`` matches (ties
-      sort right-before-left).
+    - **inclusive**: a right row at exactly ``left_ts`` matches every
+      direction.
     - **deterministic ties**: several right rows sharing (key, ts) would
-      make "the" match ambiguous; the greatest right payload (struct
-      order over the output columns) wins, so results are stable across
-      retries and partitionings. Pre-aggregate the right side if you
-      need a different tie rule.
-    - **tolerance**: with ``tolerance_s``, matches older than the window
-      are nulled out AFTER the carry-forward — semantically "no match",
-      not "next-older match" (identical to pandas ``merge_asof``).
+      make "the" match ambiguous; payload struct order decides
+      (greatest for backward/equal-ts matches, smallest for
+      strictly-forward ones), so results are stable across retries and
+      partitionings. Pre-aggregate the right side if you need a
+      specific tie rule.
 
     Both event-time columns must be castable to double epoch seconds
     (timestamps or numerics).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
     payload_cols = [c for c in right.columns if c not in keys]
@@ -84,12 +97,13 @@ def asof_join(
             if f"{prefix}{c}" in left.columns:
                 raise ValueError(f"output column {prefix}{c!r} collides with left")
 
-    # ts FIRST in the payload struct: the deterministic tie-break "greatest
-    # struct wins" then orders by ts before anything else
+    # ts FIRST in the payload struct: the deterministic tie-break by
+    # struct order then orders by ts before anything else
     ordered_payload = [right_ts] + [c for c in payload_cols if c != right_ts]
+    rts_dtype = right.schema[right_ts].dataType
     r_stream = right.select(
         *keys,
-        _epoch_seconds(F.col(right_ts), right.schema[right_ts].dataType).alias("__t"),
+        _epoch_seconds(F.col(right_ts), rts_dtype).alias("__t"),
         F.lit(0).alias("__side"),
         F.struct(*[F.col(c) for c in ordered_payload]).alias("__r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -102,25 +116,46 @@ def asof_join(
         F.lit(None).cast(r_stream.schema["__r"].dataType).alias("__r"),
         *[c for c in left.columns if c not in keys],
     )
-    # one shuffle on the key; within a key the sort is (t, side, payload):
-    # right rows precede left rows at equal t (at-or-before), and equal-t
-    # right rows resolve to the greatest payload struct
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__r").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # ONE shuffle on the key; within a key the sort is (t, side, payload):
+    # right rows precede left rows at equal t, so the backward frame
+    # (unbounded → current) is at-or-before INCLUSIVE and the forward
+    # frame (current+1 → unbounded) is strictly-after — equal-ts forward
+    # matches come from the backward carry (see below)
+    base = Window.partitionBy(*keys).orderBy(
+        F.col("__t").asc(), F.col("__side").asc(), F.col("__r").asc()
     )
-    carried = r_stream.unionByName(l_stream).withColumn(
-        "__m", F.last("__r", ignorenulls=True).over(w)
+    bw = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stream = r_stream.unionByName(l_stream).withColumn(
+        "__mb", F.last("__r", ignorenulls=True).over(bw)
     )
-    out = carried.filter(F.col("__side") == 1)
+
+    def epoch_of(m: Column) -> Column:
+        return _epoch_seconds(m[right_ts], rts_dtype)
+
+    if direction == "backward":
+        stream = stream.withColumn("__m", F.col("__mb"))
+    else:
+        fw = base.rowsBetween(1, Window.unboundedFollowing)
+        stream = stream.withColumn(
+            "__mf", F.first("__r", ignorenulls=True).over(fw)
+        )
+        mb, mf = F.col("__mb"), F.col("__mf")
+        eq = mb.isNotNull() & (epoch_of(mb) == F.col("__t"))
+        if direction == "forward":
+            m = F.when(eq, mb).otherwise(mf)
+        else:  # nearest: closer side wins; exact tie → backward
+            bd = F.col("__t") - epoch_of(mb)
+            fd = epoch_of(mf) - F.col("__t")
+            m = F.when(
+                mb.isNotNull() & (mf.isNull() | (bd <= fd)), mb
+            ).otherwise(mf)
+        stream = stream.withColumn("__m", m)
+
+    out = stream.filter(F.col("__side") == 1)
     match = F.col("__m")
     if tolerance_s is not None:
         match = F.when(
-            F.col("__t")
-            - _epoch_seconds(
-                F.col(f"__m.{right_ts}"), right.schema[right_ts].dataType
-            )
+            F.abs(F.col("__t") - epoch_of(F.col("__m")))
             <= F.lit(float(tolerance_s)),
             F.col("__m"),
         )

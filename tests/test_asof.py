@@ -165,3 +165,70 @@ def test_asof_tolerance_matches_pandas(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_asof_forward_and_nearest_match_pandas(spark):
+    """direction='forward'/'nearest' parity vs pandas merge_asof on
+    seeded random data (odd/even timestamps — no equidistant-nearest
+    ties, whose resolution pandas leaves unspecified)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    left_pd = pd.DataFrame({
+        "eid": np.arange(200),
+        "k": rng.integers(0, 6, 200),
+        # odd left timestamps, even right timestamps → |bd| != |fd| always
+        "t": (rng.integers(0, 400, 200) * 2 + 1).astype("float64"),
+    })
+    right_rows = sorted({(int(k), float(t * 2)) for k, t in
+                         zip(rng.integers(0, 6, 80), rng.integers(0, 400, 80))})
+    right_pd = pd.DataFrame(right_rows, columns=["k", "t"])
+    right_pd["price"] = np.arange(len(right_pd), dtype="float64")
+
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    for direction in ("forward", "nearest"):
+        want = pd.merge_asof(
+            left_pd.sort_values("t", kind="mergesort"),
+            right_pd.sort_values("t", kind="mergesort"),
+            on="t", by="k", direction=direction, suffixes=("", "_r"),
+        )
+        expected = {
+            int(r.eid): (None if pd.isna(r.price) else float(r.price))
+            for r in want.itertuples()
+        }
+        got = {
+            r["eid"]: r["asof_price"]
+            for r in asof_join(left, right, "k", left_ts="t",
+                               direction=direction).collect()
+        }
+        assert got == expected, direction
+
+
+def test_asof_direction_edges(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 10.0), (2, "u", 25.0)], "eid long, k string, t double"
+    )
+    right = spark.createDataFrame(
+        [("u", 10.0, 100.0), ("u", 20.0, 200.0), ("u", 30.0, 300.0)],
+        "k string, t double, price double",
+    )
+
+    def run(direction, tol=None):
+        return {
+            r["eid"]: r["asof_price"]
+            for r in asof_join(left, right, "k", left_ts="t",
+                               direction=direction, tolerance_s=tol).collect()
+        }
+
+    # equal-ts right matches every direction
+    assert run("backward") == {1: 100.0, 2: 200.0}
+    assert run("forward") == {1: 100.0, 2: 300.0}
+    # nearest: eid2 at 25 is equidistant to 20 and 30 → backward wins
+    assert run("nearest") == {1: 100.0, 2: 200.0}
+    # tolerance applies as absolute distance in every direction
+    assert run("forward", tol=4.0) == {1: 100.0, 2: None}
+    import pytest
+    with pytest.raises(ValueError):
+        asof_join(left, right, "k", left_ts="t", direction="sideways")
