@@ -232,3 +232,13 @@ def test_asof_direction_edges(spark):
     import pytest
     with pytest.raises(ValueError):
         asof_join(left, right, "k", left_ts="t", direction="sideways")
+
+
+def test_asof_nearest_still_single_exchange(spark, sides):
+    left, right = sides
+    df = asof_join(left, right, "user_id", direction="nearest")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    # both carry windows ride the same (key) partitioning + (t, side,
+    # payload) sort — adding directions must not add exchanges
+    assert plan.count("Exchange hashpartitioning") == 1
