@@ -126,6 +126,43 @@ def main() -> None:
             budget=2e8,
         ).count()
     })
+    # --- round-2 additions: chunking, capping, weighted sampling,
+    # map-side top-k, bloom prefilter — all at the full 2M scale ---
+    timed("chunk_documents", lambda: {
+        "chunks": T.chunk_documents(
+            docs, "doc_id", chunk_tokens=32, overlap_tokens=4
+        ).count()
+    })
+    # heavy-tailed synthetic domain: one hot key holding 2% of the corpus
+    domains = docs.withColumn(
+        "src",
+        F.when(F.col("doc_id") % 50 == 0, F.lit("hot")).otherwise(
+            F.concat(F.lit("s"), (F.col("doc_id") % 1000).cast("string"))
+        ),
+    )
+    timed("cap_per_key", lambda: {
+        "kept": S.cap_per_key(domains, "doc_id", "src", cap=500).count()
+    })
+    timed("weighted_sample_per_key", lambda: {
+        "kept": S.weighted_sample_per_key(
+            domains, "doc_id", "src", "n_chars", k=200
+        ).count()
+    })
+    timed("topk_per_key", lambda: {
+        "rows": __import__(
+            "smcchecker_spark.ops.topk", fromlist=["topk_per_key"]
+        ).topk_per_key(domains, "src", "n_chars", "doc_id", k=5).count()
+    })
+    timed("bloom_prefilter_anti", lambda: {
+        "not_in": __import__(
+            "smcchecker_spark.ops.bloom", fromlist=["prefilter_anti_join"]
+        ).prefilter_anti_join(
+            docs.select("doc_id"),
+            "doc_id",
+            docs.filter(F.col("doc_id") % 3 == 0).select("doc_id"),
+            num_bits=1 << 24,
+        ).count()
+    })
     print(json.dumps({"n_docs": N_DOCS, "cores": CORES, "ops": results}))
     spark.stop()
 
