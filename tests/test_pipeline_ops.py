@@ -800,3 +800,17 @@ def test_weighted_sample_single_scan_single_exchange(spark, tmp_path):
     real = [ln for ln in plan.splitlines()
             if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln]
     assert len(real) == 1 and "ReusedExchange" in plan
+
+
+def test_chunk_arrow_matches_hof(spark, sf_dir):
+    """The Arrow chunker (default) and the pure-Column HOF form are the
+    same function — full-corpus parity on real documents."""
+    from smcchecker_spark.ops import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, T.chunk_documents(
+        docs, "doc_id", chunk_tokens=40, overlap_tokens=8).collect()))
+    h = sorted(map(tuple, T.chunk_documents(
+        docs, "doc_id", chunk_tokens=40, overlap_tokens=8, arrow=False
+    ).collect()))
+    assert a == h and len(a) > 0
