@@ -3164,6 +3164,35 @@ def q_asof_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_next_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for every click, the user's NEXT purchase
+    at-or-after it (direction='forward' — strictly-after first-carry
+    over the same single sort). Oracle: DuckDB ASOF LEFT JOIN with the
+    inequality flipped (l.ts <= r.ts)."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_ops.asof_join(
+        left, right, "user_id", left_ts="ts", direction="forward"
+    ).select("event_id", "user_id", "asof_ts", "asof_purchase_value")
+
+
+_ASOF_FORWARD_ORACLE = """
+SELECT l.event_id, l.user_id, r.ts AS asof_ts,
+       r.purchase_value AS asof_purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS purchase_value
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
 _ASOF_ORACLE = """
 SELECT l.event_id, l.user_id, r.ts AS asof_ts,
        r.purchase_value AS asof_purchase_value
@@ -3480,6 +3509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "sessionize_events": q_sessionize_events,
         "asof_purchase_events": q_asof_purchase_events,
+        "asof_next_purchase_events": q_asof_next_purchase_events,
         "zorder_events": q_zorder_events,
         "bloom_anti_events": q_bloom_anti_events,
         "corpus_rollup": q_corpus_rollup,
@@ -3600,6 +3630,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": _SESSIONIZE_ORACLE,
         # union-stream as-of join vs DuckDB's native ASOF LEFT JOIN
         "asof_purchase_events": _ASOF_ORACLE,
+        "asof_next_purchase_events": _ASOF_FORWARD_ORACLE,
         # Morton interleave as integer arithmetic
         "zorder_events": _ZORDER_ORACLE,
         # bloom prefilter changes the plan, not the answer — exact oracle

@@ -65,6 +65,7 @@ AUDITED = [
     "cap_per_source_docs",
     "chunk_docs",
     "asof_purchase_events",
+    "asof_next_purchase_events",
     "zorder_events",
     "bloom_anti_events",
     "weighted_sample_events",
