@@ -2819,6 +2819,55 @@ SELECT doc_id, 'intersect' FROM (SELECT doc_id FROM a INTERSECT ALL SELECT doc_i
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_dataset_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet (ops/report.py dataset_card): size, composition,
+    exact-dup rate, token budget — every metric from ONE aggregation
+    over the planted-dups corpus, all exact and SQL-reproducible."""
+    from smcchecker_spark.ops import report
+
+    return report.dataset_card(_docs_with_planted_dups(spark, sf_dir))
+
+
+_DATASET_CARD_ORACLE = r"""
+WITH u AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources,
+         CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs,
+         CAST(SUM(CASE WHEN trim(coalesce(text,'')) = '' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS n_empty,
+         COUNT(CASE WHEN trim(coalesce(text,'')) <> '' THEN 1 END) AS n_ne,
+         COUNT(DISTINCT CASE WHEN trim(coalesce(text,'')) <> '' THEN
+           md5(lower(trim(regexp_replace(coalesce(text,''), '\s+', ' ', 'g'))))
+         END) AS n_fp,
+         CAST(SUM(CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END)
+              AS DOUBLE) AS total_tokens,
+         CAST(ROUND(AVG(CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END), 6)
+              AS DOUBLE) AS mean_tokens,
+         CAST(ROUND(AVG(len(coalesce(text,''))), 6) AS DOUBLE) AS mean_chars
+  FROM u
+)
+SELECT t.u['metric'] AS metric, t.u['value'] AS value FROM m, UNNEST([
+  {'metric': 'n_docs',         'value': m.n_docs},
+  {'metric': 'n_sources',      'value': m.n_sources},
+  {'metric': 'n_langs',        'value': m.n_langs},
+  {'metric': 'n_empty',        'value': m.n_empty},
+  {'metric': 'exact_dup_rate', 'value': CAST(ROUND((m.n_ne - m.n_fp) /
+                                        GREATEST(m.n_ne, 1), 6) AS DOUBLE)},
+  {'metric': 'total_tokens',   'value': m.total_tokens},
+  {'metric': 'mean_tokens',    'value': m.mean_tokens},
+  {'metric': 'mean_chars',     'value': m.mean_chars}
+]) AS t(u)
+"""
+
+
 def q_pivot_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event counts as columns — groupBy().pivot() with
     an EXPLICIT value list (deterministic schema, and Spark skips the
@@ -3521,6 +3570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_resolve_quality_docs": q_dedup_resolve_quality_docs,
         "pivot_user_events": q_pivot_user_events,
         "except_intersect_docs": q_except_intersect_docs,
+        "dataset_card_docs": q_dataset_card_docs,
         "unpivot_lineitem": q_unpivot_lineitem,
         "embedding_drift": q_embedding_drift,
         "image_decontaminate_events": q_image_decontaminate_events,
@@ -3652,6 +3702,8 @@ def oracle_sql() -> dict[str, str]:
         # pivot == conditional aggregation; unpivot == UNION ALL
         "pivot_user_events": _PIVOT_ORACLE,
         "except_intersect_docs": _EXCEPT_INTERSECT_ORACLE,
+        # the corpus datasheet — one aggregation, all metrics exact
+        "dataset_card_docs": _DATASET_CARD_ORACLE,
         "unpivot_lineitem": _UNPIVOT_ORACLE,
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         "image_decontaminate_events": _IMAGE_DECONTAM_ORACLE,

@@ -78,6 +78,7 @@ AUDITED = [
     "pivot_user_events",
     "unpivot_lineitem",
     "except_intersect_docs",
+    "dataset_card_docs",
 ]
 
 JOIN_RE = re.compile(
