@@ -1544,6 +1544,40 @@ FROM documents JOIN lp ON documents.doc_id = lp.doc_id
 """
 
 
+def q_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (ops/text.py vocabulary): token -> (tf, df,
+    smoothed IDF), min_df=2, deterministic top-1000 by (tf desc, token
+    asc). One explode -> one map-side-combined aggregation; n_docs rides
+    a 1-row broadcast; top-N plans as TakeOrderedAndProject."""
+    return text_ops.vocabulary(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        min_df=2,
+        top_n=1000,
+    )
+
+
+_VOCAB_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, lower(t.tok) AS token
+  FROM documents, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS t(tok)
+  WHERE trim(coalesce(text, '')) <> ''
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+v AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY token
+)
+SELECT token, tf, df,
+       CAST(ROUND(LN((n.n_docs + 1) / (v.df + 1)) + 1, 9) AS DOUBLE) AS idf
+FROM v, n
+WHERE df >= 2
+ORDER BY tf DESC, token
+LIMIT 1000
+"""
+
+
 def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     copies = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
@@ -3525,6 +3559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_count_events": q_salted_count_events,
         "metrics_drift": q_metrics_drift,
         "text_features_docs": q_text_features_docs,
+        "vocab_docs": q_vocab_docs,
         "exact_dups_docs": q_exact_dups_docs,
         "minhash_neardup_docs": q_minhash_neardup_docs,
         "neardup_components_docs": q_neardup_components_docs,
@@ -3621,6 +3656,8 @@ def oracle_sql() -> dict[str, str]:
         "metrics_drift": _METRICS_DRIFT_ORACLE,
         "engine_caption_parity": _CAPTION_PARITY_ORACLE,
         "text_features_docs": _TEXT_ORACLE,
+        # vocabulary: explode + group; smooth-IDF quantized to 9 dp
+        "vocab_docs": _VOCAB_ORACLE,
         "exact_dups_docs": _EXACT_DUP_ORACLE,
         "minhash_neardup_docs": _MINHASH_ORACLE,
         "neardup_components_docs": _NEARDUP_COMPONENTS_ORACLE,

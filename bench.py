@@ -118,6 +118,9 @@ HEADLINE = [
     "pivot_user_events",
     "unpivot_lineitem",
     "except_intersect_docs",
+    # round-2 tail: corpus datasheet + vocabulary/IDF table
+    "dataset_card_docs",
+    "vocab_docs",
 ]
 
 

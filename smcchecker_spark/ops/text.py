@@ -363,3 +363,69 @@ def chunk_documents(
         .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
         .withColumn("chunk_tokens", token_count(F.col("chunk_text")))
     )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = None,
+    min_df: int = 1,
+    top_n: int | None = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus vocabulary with term/document frequency and smoothed IDF —
+    the table a tokenizer build, stopword discovery, or TF-IDF weighting
+    starts from.
+
+    Output: ``(token, tf, df, idf)`` where ``tf`` is total occurrences,
+    ``df`` is the number of documents containing the token, and
+    ``idf = round(ln((n_docs + 1) / (df + 1)) + 1, 9)`` (sklearn's
+    smooth-IDF, quantized so a SQL oracle matches bit-for-bit).
+    ``n_docs`` counts ALL input docs, including empty ones.
+
+    Scale story: ONE explode feeding ONE aggregation —
+    ``groupBy(token).agg(count, count_distinct(doc))`` plans as
+    partial aggregation on (token, doc) map-side, so hot tokens
+    ("the") combine before the shuffle and skew never concentrates raw
+    occurrence rows on one task. The n_docs scalar joins back as a
+    literal-free broadcast (1-row cross join), not a driver collect.
+    ``top_n`` ranks by (tf desc, token asc) — deterministic ties —
+    planned as TakeOrderedAndProject (per-partition top-k, no global
+    sort shuffle).
+
+    Reference parity: no analogue (the reference validates tabular
+    submissions); this is part of the beyond-reference text-pipeline
+    surface alongside ``text_features``.
+    """
+    tk = tokens(F.col(text_col))
+    if lowercase:
+        tk = F.transform(tk, F.lower)
+    # deterministic doc identity when the table has one; the mono-id
+    # fallback is stable within a run (df only counts distincts)
+    doc = (
+        F.col(id_col) if id_col is not None else F.monotonically_increasing_id()
+    )
+    exploded = df.select(doc.alias("_doc"), tk.alias("_tk")).select(
+        "_doc", F.explode("_tk").alias("token")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("_n_docs"))
+    out = (
+        exploded.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("_doc").alias("df"),
+        )
+        .filter(F.col("df") >= F.lit(min_df))
+        .join(F.broadcast(n_docs))
+        .select(
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.log((F.col("_n_docs") + 1) / (F.col("df") + 1)) + 1, 9
+            ).alias("idf"),
+        )
+    )
+    if top_n is not None:
+        out = out.orderBy(F.col("tf").desc(), F.col("token")).limit(top_n)
+    return out

@@ -79,6 +79,7 @@ AUDITED = [
     "unpivot_lineitem",
     "except_intersect_docs",
     "dataset_card_docs",
+    "vocab_docs",
 ]
 
 JOIN_RE = re.compile(
