@@ -1544,6 +1544,37 @@ FROM documents JOIN lp ON documents.doc_id = lp.doc_id
 """
 
 
+def q_budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy corpus selection under a token budget (ops/sample.py
+    select_within_budget): rank by (n_chars desc, doc_id asc), keep docs
+    while the inclusive token running-total stays <= 15k. Two-pass
+    distributed prefix sum — no single-partition sort; ranges whose
+    offset exceeds the budget are pruned before the window."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", text_ops.token_count(F.col("text"))
+    )
+    return sample_ops.select_within_budget(
+        docs, "n_chars", "n_tokens", 15_000, "doc_id", num_ranges=8
+    ).select("doc_id", "n_chars", "cum_size")
+
+
+_BUDGET_SELECT_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_chars,
+         CAST(SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_size
+  FROM t
+)
+SELECT doc_id, n_chars, cum_size FROM c WHERE cum_size <= 15000
+"""
+
+
 def q_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary (ops/text.py vocabulary): token -> (tf, df,
     smoothed IDF), min_df=2, deterministic top-1000 by (tf desc, token
@@ -3560,6 +3591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_drift": q_metrics_drift,
         "text_features_docs": q_text_features_docs,
         "vocab_docs": q_vocab_docs,
+        "budget_select_docs": q_budget_select_docs,
         "exact_dups_docs": q_exact_dups_docs,
         "minhash_neardup_docs": q_minhash_neardup_docs,
         "neardup_components_docs": q_neardup_components_docs,
@@ -3658,6 +3690,8 @@ def oracle_sql() -> dict[str, str]:
         "text_features_docs": _TEXT_ORACLE,
         # vocabulary: explode + group; smooth-IDF quantized to 9 dp
         "vocab_docs": _VOCAB_ORACLE,
+        # greedy budget selection == one global running-sum window in SQL
+        "budget_select_docs": _BUDGET_SELECT_ORACLE,
         "exact_dups_docs": _EXACT_DUP_ORACLE,
         "minhash_neardup_docs": _MINHASH_ORACLE,
         "neardup_components_docs": _NEARDUP_COMPONENTS_ORACLE,

@@ -300,3 +300,96 @@ def weighted_sample_per_key(
         .drop("__rn")
     )
     return small.unionByName(picked)
+
+
+def select_within_budget(
+    df: DataFrame,
+    score_col: str,
+    size_col: str,
+    budget: int,
+    id_col: str,
+    num_ranges: int | None = None,
+    cum_col: str = "cum_size",
+) -> DataFrame:
+    """Greedy corpus selection under a global size budget: rank docs by
+    (``score_col`` desc, ``id_col`` asc) and keep rows while the
+    INCLUSIVE running total of ``size_col`` stays ≤ ``budget`` — "take
+    the best documents until the token budget is spent", the selection
+    step of quality-ranked pre-training data curation. Output keeps all
+    input columns plus ``cum_col`` (this row's inclusive running total).
+
+    Deterministic: the (score desc, id asc) order is total (``id_col``
+    must be unique, non-null), so membership is a pure function of the
+    data — independent of partitioning, parallelism, and resume. NULL
+    scores rank last (selected only if budget remains after every
+    scored doc); NULL sizes count 0.
+
+    Scale story: the naive ``sum() over (order by score)`` is a
+    single-partition global sort. This uses the same two-pass
+    distributed prefix sum as :func:`smcchecker_spark.ops.pack.pack_sequences`:
+    approxQuantile score boundaries split the corpus into P ranges
+    (ties can't straddle a range); pass 1 computes per-range size
+    totals over a 2-column scan (P rows to the driver); pass 2 runs the
+    running sum inside each range (P-way parallel window, streaming
+    frame) and adds the higher-ranges offset as a literal CASE. Ranges
+    whose offset already exceeds the budget are entirely filtered by
+    the final predicate — at 100 TB the selected head is a handful of
+    ranges and AQE prunes the rest after the filter.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from pyspark.sql import Window
+
+    from smcchecker_spark.ops.pack import _range_id
+
+    spark = df.sparkSession
+    p = num_ranges or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    quantiles = [i / p for i in range(1, p)]
+    bounds = (
+        df.select(F.col(score_col).cast("double").alias("s"))
+        .approxQuantile("s", quantiles, 0.001)
+        if p > 1
+        else []
+    )
+    boundaries = sorted(set(bounds))
+
+    rid = _range_id(F.col(score_col).cast("double"), boundaries)
+    size = F.coalesce(F.col(size_col).cast("long"), F.lit(0))
+
+    totals = {
+        r["_rid"]: r["_t"]
+        for r in df.select(rid, size.alias("_s"))
+        .groupBy("_rid")
+        .agg(F.sum("_s").alias("_t"))
+        .collect()
+    }
+    # global order is score DESC: offsets accumulate from the TOP range
+    # (highest rid) downward; NULL scores fold into rid 0 and sort after
+    # that range's real scores via desc_nulls_last
+    offsets: dict[int, int] = {}
+    acc = 0
+    for i in range(len(boundaries), -1, -1):
+        offsets[i] = acc
+        acc += totals.get(i, 0)
+
+    offset_expr = F.lit(0)
+    for i, off in offsets.items():
+        offset_expr = F.when(F.col("_rid") == i, F.lit(off)).otherwise(offset_expr)
+    w = (
+        Window.partitionBy("_rid")
+        .orderBy(F.col(score_col).desc_nulls_last(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (offset_expr + F.sum(size).over(w)).cast("long")
+    # a range whose exclusive offset already exceeds the budget cannot
+    # contribute any row (cum >= offset); filtering on _rid BEFORE the
+    # window pushes the prune below the exchange — unselected ranges
+    # never shuffle or sort
+    viable = [i for i, off in offsets.items() if off <= budget]
+    return (
+        df.withColumn("_rid", rid)
+        .filter(F.col("_rid").isin(viable))
+        .withColumn(cum_col, cum)
+        .filter(F.col(cum_col) <= F.lit(budget))
+        .drop("_rid")
+    )

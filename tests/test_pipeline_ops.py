@@ -814,3 +814,79 @@ def test_chunk_arrow_matches_hof(spark, sf_dir):
         docs, "doc_id", chunk_tokens=40, overlap_tokens=8, arrow=False
     ).collect()))
     assert a == h and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# ops/sample.py select_within_budget
+# ---------------------------------------------------------------------------
+
+
+def _budget_reference(df, score_col, size_col, budget, id_col):
+    w = Window.orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(F.coalesce(F.col(size_col).cast("long"), F.lit(0))).over(w)
+    return (
+        df.withColumn("cum_size", cum.cast("long"))
+        .filter(F.col("cum_size") <= budget)
+    )
+
+
+def test_budget_select_matches_single_window_reference(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: r["cum_size"]
+        for r in S.select_within_budget(
+            docs, "n_chars", "n_chars", 40_000, "doc_id", num_ranges=8
+        ).collect()
+    }
+    exp = {
+        r["doc_id"]: r["cum_size"]
+        for r in _budget_reference(docs, "n_chars", "n_chars", 40_000, "doc_id").collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_budget_select_invariant_to_range_count(spark):
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 13).alias("score"),
+        (F.col("id") % 7 + 1).alias("sz"),
+    )
+    expect = None
+    for p in (1, 4, 16):
+        got = sorted(
+            (r["k"], r["cum_size"])
+            for r in S.select_within_budget(
+                df, "score", "sz", 300, "k", num_ranges=p
+            ).collect()
+        )
+        if expect is None:
+            expect = got
+        assert got == expect
+
+
+def test_budget_select_null_score_last_null_size_zero(spark):
+    rows = [(1, 10.0, 5), (2, None, 5), (3, 20.0, None), (4, 5.0, 5)]
+    df = spark.createDataFrame(rows, "k int, score double, sz int")
+    # order: k3(20, sz 0) cum 0 -> k1(10) cum 5 -> k4(5) cum 10 -> k2(null) cum 15
+    got = {r["k"]: r["cum_size"] for r in S.select_within_budget(
+        df, "score", "sz", 10, "k", num_ranges=2
+    ).collect()}
+    assert got == {3: 0, 1: 5, 4: 10}
+    # budget large enough admits the NULL-score row, after everything else
+    all_rows = {r["k"]: r["cum_size"] for r in S.select_within_budget(
+        df, "score", "sz", 100, "k", num_ranges=2
+    ).collect()}
+    assert all_rows[2] == 15
+
+
+def test_budget_select_no_single_partition_exchange(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("score"), F.lit(7).alias("sz")
+    )
+    out = S.select_within_budget(df, "score", "sz", 700, "k", num_ranges=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    with pytest.raises(ValueError):
+        S.select_within_budget(df, "score", "sz", -1, "k")

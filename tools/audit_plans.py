@@ -80,6 +80,7 @@ AUDITED = [
     "except_intersect_docs",
     "dataset_card_docs",
     "vocab_docs",
+    "budget_select_docs",
 ]
 
 JOIN_RE = re.compile(
