@@ -38,6 +38,7 @@ from smcchecker_spark.image import (
 from smcchecker_spark.vector import VectorFinite, VectorNormRange, VectorShape
 from smcchecker_spark.ops import contamination, dedup, pack, sessions, similarity
 from smcchecker_spark.ops import asof as asof_ops
+from smcchecker_spark.ops import incremental as inc_ops
 from smcchecker_spark.ops import sample as sample_ops
 from smcchecker_spark.ops import text as text_ops
 
@@ -1662,6 +1663,57 @@ def q_minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=16,
         min_parallelism=physical_parallelism(),
     )
+
+
+def q_incremental_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: the ``documents`` corpus' MinHash band
+    index is built ONCE (ops/incremental.py save_minhash_index — the
+    'accepted production corpus' artifact, reference analogue
+    proj/core_checks duplicate-vs-production), then the planted ingest
+    batch (doc_id+100000 copies) probes the STORED index: new x new +
+    new x old candidates only, exact shingle-Jaccard >= 0.8 verify.
+    old x old is never enumerated. Oracle: true all-pairs Jaccard
+    restricted to pairs touching the batch (id_b >= 100000 — batch ids
+    are the only ids in that range); 16 bands x 2 rows makes LSH recall
+    ~1 at s=0.8, so blocking misses nothing the verify would keep."""
+    import tempfile
+
+    from smcchecker_spark.session import physical_parallelism
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    path = tempfile.mkdtemp(prefix="mh_index_")
+    par = physical_parallelism()
+    inc_ops.save_minhash_index(
+        docs, path, "doc_id", "text",
+        num_hashes=32, bands=16, min_parallelism=par,
+    )
+    return inc_ops.incremental_ngram_dedup(
+        new, docs, path, "doc_id", threshold=0.8, min_parallelism=par
+    )
+
+
+_INCREMENTAL_ORACLE = r"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+),
+tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM u
+       WHERE trim(coalesce(text, '')) <> ''),
+sh AS (SELECT doc_id,
+          list_distinct([array_to_string(t[i+1:i+3], ' ')
+                         for i in range(0, greatest(len(t)-3, 0)+1)]) AS s
+       FROM tk),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT * FROM p WHERE jaccard >= 0.8 AND id_b >= 100000
+"""
 
 
 _MINHASH_ORACLE = r"""
@@ -3594,6 +3646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select_docs": q_budget_select_docs,
         "exact_dups_docs": q_exact_dups_docs,
         "minhash_neardup_docs": q_minhash_neardup_docs,
+        "incremental_neardup_docs": q_incremental_neardup_docs,
         "neardup_components_docs": q_neardup_components_docs,
         "dedup_resolve_docs": q_dedup_resolve_docs,
         "simhash_neardup_docs": q_simhash_neardup_docs,
@@ -3694,6 +3747,8 @@ def oracle_sql() -> dict[str, str]:
         "budget_select_docs": _BUDGET_SELECT_ORACLE,
         "exact_dups_docs": _EXACT_DUP_ORACLE,
         "minhash_neardup_docs": _MINHASH_ORACLE,
+        # index probe + exact verify == all-pairs truth restricted to the batch
+        "incremental_neardup_docs": _INCREMENTAL_ORACLE,
         "neardup_components_docs": _NEARDUP_COMPONENTS_ORACLE,
         "dedup_resolve_docs": _DEDUP_RESOLVE_ORACLE,
         "topk_cosine": _TOPK_COSINE_ORACLE,

@@ -218,6 +218,30 @@ def minhash_signatures(
     )
 
 
+def _chunked_members(
+    grouped: DataFrame,
+    key_cols: list[str],
+    chunk: int,
+    member_col: str = "ms",
+    idx_name: str = "ci",
+    arr_name: str = "ca",
+) -> DataFrame:
+    """Slice each bucket's (sorted) member array into ``chunk``-sized
+    sub-arrays: (key_cols..., idx_name, arr_name) rows — the common
+    prelude of every hot-bucket guard (self-join pairing, one-sided
+    incremental probe)."""
+    last_chunk = F.ceil(F.size(member_col) / F.lit(chunk)).cast("int") - 1
+    return grouped.select(
+        *key_cols,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), last_chunk),
+                lambda i: F.slice(member_col, i * chunk + 1, chunk),
+            )
+        ).alias(idx_name, arr_name),
+    )
+
+
 def _chunk_block_join(
     grouped: DataFrame, key_cols: list[str], chunk: int
 ) -> DataFrame:
@@ -231,16 +255,7 @@ def _chunk_block_join(
     the build side broadcasts only the chunk arrays. Shared by the
     struct-pair explode (``bucketed_pairs`` hot path) and the blocked
     numpy scorers (``similarity.semantic_dup_pairs``)."""
-    last_chunk = F.ceil(F.size("ms") / F.lit(chunk)).cast("int") - 1
-    chunked = grouped.select(
-        *key_cols,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), last_chunk),
-                lambda i: F.slice("ms", i * chunk + 1, chunk),
-            )
-        ).alias("ci", "ca"),
-    )
+    chunked = _chunked_members(grouped, key_cols, chunk)
     probe = chunked.repartition(*key_cols, "ci")
     build = F.broadcast(
         chunked.select(
@@ -351,6 +366,78 @@ def bucketed_pairs(
     return out.dropDuplicates(["a", "b"])
 
 
+def banded_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) LSH band rows from an (id, sig) signature
+    table: each band's ``num_hashes/bands`` signature components hash to
+    one 64-bit bucket id (xxhash64). Ids ONLY — the signature array is
+    never replicated per band, so downstream bucket shuffles move 3
+    longs per (doc, band). Shared by the in-corpus pairing
+    (:func:`minhash_candidate_pairs`) and the persisted incremental
+    index (:mod:`smcchecker_spark.ops.incremental`), which must band
+    identically for old and new docs to collide."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def pair_est_jaccard(
+    pairs: DataFrame, sigs: DataFrame, num_hashes: int
+) -> DataFrame:
+    """est_jaccard = fraction of matching signature components, attached
+    to (id_a, id_b) candidate pairs from an (id, sig) table that covers
+    (at least) the candidate ids. ONE join: pairs are melted to
+    (id_a, id_b, id), both sides attach through the same broadcast join,
+    and a regroup collects the two signatures per pair (est is
+    symmetric, so collect order is irrelevant). Pairs whose member is
+    absent from ``sigs`` are dropped (inner-join semantics). Callers
+    pass a PRUNED ``sigs`` (candidates << corpus) — this function adds
+    no pruning of its own."""
+    melted = F.broadcast(
+        pairs.select(
+            "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
+        )
+    )
+    sigs2 = (
+        melted.join(sigs, "id")
+        .groupBy("id_a", "id_b")
+        .agg(F.collect_list("sig").alias("sigs"))
+        .filter(F.size("sigs") == 2)
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(
+                F.element_at("sigs", 1),
+                F.element_at("sigs", 2),
+                lambda x, y: x == y,
+            ),
+            lambda v: v,
+        )
+    )
+    return sigs2.select(
+        "id_a",
+        "id_b",
+        F.round(matches / F.lit(num_hashes), 6).alias("est_jaccard"),
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -388,29 +475,12 @@ def minhash_candidate_pairs(
     Doc ids must be unique (pair identity is (id_a, id_b)).
     """
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_k, min_parallelism
     )
-    banded = sig.select(
-        F.struct(F.col("id")).alias("m"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("m", "bb.band", "bb.bucket")
+    banded = banded_rows(sig, num_hashes, bands).select(
+        F.struct(F.col("id")).alias("m"), "band", "bucket"
+    )
 
     pairs = bucketed_pairs(
         banded, ["band", "bucket"],
@@ -432,33 +502,8 @@ def minhash_candidate_pairs(
     sig2 = minhash_signatures(
         pruned, id_col, text_col, num_hashes, shingle_k, min_parallelism
     )
-    # both signatures attach through ONE join (melt → join → regroup);
-    # est is symmetric so collect order doesn't matter
-    melted = F.broadcast(
-        pairs.select(
-            "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
-        )
-    )
-    sigs2 = (
-        melted.join(sig2, "id")
-        .groupBy("id_a", "id_b")
-        .agg(F.collect_list("sig").alias("sigs"))
-    )
-    matches = F.size(
-        F.filter(
-            F.zip_with(
-                F.element_at("sigs", 1),
-                F.element_at("sigs", 2),
-                lambda x, y: x == y,
-            ),
-            lambda v: v,
-        )
-    )
-    return sigs2.select(
-        "id_a",
-        "id_b",
-        F.round(matches / F.lit(num_hashes), 6).alias("est_jaccard"),
-    )
+    # both signatures attach through ONE join (melt → join → regroup)
+    return pair_est_jaccard(pairs, sig2, num_hashes)
 
 
 def exact_jaccard_pairs(

@@ -81,6 +81,7 @@ AUDITED = [
     "dataset_card_docs",
     "vocab_docs",
     "budget_select_docs",
+    "incremental_neardup_docs",
 ]
 
 JOIN_RE = re.compile(
