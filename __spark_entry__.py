@@ -2366,6 +2366,68 @@ FROM documents
 """
 
 
+def q_leakage_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (ops/sample.py
+    leakage_safe_split): near-dup clusters (LSH → exact verify ≥ 0.8 →
+    connected components) hash on their canonical min id, so no cluster
+    straddles splits; unpaired docs hash on their own id. Oracle:
+    recursive-CTE closure → canonical id → the same md5 bucket CASE."""
+    from smcchecker_spark.session import physical_parallelism
+
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_dedup(
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.8,
+        num_hashes=32,
+        bands=16,
+        min_parallelism=physical_parallelism(),
+    ).select("id_a", "id_b")
+    return sample_ops.leakage_safe_split(
+        docs, "doc_id", pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+_LEAKAGE_SPLIT_ORACLE = r"""
+WITH RECURSIVE u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+),
+tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM u
+       WHERE trim(coalesce(text, '')) <> ''),
+sh AS (SELECT doc_id,
+          list_distinct([array_to_string(t[i+1:i+3], ' ')
+                         for i in range(0, greatest(len(t)-3, 0)+1)]) AS s
+       FROM tk),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.8),
+sym AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION SELECT id_b, id_a FROM p),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+canon AS (
+  SELECT u.doc_id, coalesce(comp.component, u.doc_id) AS c
+  FROM u LEFT JOIN comp ON u.doc_id = comp.id
+)
+SELECT doc_id,
+       CASE WHEN (('0x' || substr(md5('split' || c::VARCHAR), 1, 15))::BIGINT
+                  % 1000000) < 100000 THEN 'test'
+            WHEN (('0x' || substr(md5('split' || c::VARCHAR), 1, 15))::BIGINT
+                  % 1000000) < 900000 THEN 'train'
+            ELSE 'val' END AS split
+FROM canon
+"""
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: overlapping 40-token windows stepping
     every 32 tokens (ops/text.py chunk_documents) — map-only 1→k
@@ -3665,6 +3727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_caption_parity": q_engine_caption_parity,
         "images_validate": q_images_validate,
         "det_split_docs": q_det_split_docs,
+        "leakage_split_docs": q_leakage_split_docs,
         "cap_per_source_docs": q_cap_per_source_docs,
         "chunk_docs": q_chunk_docs,
         "mix_budget_docs": q_mix_budget_docs,
@@ -3784,6 +3847,8 @@ def oracle_sql() -> dict[str, str]:
         "phash_neardup_events": _PHASH_NEARDUP_ORACLE,
         "phash_dedup_resolve_events": _PHASH_RESOLVE_ORACLE,
         "det_split_docs": _DET_SPLIT_ORACLE,
+        # closure -> canonical id -> same md5 bucket CASE, cluster-atomic
+        "leakage_split_docs": _LEAKAGE_SPLIT_ORACLE,
         # per-key cap: window selection over a deterministic hash order —
         # exact-mode semantics are plain ROW_NUMBER in SQL
         "cap_per_source_docs": _CAP_PER_KEY_ORACLE,

@@ -393,3 +393,51 @@ def select_within_budget(
         .filter(F.col(cum_col) <= F.lit(budget))
         .drop("_rid")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    salt: str = "split",
+    split_col: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    broadcast_components: bool = True,
+) -> DataFrame:
+    """Train/val/test split that never lets near-duplicates straddle
+    splits: every member of a dup CLUSTER (connected component of
+    ``pairs``) hashes on the cluster's canonical (min) id, so the whole
+    cluster lands in one split — the eval-contamination guard that a
+    plain per-row split (:func:`det_split`) cannot give. Docs in no pair
+    hash on their own id (identical to ``det_split`` for them).
+
+    Assignment is a pure function of (data, salt, fractions): the
+    component labels are deterministic (min id over the closure) and the
+    bucket hash is the portable md5 idiom — stable under re-runs,
+    resume, and repartitioning, reproducible by a SQL oracle.
+
+    Scale: the components table holds only ids that appear in a pair —
+    the dup-graph sliver, orders of magnitude smaller than the corpus —
+    and attaches through a broadcast left join (map-only for the corpus;
+    set ``broadcast_components=False`` for pathologically dup-heavy
+    corpora, where it degrades to one hash join on the id). The split
+    CASE itself is codegen'd, no extra pass.
+    """
+    from smcchecker_spark.ops.dedup import connected_components
+
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b).select(
+        F.col("id").alias("__cid"), F.col("component").alias("__component")
+    )
+    if broadcast_components:
+        comp = F.broadcast(comp)
+    canon = F.coalesce(F.col("__component"), F.col(id_col))
+    out = (
+        df.join(comp, F.col(id_col) == F.col("__cid"), "left")
+        .withColumn("__canon", canon)
+        .drop("__cid", "__component")
+    )
+    return det_split(
+        out, "__canon", fractions, salt=salt, split_col=split_col
+    ).drop("__canon")

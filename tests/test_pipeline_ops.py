@@ -890,3 +890,50 @@ def test_budget_select_no_single_partition_exchange(spark):
     assert "SinglePartition" not in plan
     with pytest.raises(ValueError):
         S.select_within_budget(df, "score", "sz", -1, "k")
+
+
+# ---------------------------------------------------------------------------
+# ops/sample.py leakage_safe_split
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_split_clusters_never_straddle(spark):
+    """A transitive dup chain (0-1, 1-2) plus a disjoint pair (10-11)
+    must each land wholly in one split; unpaired docs keep their plain
+    det_split assignment."""
+    df = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: r["split"]
+        for r in S.leakage_safe_split(
+            df, "doc_id", pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert len(out) == 200
+    assert out[0] == out[1] == out[2]
+    assert out[10] == out[11]
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in S.det_split(
+            df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    clustered = {0, 1, 2, 10, 11}
+    for k, v in out.items():
+        if k not in clustered:
+            assert v == plain[k]
+    # cluster members follow the CANONICAL id's plain assignment
+    assert out[2] == plain[0] and out[11] == plain[10]
+
+
+def test_leakage_split_broadcast_parity(spark):
+    df = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(3, 7), (7, 42)], "id_a long, id_b long")
+    kw = dict(fractions={"a": 0.5, "b": 0.5})
+    fast = S.leakage_safe_split(df, "doc_id", pairs, **kw).collect()
+    slow = S.leakage_safe_split(
+        df, "doc_id", pairs, broadcast_components=False, **kw
+    ).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))

@@ -82,6 +82,7 @@ AUDITED = [
     "vocab_docs",
     "budget_select_docs",
     "incremental_neardup_docs",
+    "leakage_split_docs",
 ]
 
 JOIN_RE = re.compile(
