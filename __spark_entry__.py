@@ -1545,6 +1545,41 @@ FROM documents JOIN lp ON documents.doc_id = lp.doc_id
 """
 
 
+def q_lm_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (ops/text.py unigram_lm + lm_score),
+    the CCNet recipe's cheap stand-in: train Laplace-smoothed token
+    log-probs on the corpus (min_tf=2 prunes hapaxes so the OOV floor is
+    exercised), score every doc by count-weighted negative
+    log-likelihood. One token agg + one compressed (doc,token,cnt)
+    broadcast-join pass."""
+    docs = _t(spark, sf_dir, "documents")
+    model = text_ops.unigram_lm(docs, "text", min_tf=2)
+    return text_ops.lm_score(docs, model, "doc_id", "text")
+
+
+_LM_QUALITY_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id, lower(u.t) AS token
+  FROM documents, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS u(t)
+  WHERE trim(coalesce(text, '')) <> ''
+),
+counts AS (SELECT token, count(*) AS tf FROM tk GROUP BY token),
+st AS (SELECT CAST(sum(tf) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS v
+       FROM counts),
+model AS (
+  SELECT token, round(ln((tf + 1.0) / (total + (v + 1))), 9) AS logp
+  FROM counts, st WHERE tf >= 2),
+floor_p AS (SELECT round(ln(1.0 / (total + (v + 1))), 9) AS oov FROM st),
+occ AS (SELECT doc_id, token, count(*) AS cnt FROM tk GROUP BY doc_id, token)
+SELECT occ.doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_scored,
+       round(-sum(cnt * coalesce(model.logp, floor_p.oov)) / sum(cnt), 6)
+         AS avg_neg_logp
+FROM occ LEFT JOIN model USING (token), floor_p
+GROUP BY occ.doc_id
+"""
+
+
 def q_budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy corpus selection under a token budget (ops/sample.py
     select_within_budget): rank by (n_chars desc, doc_id asc), keep docs
@@ -3706,6 +3741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features_docs": q_text_features_docs,
         "vocab_docs": q_vocab_docs,
         "budget_select_docs": q_budget_select_docs,
+        "lm_quality_docs": q_lm_quality_docs,
         "exact_dups_docs": q_exact_dups_docs,
         "minhash_neardup_docs": q_minhash_neardup_docs,
         "incremental_neardup_docs": q_incremental_neardup_docs,
@@ -3808,6 +3844,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_docs": _VOCAB_ORACLE,
         # greedy budget selection == one global running-sum window in SQL
         "budget_select_docs": _BUDGET_SELECT_ORACLE,
+        # Laplace unigram LM + count-weighted NLL, OOV floor via min_tf prune
+        "lm_quality_docs": _LM_QUALITY_ORACLE,
         "exact_dups_docs": _EXACT_DUP_ORACLE,
         "minhash_neardup_docs": _MINHASH_ORACLE,
         # index probe + exact verify == all-pairs truth restricted to the batch

@@ -429,3 +429,99 @@ def vocabulary(
     if top_n is not None:
         out = out.orderBy(F.col("tf").desc(), F.col("token")).limit(top_n)
     return out
+
+
+def unigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    alpha: float = 1.0,
+    min_tf: int = 1,
+) -> DataFrame:
+    """Train a Laplace-smoothed unigram language model: (token, tf,
+    logp, oov_logp) where ``logp = ln((tf + alpha) / (total + alpha *
+    (V + 1)))`` and ``oov_logp`` is the same with tf = 0 — the CCNet
+    recipe's cheap stand-in: train on a trusted reference corpus, score
+    a crawl by per-token log-likelihood (:func:`lm_score`), gate on the
+    score. ``total``/``V`` count ALL tokens (before ``min_tf`` pruning),
+    so pruned tokens score exactly like unseen ones. Log-probs quantize
+    to 9 dp (portable to a SQL oracle).
+
+    Plan: one explode → one token aggregation (map-side partials absorb
+    hot tokens); total/V attach via a 1-row broadcast, never a collect.
+    The vocab-sized counts table is materialized (localCheckpoint) —
+    total/V and the model rows both read it, which would otherwise
+    re-scan + re-aggregate the training corpus per consumer.
+    """
+    tk = tokens(F.col(text_col))
+    if lowercase:
+        tk = F.transform(tk, F.lower)
+    counts = (
+        df.select(tk.alias("_tk"))
+        .select(F.explode("_tk").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    stats = counts.agg(
+        F.sum("tf").alias("_total"), F.count(F.lit(1)).alias("_v")
+    )
+    denom = F.col("_total") + F.lit(alpha) * (F.col("_v") + 1)
+    return (
+        counts.filter(F.col("tf") >= F.lit(min_tf))
+        .join(F.broadcast(stats))
+        .select(
+            "token",
+            "tf",
+            F.round(F.log((F.col("tf") + F.lit(alpha)) / denom), 9).alias(
+                "logp"
+            ),
+            F.round(F.log(F.lit(alpha) / denom), 9).alias("oov_logp"),
+        )
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    lowercase: bool = True,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-doc unigram negative log-likelihood against a trained
+    :func:`unigram_lm`: (id, n_scored, avg_neg_logp) — lower is more
+    reference-like; unseen tokens take the model's OOV floor. Docs with
+    zero tokens emit no row (they need no LM to be judged).
+
+    Plan: occurrences compress to (doc, token, count) FIRST (map-side
+    partials — a hot token never concentrates raw occurrence rows), the
+    model attaches through a broadcast left join (set
+    ``broadcast_model=False`` for giant vocabularies: same result, one
+    token-keyed shuffle of the compressed pairs), and the per-doc
+    aggregate is a count-weighted mean. Two exchanges end-to-end."""
+    tk = tokens(F.col(text_col))
+    if lowercase:
+        tk = F.transform(tk, F.lower)
+    occ = (
+        df.select(F.col(id_col), tk.alias("_tk"))
+        .select(id_col, F.explode("_tk").alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = model.select("token", "logp")
+    if broadcast_model:
+        m = F.broadcast(m)
+    floor = F.broadcast(model.agg(F.min("oov_logp").alias("_oov")))
+    lp = F.coalesce(F.col("logp"), F.col("_oov"))
+    return (
+        occ.join(m, "token", "left")
+        .join(floor)
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_scored"),
+            F.round(-F.sum(F.col("cnt") * lp) / F.sum("cnt"), 6).alias(
+                "avg_neg_logp"
+            ),
+        )
+    )

@@ -654,3 +654,62 @@ def test_semantic_dup_pairs_hot_cell_complete(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert len(pairs) == len(got) == 30 * 29 // 2
     assert all(r["cosine"] >= 0.99 for r in pairs)
+
+
+# ---------------------------------------------------------------------------
+# ops/text.py unigram_lm / lm_score
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_lm_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c")], "doc_id long, text string"
+    )
+    m = {r["token"]: r for r in text.unigram_lm(df).collect()}
+    # total=5, V=3, denom = 5 + 1*(3+1) = 9
+    assert m["a"]["tf"] == 3
+    assert m["a"]["logp"] == round(math.log(4 / 9), 9)
+    assert m["b"]["logp"] == round(math.log(2 / 9), 9)
+    assert m["a"]["oov_logp"] == round(math.log(1 / 9), 9)
+
+
+def test_lm_score_oov_and_ranking(spark):
+    import math
+
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the dog sat on the rug")],
+        "doc_id long, text string",
+    )
+    model = text.unigram_lm(train)
+    score = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zzz qqq xxx"), (12, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.lm_score(score, model, "doc_id").collect()}
+    assert set(got) == {10, 11}  # empty doc emits no row
+    assert got[10]["avg_neg_logp"] < got[11]["avg_neg_logp"]  # junk ranks worse
+    # doc 11 is ALL OOV: avg == -oov_logp exactly
+    oov = model.select("oov_logp").first()[0]
+    assert got[11]["avg_neg_logp"] == round(-oov, 6)
+    assert got[11]["n_scored"] == 3
+
+
+def test_lm_score_broadcast_parity_and_min_tf(spark):
+    train = spark.createDataFrame(
+        [(0, "x x y z"), (1, "x w")], "doc_id long, text string"
+    )
+    model = text.unigram_lm(train, min_tf=2)  # only "x" survives
+    assert [r["token"] for r in model.collect()] == ["x"]
+    score = spark.createDataFrame([(5, "x y w")], "doc_id long, text string")
+    a = text.lm_score(score, model, "doc_id").collect()
+    b = text.lm_score(score, model, "doc_id", broadcast_model=False).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # pruned tokens (y, w) score exactly like unseen ones: denom uses FULL vocab
+    import math
+
+    # total=6, V=4, denom=11; x: ln(4/11), oov: ln(1/11)
+    row = a[0]
+    want = -(math.log(4 / 11) * 1 + math.log(1 / 11) * 2) / 3
+    assert abs(row["avg_neg_logp"] - want) < 1e-5

@@ -83,6 +83,7 @@ AUDITED = [
     "budget_select_docs",
     "incremental_neardup_docs",
     "leakage_split_docs",
+    "lm_quality_docs",
 ]
 
 JOIN_RE = re.compile(
