@@ -208,6 +208,51 @@ FROM s
 """
 
 
+def q_union_evolution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union (tables.union_with_evolution): three
+    historical exports of ``events`` with drifted schemas — narrowed
+    user_id (int), float value, dropped/extra columns — align by
+    explicit widening (int→bigint, float→double), NULL-fill missing
+    columns, and tag provenance. Map-only, zero shuffles."""
+    from smcchecker_spark import tables
+
+    ev = _t(spark, sf_dir, "events")
+    v2024 = ev.filter(F.col("event_id") % 3 == 0).select(
+        "event_id",
+        F.col("user_id").cast("int").alias("user_id"),
+        "event_type",
+        "value",
+    )
+    v2025 = ev.filter(F.col("event_id") % 3 == 1).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("value").cast("float").alias("value"),
+        "ts",
+    )
+    vendor = ev.filter(F.col("event_id") % 3 == 2).select(
+        "event_id", "event_type", "props"
+    )
+    return tables.union_with_evolution(
+        {"a2024": v2024, "b2025": v2025, "vendor": vendor}
+    )
+
+
+_UNION_EVOLUTION_ORACLE = """
+SELECT 'a2024' AS source, event_id,
+       CAST(CAST(user_id AS INTEGER) AS BIGINT) AS user_id, event_type,
+       value, CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS VARCHAR) AS props
+FROM events WHERE event_id % 3 = 0
+UNION ALL
+SELECT 'b2025', event_id, user_id, event_type,
+       CAST(CAST(value AS REAL) AS DOUBLE), ts, NULL
+FROM events WHERE event_id % 3 = 1
+UNION ALL
+SELECT 'vendor', event_id, NULL, event_type, NULL, NULL, props
+FROM events WHERE event_id % 3 = 2
+"""
+
+
 def q_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key diagnostic (skew.heavy_hitters): top-5 event_type values
     with corpus share — the decision input for salted_repartition /
@@ -3707,6 +3752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "quantized_topk": q_quantized_topk,
         "heavy_hitters_events": q_heavy_hitters_events,
+        "union_evolution_events": q_union_evolution_events,
         "violations_sampled_docs": q_violations_sampled_docs,
         "messages_per_row": q_messages_per_row,
         "engine_intrange_part": q_engine_intrange_part,
@@ -3812,6 +3858,8 @@ def oracle_sql() -> dict[str, str]:
         # SQL-reproducible (integer arithmetic; no rounding tolerance)
         "quantized_topk": _QUANTIZED_TOPK_ORACLE,
         "heavy_hitters_events": _HEAVY_HITTERS_ORACLE,
+        # drifted exports realigned: widening casts + NULL fills, BY NAME
+        "union_evolution_events": _UNION_EVOLUTION_ORACLE,
         "violations_sampled_docs": _VIOLATIONS_SAMPLED_ORACLE,
         "messages_per_row": _MESSAGES_ORACLE,
         "engine_intrange_part": _INTRANGE_ORACLE,

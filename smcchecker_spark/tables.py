@@ -553,3 +553,106 @@ def row_diff(
         .filter(F.col("change").isNotNull())
         .select(*key_cols, "change")
     )
+
+
+_NUM_WIDTH = {  # keyed by DataType.typeName()
+    "byte": 0, "short": 1, "integer": 2, "long": 3,
+    "float": 4, "double": 5,
+}
+
+
+def _widened(a, b):
+    """Widest common type of two Spark DataTypes, or None if they are
+    incompatible without data loss beyond standard numeric widening."""
+    from pyspark.sql import types as T
+
+    if a == b:
+        return a
+    an, bn = a.typeName(), b.typeName()
+    if an == "decimal" or bn == "decimal":
+        other = bn if an == "decimal" else an
+        if other == "decimal" or other in _NUM_WIDTH:
+            return T.DoubleType()
+        return None
+    if an in _NUM_WIDTH and bn in _NUM_WIDTH:
+        return a if _NUM_WIDTH[an] >= _NUM_WIDTH[bn] else b
+    if {an, bn} == {"date", "timestamp"}:
+        return T.TimestampType()
+    if {an, bn} == {"date", "timestamp_ntz"}:
+        return T.TimestampNTZType()
+    return None
+
+
+def union_with_evolution(
+    sources: "dict[str, DataFrame]",
+    source_col: str | None = "source",
+    cast_to_string: bool = False,
+) -> DataFrame:
+    """Union corpora whose schemas have drifted apart — the multi-source
+    ingest reality (a crawl dump, a vendor drop, last year's export) that
+    plain ``unionByName`` rejects with a deep AnalysisException.
+
+    Column set = first-seen order across ``sources`` (dict order);
+    missing columns fill NULL; conflicting types resolve by explicit
+    lossless-ish widening (numeric width order tinyint→double, decimal→
+    double, date→timestamp). Incompatible drift (int vs string, scalar
+    vs array) raises ``ValueError`` NAMING the columns and per-source
+    types — the error a data engineer can act on — unless
+    ``cast_to_string=True``, which falls back to casting those columns
+    to string (auditable, never throws at runtime under ANSI mode).
+    ``source_col`` (set None to skip) prepends each row's provenance —
+    the tag every downstream per-source health rollup keys on.
+
+    Scale: pure per-source projections + UNION ALL — map-only, ZERO
+    shuffles, no driver data movement; Catalyst pushes filters/pruning
+    through the union into every source scan.
+
+    Reference parity: the reference loads each submission against one
+    fixed schema (proj/load.py); schema evolution across historical
+    corpora is part of the beyond-reference table layer (Iceberg
+    analogue: schema evolution + UNION of snapshots).
+    """
+    from pyspark.sql import types as T
+
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    target: dict = {}
+    per_source: dict = {}
+    for name, df in sources.items():
+        for f in df.schema.fields:
+            per_source.setdefault(f.name, {})[name] = f.dataType
+            if f.name not in target:
+                target[f.name] = f.dataType
+            else:
+                w = _widened(target[f.name], f.dataType)
+                target[f.name] = w if w is not None else None
+    bad = [c for c, t in target.items() if t is None]
+    if bad:
+        if cast_to_string:
+            for c in bad:
+                target[c] = T.StringType()
+        else:
+            detail = "; ".join(
+                f"{c}: " + ", ".join(
+                    f"{src}={dt.simpleString()}"
+                    for src, dt in per_source[c].items()
+                )
+                for c in bad
+            )
+            raise ValueError(
+                f"incompatible column types across sources ({detail}); "
+                "pass cast_to_string=True to fold them to string"
+            )
+    out = None
+    for name, df in sources.items():
+        have = {f.name for f in df.schema.fields}
+        cols = []
+        if source_col is not None:
+            cols.append(F.lit(name).alias(source_col))
+        for c, t in target.items():
+            cols.append(
+                (F.col(c).cast(t) if c in have else F.lit(None).cast(t)).alias(c)
+            )
+        part = df.select(*cols)
+        out = part if out is None else out.unionByName(part)
+    return out

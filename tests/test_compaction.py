@@ -144,3 +144,58 @@ def test_row_diff_semantics(spark):
         tables.row_diff(old, new, [])
     with pytest.raises(ValueError):
         tables.row_diff(old.drop("v"), new, ["k"])
+
+
+# ---------------------------------------------------------------------------
+# tables.union_with_evolution
+# ---------------------------------------------------------------------------
+
+
+def test_union_evolution_widens_and_fills(spark):
+    a = spark.createDataFrame([(1, 10, "x")], "id int, v int, s string")
+    b = spark.createDataFrame([(2, 3.5)], "id bigint, v double")
+    out = tables.union_with_evolution({"a": a, "b": b})
+    assert dict(out.dtypes) == {
+        "source": "string", "id": "bigint", "v": "double", "s": "string",
+    }
+    rows = {r["source"]: r for r in out.collect()}
+    assert rows["a"]["id"] == 1 and rows["a"]["v"] == 10.0
+    assert rows["b"]["s"] is None
+    # column order: provenance first, then first-seen order
+    assert out.columns == ["source", "id", "v", "s"]
+
+
+def test_union_evolution_incompatible_raises_then_folds(spark):
+    import pytest as _pytest
+
+    a = spark.createDataFrame([(1,)], "k int")
+    b = spark.createDataFrame([("x",)], "k string")
+    with _pytest.raises(ValueError, match="k: a=int, b=string"):
+        tables.union_with_evolution({"a": a, "b": b})
+    out = tables.union_with_evolution({"a": a, "b": b}, cast_to_string=True)
+    assert dict(out.dtypes)["k"] == "string"
+    assert {r["k"] for r in out.collect()} == {"1", "x"}
+    with _pytest.raises(ValueError, match="non-empty"):
+        tables.union_with_evolution({})
+
+
+def test_union_evolution_date_widens_to_timestamp(spark):
+    import datetime
+
+    a = spark.createDataFrame(
+        [(datetime.date(2026, 1, 2),)], "d date"
+    )
+    b = spark.createDataFrame(
+        [(datetime.datetime(2026, 1, 3, 4, 5),)], "d timestamp"
+    )
+    out = tables.union_with_evolution({"a": a, "b": b}, source_col=None)
+    assert dict(out.dtypes) == {"d": "timestamp"}
+    assert out.count() == 2
+
+
+def test_union_evolution_map_only_plan(spark):
+    a = spark.createDataFrame([(1, 10)], "id int, v int")
+    b = spark.createDataFrame([(2, 3.5)], "id bigint, v double")
+    out = tables.union_with_evolution({"a": a, "b": b})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -84,6 +84,7 @@ AUDITED = [
     "incremental_neardup_docs",
     "leakage_split_docs",
     "lm_quality_docs",
+    "union_evolution_events",
 ]
 
 JOIN_RE = re.compile(
