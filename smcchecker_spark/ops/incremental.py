@@ -73,7 +73,14 @@ def save_minhash_index(
     ONE signature-UDF pass: signatures are written first and band rows
     derive from the stored table (second pass reads parquet, not the
     UDF). Ids must be unique across the corpus AND every future batch —
-    pair identity is (id_a, id_b)."""
+    pair identity is (id_a, id_b).
+
+    Layout: both tables carry an ``ingest`` hive-partition label
+    ("base" here, one label per append). Appends with a label are
+    IDEMPOTENT — dynamic partition overwrite replaces that label's
+    partitions — which is what a streaming replay of a micro-batch
+    needs for exactly-once index growth (Iceberg analogue:
+    overwritePartitions on the ingest transform)."""
     assert num_hashes % bands == 0
     spark = df.sparkSession
     spark.createDataFrame(
@@ -81,11 +88,23 @@ def save_minhash_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_k, min_parallelism
-    ).write.mode("overwrite").parquet(f"{path}/sigs")
-    sig = spark.read.parquet(f"{path}/sigs")
-    banded_rows(sig, num_hashes, bands).write.mode("overwrite").partitionBy(
-        "band"
-    ).parquet(f"{path}/banded")
+    ).withColumn("ingest", F.lit("base")).write.mode("overwrite").partitionBy(
+        "ingest"
+    ).parquet(f"{path}/sigs")
+    sig = _read_sigs(spark, path)
+    banded_rows(sig, num_hashes, bands).withColumn(
+        "ingest", F.lit("base")
+    ).write.mode("overwrite").partitionBy("ingest", "band").parquet(
+        f"{path}/banded"
+    )
+
+
+def _read_sigs(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(f"{path}/sigs").select("id", "sig")
+
+
+def _read_banded(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(f"{path}/banded").select("band", "bucket", "id")
 
 
 def load_minhash_meta(spark: SparkSession, path: str) -> dict:
@@ -99,12 +118,19 @@ def append_to_minhash_index(
     id_col: str,
     text_col: str = "text",
     min_parallelism: int | None = None,
+    ingest_label: str | None = None,
 ) -> None:
     """Fold an ACCEPTED batch into the index (sigs + banded appends,
     parameters from the stored meta). Caller contract: batch ids are not
-    already present (run the probe + your dedup policy first). Parquet
-    append is the sandbox stand-in for an Iceberg transactional append —
-    on the cluster both writes belong in one commit."""
+    already present (run the probe + your dedup policy first).
+
+    ``ingest_label`` names the batch's hive partition; with a label the
+    write is dynamic-partition OVERWRITE — replaying the same batch
+    (streaming recovery) replaces its own partitions instead of
+    duplicating rows. Without a label, rows land under one
+    ``ingest=append`` partition via plain append (non-idempotent; fine
+    for one-shot batch use). Iceberg spelling: overwritePartitions in
+    one transaction covering both tables."""
     spark = new_df.sparkSession
     meta = load_minhash_meta(spark, path)
     # batch-sized; materialize once so the sig write and the band write
@@ -118,10 +144,24 @@ def append_to_minhash_index(
         meta["shingle_k"],
         min_parallelism,
     ).localCheckpoint(eager=True)
-    sig_new.write.mode("append").parquet(f"{path}/sigs")
-    banded_rows(sig_new, meta["num_hashes"], meta["bands"]).write.mode(
-        "append"
-    ).partitionBy("band").parquet(f"{path}/banded")
+    label = ingest_label if ingest_label is not None else "append"
+    mode = "overwrite" if ingest_label is not None else "append"
+
+    def _write(df: DataFrame, parts: list[str], dest: str) -> None:
+        (
+            df.withColumn("ingest", F.lit(label))
+            .write.mode(mode)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*parts)
+            .parquet(dest)
+        )
+
+    _write(sig_new, ["ingest"], f"{path}/sigs")
+    _write(
+        banded_rows(sig_new, meta["num_hashes"], meta["bands"]),
+        ["ingest", "band"],
+        f"{path}/banded",
+    )
 
 
 def incremental_candidate_pairs(
@@ -172,7 +212,7 @@ def incremental_candidate_pairs(
         hot_bucket=hot_bucket,
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
 
-    old = spark.read.parquet(f"{path}/banded")
+    old = _read_banded(spark, path)
     keys = banded_new.select("band", "bucket").distinct()
     grouped_old = (
         old.join(F.broadcast(keys), ["band", "bucket"], "left_semi")
@@ -226,7 +266,7 @@ def incremental_candidate_pairs(
     cand = F.broadcast(
         pairs.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
     )
-    old_sigs = spark.read.parquet(f"{path}/sigs").join(cand, "id", "left_semi")
+    old_sigs = _read_sigs(spark, path).join(cand, "id", "left_semi")
     new_ids = F.broadcast(sig_new.select("id"))
     sigs = old_sigs.join(new_ids, "id", "left_anti").unionByName(
         sig_new.join(cand, "id", "left_semi")

@@ -318,3 +318,175 @@ class StreamingValidator:
         elif trigger_kwargs:
             writer = writer.trigger(**trigger_kwargs)
         return writer.start()
+
+
+@dataclass
+class StreamingNearDupGate:
+    """Continuous-ingest near-duplicate gate: every micro-batch probes
+    the persisted MinHash index (:mod:`smcchecker_spark.ops.incremental`)
+    — never the raw corpus — and splits into CLEAN rows (appended to
+    ``clean_path`` AND folded into the index, so later batches dedup
+    against them) and QUARANTINED near-dups (``dup_path``, each row
+    carrying its best-matching partner id and est_jaccard — the
+    human-reviewable evidence trail, like the engine's violation rows).
+
+    Dedup policy per batch: a batch doc matching an INDEXED doc is
+    always quarantined (the corpus wins); batch-internal matches
+    resolve by connected-components min-id keep — the same canonical
+    rule as ``dedup.resolve_duplicates``, so a dup CHAIN inside one
+    batch keeps exactly one doc. Matching is est_jaccard ≥ ``threshold``
+    from stored + batch signatures only — no old-document text is ever
+    read (the stream may not have access to it).
+
+    Exactly-once: all three writes (clean, dup, index) are
+    batch-labeled dynamic-partition OVERWRITES — a replayed micro-batch
+    (foreachBatch redelivery after crash) replaces its own partitions
+    instead of duplicating rows. ``process_batch`` is therefore
+    idempotent per (batch content, batch_id), which is the contract
+    foreachBatch actually gives you.
+
+    Scale: the probe is the incremental plan (batch-bucket broadcast
+    semi-prune of the index scan, chunked hot buckets); per-batch state
+    lives in the INDEX, not the Spark state store — unbounded corpus,
+    bounded executor memory, no watermark horizon on dedup scope
+    (contrast ``streaming_dedup``, whose exact-key state is
+    watermark-bounded)."""
+
+    index_path: str
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    threshold: float = 0.8
+    clean_path: str = ""
+    dup_path: str = ""
+    hot_bucket: int = 256
+    min_parallelism: int | None = None
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from smcchecker_spark.ops import incremental as inc
+        from smcchecker_spark.ops.dedup import connected_components
+
+        batch_df.persist()
+        try:
+            pairs = inc.incremental_candidate_pairs(
+                batch_df,
+                self.index_path,
+                self.id_col,
+                self.text_col,
+                hot_bucket=self.hot_bucket,
+                min_parallelism=self.min_parallelism,
+                with_est=True,
+            ).filter(F.col("est_jaccard") >= self.threshold)
+            # candidate pairs are the post-blocking sliver; materialize
+            # once (classification + components + evidence all reuse it)
+            pairs = pairs.localCheckpoint(eager=True)
+
+            ids = batch_df.select(F.col(self.id_col).alias("id"))
+            in_batch = F.broadcast(ids.withColumn("_new", F.lit(True)))
+            tagged = (
+                pairs.join(
+                    in_batch.select(
+                        F.col("id").alias("id_a"), F.col("_new").alias("_a_new")
+                    ),
+                    "id_a",
+                    "left",
+                )
+                .join(
+                    in_batch.select(
+                        F.col("id").alias("id_b"), F.col("_new").alias("_b_new")
+                    ),
+                    "id_b",
+                    "left",
+                )
+                .select(
+                    "id_a",
+                    "id_b",
+                    "est_jaccard",
+                    F.coalesce("_a_new", F.lit(False)).alias("a_new"),
+                    F.coalesce("_b_new", F.lit(False)).alias("b_new"),
+                )
+            )
+            # corpus wins: any batch side of a batch-x-old pair is out
+            vs_old = tagged.filter(~F.col("a_new") | ~F.col("b_new")).select(
+                F.when(F.col("a_new"), F.col("id_a"))
+                .otherwise(F.col("id_b"))
+                .alias("id"),
+                F.when(F.col("a_new"), F.col("id_b"))
+                .otherwise(F.col("id_a"))
+                .alias("partner"),
+                "est_jaccard",
+            )
+            # batch-internal: canonical min-id per component survives
+            bb = tagged.filter(F.col("a_new") & F.col("b_new"))
+            if bb.take(1):
+                comp = connected_components(bb.select("id_a", "id_b"))
+                losers = comp.filter(F.col("id") != F.col("component"))
+                bb_evidence = bb.select(
+                    F.col("id_b").alias("id"),
+                    F.col("id_a").alias("partner"),
+                    "est_jaccard",
+                ).join(F.broadcast(losers.select("id")), "id", "left_semi")
+                evidence = vs_old.unionByName(bb_evidence)
+            else:
+                evidence = vs_old
+            flagged = (
+                evidence.groupBy("id")
+                .agg(
+                    F.max("est_jaccard").alias("est_jaccard"),
+                    F.min_by("partner", F.struct(
+                        (-F.col("est_jaccard")).alias("s"), "partner"
+                    )).alias("matched_id"),
+                )
+            )
+            flagged = F.broadcast(flagged.localCheckpoint(eager=True))
+
+            clean = batch_df.join(
+                flagged.select(F.col("id").alias(self.id_col)),
+                self.id_col,
+                "left_anti",
+            )
+            label = f"b{batch_id}"
+            if self.clean_path:
+                (
+                    clean.withColumn("ingest", F.lit(label))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("ingest")
+                    .parquet(self.clean_path)
+                )
+            if self.dup_path:
+                dups = batch_df.join(
+                    flagged.withColumnRenamed("id", self.id_col), self.id_col
+                )
+                (
+                    dups.withColumn("ingest", F.lit(label))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("ingest")
+                    .parquet(self.dup_path)
+                )
+            inc.append_to_minhash_index(
+                clean,
+                self.index_path,
+                self.id_col,
+                self.text_col,
+                min_parallelism=self.min_parallelism,
+                ingest_label=label,
+            )
+        finally:
+            batch_df.unpersist()
+
+    def start(
+        self,
+        stream_df: DataFrame,
+        checkpoint_location: str,
+        trigger_once: bool = False,
+        **trigger_kwargs,
+    ):
+        writer = stream_df.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint_location
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_kwargs:
+            writer = writer.trigger(**trigger_kwargs)
+        return writer.start()

@@ -350,3 +350,83 @@ def test_streaming_expectations_per_batch(spark, suite_ctx, tmp_path):
     oks = sorted((r["value"], r["ok"]) for r in rows)
     assert oks[0][0] == 10.0 and oks[0][1] is False
     assert oks[1][0] >= 50.0 and oks[1][1] is True
+
+
+# ---------------------------------------------------------------------------
+# StreamingNearDupGate — per-micro-batch near-dup gate vs the MinHash index
+# ---------------------------------------------------------------------------
+
+
+def _gate_fixture(spark, tmp_path):
+    from smcchecker_spark.ops import incremental as inc
+    from smcchecker_spark.streaming import StreamingNearDupGate
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different content about spark query engines and joins"
+    corpus = spark.createDataFrame(
+        [(0, base), (1, other)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "idx")
+    inc.save_minhash_index(corpus, idx, "doc_id", "text")
+    gate = StreamingNearDupGate(
+        index_path=idx,
+        clean_path=str(tmp_path / "clean"),
+        dup_path=str(tmp_path / "dups"),
+    )
+    return gate, base, other
+
+
+def test_gate_batch_splits_and_grows_index(spark, tmp_path):
+    gate, base, other = _gate_fixture(spark, tmp_path)
+    novel = "entirely novel text that matches no indexed document at all"
+    b1 = spark.createDataFrame(
+        [
+            (100, base),   # dup of indexed 0 -> quarantine
+            (101, novel),  # clean, enters the index
+            (102, novel),  # in-batch dup of 101 -> quarantine (101 = min keeps)
+        ],
+        "doc_id long, text string",
+    )
+    gate.process_batch(b1, 1)
+    clean = spark.read.parquet(gate.clean_path)
+    dups = spark.read.parquet(gate.dup_path)
+    assert {r["doc_id"] for r in clean.collect()} == {101}
+    got = {r["doc_id"]: r for r in dups.collect()}
+    assert set(got) == {100, 102}
+    assert got[100]["matched_id"] == 0 and got[100]["est_jaccard"] == 1.0
+    assert got[102]["matched_id"] == 101
+
+    # batch 2 dups a batch-1-ACCEPTED doc -> caught via the index append
+    b2 = spark.createDataFrame([(200, novel)], "doc_id long, text string")
+    gate.process_batch(b2, 2)
+    dups2 = {r["doc_id"]: r for r in spark.read.parquet(gate.dup_path).collect()}
+    assert dups2[200]["matched_id"] == 101
+    assert {r["doc_id"] for r in spark.read.parquet(gate.clean_path).collect()} == {101}
+
+
+def test_gate_replay_is_idempotent(spark, tmp_path):
+    gate, base, other = _gate_fixture(spark, tmp_path)
+    b1 = spark.createDataFrame(
+        [(100, base), (101, "fresh unseen content here")],
+        "doc_id long, text string",
+    )
+    gate.process_batch(b1, 7)
+    before_clean = spark.read.parquet(gate.clean_path).count()
+    before_sigs = spark.read.parquet(gate.index_path + "/sigs").count()
+    gate.process_batch(b1, 7)  # foreachBatch redelivery
+    assert spark.read.parquet(gate.clean_path).count() == before_clean
+    assert spark.read.parquet(gate.index_path + "/sigs").count() == before_sigs
+
+
+def test_gate_through_streaming_query(spark, tmp_path):
+    gate, base, other = _gate_fixture(spark, tmp_path)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(100, base), (101, "novel caption text for the stream run")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = gate.start(stream, checkpoint_location=str(tmp_path / "ck"), trigger_once=True)
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(gate.clean_path).collect()} == {101}
+    assert {r["doc_id"] for r in spark.read.parquet(gate.dup_path).collect()} == {100}
