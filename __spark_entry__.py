@@ -691,6 +691,47 @@ FROM d WHERE val_ts IS NOT NULL AND TRY_CAST(val_ts AS TIMESTAMP) IS NULL
 """
 
 
+def q_engine_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RobustOutliers (median/MAD robust z-score, data-derived bounds)
+    over events.value with planted unit-mixup outliers (value x1000 on
+    ~1% of rows). Two column-pruned agg passes + 1-row broadcasts; the
+    oracle re-derives median, MAD, and the 3.5-scaled cut in SQL."""
+    from smcchecker_spark.constraints import RobustOutliers
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 97 == 0, F.col("value") * 1000)
+        .otherwise(F.col("value"))
+        .alias("val"),
+    ).withColumn("part_id", (F.col("event_id") % 4).cast("int"))
+    suite = Suite(
+        name="events_outliers",
+        table="events",
+        constraints=[RobustOutliers("val", k=3.5)],
+    )
+    return compile_suite(ev, suite, row_id_col="event_id", part_id_col="part_id")
+
+
+_ROBUST_OUTLIERS_ORACLE = """
+WITH d AS (
+  SELECT event_id,
+         CASE WHEN event_id % 97 = 0 THEN value * 1000 ELSE value END AS val,
+         CAST(event_id % 4 AS INT) AS part_id
+  FROM events
+),
+m AS (SELECT median(val) AS med FROM d),
+s AS (SELECT median(abs(val - med)) AS mad FROM d, m)
+SELECT 'events' AS "table", CAST(event_id AS VARCHAR) AS row_id,
+       'val' AS columns, 'Value out of range' AS error_type,
+       FALSE AS is_core_error,
+       'The value in val is more than 3.5 scaled median-absolute-deviations from the column median'
+         AS error_message,
+       'robustoutliers_val' AS check_name, 'error' AS severity, part_id
+FROM d, m, s
+WHERE val IS NOT NULL AND mad > 0 AND abs(val - med) > 3.5 * 1.4826 * mad
+"""
+
+
 def q_engine_precision_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision (error) + Scale (warning) with the reference's exact
     digit-count semantics (leading-zero drop via int(frac), trailing-zero
@@ -3758,6 +3799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_intrange_part": q_engine_intrange_part,
         "engine_dtype_orders": q_engine_dtype_orders,
         "engine_precision_scale": q_engine_precision_scale,
+        "engine_robust_outliers": q_engine_robust_outliers,
         "engine_custom_gated": q_engine_custom_gated,
         "engine_dup_production": q_engine_dup_production,
         "engine_subset_logic": q_engine_subset_logic,
@@ -3865,6 +3907,8 @@ def oracle_sql() -> dict[str, str]:
         "engine_intrange_part": _INTRANGE_ORACLE,
         "engine_dtype_orders": _DTYPE_ORACLE,
         "engine_precision_scale": _PRECISION_ORACLE,
+        # median/MAD + 3.5-sigma-equivalent cut re-derived in SQL
+        "engine_robust_outliers": _ROBUST_OUTLIERS_ORACLE,
         "engine_custom_gated": _CUSTOM_GATED_ORACLE,
         "engine_dup_production": _DUP_PROD_ORACLE,
         "engine_subset_logic": _SUBSET_ORACLE,

@@ -76,6 +76,7 @@ def build_constraint(spec: dict):
         "field_equals": C.FieldEquals,
         "unique": C.Unique,
         "monotonic_within": C.MonotonicWithin,
+        "robust_outliers": C.RobustOutliers,
         "in_lookup": C.InLookup,
         "not_in_existing": C.NotInExisting,
         "subset_of": C.SubsetOf,

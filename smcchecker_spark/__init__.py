@@ -32,6 +32,7 @@ from smcchecker_spark.constraints import (  # noqa: F401
     IntRange,
     MaxLength,
     MonotonicWithin,
+    RobustOutliers,
     NotInExisting,
     NotNull,
     OnlyWhen,

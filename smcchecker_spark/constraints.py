@@ -793,6 +793,86 @@ class MonotonicWithin(JoinConstraint):
         )
 
 
+@dataclass(frozen=True)
+class RobustOutliers(JoinConstraint):
+    """Value out of range — robust data-derived bounds: flag rows where
+    ``|x - median| > k * 1.4826 * MAD`` (median absolute deviation,
+    consistency-scaled so k reads like a z-score; k=3.5 is the standard
+    conservative cut). The data-derived sibling of :class:`Range`:
+    bounds come from the batch itself, so a sensor drift or unit mixup
+    (cm vs m) flags without anyone pre-declaring limits. Median/MAD
+    (unlike mean/stddev) don't move when the outliers themselves are
+    extreme — the estimator survives the contamination it hunts.
+
+    NULLs never flag (NotNull's job). MAD == 0 (over half the values
+    identical) flags nothing — every deviation would be infinitely many
+    MADs out; declare an exact-value rule with FieldEquals instead.
+
+    Scale: two extra column-pruned aggregation passes (median, then MAD
+    around it), each a 1-row broadcast back onto the scan — no driver
+    collect, no full-width shuffle. ``approx=True`` swaps exact
+    ``percentile`` (per-value aggregation state — fine to ~millions of
+    distinct values) for ``percentile_approx`` (bounded sketch; the
+    10^12-row setting, tolerance ~1e-4 of rank).
+
+    Reference analogue: the custom-check templates' hard-coded range
+    masks (proj/custom/*.py via functions.py:checkData); this replaces
+    the hard-coding with a robust estimate.
+    """
+
+    k: float = 3.5
+    approx: bool = False
+
+    def __init__(self, column, k=3.5, approx=False,
+                 severity=ERROR, is_core=False):
+        object.__setattr__(self, "column", column)
+        object.__setattr__(self, "k", float(k))
+        object.__setattr__(self, "approx", bool(approx))
+        object.__setattr__(self, "severity", severity)
+        object.__setattr__(self, "is_core", is_core)
+
+    @property
+    def name(self) -> str:
+        return f"robustoutliers_{self.column}"
+
+    @property
+    def error_type(self) -> str:
+        return ERR_RANGE
+
+    def message(self) -> str:
+        return (
+            f"The value in {self.column} is more than {self.k} scaled "
+            "median-absolute-deviations from the column median"
+        )
+
+    def _median(self, col: Column) -> Column:
+        if self.approx:
+            return F.percentile_approx(col, F.lit(0.5), F.lit(10000))
+        return F.percentile(col, F.lit(0.5))
+
+    def violations(self, df, ctx):
+        x = F.col(self.column).cast("double")
+        med = df.agg(self._median(x).alias("__med"))
+        stats = (
+            df.join(F.broadcast(med))
+            .agg(
+                F.first("__med").alias("__med"),
+                self._median(F.abs(x - F.col("__med"))).alias("__mad"),
+            )
+        )
+        cut = F.lit(self.k) * F.lit(1.4826) * F.col("__mad")
+        return (
+            df.select(ROW_ID, PART_ID, self.column)
+            .join(F.broadcast(stats))
+            .filter(
+                x.isNotNull()
+                & (F.col("__mad") > 0)
+                & (F.abs(x - F.col("__med")) > cut)
+            )
+            .select(ROW_ID, PART_ID)
+        )
+
+
 @dataclass
 class ValidationContext:
     """Side tables a suite's join constraints resolve against.

@@ -455,3 +455,59 @@ def test_monotonic_within(spark):
     assert violating_ids(df, strict) == {"c", "e"}
     assert "must not decrease" in c.message()
     assert c.name == "monotonic_v_by_user"
+
+
+# ---------------------------------------------------------------------------
+# RobustOutliers — median/MAD data-derived bounds
+# ---------------------------------------------------------------------------
+
+
+def test_robust_outliers_flags_planted(spark):
+    from smcchecker_spark.constraints import RobustOutliers
+
+    # 1..9 plus one wild value: median 5, deviations {0..4, 9995},
+    # MAD = 2 -> cut 3.5*1.4826*2 = 10.38; only the wild row flags
+    rows = [(i, float(i)) for i in range(1, 10)] + [(99, 10000.0), (50, None)]
+    df = spark.createDataFrame(rows, "id long, v double").withColumn(
+        "part_id", F.lit(0)
+    )
+    suite = Suite("s", "t", [RobustOutliers("v")])
+    out = compile_suite(df, suite, row_id_col="id", part_id_col="part_id")
+    assert [r["row_id"] for r in out.collect()] == ["99"]
+    r = out.first()
+    assert r["error_type"] == "Value out of range"
+    assert r["is_core_error"] is False
+
+
+def test_robust_outliers_mad_zero_and_approx(spark):
+    from smcchecker_spark.constraints import RobustOutliers
+
+    # >half identical -> MAD 0 -> nothing flags, even the deviant
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(8)] + [(99, 1e9)], "id long, v double"
+    ).withColumn("part_id", F.lit(0))
+    suite = Suite("s", "t", [RobustOutliers("v")])
+    assert compile_suite(df, suite, row_id_col="id").count() == 0
+
+    # approx mode still catches the extreme point on a spread column
+    df2 = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(500)] + [(999, 1e7)],
+        "id long, v double",
+    ).withColumn("part_id", F.lit(0))
+    suite2 = Suite("s", "t", [RobustOutliers("v", approx=True)])
+    got = [r["row_id"] for r in compile_suite(df2, suite2, row_id_col="id").collect()]
+    assert got == ["999"]
+
+
+def test_robust_outliers_cli_spec():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "rv", "scripts/run_validation.py"
+    )
+    rv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rv)
+    c = rv.build_constraint(
+        {"type": "robust_outliers", "column": "v", "k": 4.0, "severity": "warning"}
+    )
+    assert c.k == 4.0 and c.severity == "warning" and c.column == "v"

@@ -85,6 +85,7 @@ AUDITED = [
     "leakage_split_docs",
     "lm_quality_docs",
     "union_evolution_events",
+    "engine_robust_outliers",
 ]
 
 JOIN_RE = re.compile(
