@@ -1666,6 +1666,65 @@ GROUP BY occ.doc_id
 """
 
 
+def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embeddings table (ops/pca.py): one moment-partials
+    Arrow pass (corpus never shuffles), driver eigh, map-only GEMM
+    projection — here at FULL rank (k=d=64), where projection norms²
+    must equal centered input norms² exactly (rotation invariance).
+    The oracle re-derives per-dimension means and centered norms in SQL
+    — a true VALUE check of centering + orthonormality + completeness;
+    the eigen directions themselves are pytest-locked against numpy
+    (not SQL-expressible)."""
+    from smcchecker_spark.ops import pca as pca_ops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = pca_ops.fit_pca(emb, "embedding", k=64)
+    proj = pca_ops.project_pca(emb, model, "embedding", round_dp=None)
+    norm2 = F.aggregate(
+        "pca", F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return proj.select("vec_id", F.round(norm2, 5).alias("norm2"))
+
+
+_PCA_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding[g.i + 1] AS DOUBLE) AS x, g.i AS i
+  FROM embeddings, UNNEST(range(0, len(embedding))) AS g(i)
+),
+mu AS (SELECT i, avg(x) AS m FROM e GROUP BY i)
+SELECT e.vec_id,
+       round(sum((e.x - mu.m) * (e.x - mu.m)), 5) AS norm2
+FROM e JOIN mu USING (i)
+GROUP BY e.vec_id
+"""
+
+
+def q_bigram_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token pair table (ops/text.py bigram_counts) — the BPE
+    merge-frequency / collocation table: zip_with pair formation inside
+    the array (no self-join), one explode + one map-side-combined
+    aggregation, deterministic top-300 by (tf desc, token_a, token_b)
+    via TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.bigram_counts(docs, "text", min_tf=2, top_n=300)
+
+
+_BIGRAM_ORACLE = r"""
+WITH tk AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+p AS (
+  SELECT t[i+1] AS token_a, t[i+2] AS token_b
+  FROM tk, UNNEST(range(0, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+)
+SELECT token_a, token_b, count(*) AS tf FROM p
+GROUP BY token_a, token_b HAVING count(*) >= 2
+ORDER BY tf DESC, token_a, token_b LIMIT 300
+"""
+
+
 def q_budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy corpus selection under a token budget (ops/sample.py
     select_within_budget): rank by (n_chars desc, doc_id asc), keep docs
@@ -3828,6 +3887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_drift": q_metrics_drift,
         "text_features_docs": q_text_features_docs,
         "vocab_docs": q_vocab_docs,
+        "bigram_counts_docs": q_bigram_counts_docs,
+        "pca_embeddings": q_pca_embeddings,
         "budget_select_docs": q_budget_select_docs,
         "lm_quality_docs": q_lm_quality_docs,
         "exact_dups_docs": q_exact_dups_docs,
@@ -3934,6 +3995,10 @@ def oracle_sql() -> dict[str, str]:
         "text_features_docs": _TEXT_ORACLE,
         # vocabulary: explode + group; smooth-IDF quantized to 9 dp
         "vocab_docs": _VOCAB_ORACLE,
+        # zip_with pair formation == positional UNNEST in SQL
+        "bigram_counts_docs": _BIGRAM_ORACLE,
+        # full-rank rotation invariance: proj norms == centered norms
+        "pca_embeddings": _PCA_ORACLE,
         # greedy budget selection == one global running-sum window in SQL
         "budget_select_docs": _BUDGET_SELECT_ORACLE,
         # Laplace unigram LM + count-weighted NLL, OOV floor via min_tf prune

@@ -1,0 +1,160 @@
+"""Distributed PCA over embedding columns — the dimensionality-reduction
+step of embedding dedup/ANN pipelines (SemDeDup's cluster space, IVF cell
+spaces, 4x-compressed vector storage on top of ``ops/quant.py``).
+
+Shape (the classic covariance-sketch PCA, scalable because the corpus
+never shuffles):
+
+1. ONE Arrow pass computes per-partition moment partials — (count,
+   sum-vector d, outer-product sum d*d) — a pure map; the driver
+   receives #partitions tiny rows (d=64 → 4 KB each), never data rows.
+2. The d*d covariance eigendecomposition runs on the driver with numpy
+   (d up to a few thousand is milliseconds — the corpus size is
+   irrelevant to this step).
+3. Projection is a map-only Arrow GEMM against the broadcast component
+   matrix — again zero shuffles.
+
+Determinism: component signs are normalized (largest-|value| coordinate
+positive), so re-runs and resumes produce identical projections.
+
+Reference parity: no analogue (the reference validates tabular rows);
+part of the beyond-reference embedding toolkit (SURVEY §2 data-pipeline
+ops) next to similarity.py and ops/quant.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+@dataclass(frozen=True)
+class PcaModel:
+    mean: np.ndarray          # (d,) — zeros when center=False
+    components: np.ndarray    # (k, d), rows orthonormal, variance-desc
+    explained_variance: np.ndarray  # (k,), eigenvalues (desc)
+
+    @property
+    def k(self) -> int:
+        return self.components.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.components.shape[1]
+
+
+def fit_pca(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    center: bool = True,
+) -> PcaModel:
+    """Fit PCA from one pass of moment partials (see module docstring).
+
+    Null/wrong-length vectors are skipped (count what reaches the
+    partials). Raises on an empty corpus or k > d."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).filter(
+        F.col("d") > 0
+    ).first()
+    if first is None:
+        raise ValueError("fit_pca: no non-empty vectors")
+    d = first["d"]
+    if k > d:
+        raise ValueError(f"k={k} exceeds dim={d}")
+
+    schema = "n long, s array<double>, m array<double>"
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = np.zeros(d)
+        m = np.zeros((d, d))
+        for pdf in batches:
+            vecs = [
+                v for v in pdf["_v"].values
+                if v is not None and len(v) == d
+            ]
+            if not vecs:
+                continue
+            X = np.array([list(v) for v in vecs], dtype=np.float64)
+            n += X.shape[0]
+            s += X.sum(axis=0)
+            m += X.T @ X
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "m": [m.reshape(-1).tolist()]}
+        )
+
+    rows = (
+        df.select(F.col(vec_col).alias("_v"))
+        .mapInPandas(partials, schema)
+        .collect()
+    )
+    n = sum(r["n"] for r in rows)
+    if n == 0:
+        raise ValueError("fit_pca: no valid vectors")
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    m = np.sum([np.array(r["m"]).reshape(d, d) for r in rows], axis=0)
+    mean = s / n if center else np.zeros(d)
+    cov = m / n - np.outer(mean, mean)
+    # symmetrize against float drift before eigh
+    cov = (cov + cov.T) / 2
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    # sign convention: the largest-|value| coordinate of each component
+    # is positive (ties broken by lowest index via argmax)
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return PcaModel(
+        mean=mean,
+        components=comps,
+        explained_variance=np.maximum(vals[order], 0.0),
+    )
+
+
+def project_pca(
+    df: DataFrame,
+    model: PcaModel,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    round_dp: int | None = 9,
+) -> DataFrame:
+    """Project ``vec_col`` onto the model's components — map-only Arrow
+    GEMM against the broadcast (k, d) matrix; output ``out_col`` is
+    ``array<double>`` length k (rounded to ``round_dp`` dp for cross-run
+    portability; None keeps raw float64 — use when deriving invariants
+    like norms downstream). Null/wrong-length vectors project to NULL."""
+    C = model.components.T.copy()  # (d, k)
+    mu = model.mean.copy()
+    d = model.dim
+
+    @pandas_udf("array<double>")
+    def proj(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            out = []
+            vals = s.values
+            ok = [
+                i for i, v in enumerate(vals)
+                if v is not None and len(v) == d
+            ]
+            proj_ok = None
+            if ok:
+                X = np.array(
+                    [list(vals[i]) for i in ok], dtype=np.float64
+                ) - mu
+                proj_ok = X @ C
+                if round_dp is not None:
+                    proj_ok = np.round(proj_ok, round_dp)
+            pos = {idx: row for idx, row in zip(ok, proj_ok if ok else [])}
+            for i in range(len(vals)):
+                out.append(pos[i].tolist() if i in pos else None)
+            yield pd.Series(out)
+
+    return df.withColumn(out_col, proj(F.col(vec_col)))

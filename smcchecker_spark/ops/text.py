@@ -525,3 +525,46 @@ def lm_score(
             ),
         )
     )
+
+
+def bigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    min_tf: int = 1,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Adjacent-token pair frequencies — (token_a, token_b, tf) — the
+    merge-frequency table one round of BPE/WordPiece training ranks, and
+    the collocation table stop-phrase discovery reads. Complements
+    :func:`vocabulary` (unigrams).
+
+    Plan: pairs form INSIDE the array (zip_with over two slices — no
+    self-join, no positional explode-then-join), then ONE explode into
+    ONE (a, b) aggregation with map-side partials absorbing hot pairs
+    ("of the"). ``top_n`` ranks (tf desc, token_a, token_b) via
+    TakeOrderedAndProject — per-partition top-k, no global sort."""
+    tk = tokens(F.col(text_col))
+    if lowercase:
+        tk = F.transform(tk, F.lower)
+    n = F.size("_tk")
+    pairs = F.zip_with(
+        F.slice("_tk", 1, n - 1),
+        F.slice("_tk", 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    out = (
+        df.select(tk.alias("_tk"))
+        .filter(F.size("_tk") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("token_a"), F.col("p.b").alias("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if min_tf > 1:
+        out = out.filter(F.col("tf") >= min_tf)
+    if top_n is not None:
+        out = out.orderBy(
+            F.desc("tf"), F.asc("token_a"), F.asc("token_b")
+        ).limit(top_n)
+    return out

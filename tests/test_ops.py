@@ -713,3 +713,17 @@ def test_lm_score_broadcast_parity_and_min_tf(spark):
     row = a[0]
     want = -(math.log(4 / 11) * 1 + math.log(1 / 11) * 2) / 3
     assert abs(row["avg_neg_logp"] - want) < 1e-5
+
+
+def test_bigram_counts_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "A b"), (2, "solo"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {(r["token_a"], r["token_b"]): r["tf"]
+           for r in text.bigram_counts(df).collect()}
+    # doc0: (a,b),(b,a),(a,b),(b,c); doc1 lowercased: (a,b); docs 2,3 none
+    assert got == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    top = text.bigram_counts(df, top_n=2).collect()
+    assert [(r["token_a"], r["token_b"]) for r in top] == [("a", "b"), ("b", "a")]
+    assert {tuple(r)[:2] for r in text.bigram_counts(df, min_tf=2).collect()} == {("a", "b")}

@@ -172,3 +172,95 @@ def test_ivf_index_roundtrip_matches_unindexed(spark, sf_dir, tmp_path):
     import re
     m = re.search(r"IN \(([0-9,]+)\)", seg)
     assert m and len(m.group(1).split(",")) == 2, seg
+
+
+# ---------------------------------------------------------------------------
+# ops/pca.py — covariance-sketch PCA
+# ---------------------------------------------------------------------------
+
+
+def _pca_df(spark, n=240, d=8, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # anisotropic data: known dominant directions
+    base = rng.normal(size=(n, d)) * np.array([5, 3, 1, 1, 0.5, 0.5, 0.1, 0.1])
+    rows = [(i, base[i].tolist()) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        base,
+    )
+
+
+def test_fit_pca_matches_numpy(spark):
+    import numpy as np
+
+    from smcchecker_spark.ops import pca
+
+    df, X = _pca_df(spark)
+    m = pca.fit_pca(df, "embedding", k=4)
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / X.shape[0]
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:4]
+    ref = vecs[:, order].T
+    for i in range(4):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert np.allclose(m.mean, mu, atol=1e-9)
+    assert np.allclose(m.components, ref, atol=1e-8)
+    assert np.allclose(m.explained_variance, vals[order], atol=1e-8)
+    assert (np.diff(m.explained_variance) <= 1e-12).all()
+
+
+def test_fit_pca_partition_invariant(spark):
+    import numpy as np
+
+    from smcchecker_spark.ops import pca
+
+    df, _ = _pca_df(spark)
+    a = pca.fit_pca(df.repartition(1), "embedding", k=3)
+    b = pca.fit_pca(df.repartition(16), "embedding", k=3)
+    assert np.allclose(a.components, b.components, atol=1e-9)
+    assert np.allclose(a.mean, b.mean, atol=1e-12)
+
+
+def test_project_pca_matches_numpy_and_nulls(spark):
+    import numpy as np
+
+    from smcchecker_spark.ops import pca
+
+    df, X = _pca_df(spark, n=60)
+    m = pca.fit_pca(df, "embedding", k=3)
+    bad = spark.createDataFrame(
+        [(1000, None), (1001, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r["pca"]
+        for r in pca.project_pca(df.unionByName(bad), m, "embedding").collect()
+    }
+    want = np.round((X - m.mean) @ m.components.T, 9)
+    for i in range(60):
+        assert np.allclose(out[i], want[i], atol=1e-9)
+    assert out[1000] is None and out[1001] is None
+
+
+def test_fit_pca_validation_and_no_center(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from smcchecker_spark.ops import pca
+
+    df, X = _pca_df(spark, n=40)
+    with _pytest.raises(ValueError, match="exceeds dim"):
+        pca.fit_pca(df, "embedding", k=99)
+    m = pca.fit_pca(df, "embedding", k=2, center=False)
+    assert np.allclose(m.mean, 0)
+    cov = X.T @ X / X.shape[0]
+    vals, vecs = np.linalg.eigh(cov)
+    assert np.allclose(
+        sorted(m.explained_variance, reverse=True),
+        sorted(vals, reverse=True)[:2],
+        atol=1e-8,
+    )

@@ -86,6 +86,8 @@ AUDITED = [
     "lm_quality_docs",
     "union_evolution_events",
     "engine_robust_outliers",
+    "bigram_counts_docs",
+    "pca_embeddings",
 ]
 
 JOIN_RE = re.compile(
