@@ -1666,6 +1666,61 @@ GROUP BY occ.doc_id
 """
 
 
+def q_impute_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median imputation per source (clean.impute_numeric): value is
+    NULLed on ~8% of rows, then filled with its event_type's median;
+    the __imputed indicator keeps the repair auditable. One
+    aggregation + |keys|-row broadcast join."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("val"),
+    )
+    return clean.impute_numeric(
+        ev, ["val"], strategy="median", per_key=["event_type"]
+    ).select("event_id", "event_type", "val", "val__imputed")
+
+
+_IMPUTE_ORACLE = """
+WITH d AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS val
+  FROM events
+),
+m AS (SELECT event_type, median(val) AS med FROM d GROUP BY event_type)
+SELECT d.event_id, d.event_type,
+       coalesce(d.val, m.med) AS val,
+       (d.val IS NULL AND m.med IS NOT NULL) AS val__imputed
+FROM d LEFT JOIN m USING (event_type)
+"""
+
+
+def q_rank_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile normalization (ops/sample.py
+    rank_normalize): inclusive within-key CDF of value per event_type —
+    computed over DISTINCT (key, score) counts (skew-robust: hot
+    sources flow through a hash join, never a per-row window sort).
+    Oracle: SQL cume_dist(), which is definitionally the same CDF."""
+    ev = _t(spark, sf_dir, "events")
+    return sample_ops.rank_normalize(
+        ev, ["event_type"], "value"
+    ).select("event_id", "event_type", "value", "score_pct")
+
+
+_RANK_NORMALIZE_ORACLE = """
+WITH nn AS (
+  SELECT event_id,
+         round(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 9)
+           AS p
+  FROM events WHERE value IS NOT NULL
+)
+SELECT e.event_id, e.event_type, e.value, nn.p AS score_pct
+FROM events e LEFT JOIN nn USING (event_id)
+"""
+
+
 def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA over the embeddings table (ops/pca.py): one moment-partials
     Arrow pass (corpus never shuffles), driver eigh, map-only GEMM
@@ -3889,6 +3944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_docs": q_vocab_docs,
         "bigram_counts_docs": q_bigram_counts_docs,
         "pca_embeddings": q_pca_embeddings,
+        "rank_normalize_events": q_rank_normalize_events,
+        "impute_events": q_impute_events,
         "budget_select_docs": q_budget_select_docs,
         "lm_quality_docs": q_lm_quality_docs,
         "exact_dups_docs": q_exact_dups_docs,
@@ -3999,6 +4056,10 @@ def oracle_sql() -> dict[str, str]:
         "bigram_counts_docs": _BIGRAM_ORACLE,
         # full-rank rotation invariance: proj norms == centered norms
         "pca_embeddings": _PCA_ORACLE,
+        # distinct-value CDF == cume_dist by definition
+        "rank_normalize_events": _RANK_NORMALIZE_ORACLE,
+        # per-key median fill + auditable indicator
+        "impute_events": _IMPUTE_ORACLE,
         # greedy budget selection == one global running-sum window in SQL
         "budget_select_docs": _BUDGET_SELECT_ORACLE,
         # Laplace unigram LM + count-weighted NLL, OOV floor via min_tf prune

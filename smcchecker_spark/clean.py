@@ -145,3 +145,56 @@ def scrub_pii(
         cols.extend(counts)
     others = [f for f in df.columns if f != text_col]
     return df.select(*others, *cols)
+
+
+def impute_numeric(
+    df: DataFrame,
+    columns: list[str],
+    strategy: str = "median",
+    per_key: list[str] | None = None,
+    approx: bool = False,
+    indicator: bool = True,
+) -> DataFrame:
+    """Fill NULLs in numeric ``columns`` with the column's median (or
+    mean) — globally, or per ``per_key`` group (a source's own typical
+    value beats the global one when sources differ systematically). The
+    repair-side partner of ``constraints.RobustOutliers``: both derive
+    their statistic from the data with the same exact/sketch percentile
+    choice (``approx=True`` → ``percentile_approx`` for 10^12-row
+    columns). ``indicator=True`` appends ``<col>__imputed`` booleans —
+    repairs an audit can see, never silent.
+
+    Plan: ONE aggregation computes every column's fill value (global:
+    a 1-row broadcast joined back map-side; per-key: a |keys|-row
+    broadcast equi-join). All-NULL columns/groups keep their NULLs
+    (no statistic exists to impute from; the indicator still marks
+    nothing since nothing was filled). The fill value casts back to the
+    column's dtype — for INTEGER columns the double median truncates
+    toward zero (Spark CAST); prefer mean/median on double columns."""
+    if strategy not in ("median", "mean"):
+        raise ValueError(f"strategy must be median|mean, got {strategy!r}")
+
+    def stat(c: str) -> Column:
+        x = F.col(c).cast("double")
+        if strategy == "mean":
+            return F.avg(x)
+        if approx:
+            return F.percentile_approx(x, F.lit(0.5), F.lit(10000))
+        return F.percentile(x, F.lit(0.5))
+
+    aggs = [stat(c).alias(f"__fill_{c}") for c in columns]
+    if per_key:
+        fills = F.broadcast(df.groupBy(*per_key).agg(*aggs))
+        out = df.join(fills, per_key, "left")
+    else:
+        out = df.join(F.broadcast(df.agg(*aggs)))
+    for c in columns:
+        fill = F.col(f"__fill_{c}")
+        t = dict(df.dtypes)[c]
+        filled = F.coalesce(F.col(c), fill.cast(t))
+        if indicator:
+            out = out.withColumn(
+                f"{c}__imputed", F.col(c).isNull() & fill.isNotNull()
+            )
+        out = out.withColumn(c, filled)
+    return out.drop(*[f"__fill_{c}" for c in columns])

@@ -158,3 +158,27 @@ def project_pca(
             yield pd.Series(out)
 
     return df.withColumn(out_col, proj(F.col(vec_col)))
+
+
+def save_pca_model(spark, model: PcaModel, path: str) -> None:
+    """Persist the model as one tiny parquet table (k+1 rows): row -1 is
+    the mean, rows 0..k-1 the components with their eigenvalues —
+    fit once on a reference snapshot, project every future batch
+    (the build-once/probe-many contract of ``save_ivf_index``)."""
+    rows = [(-1, model.mean.tolist(), 0.0)] + [
+        (i, model.components[i].tolist(), float(model.explained_variance[i]))
+        for i in range(model.k)
+    ]
+    spark.createDataFrame(
+        rows, "idx int, vec array<double>, variance double"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pca_model(spark, path: str) -> PcaModel:
+    rows = sorted(
+        spark.read.parquet(path).collect(), key=lambda r: r["idx"]
+    )
+    mean = np.array(rows[0]["vec"])
+    comps = np.array([list(r["vec"]) for r in rows[1:]])
+    var = np.array([r["variance"] for r in rows[1:]])
+    return PcaModel(mean=mean, components=comps, explained_variance=var)

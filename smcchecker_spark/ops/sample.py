@@ -441,3 +441,52 @@ def leakage_safe_split(
     return det_split(
         out, "__canon", fractions, salt=salt, split_col=split_col
     ).drop("__canon")
+
+
+def rank_normalize(
+    df: DataFrame,
+    key_cols: list[str],
+    score_col: str,
+    out_col: str = "score_pct",
+) -> DataFrame:
+    """Per-key percentile normalization: ``out_col`` = fraction of the
+    key group's rows with score ≤ this row's score (inclusive CDF —
+    SQL's ``cume_dist()``), rounded to 9 dp. The cross-source
+    calibration step quality-mix sampling needs: raw quality scores are
+    not comparable across sources (each scorer has its own scale), their
+    within-source percentiles are. NULL scores get NULL (excluded from
+    the denominator).
+
+    Scale story: NOT a per-row window. Rows first compress to distinct
+    (key, score) counts (map-side partials — a hot score value never
+    concentrates rows), the running CDF is a window over those DISTINCT
+    values (bounded by per-key score cardinality, orders of magnitude
+    below row count for real quality scores), and rows re-attach by
+    (key, score) equi-join. A per-row ``cume_dist`` window would sort
+    every row of a hot source in one task; here the hot source's rows
+    only flow through a hash join. NULL keys also get NULL (the
+    equi-join re-attach is not null-safe by design — a NULL source is
+    not a population to normalize within).
+    """
+    from pyspark.sql import Window
+
+    sc = F.col(score_col)
+    counts = (
+        df.filter(sc.isNotNull())
+        .groupBy(*key_cols, score_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wk = Window.partitionBy(*key_cols)
+    cdf = counts.select(
+        *key_cols,
+        score_col,
+        F.round(
+            F.sum("__n").over(w) / F.sum("__n").over(wk), 9
+        ).alias(out_col),
+    )
+    return df.join(cdf, [*key_cols, score_col], "left")

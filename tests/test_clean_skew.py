@@ -128,3 +128,66 @@ def test_replicated_skew_join_matches_plain_join(spark):
         replicated_skew_join(left, right, "k", "rid", salt_buckets=1)
     with pytest.raises(ValueError):
         replicated_skew_join(left, right, ["k", "k"], "rid", hot_keys=["hot"])
+
+
+# ---------------------------------------------------------------------------
+# clean.impute_numeric
+# ---------------------------------------------------------------------------
+
+
+def test_impute_numeric_per_key_median(spark):
+    from smcchecker_spark import clean
+
+    rows = [
+        (0, "a", 1.0), (1, "a", 3.0), (2, "a", None),
+        (3, "b", 10.0), (4, "b", None),
+        (5, "c", None),          # all-NULL group stays NULL
+        (6, None, None),         # NULL key stays NULL
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    out = {r["id"]: r for r in clean.impute_numeric(
+        df, ["v"], per_key=["k"]
+    ).collect()}
+    assert out[2]["v"] == 2.0 and out[2]["v__imputed"] is True
+    assert out[4]["v"] == 10.0 and out[4]["v__imputed"] is True
+    assert out[5]["v"] is None and out[5]["v__imputed"] is False
+    assert out[6]["v"] is None and out[6]["v__imputed"] is False
+    assert out[0]["v"] == 1.0 and out[0]["v__imputed"] is False
+
+
+def test_impute_numeric_global_mean_and_validation(spark):
+    import pytest as _pytest
+
+    from smcchecker_spark import clean
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 3.0), (2, None)], "id long, v double"
+    )
+    out = {r["id"]: r["v"] for r in clean.impute_numeric(
+        df, ["v"], strategy="mean", indicator=False
+    ).collect()}
+    assert out[2] == 2.0
+    with _pytest.raises(ValueError, match="median|mean"):
+        clean.impute_numeric(df, ["v"], strategy="mode")
+
+
+def test_pca_model_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from smcchecker_spark.ops import pca
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(50, 6))
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    m = pca.fit_pca(df, "embedding", k=3)
+    pca.save_pca_model(spark, m, str(tmp_path / "pca"))
+    m2 = pca.load_pca_model(spark, str(tmp_path / "pca"))
+    assert np.allclose(m.mean, m2.mean)
+    assert np.allclose(m.components, m2.components)
+    assert np.allclose(m.explained_variance, m2.explained_variance)
+    a = pca.project_pca(df, m, "embedding").collect()
+    b = pca.project_pca(df, m2, "embedding").collect()
+    assert [r["pca"] for r in a] == [r["pca"] for r in b]

@@ -937,3 +937,20 @@ def test_leakage_split_broadcast_parity(spark):
         df, "doc_id", pairs, broadcast_components=False, **kw
     ).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+
+def test_rank_normalize_matches_cume_dist(spark):
+    rows = [
+        (0, "a", 1.0), (1, "a", 2.0), (2, "a", 2.0), (3, "a", 5.0),
+        (4, "b", 7.0), (5, "b", None), (6, None, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    got = {r["id"]: r["score_pct"]
+           for r in S.rank_normalize(df, ["k"], "v").collect()}
+    # group a: CDF(1)=0.25, CDF(2)=0.75 (ties share), CDF(5)=1.0
+    assert got[0] == 0.25 and got[1] == 0.75 and got[2] == 0.75 and got[3] == 1.0
+    assert got[4] == 1.0           # singleton group
+    assert got[5] is None          # NULL score
+    assert got[6] is None          # NULL key
+    # row count preserved
+    assert S.rank_normalize(df, ["k"], "v").count() == len(rows)

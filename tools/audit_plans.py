@@ -88,6 +88,8 @@ AUDITED = [
     "engine_robust_outliers",
     "bigram_counts_docs",
     "pca_embeddings",
+    "rank_normalize_events",
+    "impute_events",
 ]
 
 JOIN_RE = re.compile(
