@@ -2992,6 +2992,144 @@ FROM ranked
 """
 
 
+def q_curate_images_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image+caption curation — the composed flagship for the
+    north-rule payload: synthesized image metadata (dims/fmt/caption/
+    block-shared phash from event columns) → ENGINE policy gate
+    (MinResolution 128x128 + AspectRatioRange [0.5, 2] + fmt Regex, one
+    fused compile_suite pass; flagged ids drop via broadcast anti-join)
+    → caption requirement → cross-modal flags (boilerplate caption /
+    conflicting image, broadcast slivers) → exact-phash dup resolve
+    (min-id per shared image) → aspect-ratio-bucketed training-batch
+    assembly (distributed prefix count). Every stage is independently
+    oracle-checked elsewhere; this value-checks the COMPOSITION."""
+    from smcchecker_spark.constraints import Regex
+    from smcchecker_spark.image import AspectRatioRange, MinResolution
+    from smcchecker_spark.ops import batching, crossmodal
+
+    ev = _t(spark, sf_dir, "events")
+    imgs = ev.select(
+        F.col("event_id").alias("image_id"),
+        (64 * (1 + F.col("event_id") % 13)).cast("int").alias("w"),
+        (64 * (1 + F.expr("event_id div 7") % 13)).cast("int").alias("h"),
+        F.when(F.col("event_id") % 29 == 0, F.lit("bmp"))
+        .when(F.col("event_id") % 3 == 0, F.lit("png"))
+        .when(F.col("event_id") % 3 == 1, F.lit("jpeg"))
+        .otherwise(F.lit("webp"))
+        .alias("fmt"),
+        F.col("props").alias("caption"),
+        F.expr(_mix_spark("event_id - event_id % 20")).alias("phash"),
+    ).withColumn("part_id", (F.col("image_id") % 4).cast("int"))
+    suite = Suite(
+        name="img_curate",
+        table="images",
+        constraints=[
+            MinResolution("w", min_w=128, min_h=128),
+            AspectRatioRange("w", lo=0.5, hi=2.0),
+            Regex("fmt", pattern="^(png|jpeg|webp)$"),
+        ],
+    )
+    bad = (
+        compile_suite(imgs, suite, row_id_col="image_id")
+        .select(F.col("row_id").cast("long").alias("image_id"))
+        .distinct()
+    )
+    ok = imgs.join(F.broadcast(bad), "image_id", "left_anti").filter(
+        F.col("caption").isNotNull()
+    )
+    flags = crossmodal.flag_crossmodal(
+        ok, "image_id", max_phashes_per_caption=80, max_captions_per_phash=15
+    )
+    keep = flags.filter(
+        ~F.col("boilerplate_caption") & ~F.col("conflicting_image")
+    ).select("image_id")
+    ok2 = ok.join(F.broadcast(keep), "image_id", "left_semi")
+    w = Window.partitionBy("phash")
+    canon = (
+        ok2.withColumn("__mn", F.min("image_id").over(w))
+        .filter(F.col("image_id") == F.col("__mn"))
+        .drop("__mn", "part_id")
+    )
+    return batching.image_batches(canon, batch_size=32, num_ranges=8).select(
+        "image_id", "w", "h", "fmt", "bucket_id", "bucket_w", "bucket_h",
+        "batch_id", "idx_in_batch",
+    )
+
+
+_CURATE_IMAGES_ORACLE_RAW = """
+WITH img AS (
+  SELECT event_id AS image_id,
+         CAST(64 * (1 + event_id % 13) AS INT) AS w,
+         CAST(64 * (1 + (event_id // 7) % 13) AS INT) AS h,
+         CASE WHEN event_id % 29 = 0 THEN 'bmp'
+              WHEN event_id % 3 = 0 THEN 'png'
+              WHEN event_id % 3 = 1 THEN 'jpeg'
+              ELSE 'webp' END AS fmt,
+         props AS caption,
+         __MIXBLK__ AS phash
+  FROM events
+),
+ok AS (
+  SELECT * FROM img
+  WHERE NOT (w < 128 OR h < 128)
+    AND NOT (w < 0.5 * h OR w > 2.0 * h)
+    AND regexp_matches(fmt, '^(png|jpeg|webp)$')
+    AND caption IS NOT NULL
+),
+pair AS (
+  SELECT md5(regexp_replace(lower(trim(caption)), '\\s+', ' ', 'g')) AS cfp,
+         phash
+  FROM ok GROUP BY 1, 2
+),
+bad_caps AS (SELECT cfp FROM pair GROUP BY cfp HAVING count(*) > 80),
+bad_imgs AS (SELECT phash FROM pair GROUP BY phash HAVING count(*) > 15),
+ok2 AS (
+  SELECT * FROM ok
+  WHERE md5(regexp_replace(lower(trim(caption)), '\\s+', ' ', 'g'))
+          NOT IN (SELECT cfp FROM bad_caps)
+    AND phash NOT IN (SELECT phash FROM bad_imgs)
+),
+canon AS (
+  SELECT * FROM (
+    SELECT *, min(image_id) OVER (PARTITION BY phash) AS mn FROM ok2
+  ) WHERE image_id = mn
+),
+b(bucket_id, bw, bh) AS (VALUES
+  (0,256,832), (1,256,896), (2,256,960), (3,256,1024), (4,320,704),
+  (5,320,768), (6,384,640), (7,448,576), (8,512,512), (9,576,448),
+  (10,640,384), (11,704,320), (12,768,320), (13,832,256), (14,896,256),
+  (15,960,256), (16,1024,256)
+),
+d AS (
+  SELECT image_id, w, h, fmt, bucket_id, bw, bh,
+         row_number() OVER (PARTITION BY image_id
+                            ORDER BY (abs(CAST(w AS BIGINT) * bh
+                                          - CAST(h AS BIGINT) * bw)
+                                      * 1048576) // bh, bucket_id) AS rn
+  FROM canon CROSS JOIN b
+),
+keyed AS (
+  SELECT image_id, w, h, fmt, bucket_id, bw, bh,
+         ('0x' || substr(md5('batch' || image_id::VARCHAR), 1, 15))::UBIGINT
+           AS k
+  FROM d WHERE rn = 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket_id
+                               ORDER BY k, image_id) - 1 AS idx
+  FROM keyed
+)
+SELECT image_id, w, h, fmt, CAST(bucket_id AS INT) AS bucket_id,
+       CAST(bw AS INT) AS bucket_w, CAST(bh AS INT) AS bucket_h,
+       CAST(idx // 32 AS BIGINT) AS batch_id,
+       CAST(idx % 32 AS INT) AS idx_in_batch
+FROM ranked
+"""
+_CURATE_IMAGES_ORACLE = _CURATE_IMAGES_ORACLE_RAW.replace(
+    "__MIXBLK__", _mix_duck("event_id - event_id % 20")
+)
+
+
 def q_image_decontaminate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual benchmark decontamination (contamination.phash_overlap):
     corpus images whose phash lands within 3 bits of ANY benchmark
@@ -3999,6 +4137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_lineitem": q_unpivot_lineitem,
         "embedding_drift": q_embedding_drift,
         "image_decontaminate_events": q_image_decontaminate_events,
+        "curate_images_events": q_curate_images_events,
         "snapshot_diff_events": q_snapshot_diff_events,
         "crossmodal_events": q_crossmodal_events,
     }
@@ -4154,6 +4293,8 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_lineitem": _UNPIVOT_ORACLE,
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
         "image_decontaminate_events": _IMAGE_DECONTAM_ORACLE,
+        # engine gate -> crossmodal -> phash resolve -> AR batches, all in SQL
+        "curate_images_events": _CURATE_IMAGES_ORACLE,
         "snapshot_diff_events": _SNAPSHOT_DIFF_ORACLE,
         "crossmodal_events": _CROSSMODAL_ORACLE,
         # rows-only (approximate / non-SQL-expressible): column_stats_approx,

@@ -90,6 +90,7 @@ AUDITED = [
     "pca_embeddings",
     "rank_normalize_events",
     "impute_events",
+    "curate_images_events",
 ]
 
 JOIN_RE = re.compile(
