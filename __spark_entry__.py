@@ -3291,6 +3291,53 @@ _CROSSMODAL_ORACLE = _CROSSMODAL_ORACLE.replace(
 )
 
 
+def q_cat_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift (stats.categorical_drift): per-value PSI +
+    Jensen–Shannon terms between the odd-id slice (with ~9% of rows
+    remapped to a brand-new 'burst' category — the JS-bounded case
+    where PSI explodes) and the even-id baseline. One value count per
+    side, full-outer value join, 1-row broadcast totals."""
+    ev = _t(spark, sf_dir, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.when(F.col("event_id") % 11 == 0, F.lit("burst"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type")
+    )
+    base = ev.filter(F.col("event_id") % 2 == 0).select("event_type")
+    return stats.categorical_drift(cur, base, "event_type")
+
+
+_CAT_DRIFT_ORACLE = """
+WITH c AS (
+  SELECT coalesce(CASE WHEN event_id % 11 = 0 THEN 'burst'
+                       ELSE event_type END, 'NULL') AS value,
+         count(*) AS n
+  FROM events WHERE event_id % 2 = 1 GROUP BY 1
+),
+b AS (
+  SELECT coalesce(event_type, 'NULL') AS value, count(*) AS n
+  FROM events WHERE event_id % 2 = 0 GROUP BY 1
+),
+ct AS (SELECT coalesce(sum(n), 0) AS t FROM c),
+bt AS (SELECT coalesce(sum(n), 0) AS t FROM b),
+j AS (
+  SELECT value, coalesce(c.n, 0) AS cn, coalesce(b.n, 0) AS bn
+  FROM c FULL OUTER JOIN b USING (value)
+),
+pq AS (
+  SELECT value,
+         cn / CAST(greatest(ct.t, 1) AS DOUBLE) + 1e-6 AS p,
+         bn / CAST(greatest(bt.t, 1) AS DOUBLE) + 1e-6 AS q
+  FROM j, ct, bt
+)
+SELECT value, round(p, 9) AS p, round(q, 9) AS q,
+       round((p - q) * ln(p / q), 9) AS psi_term,
+       round((p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q))) / 2, 9)
+         AS js_term
+FROM pq
+"""
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-column drift (stats.embedding_drift): centroid cosine
     distance + mean-norm shift between a planted-drift snapshot (element
@@ -4136,6 +4183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card_docs": q_dataset_card_docs,
         "unpivot_lineitem": q_unpivot_lineitem,
         "embedding_drift": q_embedding_drift,
+        "cat_drift_events": q_cat_drift_events,
         "image_decontaminate_events": q_image_decontaminate_events,
         "curate_images_events": q_curate_images_events,
         "snapshot_diff_events": q_snapshot_diff_events,
@@ -4292,6 +4340,8 @@ def oracle_sql() -> dict[str, str]:
         "dataset_card_docs": _DATASET_CARD_ORACLE,
         "unpivot_lineitem": _UNPIVOT_ORACLE,
         "embedding_drift": _EMBEDDING_DRIFT_ORACLE,
+        # per-value PSI/JS terms re-derived in SQL (new-category case)
+        "cat_drift_events": _CAT_DRIFT_ORACLE,
         "image_decontaminate_events": _IMAGE_DECONTAM_ORACLE,
         # engine gate -> crossmodal -> phash resolve -> AR batches, all in SQL
         "curate_images_events": _CURATE_IMAGES_ORACLE,

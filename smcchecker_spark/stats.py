@@ -1057,3 +1057,87 @@ def suggest_expectations(
                 )
             )
     return out
+
+
+def categorical_drift(
+    cur: DataFrame, base: DataFrame, column: str, eps: float = 1e-6
+) -> DataFrame:
+    """Per-VALUE drift table between two snapshots of a categorical
+    column — the categorical sibling of the numeric histogram PSI/KS:
+    (value, p, q, psi_term, js_term), where p/q are each side's value
+    shares (+eps additive floor, same convention as ``_probs_array`` —
+    a value absent from one side contributes a large, finite term
+    instead of inf), ``psi_term = (p-q)*ln(p/q)`` and ``js_term`` the
+    Jensen-Shannon integrand ``(p*ln(2p/(p+q)) + q*ln(2q/(p+q)))/2``
+    (bounded by ln 2 — robust when a brand-new category appears, where
+    PSI explodes). Terms round to 9 dp; sum them for the scalars
+    (:func:`categorical_psi` / :func:`js_divergence`). NULL is a
+    category (reported as the string 'NULL', like ``heavy_hitters``).
+
+    Plan: each side is ONE map-side-combined value count; the sides
+    meet in a full outer join on the value (|distinct values| rows,
+    never data rows); both totals attach as 1-row broadcasts (no second
+    scan, no collect). Skew-free by construction."""
+
+    def counts(df: DataFrame, n_col: str) -> DataFrame:
+        return (
+            df.select(
+                F.coalesce(F.col(column).cast("string"), F.lit("NULL")).alias(
+                    "value"
+                )
+            )
+            .groupBy("value")
+            .agg(F.count(F.lit(1)).alias(n_col))
+        )
+
+    c = counts(cur, "c_cnt")
+    b = counts(base, "b_cnt")
+    ct = c.agg(F.coalesce(F.sum("c_cnt"), F.lit(0)).alias("__ct"))
+    bt = b.agg(F.coalesce(F.sum("b_cnt"), F.lit(0)).alias("__bt"))
+    j = (
+        c.join(b, "value", "full_outer")
+        .join(F.broadcast(ct))
+        .join(F.broadcast(bt))
+    )
+    p = F.coalesce(F.col("c_cnt"), F.lit(0)) / F.greatest(
+        F.col("__ct"), F.lit(1)
+    ) + F.lit(eps)
+    q = F.coalesce(F.col("b_cnt"), F.lit(0)) / F.greatest(
+        F.col("__bt"), F.lit(1)
+    ) + F.lit(eps)
+    m2 = p + q
+    psi_t = (p - q) * F.log(p / q)
+    js_t = (p * F.log(F.lit(2) * p / m2) + q * F.log(F.lit(2) * q / m2)) / 2
+    return j.select(
+        "value",
+        F.round(p, 9).alias("p"),
+        F.round(q, 9).alias("q"),
+        F.round(psi_t, 9).alias("psi_term"),
+        F.round(js_t, 9).alias("js_term"),
+    )
+
+
+def categorical_psi(
+    cur: DataFrame, base: DataFrame, column: str, eps: float = 1e-6
+) -> float:
+    """Sum of categorical PSI terms (rule of thumb: <0.1 stable,
+    0.1-0.2 moderate, >0.2 drifted)."""
+    row = (
+        categorical_drift(cur, base, column, eps)
+        .agg(F.sum("psi_term").alias("v"))
+        .collect()[0]
+    )
+    return float(row["v"] or 0.0)
+
+
+def js_divergence(
+    cur: DataFrame, base: DataFrame, column: str, eps: float = 1e-6
+) -> float:
+    """Jensen-Shannon divergence between the two value distributions
+    (natural log; bounded by ln 2 ~ 0.693)."""
+    row = (
+        categorical_drift(cur, base, column, eps)
+        .agg(F.sum("js_term").alias("v"))
+        .collect()[0]
+    )
+    return float(row["v"] or 0.0)

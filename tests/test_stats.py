@@ -356,3 +356,40 @@ def test_check_expectations_timestamp_freshness(spark):
         df, [Expectation("max", "ts", lo=floor + 86400.0)]
     )
     assert stale.first()["ok"] is False
+
+
+# ---------------------------------------------------------------------------
+# stats.categorical_drift / categorical_psi / js_divergence
+# ---------------------------------------------------------------------------
+
+
+def test_categorical_drift_hand_computed(spark):
+    import math
+
+    cur = spark.createDataFrame([("a",), ("a",), ("b",)], "v string")
+    base = spark.createDataFrame([("a",), ("c",), (None,)], "v string")
+    rows = {r["value"]: r for r in stats.categorical_drift(cur, base, "v").collect()}
+    assert set(rows) == {"a", "b", "c", "NULL"}
+    eps = 1e-6
+    p_a, q_a = 2 / 3 + eps, 1 / 3 + eps
+    assert rows["a"]["p"] == round(p_a, 9) and rows["a"]["q"] == round(q_a, 9)
+    assert rows["a"]["psi_term"] == round((p_a - q_a) * math.log(p_a / q_a), 9)
+    js_a = (p_a * math.log(2 * p_a / (p_a + q_a))
+            + q_a * math.log(2 * q_a / (p_a + q_a))) / 2
+    assert rows["a"]["js_term"] == round(js_a, 9)
+    # value only in base ('c') and NULL-as-category both present
+    assert rows["c"]["p"] == round(eps, 9)
+    assert rows["NULL"]["q"] == round(1 / 3 + eps, 9)
+
+
+def test_categorical_scalars_bounds(spark):
+    import math
+
+    same = spark.createDataFrame([("x",), ("y",)], "v string")
+    assert abs(stats.categorical_psi(same, same, "v")) < 1e-9
+    assert abs(stats.js_divergence(same, same, "v")) < 1e-9
+    a = spark.createDataFrame([("x",)] * 5, "v string")
+    b = spark.createDataFrame([("y",)] * 5, "v string")
+    # disjoint supports: JS ~= ln 2, PSI huge but finite
+    assert abs(stats.js_divergence(a, b, "v") - math.log(2)) < 1e-3
+    assert stats.categorical_psi(a, b, "v") > 10

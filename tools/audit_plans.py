@@ -91,6 +91,7 @@ AUDITED = [
     "rank_normalize_events",
     "impute_events",
     "curate_images_events",
+    "cat_drift_events",
 ]
 
 JOIN_RE = re.compile(
