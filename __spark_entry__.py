@@ -732,6 +732,50 @@ WHERE val IS NOT NULL AND mad > 0 AND abs(val - med) > 3.5 * 1.4826 * mad
 """
 
 
+def q_engine_outliers_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RobustOutliers with per-GROUP bounds (keys=event_type): each
+    source's own median/MAD sets its cut — the mixed-unit-corpora case
+    where one global cut over/under-flags every source. |groups|-row
+    broadcast joins, same two-agg-pass shape as the global form."""
+    from smcchecker_spark.constraints import RobustOutliers
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 97 == 0, F.col("value") * 1000)
+        .otherwise(F.col("value"))
+        .alias("val"),
+    ).withColumn("part_id", (F.col("event_id") % 4).cast("int"))
+    suite = Suite(
+        name="events_outliers_by",
+        table="events",
+        constraints=[RobustOutliers("val", k=3.5, keys=["event_type"])],
+    )
+    return compile_suite(ev, suite, row_id_col="event_id", part_id_col="part_id")
+
+
+_OUTLIERS_PER_KEY_ORACLE = """
+WITH d AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 97 = 0 THEN value * 1000 ELSE value END AS val,
+         CAST(event_id % 4 AS INT) AS part_id
+  FROM events
+),
+m AS (SELECT event_type, median(val) AS med FROM d GROUP BY event_type),
+s AS (SELECT d.event_type, median(abs(d.val - m.med)) AS mad
+      FROM d JOIN m USING (event_type) GROUP BY d.event_type)
+SELECT 'events' AS "table", CAST(event_id AS VARCHAR) AS row_id,
+       'val' AS columns, 'Value out of range' AS error_type,
+       FALSE AS is_core_error,
+       'The value in val is more than 3.5 scaled median-absolute-deviations from the column median within its (event_type) group'
+         AS error_message,
+       'robustoutliers_val_by_event_type' AS check_name, 'error' AS severity,
+       part_id
+FROM d JOIN m USING (event_type) JOIN s USING (event_type)
+WHERE val IS NOT NULL AND mad > 0 AND abs(val - med) > 3.5 * 1.4826 * mad
+"""
+
+
 def q_engine_precision_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision (error) + Scale (warning) with the reference's exact
     digit-count semantics (leading-zero drop via int(frac), trailing-zero
@@ -3659,7 +3703,7 @@ SELECT event_id, user_id, value, rank FROM (
 
 
 def q_expectations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Table-level expectations (stats.check_expectations): six bounds
+    """Table-level expectations (stats.check_expectations): seven bounds (incl. a p95 percentile)
     evaluated in ONE aggregation over one scan — the snapshot-quality
     gate that complements the row-level suite."""
     li = _t(spark, sf_dir, "lineitem")
@@ -3672,6 +3716,7 @@ def q_expectations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             stats.Expectation("min", "l_discount", lo=0.0),
             stats.Expectation("max", "l_tax", hi=0.05),
             stats.Expectation("mean", "l_quantity", lo=20.0, hi=30.0),
+            stats.Expectation("p95", "l_extendedprice", hi=90000.0),
         ],
     )
 
@@ -3684,7 +3729,9 @@ WITH a AS (
          CAST(COUNT(DISTINCT l_returnflag) AS DOUBLE) AS ndv_flag,
          CAST(MIN(l_discount) AS DOUBLE) AS min_disc,
          CAST(MAX(l_tax) AS DOUBLE) AS max_tax,
-         CAST(AVG(l_quantity) AS DOUBLE) AS mean_qty
+         CAST(AVG(l_quantity) AS DOUBLE) AS mean_qty,
+         CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS DOUBLE)
+           AS p95_price
   FROM lineitem
 )
 SELECT u.check, u.value, u.lo, u.hi,
@@ -3696,7 +3743,8 @@ FROM a, UNNEST([
   {'check': 'ndv(l_returnflag)',    'value': a.ndv_flag,   'lo': 2.0,    'hi': 3.0},
   {'check': 'min(l_discount)',      'value': a.min_disc,   'lo': 0.0,    'hi': NULL},
   {'check': 'max(l_tax)',           'value': a.max_tax,    'lo': NULL,   'hi': 0.05},
-  {'check': 'mean(l_quantity)',     'value': a.mean_qty,   'lo': 20.0,   'hi': 30.0}
+  {'check': 'mean(l_quantity)',     'value': a.mean_qty,   'lo': 20.0,   'hi': 30.0},
+  {'check': 'p95(l_extendedprice)', 'value': a.p95_price,  'lo': NULL,   'hi': 90000.0}
 ]) AS t(u)
 """
 
@@ -4099,6 +4147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_dtype_orders": q_engine_dtype_orders,
         "engine_precision_scale": q_engine_precision_scale,
         "engine_robust_outliers": q_engine_robust_outliers,
+        "engine_outliers_per_key": q_engine_outliers_per_key,
         "engine_custom_gated": q_engine_custom_gated,
         "engine_dup_production": q_engine_dup_production,
         "engine_subset_logic": q_engine_subset_logic,
@@ -4214,6 +4263,8 @@ def oracle_sql() -> dict[str, str]:
         "engine_precision_scale": _PRECISION_ORACLE,
         # median/MAD + 3.5-sigma-equivalent cut re-derived in SQL
         "engine_robust_outliers": _ROBUST_OUTLIERS_ORACLE,
+        # per-group median/MAD cuts
+        "engine_outliers_per_key": _OUTLIERS_PER_KEY_ORACLE,
         "engine_custom_gated": _CUSTOM_GATED_ORACLE,
         "engine_dup_production": _DUP_PROD_ORACLE,
         "engine_subset_logic": _SUBSET_ORACLE,

@@ -822,17 +822,23 @@ class RobustOutliers(JoinConstraint):
 
     k: float = 3.5
     approx: bool = False
+    keys: tuple[str, ...] = ()
 
-    def __init__(self, column, k=3.5, approx=False,
+    def __init__(self, column, k=3.5, approx=False, keys=(),
                  severity=ERROR, is_core=False):
         object.__setattr__(self, "column", column)
         object.__setattr__(self, "k", float(k))
         object.__setattr__(self, "approx", bool(approx))
+        object.__setattr__(self, "keys", tuple(keys))
         object.__setattr__(self, "severity", severity)
         object.__setattr__(self, "is_core", is_core)
 
     @property
     def name(self) -> str:
+        if self.keys:
+            return (
+                f"robustoutliers_{self.column}_by_" + "_".join(self.keys)
+            )
         return f"robustoutliers_{self.column}"
 
     @property
@@ -840,9 +846,12 @@ class RobustOutliers(JoinConstraint):
         return ERR_RANGE
 
     def message(self) -> str:
+        scope = (
+            f" within its ({', '.join(self.keys)}) group" if self.keys else ""
+        )
         return (
             f"The value in {self.column} is more than {self.k} scaled "
-            "median-absolute-deviations from the column median"
+            f"median-absolute-deviations from the column median{scope}"
         )
 
     def _median(self, col: Column) -> Column:
@@ -851,26 +860,42 @@ class RobustOutliers(JoinConstraint):
         return F.percentile(col, F.lit(0.5))
 
     def violations(self, df, ctx):
+        """``keys=()``: column-global median/MAD, attached as 1-row
+        broadcasts. With ``keys``: per-GROUP median/MAD (a source's own
+        scale — mixed-unit corpora where the global cut over/under
+        flags every source), attached as |groups|-row broadcast joins;
+        rows with NULL group keys are never flagged (no population)."""
         x = F.col(self.column).cast("double")
-        med = df.agg(self._median(x).alias("__med"))
-        stats = (
-            df.join(F.broadcast(med))
-            .agg(
-                F.first("__med").alias("__med"),
-                self._median(F.abs(x - F.col("__med"))).alias("__mad"),
+        keys = list(self.keys)
+        if keys:
+            med = df.groupBy(*keys).agg(self._median(x).alias("__med"))
+            stats = (
+                df.join(F.broadcast(med), keys)
+                .groupBy(*keys)
+                .agg(self._median(F.abs(x - F.col("__med"))).alias("__mad"))
+                .join(F.broadcast(med), keys)
             )
-        )
+            joined = df.select(ROW_ID, PART_ID, self.column, *keys).join(
+                F.broadcast(stats), keys
+            )
+        else:
+            med = df.agg(self._median(x).alias("__med"))
+            stats = (
+                df.join(F.broadcast(med))
+                .agg(
+                    F.first("__med").alias("__med"),
+                    self._median(F.abs(x - F.col("__med"))).alias("__mad"),
+                )
+            )
+            joined = df.select(ROW_ID, PART_ID, self.column).join(
+                F.broadcast(stats)
+            )
         cut = F.lit(self.k) * F.lit(1.4826) * F.col("__mad")
-        return (
-            df.select(ROW_ID, PART_ID, self.column)
-            .join(F.broadcast(stats))
-            .filter(
-                x.isNotNull()
-                & (F.col("__mad") > 0)
-                & (F.abs(x - F.col("__med")) > cut)
-            )
-            .select(ROW_ID, PART_ID)
-        )
+        return joined.filter(
+            x.isNotNull()
+            & (F.col("__mad") > 0)
+            & (F.abs(x - F.col("__med")) > cut)
+        ).select(ROW_ID, PART_ID)
 
 
 @dataclass

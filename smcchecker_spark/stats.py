@@ -899,8 +899,11 @@ class Expectation:
 
     def __post_init__(self):
         known = {"row_count", "null_rate", "ndv", "min", "max", "mean"}
-        if self.metric not in known:
-            raise ValueError(f"unknown metric {self.metric!r}; one of {sorted(known)}")
+        if self.metric not in known and self._quantile() is None:
+            raise ValueError(
+                f"unknown metric {self.metric!r}; one of {sorted(known)} "
+                "or a percentile like 'p50'/'p99.9'"
+            )
         if (self.column is None) != (self.metric == "row_count"):
             raise ValueError("column is required exactly when metric != row_count")
         if self.lo is None and self.hi is None:
@@ -909,6 +912,20 @@ class Expectation:
     @property
     def name(self) -> str:
         return self.metric if self.column is None else f"{self.metric}({self.column})"
+
+    def _quantile(self) -> float | None:
+        """'p50' → 0.5, 'p99.9' → 0.999; None when not a percentile
+        metric. Percentile bounds are the latency-shaped expectations
+        ("p99 ingest lag ≤ 60 s", "median caption length ≥ 15") that
+        min/max/mean can't express; ``approx=True`` swaps the exact
+        per-value aggregation for the t-digest sketch at 10^12 rows."""
+        import re
+
+        m = re.fullmatch(r"p(\d{1,2}(?:\.\d+)?)", self.metric)
+        if not m:
+            return None
+        v = float(m.group(1)) / 100.0
+        return v if 0.0 < v < 1.0 else None
 
     def agg_expr(self, dtype=None) -> Column:
         c = F.col(self.column) if self.column else None
@@ -932,6 +949,14 @@ class Expectation:
             e = F.min(c)
         elif self.metric == "max":
             e = F.max(c)
+        elif (q := self._quantile()) is not None:
+            e = (
+                F.percentile_approx(
+                    c.cast("double"), F.lit(q), F.lit(10000)
+                )
+                if self.approx
+                else F.percentile(c.cast("double"), F.lit(q))
+            )
         else:
             e = F.avg(c)
         return e.cast("double").alias(self.name)

@@ -511,3 +511,27 @@ def test_robust_outliers_cli_spec():
         {"type": "robust_outliers", "column": "v", "k": 4.0, "severity": "warning"}
     )
     assert c.k == 4.0 and c.severity == "warning" and c.column == "v"
+
+
+def test_robust_outliers_per_key(spark):
+    from smcchecker_spark.constraints import RobustOutliers
+
+    # group a: 1..9, outlier at id 90 (1000); group b: 1000x scale where
+    # 1000 is NORMAL — a global cut would flag all of b or miss a's
+    rows = (
+        [(i, "a", float(i)) for i in range(1, 10)]
+        + [(90, "a", 1000.0)]
+        + [(100 + i, "b", 1000.0 * i) for i in range(1, 10)]
+        + [(190, "b", 1000000.0)]
+        + [(200, None, 5.0)]
+    )
+    df = spark.createDataFrame(rows, "id long, k string, v double").withColumn(
+        "part_id", F.lit(0)
+    )
+    suite = Suite("s", "t", [RobustOutliers("v", keys=["k"])])
+    out = sorted(
+        int(r["row_id"])
+        for r in compile_suite(df, suite, row_id_col="id").collect()
+    )
+    assert out == [90, 190]
+    assert RobustOutliers("v", keys=["k"]).name == "robustoutliers_v_by_k"

@@ -393,3 +393,23 @@ def test_categorical_scalars_bounds(spark):
     # disjoint supports: JS ~= ln 2, PSI huge but finite
     assert abs(stats.js_divergence(a, b, "v") - math.log(2)) < 1e-3
     assert stats.categorical_psi(a, b, "v") > 10
+
+
+def test_expectation_percentile_metric(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    out = {r["check"]: r for r in stats.check_expectations(
+        df,
+        [
+            stats.Expectation("p50", "v", lo=40.0, hi=60.0),
+            stats.Expectation("p99", "v", hi=95.0),           # 99.01 > 95 -> fail
+            stats.Expectation("p95", "v", hi=99.0, approx=True),
+        ],
+    ).collect()}
+    assert out["p50(v)"]["value"] == 50.5 and out["p50(v)"]["ok"] is True
+    assert out["p99(v)"]["ok"] is False
+    assert out["p95(v)"]["ok"] is True
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="percentile"):
+        stats.Expectation("p0", "v", lo=1.0)
+    with _pytest.raises(ValueError, match="percentile"):
+        stats.Expectation("q50", "v", lo=1.0)

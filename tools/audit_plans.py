@@ -92,6 +92,7 @@ AUDITED = [
     "impute_events",
     "curate_images_events",
     "cat_drift_events",
+    "engine_outliers_per_key",
 ]
 
 JOIN_RE = re.compile(
