@@ -3174,6 +3174,54 @@ _CURATE_IMAGES_ORACLE = _CURATE_IMAGES_ORACLE_RAW.replace(
 )
 
 
+def q_incremental_phash_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IMAGE near-dup vs a persisted phash chunk-band index
+    (ops/incremental.py save_phash_index / incremental_phash_pairs) —
+    the image twin of the MinHash probe: the accepted corpus' banded
+    fingerprints are stored once; the ingest batch (a 1-bit-perturbed
+    1% slice under new ids) probes only the chunk buckets it hashes
+    into. Exact recall by pigeonhole (Hamming ≤ 3, 4 chunks); old x old
+    never re-pairs. Oracle: brute-force bit_count(xor) over new x all."""
+    import tempfile
+
+    from smcchecker_spark.ops import incremental as inc2
+
+    mix = _mix_spark("event_id")
+    ev = _t(spark, sf_dir, "events")
+    old = ev.select("event_id", F.expr(mix).alias("phash"))
+    new = ev.filter("event_id % 101 = 0").select(
+        (F.col("event_id") + 1000000).alias("event_id"),
+        F.expr(
+            f"{mix} ^ shiftleft(1, cast(event_id % 3 as int))"
+        ).alias("phash"),
+    )
+    path = tempfile.mkdtemp(prefix="ph_index_")
+    inc2.save_phash_index(old, path, "event_id", "phash", chunks=4, max_hamming=3)
+    return inc2.incremental_phash_pairs(new, path, "event_id", "phash")
+
+
+_INCREMENTAL_PHASH_ORACLE_RAW = """
+WITH old AS (SELECT event_id, __MIX__ AS phash FROM events),
+new AS (
+  SELECT event_id + 1000000 AS event_id,
+         xor(__MIX__, (1::BIGINT << CAST(event_id % 3 AS INT))) AS phash
+  FROM events WHERE event_id % 101 = 0
+),
+u AS (SELECT * FROM old UNION ALL SELECT * FROM new),
+p AS (
+  SELECT a.event_id AS id_a, b.event_id AS id_b,
+         bit_count(xor(a.phash, b.phash)) AS hamming
+  FROM u a JOIN u b ON a.event_id < b.event_id
+  WHERE (a.event_id >= 1000000 OR b.event_id >= 1000000)
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM p WHERE hamming <= 3
+"""
+_INCREMENTAL_PHASH_ORACLE = _INCREMENTAL_PHASH_ORACLE_RAW.replace(
+    "__MIX__", _mix_duck("event_id")
+)
+
+
 def q_image_decontaminate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual benchmark decontamination (contamination.phash_overlap):
     corpus images whose phash lands within 3 bits of ANY benchmark
@@ -4235,6 +4283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cat_drift_events": q_cat_drift_events,
         "image_decontaminate_events": q_image_decontaminate_events,
         "curate_images_events": q_curate_images_events,
+        "incremental_phash_events": q_incremental_phash_events,
         "snapshot_diff_events": q_snapshot_diff_events,
         "crossmodal_events": q_crossmodal_events,
     }
@@ -4396,6 +4445,8 @@ def oracle_sql() -> dict[str, str]:
         "image_decontaminate_events": _IMAGE_DECONTAM_ORACLE,
         # engine gate -> crossmodal -> phash resolve -> AR batches, all in SQL
         "curate_images_events": _CURATE_IMAGES_ORACLE,
+        # pigeonhole-banded probe == brute-force bit_count(xor) restricted to the batch
+        "incremental_phash_events": _INCREMENTAL_PHASH_ORACLE,
         "snapshot_diff_events": _SNAPSHOT_DIFF_ORACLE,
         "crossmodal_events": _CROSSMODAL_ORACLE,
         # rows-only (approximate / non-SQL-expressible): column_stats_approx,

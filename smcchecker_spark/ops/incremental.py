@@ -309,3 +309,182 @@ def incremental_ngram_dedup(
         min_parallelism=min_parallelism,
     )
     return scored.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Image twin: persisted 64-bit fingerprint (phash/simhash) chunk-band index
+# ---------------------------------------------------------------------------
+
+_PHASH_META_SCHEMA = "chunks int, max_hamming int"
+
+
+def save_phash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    chunks: int = 4,
+    max_hamming: int = 3,
+) -> None:
+    """Persist the accepted image corpus' phash chunk-band index:
+    ``{path}/banded`` holds (val, id, h) hive-partitioned BY CHUNK
+    (0..chunks-1), ``{path}/meta`` the banding parameters. Pigeonhole
+    contract: Hamming ≤ ``max_hamming`` pairs share ≥ 1 chunk value
+    when chunks > max_hamming, so a probe that joins on (chunk, val)
+    has EXACT recall (same guarantee as ``dedup.hamming_near_dups``,
+    persisted). The fingerprint rides in the member rows, so probes
+    compute Hamming at pair time with zero re-joins. No UDF anywhere —
+    banding is a native Column projection (one scan, map-only write).
+    Appends: same ``ingest`` partition-label idempotence as the MinHash
+    index."""
+    from smcchecker_spark.ops.dedup import check_pigeonhole
+
+    check_pigeonhole(max_hamming, chunks)
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(chunks, max_hamming)], _PHASH_META_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    _banded_phash(df, id_col, phash_col, chunks).withColumn(
+        "ingest", F.lit("base")
+    ).write.mode("overwrite").partitionBy("ingest", "chunk").parquet(
+        f"{path}/banded"
+    )
+
+
+def _banded_phash(
+    df: DataFrame, id_col: str, phash_col: str, chunks: int
+) -> DataFrame:
+    from smcchecker_spark.ops.dedup import chunk_band_structs
+
+    h = F.col(phash_col).cast("long")
+    return df.select(
+        F.col(id_col).alias("id"),
+        h.alias("h"),
+        F.explode(chunk_band_structs(h, chunks)).alias("cc"),
+    ).select(
+        F.col("cc.chunk").alias("chunk"),
+        F.col("cc.val").alias("val"),
+        "id",
+        "h",
+    )
+
+
+def append_to_phash_index(
+    new_df: DataFrame,
+    path: str,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    ingest_label: str | None = None,
+) -> None:
+    """Fold an accepted image batch into the index (see
+    ``append_to_minhash_index`` for the idempotence contract)."""
+    spark = new_df.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first()
+    label = ingest_label if ingest_label is not None else "append"
+    mode = "overwrite" if ingest_label is not None else "append"
+    (
+        _banded_phash(new_df, id_col, phash_col, meta["chunks"])
+        .withColumn("ingest", F.lit(label))
+        .write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest", "chunk")
+        .parquet(f"{path}/banded")
+    )
+
+
+def incremental_phash_pairs(
+    new_df: DataFrame,
+    path: str,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int | None = None,
+    hot_bucket: int = 256,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs touching the new batch:
+    (id_a, id_b, hamming ≤ max_hamming) — new x new through the shared
+    skew-guarded ``hamming_near_dups``, new x old against the STORED
+    band index; old x old never re-pairs. Same plan discipline as the
+    MinHash probe: the batch's distinct (chunk, val) keys broadcast
+    semi-prune the index scan map-side, surviving old members group per
+    bucket into chunked arrays (hot flat-image buckets spread across
+    tasks), the batch's per-bucket members broadcast on. Recall is
+    EXACT by pigeonhole for max_hamming ≤ the indexed bound."""
+    from smcchecker_spark.ops.dedup import (
+        check_pigeonhole,
+        hamming_near_dups,
+    )
+
+    spark = new_df.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first()
+    if max_hamming is None:
+        max_hamming = meta["max_hamming"]
+    check_pigeonhole(max_hamming, meta["chunks"])
+
+    banded_new = _banded_phash(
+        new_df, id_col, phash_col, meta["chunks"]
+    ).localCheckpoint(eager=True)
+
+    nn = hamming_near_dups(
+        new_df.select(F.col(id_col).alias("id"), F.col(phash_col).alias("h")),
+        "id",
+        "h",
+        max_hamming,
+        meta["chunks"],
+        hot_bucket,
+    )
+
+    old = spark.read.parquet(f"{path}/banded").select(
+        "chunk", "val", "id", "h"
+    )
+    keys = banded_new.select("chunk", "val").distinct()
+    grouped_old = (
+        old.join(F.broadcast(keys), ["chunk", "val"], "left_semi")
+        .groupBy("chunk", "val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("id"), F.col("h")))
+            ).alias("ms")
+        )
+    )
+    old_chunks = _chunked_members(
+        grouped_old, ["chunk", "val"], hot_bucket
+    ).repartition("chunk", "val", "ci")
+    new_chunks = F.broadcast(
+        _chunked_members(
+            banded_new.groupBy("chunk", "val").agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("id"), F.col("h")))
+                ).alias("ms")
+            ),
+            ["chunk", "val"],
+            hot_bucket,
+            idx_name="nj",
+            arr_name="na",
+        )
+    )
+    on = (
+        old_chunks.join(new_chunks, ["chunk", "val"])
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ca"),
+                        lambda o: F.transform(
+                            F.col("na"),
+                            lambda n: F.struct(o.alias("o"), n.alias("n")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.o", "p.n")
+    )
+    a_first = F.col("o") < F.col("n")
+    no = on.select(
+        F.when(a_first, F.col("o.id")).otherwise(F.col("n.id")).alias("id_a"),
+        F.when(a_first, F.col("n.id")).otherwise(F.col("o.id")).alias("id_b"),
+        F.bit_count(
+            F.col("o.h").bitwiseXOR(F.col("n.h"))
+        ).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+    return nn.unionByName(no).dropDuplicates(["id_a", "id_b"])

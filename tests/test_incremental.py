@@ -178,3 +178,66 @@ def test_meta_roundtrip_and_param_independence(spark, corpus, tmp_path_factory):
         ).collect()
     }
     assert est and all(0.0 <= e <= 1.0 for e in est)
+
+
+# ---------------------------------------------------------------------------
+# phash (image) incremental index
+# ---------------------------------------------------------------------------
+
+
+def _ph_df(spark, rows):
+    return spark.createDataFrame(rows, "image_id long, phash long")
+
+
+def test_phash_probe_matches_full_pairing(spark, tmp_path_factory):
+    import random
+
+    rng = random.Random(11)
+    old_rows = [(i, rng.getrandbits(63)) for i in range(80)]
+    # batch: near-dup of old 5 (2 bit flips), exact dup of old 7, novel
+    new_rows = [
+        (1000, old_rows[5][1] ^ 0b101),
+        (1001, old_rows[7][1]),
+        (1002, rng.getrandbits(63)),
+        (1003, old_rows[5][1] ^ 0b101),  # in-batch dup of 1000
+    ]
+    old, new = _ph_df(spark, old_rows), _ph_df(spark, new_rows)
+    path = str(tmp_path_factory.mktemp("phidx"))
+    inc.save_phash_index(old, path, chunks=4, max_hamming=3)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in inc.incremental_phash_pairs(new, path).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.hamming_near_dups(
+            old.unionByName(new).selectExpr("image_id as id", "phash as h"),
+            "id", "h", max_hamming=3, chunks=4,
+        ).collect()
+    }
+    new_ids = {1000, 1001, 1002, 1003}
+    want = {t for t in full if t[0] in new_ids or t[1] in new_ids}
+    assert got == want
+    assert (5, 1000, 2) in got and (7, 1001, 0) in got and (1000, 1003, 0) in got
+    assert not any(t[0] == 1002 or t[1] == 1002 for t in got)
+
+
+def test_phash_probe_hot_bucket_and_append(spark, tmp_path_factory):
+    # 50 identical fingerprints in old (flat images) -> hot bucket
+    old = _ph_df(spark, [(i, 0x1234567890) for i in range(50)])
+    new = _ph_df(spark, [(900, 0x1234567890 ^ 1)])
+    path = str(tmp_path_factory.mktemp("phhot"))
+    inc.save_phash_index(old, path)
+    pairs = inc.incremental_phash_pairs(new, path, hot_bucket=8)
+    assert pairs.count() == 50 and pairs.agg({"hamming": "max"}).first()[0] == 1
+    # append the accepted novel batch; next probe sees it
+    nov = _ph_df(spark, [(901, 0x0F0F0F0F0F0F)])
+    inc.append_to_phash_index(nov, path, ingest_label="b1")
+    probe = _ph_df(spark, [(950, 0x0F0F0F0F0F0E)])
+    got = {(r["id_a"], r["id_b"]) for r in
+           inc.incremental_phash_pairs(probe, path).collect()}
+    assert got == {(901, 950)}
+    # replay idempotence
+    inc.append_to_phash_index(nov, path, ingest_label="b1")
+    assert {(r["id_a"], r["id_b"]) for r in
+            inc.incremental_phash_pairs(probe, path).collect()} == {(901, 950)}

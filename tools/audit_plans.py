@@ -93,6 +93,7 @@ AUDITED = [
     "curate_images_events",
     "cat_drift_events",
     "engine_outliers_per_key",
+    "incremental_phash_events",
 ]
 
 JOIN_RE = re.compile(
