@@ -363,7 +363,6 @@ class StreamingNearDupGate:
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from smcchecker_spark.ops import incremental as inc
-        from smcchecker_spark.ops.dedup import connected_components
 
         batch_df.persist()
         try:
@@ -376,117 +375,208 @@ class StreamingNearDupGate:
                 min_parallelism=self.min_parallelism,
                 with_est=True,
             ).filter(F.col("est_jaccard") >= self.threshold)
-            # candidate pairs are the post-blocking sliver; materialize
-            # once (classification + components + evidence all reuse it)
-            pairs = pairs.localCheckpoint(eager=True)
-
-            ids = batch_df.select(F.col(self.id_col).alias("id"))
-            in_batch = F.broadcast(ids.withColumn("_new", F.lit(True)))
-            tagged = (
-                pairs.join(
-                    in_batch.select(
-                        F.col("id").alias("id_a"), F.col("_new").alias("_a_new")
-                    ),
-                    "id_a",
-                    "left",
-                )
-                .join(
-                    in_batch.select(
-                        F.col("id").alias("id_b"), F.col("_new").alias("_b_new")
-                    ),
-                    "id_b",
-                    "left",
-                )
-                .select(
-                    "id_a",
-                    "id_b",
-                    "est_jaccard",
-                    F.coalesce("_a_new", F.lit(False)).alias("a_new"),
-                    F.coalesce("_b_new", F.lit(False)).alias("b_new"),
-                )
-            )
-            # corpus wins: any batch side of a batch-x-old pair is out
-            vs_old = tagged.filter(~F.col("a_new") | ~F.col("b_new")).select(
-                F.when(F.col("a_new"), F.col("id_a"))
-                .otherwise(F.col("id_b"))
-                .alias("id"),
-                F.when(F.col("a_new"), F.col("id_b"))
-                .otherwise(F.col("id_a"))
-                .alias("partner"),
-                "est_jaccard",
-            )
-            # batch-internal: canonical min-id per component survives
-            bb = tagged.filter(F.col("a_new") & F.col("b_new"))
-            if bb.take(1):
-                comp = connected_components(bb.select("id_a", "id_b"))
-                losers = comp.filter(F.col("id") != F.col("component"))
-                bb_evidence = bb.select(
-                    F.col("id_b").alias("id"),
-                    F.col("id_a").alias("partner"),
-                    "est_jaccard",
-                ).join(F.broadcast(losers.select("id")), "id", "left_semi")
-                evidence = vs_old.unionByName(bb_evidence)
-            else:
-                evidence = vs_old
-            flagged = (
-                evidence.groupBy("id")
-                .agg(
-                    F.max("est_jaccard").alias("est_jaccard"),
-                    F.min_by("partner", F.struct(
-                        (-F.col("est_jaccard")).alias("s"), "partner"
-                    )).alias("matched_id"),
-                )
-            )
-            flagged = F.broadcast(flagged.localCheckpoint(eager=True))
-
-            clean = batch_df.join(
-                flagged.select(F.col("id").alias(self.id_col)),
+            clean = _dup_gate_split(
+                batch_df,
+                batch_id,
+                pairs,
                 self.id_col,
-                "left_anti",
+                score_col="est_jaccard",
+                best_is_max=True,
+                clean_path=self.clean_path,
+                dup_path=self.dup_path,
             )
-            label = f"b{batch_id}"
-            if self.clean_path:
-                (
-                    clean.withColumn("ingest", F.lit(label))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("ingest")
-                    .parquet(self.clean_path)
-                )
-            if self.dup_path:
-                dups = batch_df.join(
-                    flagged.withColumnRenamed("id", self.id_col), self.id_col
-                )
-                (
-                    dups.withColumn("ingest", F.lit(label))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("ingest")
-                    .parquet(self.dup_path)
-                )
             inc.append_to_minhash_index(
                 clean,
                 self.index_path,
                 self.id_col,
                 self.text_col,
                 min_parallelism=self.min_parallelism,
-                ingest_label=label,
+                ingest_label=f"b{batch_id}",
             )
         finally:
             batch_df.unpersist()
 
-    def start(
-        self,
-        stream_df: DataFrame,
-        checkpoint_location: str,
-        trigger_once: bool = False,
-        **trigger_kwargs,
-    ):
-        writer = stream_df.writeStream.foreachBatch(self.process_batch).option(
-            "checkpointLocation", checkpoint_location
+    # start() attached below — shared with the phash gate
+
+
+def _dup_gate_split(
+    batch_df: DataFrame,
+    batch_id: int,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    best_is_max: bool,
+    clean_path: str,
+    dup_path: str,
+) -> DataFrame:
+    """Shared micro-batch splitter behind the text (MinHash/est) and
+    image (phash/Hamming) streaming dup gates: classify candidate pairs
+    against the batch's id set (corpus wins; batch-internal chains keep
+    the connected-component min id), write CLEAN and QUARANTINE slices
+    as batch-labeled dynamic-partition overwrites (replay-idempotent),
+    and return the clean slice for the caller's index append. Evidence
+    rows carry (matched_id, <score_col>) with the BEST match per flagged
+    id (max score for similarities, min for distances)."""
+    from smcchecker_spark.ops.dedup import connected_components
+
+    # candidate pairs are the post-blocking sliver; materialize once
+    # (classification + components + evidence all reuse it)
+    pairs = pairs.localCheckpoint(eager=True)
+
+    ids = batch_df.select(F.col(id_col).alias("id"))
+    in_batch = F.broadcast(ids.withColumn("_new", F.lit(True)))
+    tagged = (
+        pairs.join(
+            in_batch.select(
+                F.col("id").alias("id_a"), F.col("_new").alias("_a_new")
+            ),
+            "id_a",
+            "left",
         )
-        if trigger_once:
-            writer = writer.trigger(availableNow=True)
-        elif trigger_kwargs:
-            writer = writer.trigger(**trigger_kwargs)
-        return writer.start()
+        .join(
+            in_batch.select(
+                F.col("id").alias("id_b"), F.col("_new").alias("_b_new")
+            ),
+            "id_b",
+            "left",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            score_col,
+            F.coalesce("_a_new", F.lit(False)).alias("a_new"),
+            F.coalesce("_b_new", F.lit(False)).alias("b_new"),
+        )
+    )
+    # corpus wins: any batch side of a batch-x-old pair is out
+    vs_old = tagged.filter(~F.col("a_new") | ~F.col("b_new")).select(
+        F.when(F.col("a_new"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("id"),
+        F.when(F.col("a_new"), F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("partner"),
+        score_col,
+    )
+    # batch-internal: canonical min-id per component survives
+    bb = tagged.filter(F.col("a_new") & F.col("b_new"))
+    if bb.take(1):
+        comp = connected_components(bb.select("id_a", "id_b"))
+        losers = comp.filter(F.col("id") != F.col("component"))
+        bb_evidence = bb.select(
+            F.col("id_b").alias("id"),
+            F.col("id_a").alias("partner"),
+            score_col,
+        ).join(F.broadcast(losers.select("id")), "id", "left_semi")
+        evidence = vs_old.unionByName(bb_evidence)
+    else:
+        evidence = vs_old
+    best = F.max(score_col) if best_is_max else F.min(score_col)
+    order = (
+        (-F.col(score_col)) if best_is_max else F.col(score_col)
+    )
+    flagged = evidence.groupBy("id").agg(
+        best.alias(score_col),
+        F.min_by(
+            "partner", F.struct(order.alias("s"), "partner")
+        ).alias("matched_id"),
+    )
+    flagged = F.broadcast(flagged.localCheckpoint(eager=True))
+
+    clean = batch_df.join(
+        flagged.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    label = f"b{batch_id}"
+
+    def _write(df: DataFrame, dest: str) -> None:
+        (
+            df.withColumn("ingest", F.lit(label))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest")
+            .parquet(dest)
+        )
+
+    if clean_path:
+        _write(clean, clean_path)
+    if dup_path:
+        _write(
+            batch_df.join(flagged.withColumnRenamed("id", id_col), id_col),
+            dup_path,
+        )
+    return clean
+
+
+def _gate_start(
+    self,
+    stream_df: DataFrame,
+    checkpoint_location: str,
+    trigger_once: bool = False,
+    **trigger_kwargs,
+):
+    writer = stream_df.writeStream.foreachBatch(self.process_batch).option(
+        "checkpointLocation", checkpoint_location
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_kwargs:
+        writer = writer.trigger(**trigger_kwargs)
+    return writer.start()
+
+
+StreamingNearDupGate.start = _gate_start
+
+
+@dataclass
+class StreamingPhashDupGate:
+    """Image twin of :class:`StreamingNearDupGate`: every micro-batch of
+    (id, phash) rows probes the persisted phash chunk-band index
+    (``ops.incremental.save_phash_index``) — exact recall by pigeonhole,
+    Hamming ≤ ``max_hamming`` — quarantines matches with
+    (matched_id, hamming) evidence (best = LOWEST distance), and folds
+    the clean slice back into the index. Same replay-idempotent
+    batch-labeled writes, same corpus-wins + component-min-keep policy,
+    shared ``_dup_gate_split`` machinery."""
+
+    index_path: str
+    id_col: str = "image_id"
+    phash_col: str = "phash"
+    max_hamming: int | None = None
+    clean_path: str = ""
+    dup_path: str = ""
+    hot_bucket: int = 256
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from smcchecker_spark.ops import incremental as inc
+
+        batch_df.persist()
+        try:
+            pairs = inc.incremental_phash_pairs(
+                batch_df,
+                self.index_path,
+                self.id_col,
+                self.phash_col,
+                max_hamming=self.max_hamming,
+                hot_bucket=self.hot_bucket,
+            )
+            clean = _dup_gate_split(
+                batch_df,
+                batch_id,
+                pairs,
+                self.id_col,
+                score_col="hamming",
+                best_is_max=False,
+                clean_path=self.clean_path,
+                dup_path=self.dup_path,
+            )
+            inc.append_to_phash_index(
+                clean,
+                self.index_path,
+                self.id_col,
+                self.phash_col,
+                ingest_label=f"b{batch_id}",
+            )
+        finally:
+            batch_df.unpersist()
+
+    start = _gate_start

@@ -430,3 +430,44 @@ def test_gate_through_streaming_query(spark, tmp_path):
     q.awaitTermination(120)
     assert {r["doc_id"] for r in spark.read.parquet(gate.clean_path).collect()} == {101}
     assert {r["doc_id"] for r in spark.read.parquet(gate.dup_path).collect()} == {100}
+
+
+def test_phash_gate_splits_and_grows_index(spark, tmp_path):
+    from smcchecker_spark.ops import incremental as inc
+    from smcchecker_spark.streaming import StreamingPhashDupGate
+
+    old = spark.createDataFrame(
+        [(i, 0x1111000000 + i * 1024) for i in range(20)],
+        "image_id long, phash long",
+    )
+    idx = str(tmp_path / "phidx")
+    inc.save_phash_index(old, idx, chunks=4, max_hamming=3)
+    gate = StreamingPhashDupGate(
+        index_path=idx,
+        clean_path=str(tmp_path / "clean"),
+        dup_path=str(tmp_path / "dups"),
+    )
+    b1 = spark.createDataFrame(
+        [
+            (100, 0x1111000000 ^ 1),   # 1 bit from indexed 0 -> quarantine
+            (101, 0x7F7F7F7F7F7F),     # novel -> clean + indexed
+            (102, 0x7F7F7F7F7F7E),     # 1 bit from 101 -> in-batch dup
+        ],
+        "image_id long, phash long",
+    )
+    gate.process_batch(b1, 1)
+    clean = {r["image_id"] for r in spark.read.parquet(gate.clean_path).collect()}
+    dups = {r["image_id"]: r for r in spark.read.parquet(gate.dup_path).collect()}
+    assert clean == {101}
+    assert set(dups) == {100, 102}
+    assert dups[100]["matched_id"] == 0 and dups[100]["hamming"] == 1
+    assert dups[102]["matched_id"] == 101
+    # batch 2 dups the batch-1-accepted image
+    b2 = spark.createDataFrame([(200, 0x7F7F7F7F7F7F)], "image_id long, phash long")
+    gate.process_batch(b2, 2)
+    dups2 = {r["image_id"]: r for r in spark.read.parquet(gate.dup_path).collect()}
+    assert dups2[200]["matched_id"] == 101 and dups2[200]["hamming"] == 0
+    # replay idempotence
+    n_before = spark.read.parquet(gate.index_path + "/banded").count()
+    gate.process_batch(b2, 2)
+    assert spark.read.parquet(gate.index_path + "/banded").count() == n_before
