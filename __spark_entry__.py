@@ -1741,6 +1741,39 @@ FROM d LEFT JOIN m USING (event_type)
 """
 
 
+def q_impute_mode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical mode imputation (clean.impute_categorical): the
+    event_type NULLed on ~6% of rows refills with the global mode
+    (tie → smallest value, deterministic). min_by over (−count, value)
+    — no window over raw rows — then a 1-row broadcast."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("et"),
+    )
+    return clean.impute_categorical(ev, ["et"]).select(
+        "event_id", "et", "et__imputed"
+    )
+
+
+_IMPUTE_MODE_ORACLE = """
+WITH d AS (
+  SELECT event_id,
+         CASE WHEN event_id % 17 = 0 THEN NULL ELSE event_type END AS et
+  FROM events
+),
+m AS (
+  SELECT et AS fill FROM (
+    SELECT et, count(*) AS n FROM d WHERE et IS NOT NULL GROUP BY et
+  ) ORDER BY n DESC, et LIMIT 1
+)
+SELECT d.event_id, coalesce(d.et, m.fill) AS et,
+       (d.et IS NULL AND m.fill IS NOT NULL) AS et__imputed
+FROM d, m
+"""
+
+
 def q_rank_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source percentile normalization (ops/sample.py
     rank_normalize): inclusive within-key CDF of value per event_type —
@@ -4228,6 +4261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_embeddings": q_pca_embeddings,
         "rank_normalize_events": q_rank_normalize_events,
         "impute_events": q_impute_events,
+        "impute_mode_events": q_impute_mode_events,
         "budget_select_docs": q_budget_select_docs,
         "lm_quality_docs": q_lm_quality_docs,
         "exact_dups_docs": q_exact_dups_docs,
@@ -4347,6 +4381,8 @@ def oracle_sql() -> dict[str, str]:
         "rank_normalize_events": _RANK_NORMALIZE_ORACLE,
         # per-key median fill + auditable indicator
         "impute_events": _IMPUTE_ORACLE,
+        # deterministic mode fill (tie -> smallest value)
+        "impute_mode_events": _IMPUTE_MODE_ORACLE,
         # greedy budget selection == one global running-sum window in SQL
         "budget_select_docs": _BUDGET_SELECT_ORACLE,
         # Laplace unigram LM + count-weighted NLL, OOV floor via min_tf prune

@@ -198,3 +198,50 @@ def impute_numeric(
             )
         out = out.withColumn(c, filled)
     return out.drop(*[f"__fill_{c}" for c in columns])
+
+
+def impute_categorical(
+    df: DataFrame,
+    columns: list[str],
+    per_key: list[str] | None = None,
+    indicator: bool = True,
+) -> DataFrame:
+    """Fill NULLs in categorical ``columns`` with the column's MODE
+    (most frequent non-NULL value; ties break to the smallest value, so
+    the fill is deterministic and SQL-reproducible) — globally or per
+    ``per_key`` group. Completes :func:`impute_numeric` for string/enum
+    columns; same auditable ``<col>__imputed`` indicators.
+
+    Plan per column: one (key, value) count aggregation (map-side
+    partials absorb hot values) reduced to one mode row per key with
+    ``min_by`` over (−count, value) — never a window over raw rows —
+    then a broadcast join back. All-NULL columns/groups keep NULL."""
+    out = df
+    keys = list(per_key or [])
+    for c in columns:
+        counts = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(*keys, c)
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        order = F.struct((-F.col("__n")).alias("n"), F.col(c).alias("v"))
+        mode_col = F.min_by(F.col(c), order).alias(f"__fill_{c}")
+        fills = (
+            counts.groupBy(*keys).agg(mode_col)
+            if keys
+            else counts.agg(mode_col)
+        )
+        out = (
+            out.join(F.broadcast(fills), keys, "left")
+            if keys
+            else out.join(F.broadcast(fills))
+        )
+        fill = F.col(f"__fill_{c}")
+        if indicator:
+            out = out.withColumn(
+                f"{c}__imputed", F.col(c).isNull() & fill.isNotNull()
+            )
+        out = out.withColumn(c, F.coalesce(F.col(c), fill)).drop(
+            f"__fill_{c}"
+        )
+    return out

@@ -191,3 +191,26 @@ def test_pca_model_roundtrip(spark, tmp_path):
     a = pca.project_pca(df, m, "embedding").collect()
     b = pca.project_pca(df, m2, "embedding").collect()
     assert [r["pca"] for r in a] == [r["pca"] for r in b]
+
+
+def test_impute_categorical_mode(spark):
+    from smcchecker_spark import clean
+
+    rows = [
+        (0, "a", "x"), (1, "a", "x"), (2, "a", "y"), (3, "a", None),
+        (4, "b", "z"), (5, "b", None),
+        (6, "c", None),              # all-NULL group
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, v string")
+    out = {r["id"]: r for r in clean.impute_categorical(
+        df, ["v"], per_key=["k"]
+    ).collect()}
+    assert out[3]["v"] == "x" and out[3]["v__imputed"] is True
+    assert out[5]["v"] == "z" and out[5]["v__imputed"] is True
+    assert out[6]["v"] is None and out[6]["v__imputed"] is False
+    # tie -> smallest value, global mode
+    df2 = spark.createDataFrame(
+        [(0, "m"), (1, "m"), (2, "l"), (3, "l"), (4, None)], "id long, v string"
+    )
+    got = {r["id"]: r["v"] for r in clean.impute_categorical(df2, ["v"]).collect()}
+    assert got[4] == "l"

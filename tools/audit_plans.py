@@ -94,6 +94,7 @@ AUDITED = [
     "cat_drift_events",
     "engine_outliers_per_key",
     "incremental_phash_events",
+    "impute_mode_events",
 ]
 
 JOIN_RE = re.compile(
