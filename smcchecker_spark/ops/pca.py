@@ -89,16 +89,46 @@ def fit_pca(
             {"n": [n], "s": [s.tolist()], "m": [m.reshape(-1).tolist()]}
         )
 
-    rows = (
-        df.select(F.col(vec_col).alias("_v"))
-        .mapInPandas(partials, schema)
+    part = df.select(F.col(vec_col).alias("_v")).mapInPandas(
+        partials, schema
+    )
+    # second-level reduction IN SPARK: the per-partition moment rows are
+    # d*d-sized (32 KB at d=64), so collecting one per partition puts
+    # #partitions x d^2 on the driver — GBs at 100k-partition corpus
+    # scale. Explode each row to (cell, value) and sum per cell instead:
+    # the shuffle moves #partitions x (d^2+d+1) tiny rows and the driver
+    # receives exactly d^2 + d + 1 scalars regardless of corpus size.
+    reduced = (
+        part.select(
+            F.explode(
+                F.concat(
+                    F.array(F.struct(F.lit(-1).alias("i"),
+                                     F.col("n").cast("double").alias("v"))),
+                    F.transform(
+                        "s",
+                        lambda x, i: F.struct(i.alias("i"), x.alias("v")),
+                    ),
+                    F.transform(
+                        "m",
+                        lambda x, i: F.struct(
+                            (i + d).alias("i"), x.alias("v")
+                        ),
+                    ),
+                )
+            ).alias("c")
+        )
+        .groupBy("c.i")
+        .agg(F.sum("c.v").alias("v"))
         .collect()
     )
-    n = sum(r["n"] for r in rows)
+    cells = {r["i"]: r["v"] for r in reduced}
+    n = int(cells.get(-1, 0))
     if n == 0:
         raise ValueError("fit_pca: no valid vectors")
-    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
-    m = np.sum([np.array(r["m"]).reshape(d, d) for r in rows], axis=0)
+    s = np.array([cells.get(i, 0.0) for i in range(d)])
+    m = np.array(
+        [cells.get(d + i, 0.0) for i in range(d * d)]
+    ).reshape(d, d)
     mean = s / n if center else np.zeros(d)
     cov = m / n - np.outer(mean, mean)
     # symmetrize against float drift before eigh
