@@ -1857,6 +1857,57 @@ ORDER BY tf DESC, token_a, token_b LIMIT 300
 """
 
 
+def q_bigram_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring (ops/text.py bigram_lm_score,
+    lam=0.7): context-sensitive NLL — catches word-salad the unigram
+    score misses. Train + score on documents; compressed (doc, prev, w)
+    occurrence counts on BOTH engines, probabilities re-derived in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.bigram_lm_score(docs, docs, "doc_id", lam=0.7)
+
+
+_BIGRAM_LM_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+uni AS (
+  SELECT tok AS token, count(*) AS tf
+  FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS T, CAST(count(*) AS DOUBLE) AS V
+        FROM uni),
+bi AS (
+  SELECT t[i+1] AS a, t[i+2] AS b, count(*) AS c
+  FROM tk, UNNEST(range(0, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2 GROUP BY 1, 2
+),
+ctx AS (SELECT a, sum(c) AS ctx FROM bi GROUP BY a),
+pos AS (
+  SELECT doc_id, t[g.i + 1] AS w,
+         CASE WHEN g.i = 0 THEN NULL ELSE t[g.i] END AS prev
+  FROM tk, UNNEST(range(0, len(t))) AS g(i)
+),
+occ AS (SELECT doc_id, prev, w, count(*) AS cnt FROM pos GROUP BY 1, 2, 3),
+terms AS (
+  SELECT o.doc_id, o.cnt,
+    CASE WHEN o.prev IS NULL
+      THEN ln((coalesce(u.tf, 0) + 1.0) / (tot.T + tot.V + 1))
+      ELSE ln(0.7 * ((coalesce(b.c, 0) + 1.0)
+                     / (coalesce(cx.ctx, 0) + tot.V + 1))
+              + 0.3 * ((coalesce(u.tf, 0) + 1.0) / (tot.T + tot.V + 1)))
+    END AS lp
+  FROM occ o
+  LEFT JOIN uni u ON u.token = o.w
+  LEFT JOIN bi b ON b.a = o.prev AND b.b = o.w
+  LEFT JOIN ctx cx ON cx.a = o.prev, tot
+)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_scored,
+       round(-sum(cnt * lp) / sum(cnt), 6) AS avg_neg_logp
+FROM terms GROUP BY doc_id
+"""
+
+
 def q_budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy corpus selection under a token budget (ops/sample.py
     select_within_budget): rank by (n_chars desc, doc_id asc), keep docs
@@ -4264,6 +4315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_mode_events": q_impute_mode_events,
         "budget_select_docs": q_budget_select_docs,
         "lm_quality_docs": q_lm_quality_docs,
+        "bigram_lm_docs": q_bigram_lm_docs,
         "exact_dups_docs": q_exact_dups_docs,
         "minhash_neardup_docs": q_minhash_neardup_docs,
         "incremental_neardup_docs": q_incremental_neardup_docs,
@@ -4387,6 +4439,8 @@ def oracle_sql() -> dict[str, str]:
         "budget_select_docs": _BUDGET_SELECT_ORACLE,
         # Laplace unigram LM + count-weighted NLL, OOV floor via min_tf prune
         "lm_quality_docs": _LM_QUALITY_ORACLE,
+        # interpolated bigram NLL, compressed (doc,prev,w) grouping both sides
+        "bigram_lm_docs": _BIGRAM_LM_ORACLE,
         "exact_dups_docs": _EXACT_DUP_ORACLE,
         "minhash_neardup_docs": _MINHASH_ORACLE,
         # index probe + exact verify == all-pairs truth restricted to the batch

@@ -568,3 +568,124 @@ def bigram_counts(
             F.desc("tf"), F.asc("token_a"), F.asc("token_b")
         ).limit(top_n)
     return out
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    train_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    lowercase: bool = True,
+    alpha: float = 1.0,
+    lam: float = 0.7,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Interpolated bigram LM scoring — the context-sensitive step up
+    from :func:`lm_score`: per-doc average negative log-likelihood under
+    ``lam * p(w_i | w_{i-1}) + (1-lam) * p(w_i)`` (first token scores
+    unigram-only), both factors Laplace-smoothed against the SAME vocab
+    (V tokens, +1 OOV class): ``p(w) = (tf+a)/(T+a(V+1))``,
+    ``p(b|a) = (c(a,b)+a)/(ctx(a)+a(V+1))`` with ``ctx(a)`` = bigram
+    occurrences led by ``a`` (0 for unseen contexts — the floor falls
+    out of the same formula). Catches word-salad that unigram scoring
+    cannot (right words, wrong order). Output: (id, n_scored,
+    avg_neg_logp), empty docs emit no row; rounded to 6 dp.
+
+    Plan: training = the :func:`unigram_lm` / :func:`bigram_counts`
+    aggregations with vocab-sized tables materialized once
+    (localCheckpoint) — the training corpus scans TWICE (token pass +
+    pair pass), never more. Scoring compresses the target corpus to
+    (doc, a, b, cnt) + one first-token row per doc map-side, attaches
+    the three model tables through broadcast left joins
+    (``broadcast_model=False`` for giant vocabularies), and reduces
+    with one count-weighted mean per doc."""
+    tk = tokens(F.col(text_col))
+    if lowercase:
+        tk = F.transform(tk, F.lower)
+
+    # ---- train (on train_df) -------------------------------------------
+    uni = (
+        train_df.select(tk.alias("_tk"))
+        .select(F.explode("_tk").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    tot = uni.agg(
+        F.sum("tf").alias("_T"), F.count(F.lit(1)).alias("_V")
+    )
+    bi = bigram_counts(train_df, text_col, lowercase=lowercase).localCheckpoint(
+        eager=True
+    )
+    ctx = bi.groupBy(F.col("token_a").alias("_ctx_tok")).agg(
+        F.sum("tf").alias("_ctx")
+    )
+    if broadcast_model:
+        uni, bi, ctx = F.broadcast(uni), F.broadcast(bi), F.broadcast(ctx)
+    tot = F.broadcast(tot)
+    a_ = F.lit(alpha)
+    denom_u = F.col("_T") + a_ * (F.col("_V") + 1)
+    denom_b = F.coalesce(F.col("_ctx"), F.lit(0)) + a_ * (F.col("_V") + 1)
+
+    # ---- score (on df) --------------------------------------------------
+    base = df.select(F.col(id_col), tk.alias("_tk")).filter(
+        F.size("_tk") > 0
+    )
+    n = F.size("_tk")
+    pairs = (
+        base.select(
+            id_col,
+            F.explode(
+                F.zip_with(
+                    F.slice("_tk", 1, n - 1),
+                    F.slice("_tk", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+        )
+        .select(id_col, F.col("p.a").alias("_a"), F.col("p.b").alias("_b"))
+        .groupBy(id_col, "_a", "_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    p_u = (F.coalesce(F.col("tf"), F.lit(0)) + a_) / denom_u
+    pair_terms = (
+        pairs.join(
+            bi.select(
+                F.col("token_a").alias("_a"),
+                F.col("token_b").alias("_b"),
+                F.col("tf").alias("_btf"),
+            ),
+            ["_a", "_b"],
+            "left",
+        )
+        .join(ctx, F.col("_a") == F.col("_ctx_tok"), "left")
+        .join(uni.withColumnRenamed("token", "_b_tok"),
+              F.col("_b") == F.col("_b_tok"), "left")
+        .join(tot)
+        .select(
+            id_col,
+            "cnt",
+            F.log(
+                F.lit(lam)
+                * ((F.coalesce(F.col("_btf"), F.lit(0)) + a_) / denom_b)
+                + F.lit(1.0 - lam) * p_u
+            ).alias("lp"),
+        )
+    )
+    first_terms = (
+        base.select(id_col, F.element_at("_tk", 1).alias("_w"))
+        .join(uni.withColumnRenamed("token", "_w_tok"),
+              F.col("_w") == F.col("_w_tok"), "left")
+        .join(tot)
+        .select(id_col, F.lit(1).alias("cnt"), F.log(p_u).alias("lp"))
+    )
+    return (
+        pair_terms.unionByName(first_terms)
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_scored"),
+            F.round(-F.sum(F.col("cnt") * F.col("lp")) / F.sum("cnt"), 6).alias(
+                "avg_neg_logp"
+            ),
+        )
+    )

@@ -727,3 +727,40 @@ def test_bigram_counts_hand_computed(spark):
     top = text.bigram_counts(df, top_n=2).collect()
     assert [(r["token_a"], r["token_b"]) for r in top] == [("a", "b"), ("b", "a")]
     assert {tuple(r)[:2] for r in text.bigram_counts(df, min_tf=2).collect()} == {("a", "b")}
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    import math
+
+    train = spark.createDataFrame(
+        [(0, "a b a b"), (1, "b c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "a b"), (11, "b a"), (12, "zz"), (13, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.bigram_lm_score(
+        score, train, "doc_id", lam=0.7
+    ).collect()}
+    # train: T=6 tokens, V=3 (a,b,c); uni tf: a=2,b=3,c=1
+    # bigrams: (a,b)x2, (b,a)x1, (b,c)x1; ctx: a->2, b->2
+    T, V, al = 6, 3, 1.0
+    du = T + al * (V + 1)
+    def pu(tf): return (tf + al) / du
+    def pb(c_ab, ctx): return (c_ab + al) / (ctx + al * (V + 1))
+    # doc 10 "a b": first ln(pu(a)); then ln(.7*pb(2,ctx=2)+.3*pu(b))
+    want10 = -(math.log(pu(2)) + math.log(0.7 * pb(2, 2) + 0.3 * pu(3))) / 2
+    assert abs(got[10]["avg_neg_logp"] - want10) < 1e-6
+    # doc 11 "b a": pair (b,a) seen once, ctx(b)=2
+    want11 = -(math.log(pu(3)) + math.log(0.7 * pb(1, 2) + 0.3 * pu(2))) / 2
+    assert abs(got[11]["avg_neg_logp"] - want11) < 1e-6
+    # doc 12: single OOV token -> unigram floor only, n=1
+    assert got[12]["n_scored"] == 1
+    assert abs(got[12]["avg_neg_logp"] + math.log(pu(0))) < 1e-6
+    assert 13 not in got  # empty doc
+    # word-salad ranks worse than fluent under the bigram factor
+    fluent = spark.createDataFrame([(20, "a b a b")], "doc_id long, text string")
+    salad = spark.createDataFrame([(21, "b b a a")], "doc_id long, text string")
+    f = text.bigram_lm_score(fluent, train, "doc_id").first()["avg_neg_logp"]
+    s = text.bigram_lm_score(salad, train, "doc_id").first()["avg_neg_logp"]
+    assert f < s

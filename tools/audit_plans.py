@@ -95,6 +95,7 @@ AUDITED = [
     "engine_outliers_per_key",
     "incremental_phash_events",
     "impute_mode_events",
+    "bigram_lm_docs",
 ]
 
 JOIN_RE = re.compile(
