@@ -155,13 +155,23 @@ def project_pca(
     vec_col: str = "embedding",
     out_col: str = "pca",
     round_dp: int | None = 9,
+    whiten: bool = False,
 ) -> DataFrame:
     """Project ``vec_col`` onto the model's components — map-only Arrow
     GEMM against the broadcast (k, d) matrix; output ``out_col`` is
     ``array<double>`` length k (rounded to ``round_dp`` dp for cross-run
     portability; None keeps raw float64 — use when deriving invariants
-    like norms downstream). Null/wrong-length vectors project to NULL."""
+    like norms downstream). Null/wrong-length vectors project to NULL.
+    ``whiten=True`` scales each coordinate by 1/sqrt(eigenvalue) so the
+    output has unit variance per dimension — the preconditioning
+    cosine-similarity and k-means stages (SemDeDup cells, IVF training)
+    want when leading components dominate; near-zero-variance
+    components (< 1e-12) scale by 0 rather than exploding noise."""
     C = model.components.T.copy()  # (d, k)
+    if whiten:
+        ev = model.explained_variance
+        scale = np.where(ev > 1e-12, 1.0 / np.sqrt(np.maximum(ev, 1e-30)), 0.0)
+        C = C * scale  # column-wise
     mu = model.mean.copy()
     d = model.dim
 

@@ -656,3 +656,59 @@ def union_with_evolution(
         part = df.select(*cols)
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def vacuum_path(
+    spark: SparkSession,
+    path: str,
+    dry_run: bool = False,
+) -> list[str]:
+    """Remove maintenance debris under ``path``: ``.compact_old`` /
+    ``.compact_tmp`` directories left by a :func:`compact_path` or
+    :func:`merge_upsert` crash, and Spark ``_temporary`` staging
+    directories from killed writes. Returns the deleted (or, with
+    ``dry_run=True``, merely listed) paths.
+
+    Deliberately NARROW: only suffixes this module itself creates plus
+    the Spark staging name are touched — live data files are
+    structurally unreachable. A ``.compact_old`` is the pre-swap
+    ORIGINAL of a partition whose install step crashed; vacuum deletes
+    it only when the partition itself exists again (i.e. the swap
+    completed or was rolled back) — an orphan whose partition is MISSING
+    is restored by rename instead of deleted, finishing the crashed
+    swap's rollback. Iceberg analogue: expire_snapshots +
+    remove_orphan_files.
+
+    Driver-side listing (same bounded file-count regime as
+    :func:`file_census`); no data I/O."""
+    fs, _, jvm = _hadoop_fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    removed: list[str] = []
+
+    def walk(p):
+        for st in fs.listStatus(Path(p)):
+            if not st.isDirectory():
+                continue
+            sp = st.getPath().toString()
+            name = st.getPath().getName()
+            if name.endswith(".compact_old"):
+                orig = sp[: -len(".compact_old")]
+                if not fs.exists(Path(orig)):
+                    # crashed between the two renames: finish the
+                    # rollback instead of deleting the only copy
+                    if not dry_run:
+                        fs.rename(Path(sp), Path(orig))
+                    removed.append(f"restored:{sp}")
+                    continue
+                removed.append(sp)
+                if not dry_run:
+                    fs.delete(Path(sp), True)
+            elif name.endswith(".compact_tmp") or name == "_temporary":
+                removed.append(sp)
+                if not dry_run:
+                    fs.delete(Path(sp), True)
+            else:
+                walk(sp)
+
+    walk(path)
+    return removed

@@ -199,3 +199,29 @@ def test_union_evolution_map_only_plan(spark):
     out = tables.union_with_evolution({"a": a, "b": b})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_vacuum_path(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 100).withColumn("part_id", (F.col("id") % 2).cast("int"))
+    df.write.partitionBy("part_id").parquet(root)
+    # plant debris: a tmp dir, an old dir WITH live partition (deletable),
+    # and an old dir WHOSE partition is missing (must be restored)
+    spark.range(5).write.parquet(root + "/part_id=0.compact_tmp")
+    spark.range(5).write.parquet(root + "/part_id=1.compact_old")
+    spark.range(7).write.parquet(root + "/part_id=9.compact_old")
+    import os
+
+    assert not os.path.exists(root + "/part_id=9")
+    listed = tables.vacuum_path(spark, root, dry_run=True)
+    assert len(listed) == 3
+    assert os.path.exists(root + "/part_id=1.compact_old")  # dry run
+    acted = tables.vacuum_path(spark, root)
+    assert any(a.startswith("restored:") for a in acted)
+    assert os.path.exists(root + "/part_id=9")              # rollback finished
+    assert not os.path.exists(root + "/part_id=1.compact_old")
+    assert not os.path.exists(root + "/part_id=0.compact_tmp")
+    # table still reads clean (debris never counted as data)
+    assert spark.read.parquet(root).count() == 100 + 7  # part_id=9 restored
+    # idempotent
+    assert tables.vacuum_path(spark, root) == []

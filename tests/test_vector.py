@@ -264,3 +264,27 @@ def test_fit_pca_validation_and_no_center(spark):
         sorted(vals, reverse=True)[:2],
         atol=1e-8,
     )
+
+
+def test_project_pca_whiten_unit_variance(spark):
+    import numpy as np
+
+    from smcchecker_spark.ops import pca
+
+    df, X = _pca_df(spark, n=300)
+    m = pca.fit_pca(df, "embedding", k=4)
+    out = np.array([
+        r["pca"] for r in pca.project_pca(
+            df, m, "embedding", whiten=True, round_dp=None
+        ).collect()
+    ])
+    # per-dimension variance ~= 1 after whitening (population variance)
+    var = out.var(axis=0)
+    assert np.allclose(var, 1.0, atol=1e-6)
+    # plain projection variance equals the eigenvalues instead
+    raw = np.array([
+        r["pca"] for r in pca.project_pca(
+            df, m, "embedding", round_dp=None
+        ).collect()
+    ])
+    assert np.allclose(raw.var(axis=0), m.explained_variance, rtol=1e-8)
