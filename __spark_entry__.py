@@ -373,6 +373,56 @@ FROM w WHERE value IS NOT NULL AND prev IS NOT NULL AND value < prev
 """
 
 
+def q_engine_fd_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency consistency (FunctionalDep): each user_id
+    must map to exactly ONE derived country code — two ingest batches
+    disagreeing about the same key is the drift this catches. The
+    country is a pure function of user_id (user_id % 7) corrupted on a
+    deterministic row slice (event_id % 131 == 5 adds 1), so every user
+    touched by the corruption becomes an inconsistent group and ALL of
+    that group's rows flag. ONE shuffle on the key hash + a join-back
+    carrying only inconsistent keys (AQE broadcasts it)."""
+    from smcchecker_spark.constraints import FunctionalDep
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("part_id", (F.col("event_id") % 8).cast("int"))
+        .withColumn(
+            "country",
+            F.when(
+                F.col("event_id") % 131 == 5, F.col("user_id") % 7 + 1
+            ).otherwise(F.col("user_id") % 7),
+        )
+    )
+    suite = Suite(
+        name="events_fd",
+        table="events",
+        constraints=[FunctionalDep(keys=["user_id"], depends=["country"])],
+    )
+    return compile_suite(
+        ev, suite, row_id_col="event_id", part_id_col="part_id"
+    )
+
+
+_ENGINE_FD_ORACLE = """
+WITH e AS (
+  SELECT event_id, CAST(event_id % 8 AS INT) AS part_id, user_id,
+         CASE WHEN event_id % 131 = 5 THEN user_id % 7 + 1
+              ELSE user_id % 7 END AS country
+  FROM events
+),
+bad AS (
+  SELECT user_id FROM e GROUP BY user_id HAVING COUNT(DISTINCT country) > 1
+)
+SELECT 'events' AS "table", CAST(event_id AS VARCHAR) AS row_id,
+       'country' AS columns, 'Logic Error' AS error_type,
+       FALSE AS is_core_error,
+       'The value of (country) must be constant within each (user_id) group' AS error_message,
+       'fd_user_id__country' AS check_name, 'error' AS severity, part_id
+FROM e JOIN bad USING (user_id)
+"""
+
+
 def q_engine_conditional_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional (row-scoped) constraints via ``OnlyWhen``: a check
     applies only where a SQL condition holds — the reference's filtered
@@ -4086,6 +4136,51 @@ FROM sess GROUP BY user_id, session_seq
 """
 
 
+def q_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window event rollup (ops/sessions.sliding_window_stats):
+    1-day windows sliding every 6 hours, counts + value sums per
+    event_type — the moving trend view a drift monitor reads. Native
+    ``window()`` generator: each event replicated into its 4 windows
+    map-side, ONE shuffle on (window, type) with partial aggregation;
+    no per-key ordering, no hot-entity serialization. Microsecond
+    integer window bounds keep both engines exact."""
+    ev = _t(spark, sf_dir, "events")
+    return sessions.sliding_window_stats(
+        ev,
+        ts_col="ts",
+        window_seconds=86400,
+        slide_seconds=21600,
+        group_cols=["event_type"],
+        agg_cols={"value": "sum"},
+    ).select(
+        "window_start_us",
+        "window_end_us",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+_SLIDING_WINDOW_ORACLE = """
+WITH e AS (
+  SELECT epoch_us(ts) AS ts_us, event_type, value
+  FROM events WHERE ts IS NOT NULL
+),
+ex AS (
+  SELECT ((ts_us // 21600000000) - k.i) * 21600000000 AS window_start_us,
+         event_type, value
+  FROM e, (SELECT UNNEST(range(4)) AS i) k
+)
+SELECT window_start_us,
+       window_start_us + 86400000000 AS window_end_us,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM ex
+GROUP BY window_start_us, event_type
+"""
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health report: doc count, exact-dup count/rate
     (md5 fingerprint seen >1 across the WHOLE corpus), mean length,
@@ -4269,6 +4364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_suite_documents": q_engine_suite_documents,
         "engine_conditional_docs": q_engine_conditional_docs,
         "engine_monotonic_events": q_engine_monotonic_events,
+        "engine_fd_events": q_engine_fd_events,
         "quantize_embeddings": q_quantize_embeddings,
         "quantized_topk": q_quantized_topk,
         "heavy_hitters_events": q_heavy_hitters_events,
@@ -4350,6 +4446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_docs": q_curate_docs,
         "corpus_report": q_corpus_report,
         "sessionize_events": q_sessionize_events,
+        "sliding_window_events": q_sliding_window_events,
         "asof_purchase_events": q_asof_purchase_events,
         "asof_next_purchase_events": q_asof_next_purchase_events,
         "zorder_events": q_zorder_events,
@@ -4382,6 +4479,7 @@ def oracle_sql() -> dict[str, str]:
         # both fully value-oracle-checked (md5 keep-rates in SQL)
         "engine_conditional_docs": _ENGINE_CONDITIONAL_ORACLE,
         "engine_monotonic_events": _ENGINE_MONOTONIC_ORACLE,
+        "engine_fd_events": _ENGINE_FD_ORACLE,
         # int8 quantization: q values element-checked; scale in integer
         # micro-units; reconstruction bound as an expected-TRUE boolean
         "quantize_embeddings": _QUANTIZE_ORACLE,
@@ -4502,6 +4600,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_docs": _CURATE_ORACLE,
         "corpus_report": _CORPUS_REPORT_ORACLE,
         "sessionize_events": _SESSIONIZE_ORACLE,
+        "sliding_window_events": _SLIDING_WINDOW_ORACLE,
         # union-stream as-of join vs DuckDB's native ASOF LEFT JOIN
         "asof_purchase_events": _ASOF_ORACLE,
         "asof_next_purchase_events": _ASOF_FORWARD_ORACLE,

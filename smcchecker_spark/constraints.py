@@ -898,6 +898,89 @@ class RobustOutliers(JoinConstraint):
         ).select(ROW_ID, PART_ID)
 
 
+@dataclass(frozen=True)
+class FunctionalDep(JoinConstraint):
+    """Logic Error — functional-dependency consistency: within each
+    group of ``keys`` (the determinant), the ``depends`` tuple must be
+    constant. The cross-row sibling of :class:`FieldEquals`: "every
+    image_id carries exactly one phash", "a station code maps to one
+    latitude". The reference gets this one-to-one guarantee implicitly
+    from its lookup-table normalization (lu_* FK targets,
+    proj/core/lookups.py:15-31); declared over the data itself the
+    check needs no lookup dimension and catches drift the lookups
+    can't see (two ingest batches disagreeing about the same key).
+
+    Compiled like :class:`Unique`: ``groupBy(keys)`` with a null-safe
+    distinct count of the ``depends`` struct, filtered to ``> 1``, then
+    a join-back to recover every member row of an inconsistent group.
+    ONE shuffle on the key hash (partial/map-side + final agg); the
+    join-back side carries only inconsistent keys, which AQE broadcasts
+    when tiny. NULL dependent values compare null-safely inside the
+    struct (NULL == NULL — a group whose deps are all NULL is
+    consistent; NULL-vs-value is a genuine conflict). Wave mode scopes
+    the aggregate to ``ctx.full_scope`` and caches the inconsistent-key
+    table across waves, exactly like Unique — a dependency violated
+    across two waves is invisible to either wave alone.
+    """
+
+    keys: tuple[str, ...] = ()
+    depends: tuple[str, ...] = ()
+
+    def __init__(self, keys, depends, severity=ERROR, is_core=False):
+        object.__setattr__(self, "keys", tuple(keys))
+        object.__setattr__(self, "depends", tuple(depends))
+        object.__setattr__(self, "column", ",".join(self.depends))
+        object.__setattr__(self, "severity", severity)
+        object.__setattr__(self, "is_core", is_core)
+
+    @property
+    def name(self) -> str:
+        return (
+            "fd_" + "_".join(self.keys) + "__" + "_".join(self.depends)
+        )
+
+    @property
+    def error_type(self) -> str:
+        return ERR_LOGIC
+
+    def message(self) -> str:
+        return (
+            f"The value of ({', '.join(self.depends)}) must be constant "
+            f"within each ({', '.join(self.keys)}) group"
+        )
+
+    def violations(self, df, ctx):
+        keys = list(self.keys)
+        src = ctx.full_scope if ctx.full_scope is not None else df
+        cache_key = ("fd_bad_keys", self.keys, self.depends)
+        bad_keys = (
+            ctx.shared.get(cache_key) if ctx.shared is not None else None
+        )
+        if bad_keys is None:
+            # struct() is never NULL, so countDistinct sees every row;
+            # struct equality is null-safe field-wise — the NULL
+            # semantics documented above fall out of UnsafeRow grouping
+            dep = F.struct(*[F.col(c) for c in self.depends])
+            bad_keys = (
+                src.groupBy(*keys)
+                .agg(F.countDistinct(dep).alias("__ndv"))
+                .filter(F.col("__ndv") > 1)
+                .drop("__ndv")
+            )
+            if ctx.shared is not None and ctx.full_scope is not None:
+                bad_keys = bad_keys.localCheckpoint(eager=False)
+                ctx.shared[cache_key] = bad_keys
+        left = df.select(ROW_ID, PART_ID, *keys)
+        right = bad_keys.select(
+            *[F.col(k).alias(f"__fk_{k}") for k in keys]
+        )
+        cond = None
+        for k in keys:
+            c = left[k].eqNullSafe(right[f"__fk_{k}"])
+            cond = c if cond is None else (cond & c)
+        return left.join(right, cond, "inner").select(ROW_ID, PART_ID)
+
+
 @dataclass
 class ValidationContext:
     """Side tables a suite's join constraints resolve against.

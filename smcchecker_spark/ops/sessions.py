@@ -88,6 +88,60 @@ def session_stats(
     return s.groupBy(key_col, "session_seq").agg(*aggs)
 
 
+def sliding_window_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_seconds: int = 86400,
+    slide_seconds: int = 21600,
+    group_cols: tuple[str, ...] | list[str] = (),
+    agg_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Overlapping (sliding) time-window rollup via Spark's native
+    ``window()`` generator: every event is replicated map-side into the
+    ``window/slide`` windows that contain it, then ONE shuffle on
+    (window, group) aggregates — the moving-average/trend view a drift
+    monitor reads next to the tumbling histograms in ``stats``.
+
+    Scale shape: the replication factor IS the cost knob — a 1-day
+    window sliding every 6 hours writes each event 4×, map-side, before
+    the (partial-agg-combined) exchange; there is no per-key ordering
+    and no window function, so no hot-entity serialization. Requires
+    ``slide_seconds`` to divide ``window_seconds`` (keeps the per-event
+    window count uniform and both engines' window sets identical).
+    Windows are [start, end) half-open, starts aligned to the epoch
+    modulo ``slide`` (Spark's native alignment); NULL timestamps are
+    dropped (a windowless event has no window to count in). Boundaries
+    are compared in integer microseconds like ``sessionize``.
+
+    Output: (window_start_us, window_end_us, *group_cols, n_events,
+    optional ``{col: how}`` aggregates named ``{how}_{col}``).
+    """
+    if window_seconds % slide_seconds != 0:
+        raise ValueError(
+            "slide_seconds must divide window_seconds "
+            f"({slide_seconds} does not divide {window_seconds})"
+        )
+    ts = F.col(ts_col).cast("timestamp")
+    win = F.window(
+        ts, f"{int(window_seconds)} seconds", f"{int(slide_seconds)} seconds"
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    for col, how in (agg_cols or {}).items():
+        aggs.append(getattr(F, how)(col).alias(f"{how}_{col}"))
+    return (
+        df.filter(ts.isNotNull())
+        .groupBy(win.alias("__w"), *group_cols)
+        .agg(*aggs)
+        .select(
+            F.unix_micros(F.col("__w.start")).alias("window_start_us"),
+            F.unix_micros(F.col("__w.end")).alias("window_end_us"),
+            *group_cols,
+            "n_events",
+            *[f"{how}_{col}" for col, how in (agg_cols or {}).items()],
+        )
+    )
+
+
 def streaming_session_stats(
     stream_df: DataFrame,
     key_col: str = "user_id",

@@ -535,3 +535,68 @@ def test_robust_outliers_per_key(spark):
     )
     assert out == [90, 190]
     assert RobustOutliers("v", keys=["k"]).name == "robustoutliers_v_by_k"
+
+
+# ---------------------------------------------------------------------------
+# FunctionalDep — cross-row key -> value consistency
+# ---------------------------------------------------------------------------
+
+
+def test_functional_dep_flags_inconsistent_groups(spark):
+    from smcchecker_spark.constraints import FunctionalDep
+
+    df = make_df(
+        spark,
+        # key 1 maps to two countries -> all three rows flag; key 2 is
+        # consistent; key 3 is a singleton (trivially consistent)
+        [("a", 1, "US"), ("b", 1, "US"), ("c", 1, "DE"),
+         ("d", 2, "FR"), ("e", 2, "FR"), ("f", 3, "JP")],
+        "id string, k int, country string",
+    )
+    c = FunctionalDep(keys=["k"], depends=["country"])
+    assert violating_ids(df, c) == {"a", "b", "c"}
+    assert c.name == "fd_k__country"
+    assert "must be constant" in c.message()
+    assert c.error_type == "Logic Error"
+
+
+def test_functional_dep_null_semantics(spark):
+    from smcchecker_spark.constraints import FunctionalDep
+
+    df = make_df(
+        spark,
+        # key 1: deps all NULL -> consistent (NULL == NULL null-safely);
+        # key 2: NULL vs value -> genuine conflict, both rows flag;
+        # key NULL: NULL keys group together (null-safe join-back) and
+        # the group is internally inconsistent -> both rows flag
+        [("a", 1, None), ("b", 1, None),
+         ("c", 2, None), ("d", 2, "X"),
+         ("e", None, "A"), ("f", None, "B")],
+        "id string, k int, dep string",
+    )
+    c = FunctionalDep(keys=["k"], depends=["dep"])
+    assert violating_ids(df, c) == {"c", "d", "e", "f"}
+
+
+def test_functional_dep_multi_column_and_wave_scope(spark):
+    from smcchecker_spark.constraints import (
+        FunctionalDep, ValidationContext,
+    )
+
+    df = make_df(
+        spark,
+        # multi-col dependent: (lat, lon) must be constant per station
+        [("a", "s1", 1.0, 2.0), ("b", "s1", 1.0, 2.0),
+         ("c", "s2", 3.0, 4.0), ("d", "s2", 3.0, 5.0)],
+        "id string, station string, lat double, lon double",
+    )
+    c = FunctionalDep(keys=["station"], depends=["lat", "lon"])
+    assert violating_ids(df, c) == {"c", "d"}
+
+    # wave mode: the slice only holds ONE member of the inconsistent
+    # group — full_scope scoping still flags it (per-slice would not)
+    wave = df.filter(F.col("id") == "c")
+    ctx = ValidationContext(full_scope=df, shared={})
+    assert violating_ids(wave, c, ctx=ctx) == {"c"}
+    # the bad-key table is cached for the next wave
+    assert any(k[0] == "fd_bad_keys" for k in ctx.shared)

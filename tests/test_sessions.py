@@ -114,3 +114,57 @@ def test_streaming_sessions_match_batch(spark, events, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(want) == 4
+
+
+# ---------------------------------------------------------------------------
+# sliding_window_stats — overlapping windows via the native generator
+# ---------------------------------------------------------------------------
+
+
+def test_sliding_window_stats_membership_and_aggs(spark):
+    from datetime import datetime
+
+    # window 40s, slide 10s -> every event lands in exactly 4 windows;
+    # epoch-aligned starts. Event at t=25s belongs to starts {-10,0,10,20}.
+    rows = [
+        (1, datetime.utcfromtimestamp(25), "a", 2.0),
+        (2, datetime.utcfromtimestamp(30), "a", 3.0),  # starts {0,10,20,30}
+        (3, datetime.utcfromtimestamp(5), "b", 1.0),   # starts {-30..0}
+        (4, None, "a", 99.0),                          # dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = sessions.sliding_window_stats(
+        df, ts_col="ts", window_seconds=40, slide_seconds=10,
+        group_cols=["event_type"], agg_cols={"value": "sum"},
+    )
+    got = {
+        (r.window_start_us, r.event_type): (r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+    # every event appears in exactly window/slide = 4 windows
+    assert sum(n for n, _ in got.values()) == 12
+    # overlap: both 'a' events share starts {0,10,20} (sum 5.0), only
+    # t=25 has start -10, only t=30 has start 30
+    us = 1_000_000
+    assert got[(0 * us, "a")] == (2, 5.0)
+    assert got[(20 * us, "a")] == (2, 5.0)
+    assert got[(-10 * us, "a")] == (1, 2.0)
+    assert got[(30 * us, "a")] == (1, 3.0)
+    # window_end - window_start == window for every row
+    assert all(
+        r.window_end_us - r.window_start_us == 40 * us for r in out.collect()
+    )
+    # NULL ts contributed nowhere
+    assert all(v[1] < 99.0 for v in got.values())
+
+
+def test_sliding_window_requires_divisible_slide(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1,)], "x long")
+    with _pytest.raises(ValueError, match="must divide"):
+        sessions.sliding_window_stats(
+            df, window_seconds=100, slide_seconds=33
+        )

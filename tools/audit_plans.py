@@ -96,6 +96,7 @@ AUDITED = [
     "incremental_phash_events",
     "impute_mode_events",
     "bigram_lm_docs",
+    "engine_fd_events",
 ]
 
 JOIN_RE = re.compile(
