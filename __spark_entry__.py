@@ -1760,6 +1760,42 @@ GROUP BY occ.doc_id
 """
 
 
+def q_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization (clean.winsorize_numeric): event values
+    clamped to their event_type's [p05, p95] band — the repair-side
+    partner of RobustOutliers for pipelines that tame heavy tails
+    instead of dropping rows. ONE aggregation for the bound pairs +
+    a |types|-row broadcast join back; the fact table never shuffles.
+    The __winsorized indicator keeps the repair auditable."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = clean.winsorize_numeric(
+        ev, ["value"], p_lo=0.05, p_hi=0.95, per_key=["event_type"]
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        "value__winsorized",
+    )
+
+
+_WINSORIZE_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(CASE WHEN e.value < b.lo THEN b.lo
+                  WHEN e.value > b.hi THEN b.hi
+                  ELSE e.value END, 6) AS value,
+       COALESCE(e.value IS NOT NULL AND (e.value < b.lo OR e.value > b.hi),
+                FALSE) AS value__winsorized
+FROM events e LEFT JOIN b USING (event_type)
+"""
+
+
 def q_impute_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median imputation per source (clean.impute_numeric): value is
     NULLed on ~8% of rows, then filled with its event_type's median;
@@ -4408,6 +4444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_embeddings": q_pca_embeddings,
         "rank_normalize_events": q_rank_normalize_events,
         "impute_events": q_impute_events,
+        "winsorize_events": q_winsorize_events,
         "impute_mode_events": q_impute_mode_events,
         "budget_select_docs": q_budget_select_docs,
         "lm_quality_docs": q_lm_quality_docs,
@@ -4531,6 +4568,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_normalize_events": _RANK_NORMALIZE_ORACLE,
         # per-key median fill + auditable indicator
         "impute_events": _IMPUTE_ORACLE,
+        "winsorize_events": _WINSORIZE_ORACLE,
         # deterministic mode fill (tie -> smallest value)
         "impute_mode_events": _IMPUTE_MODE_ORACLE,
         # greedy budget selection == one global running-sum window in SQL

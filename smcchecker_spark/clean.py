@@ -200,6 +200,74 @@ def impute_numeric(
     return out.drop(*[f"__fill_{c}" for c in columns])
 
 
+def winsorize_numeric(
+    df: DataFrame,
+    columns: list[str],
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    per_key: list[str] | None = None,
+    approx: bool = False,
+    indicator: bool = True,
+) -> DataFrame:
+    """Clamp extreme values to data-derived percentile bounds
+    (winsorization): anything below the ``p_lo`` quantile becomes that
+    quantile, anything above ``p_hi`` likewise — globally or per
+    ``per_key`` group (each source's own scale, like RobustOutliers'
+    per-group cuts). The repair-side partner of
+    ``constraints.RobustOutliers`` for pipelines that would rather tame
+    a heavy tail than drop it (loss spikes from a handful of wild
+    values dominate a mean; winsorized features keep the row).
+
+    Plan: ONE aggregation computes every column's (lo, hi) bound pair
+    (exact ``percentile`` or, with ``approx=True``, the bounded-memory
+    ``percentile_approx`` sketch for 10^12-row columns); global bounds
+    join back as a 1-row broadcast, per-key bounds as a |keys|-row
+    broadcast equi-join — the data never shuffles. NULL values stay
+    NULL; an all-NULL group has no bounds and passes through unchanged.
+    ``indicator=True`` appends ``<col>__winsorized`` booleans — repairs
+    an audit can see, never silent. Clamped values cast back to the
+    column dtype (prefer double columns; integer casts truncate).
+    """
+    if not (0.0 <= p_lo < p_hi <= 1.0):
+        raise ValueError(
+            f"need 0 <= p_lo < p_hi <= 1, got ({p_lo}, {p_hi})"
+        )
+
+    def pct(c: str, p: float) -> Column:
+        x = F.col(c).cast("double")
+        if approx:
+            return F.percentile_approx(x, F.lit(p), F.lit(10000))
+        return F.percentile(x, F.lit(p))
+
+    aggs = []
+    for c in columns:
+        aggs.append(pct(c, p_lo).alias(f"__lo_{c}"))
+        aggs.append(pct(c, p_hi).alias(f"__hi_{c}"))
+    if per_key:
+        bounds = F.broadcast(df.groupBy(*per_key).agg(*aggs))
+        out = df.join(bounds, per_key, "left")
+    else:
+        out = df.join(F.broadcast(df.agg(*aggs)))
+    for c in columns:
+        x = F.col(c).cast("double")
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        t = dict(df.dtypes)[c]
+        clamped = (
+            F.when(x < lo, lo).when(x > hi, hi).otherwise(x).cast(t)
+        )
+        if indicator:
+            out = out.withColumn(
+                f"{c}__winsorized",
+                F.coalesce(
+                    x.isNotNull() & ((x < lo) | (x > hi)), F.lit(False)
+                ),
+            )
+        out = out.withColumn(c, clamped)
+    return out.drop(
+        *[f"__lo_{c}" for c in columns], *[f"__hi_{c}" for c in columns]
+    )
+
+
 def impute_categorical(
     df: DataFrame,
     columns: list[str],

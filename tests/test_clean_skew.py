@@ -1,5 +1,6 @@
 """Preprocess (trim/fix_case, proj/preprocess.py) and skew helpers."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from smcchecker_spark import clean, skew
@@ -214,3 +215,48 @@ def test_impute_categorical_mode(spark):
     )
     got = {r["id"]: r["v"] for r in clean.impute_categorical(df2, ["v"]).collect()}
     assert got[4] == "l"
+
+
+# ---------------------------------------------------------------------------
+# winsorize_numeric — clamp to data-derived percentile bounds
+# ---------------------------------------------------------------------------
+
+
+def test_winsorize_global_bounds(spark):
+    # 1..10: p10 = 1.9, p90 = 9.1 (percentile_cont interpolation);
+    # 1 clamps up, 10 clamps down, the middle is untouched
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 11)] + [(99, None)],
+        "id long, v double",
+    )
+    out = clean.winsorize_numeric(df, ["v"], p_lo=0.1, p_hi=0.9)
+    got = {r.id: (r.v, r.v__winsorized) for r in out.collect()}
+    assert got[1] == (pytest.approx(1.9), True)
+    assert got[10] == (pytest.approx(9.1), True)
+    assert got[5] == (5.0, False)
+    assert got[99] == (None, False)  # NULL stays NULL, never flagged
+
+
+def test_winsorize_per_key_and_all_null_group(spark):
+    rows = (
+        [("a", float(i)) for i in range(1, 11)]
+        + [("b", 1000.0 * i) for i in range(1, 11)]
+        + [("c", None), ("c", None)]  # all-NULL group: no bounds, no-op
+    )
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = clean.winsorize_numeric(
+        df, ["v"], p_lo=0.1, p_hi=0.9, per_key=["k"]
+    )
+    rows = out.collect()
+    a_max = max(r.v for r in rows if r.k == "a")
+    b_max = max(r.v for r in rows if r.k == "b")
+    assert a_max == pytest.approx(9.1)      # a's own scale
+    assert b_max == pytest.approx(9100.0)   # b's own scale
+    assert all(r.v is None and not r.v__winsorized
+               for r in rows if r.k == "c")
+
+
+def test_winsorize_validates_band(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="p_lo < p_hi"):
+        clean.winsorize_numeric(df, ["v"], p_lo=0.9, p_hi=0.1)

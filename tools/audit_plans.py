@@ -50,6 +50,7 @@ AUDITED = [
     "images_validate",
     "metrics_drift",
     "sessionize_events",
+    "sliding_window_events",
     "corpus_report",
     "embedding_drift",
     "image_decontaminate_events",
@@ -90,6 +91,7 @@ AUDITED = [
     "pca_embeddings",
     "rank_normalize_events",
     "impute_events",
+    "winsorize_events",
     "curate_images_events",
     "cat_drift_events",
     "engine_outliers_per_key",
