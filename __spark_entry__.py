@@ -373,6 +373,56 @@ FROM w WHERE value IS NOT NULL AND prev IS NOT NULL AND value < prev
 """
 
 
+def q_engine_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload validation (JsonShape): the events
+    ``props`` JSON column must parse and carry the ``k`` key. Two
+    deterministic corruptions are planted — a malformed prefix
+    (event_id % 19 == 2; Spark's JSON reader tolerates TRAILING garbage) and a wrong-key object (event_id % 23 == 3) —
+    so both failure modes appear. Native JSON expressions fused into
+    the single-scan row pass; no UDF."""
+    from smcchecker_spark.constraints import JsonShape
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("part_id", (F.col("event_id") % 8).cast("int"))
+        .withColumn(
+            "props",
+            F.when(
+                F.col("event_id") % 19 == 2, F.concat(F.lit("x"), "props")
+            )
+            .when(F.col("event_id") % 23 == 3, F.lit('{"other": 1}'))
+            .otherwise(F.col("props")),
+        )
+    )
+    suite = Suite(
+        name="events_json",
+        table="events",
+        constraints=[JsonShape("props", required_keys=("k",))],
+    )
+    return compile_suite(
+        ev, suite, row_id_col="event_id", part_id_col="part_id"
+    )
+
+
+_ENGINE_JSON_ORACLE = """
+WITH e AS (
+  SELECT event_id, CAST(event_id % 8 AS INT) AS part_id,
+         CASE WHEN event_id % 19 = 2 THEN 'x' || props
+              WHEN event_id % 23 = 3 THEN '{"other": 1}'
+              ELSE props END AS props
+  FROM events
+)
+SELECT 'events' AS "table", CAST(event_id AS VARCHAR) AS row_id,
+       'props' AS columns, 'Invalid Format' AS error_type,
+       TRUE AS is_core_error,
+       'The column props must be valid JSON containing keys: k' AS error_message,
+       'jsonshape_props' AS check_name, 'error' AS severity, part_id
+FROM e
+WHERE props IS NOT NULL
+  AND (NOT json_valid(props) OR json_extract(props, '$.k') IS NULL)
+"""
+
+
 def q_engine_fd_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency consistency (FunctionalDep): each user_id
     must map to exactly ONE derived country code — two ingest batches
@@ -4401,6 +4451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_conditional_docs": q_engine_conditional_docs,
         "engine_monotonic_events": q_engine_monotonic_events,
         "engine_fd_events": q_engine_fd_events,
+        "engine_json_events": q_engine_json_events,
         "quantize_embeddings": q_quantize_embeddings,
         "quantized_topk": q_quantized_topk,
         "heavy_hitters_events": q_heavy_hitters_events,
@@ -4517,6 +4568,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_conditional_docs": _ENGINE_CONDITIONAL_ORACLE,
         "engine_monotonic_events": _ENGINE_MONOTONIC_ORACLE,
         "engine_fd_events": _ENGINE_FD_ORACLE,
+        "engine_json_events": _ENGINE_JSON_ORACLE,
         # int8 quantization: q values element-checked; scale in integer
         # micro-units; reconstruction bound as an expected-TRUE boolean
         "quantize_embeddings": _QUANTIZE_ORACLE,

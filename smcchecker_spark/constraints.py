@@ -265,6 +265,57 @@ class Regex(Constraint):
 
 
 @dataclass(frozen=True)
+class JsonShape(Constraint):
+    """Invalid Format — the column must be parseable JSON and contain
+    every key in ``required_keys``. Semi-structured payload columns
+    (an events table's ``props``, an image table's EXIF sidecar) carry
+    schema the relational layer can't see; this pins the minimum shape
+    without exploding the payload into columns.
+
+    Compiled to native JSON expressions (``try_parse_json`` validity +
+    ``get_json_object`` key probes) fused into the single-scan row pass
+    — no UDF, whole-stage codegen keeps it JVM-side. NULL column values
+    pass (NotNull's job). A required key whose value is JSON ``null``
+    counts as missing (``get_json_object`` cannot distinguish the two —
+    declare the key optional if JSON null is meaningful). Caveat:
+    Spark's JSON reader accepts TRAILING garbage after a complete value
+    (``{"a":1}x`` parses) — this check inherits that leniency.
+    """
+
+    required_keys: tuple[str, ...] = ()
+
+    def __init__(self, column, required_keys=(), severity=ERROR,
+                 is_core=True):
+        object.__setattr__(self, "column", column)
+        object.__setattr__(self, "required_keys", tuple(required_keys))
+        object.__setattr__(self, "severity", severity)
+        object.__setattr__(self, "is_core", is_core)
+
+    @property
+    def name(self) -> str:
+        return f"jsonshape_{self.column}"
+
+    @property
+    def error_type(self) -> str:
+        return ERR_REGEX
+
+    def violation_expr(self, df: DataFrame) -> Column:
+        c = df[self.column].cast("string")
+        bad = F.try_parse_json(c).isNull()
+        for k in self.required_keys:
+            bad = bad | F.get_json_object(c, f"$.{k}").isNull()
+        return c.isNotNull() & bad
+
+    def message(self) -> str:
+        if self.required_keys:
+            return (
+                f"The column {self.column} must be valid JSON containing "
+                f"keys: {', '.join(self.required_keys)}"
+            )
+        return f"The column {self.column} must be valid JSON"
+
+
+@dataclass(frozen=True)
 class FieldEquals(Constraint):
     """Parity Mismatch — the column must equal a reference column on the
     same row, null-safely (NULL == NULL passes). The north star's

@@ -600,3 +600,31 @@ def test_functional_dep_multi_column_and_wave_scope(spark):
     assert violating_ids(wave, c, ctx=ctx) == {"c"}
     # the bad-key table is cached for the next wave
     assert any(k[0] == "fd_bad_keys" for k in ctx.shared)
+
+
+# ---------------------------------------------------------------------------
+# JsonShape — semi-structured payload shape
+# ---------------------------------------------------------------------------
+
+
+def test_json_shape(spark):
+    from smcchecker_spark.constraints import JsonShape
+
+    df = make_df(
+        spark,
+        [
+            ("a", '{"k": 1, "x": 2}'),   # ok
+            ("b", '{"x": 2}'),           # missing required key
+            ("c", 'x{"k": 1}'),          # malformed (leading garbage)
+            ("d", None),                 # NULL passes (NotNull's job)
+            ("e", '{"k": null}'),        # JSON null counts as missing
+            ("f", "[1,2]"),              # valid JSON, no keys at all
+        ],
+        "id string, p string",
+    )
+    c = JsonShape("p", required_keys=("k",))
+    assert violating_ids(df, c) == {"b", "c", "e", "f"}
+    assert c.name == "jsonshape_p"
+    assert "valid JSON containing keys: k" in c.message()
+    # no required keys: only parseability is checked
+    assert violating_ids(df, JsonShape("p")) == {"c"}

@@ -99,6 +99,7 @@ AUDITED = [
     "impute_mode_events",
     "bigram_lm_docs",
     "engine_fd_events",
+    "engine_json_events",
 ]
 
 JOIN_RE = re.compile(
