@@ -373,6 +373,51 @@ FROM w WHERE value IS NOT NULL AND prev IS NOT NULL AND value < prev
 """
 
 
+def q_fd_discovery_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency DISCOVERY (stats.suggest_fds, exact mode):
+    profile which key -> value dependencies hold over the data — the
+    stats-feed-the-checks loop for FunctionalDep. lhs -> rhs holds iff
+    ndv(lhs) == ndv((lhs, rhs)); a derived country (pure function of
+    user_id) holds, event_type does not. ONE aggregation pass for every
+    candidate; exact countDistinct here (sketch mode for 10^12 rows is
+    approx=True)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("user_id") % 7).alias("country"),
+        "event_type",
+    )
+    return stats.suggest_fds(
+        ev,
+        determinants=["user_id", "country"],
+        dependents=["country", "event_type"],
+        approx=False,
+    )
+
+
+_FD_DISCOVERY_ORACLE = """
+WITH e AS (
+  SELECT user_id, user_id % 7 AS country, event_type FROM events
+)
+SELECT 'user_id' AS determinant, 'country' AS dependent,
+       COUNT(DISTINCT user_id) AS ndv_lhs,
+       COUNT(DISTINCT (user_id, country)) AS ndv_pair,
+       COUNT(DISTINCT (user_id, country)) = COUNT(DISTINCT user_id) AS holds
+FROM e
+UNION ALL
+SELECT 'user_id', 'event_type',
+       COUNT(DISTINCT user_id),
+       COUNT(DISTINCT (user_id, event_type)),
+       COUNT(DISTINCT (user_id, event_type)) = COUNT(DISTINCT user_id)
+FROM e
+UNION ALL
+SELECT 'country', 'event_type',
+       COUNT(DISTINCT country),
+       COUNT(DISTINCT (country, event_type)),
+       COUNT(DISTINCT (country, event_type)) = COUNT(DISTINCT country)
+FROM e
+"""
+
+
 def q_engine_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured payload validation (JsonShape): the events
     ``props`` JSON column must parse and carry the ``k`` key. Two
@@ -4452,6 +4497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_monotonic_events": q_engine_monotonic_events,
         "engine_fd_events": q_engine_fd_events,
         "engine_json_events": q_engine_json_events,
+        "fd_discovery_events": q_fd_discovery_events,
         "quantize_embeddings": q_quantize_embeddings,
         "quantized_topk": q_quantized_topk,
         "heavy_hitters_events": q_heavy_hitters_events,
@@ -4569,6 +4615,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_monotonic_events": _ENGINE_MONOTONIC_ORACLE,
         "engine_fd_events": _ENGINE_FD_ORACLE,
         "engine_json_events": _ENGINE_JSON_ORACLE,
+        "fd_discovery_events": _FD_DISCOVERY_ORACLE,
         # int8 quantization: q values element-checked; scale in integer
         # micro-units; reconstruction bound as an expected-TRUE boolean
         "quantize_embeddings": _QUANTIZE_ORACLE,

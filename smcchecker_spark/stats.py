@@ -799,6 +799,67 @@ def suggest_suite(
     )
 
 
+def suggest_fds(
+    df: DataFrame,
+    determinants: list[str],
+    dependents: list[str],
+    approx: bool = True,
+    tolerance: float = 0.05,
+) -> DataFrame:
+    """Profile candidate functional dependencies — the discovery side of
+    ``constraints.FunctionalDep`` (stats FEED the checks, like
+    ``suggest_suite``). ``lhs -> rhs`` holds over the data iff
+    ``ndv(lhs) == ndv((lhs, rhs))``: adding a functionally-determined
+    column to the key creates no new distinct combinations.
+
+    ONE aggregation pass computes every determinant's NDV and every
+    (determinant, dependent) pair's NDV. ``approx=True`` uses HLL
+    (``approx_count_distinct``) — partial-mergeable, genuinely one scan
+    at 10^12 rows, with ``holds`` granted when the pair NDV is within
+    ``tolerance`` (relative) of the lhs NDV: HLL error makes equality
+    fuzzy, so treat approx suggestions as candidates and confirm with
+    the exact ``FunctionalDep`` check. ``approx=False`` uses exact
+    ``countDistinct`` — Spark plans multiple distinct aggregates via an
+    Expand (rows × #aggregates before the partial agg): exact for
+    profiling runs, sketch mode for the big corpus. NDVs count NULLs
+    null-safely through never-null structs, matching FunctionalDep's
+    NULL semantics.
+
+    Returns a driver-assembled bounded DataFrame (|determinants| ×
+    |dependents| rows — scalars, never data rows) with columns
+    (determinant, dependent, ndv_lhs, ndv_pair, holds).
+    """
+    def ndv(cols: list[str], alias: str) -> Column:
+        s = F.struct(*[F.col(c) for c in cols])
+        if approx:
+            return F.approx_count_distinct(s).alias(alias)
+        return F.countDistinct(s).alias(alias)
+
+    aggs = [ndv([lhs], f"__l_{i}") for i, lhs in enumerate(determinants)]
+    for i, lhs in enumerate(determinants):
+        for j, rhs in enumerate(dependents):
+            if rhs != lhs:
+                aggs.append(ndv([lhs, rhs], f"__p_{i}_{j}"))
+    row = df.agg(*aggs).first()
+    out = []
+    for i, lhs in enumerate(determinants):
+        n_l = row[f"__l_{i}"]
+        for j, rhs in enumerate(dependents):
+            if rhs == lhs:
+                continue
+            n_p = row[f"__p_{i}_{j}"]
+            if approx:
+                holds = n_p <= n_l * (1.0 + tolerance)
+            else:
+                holds = n_p == n_l
+            out.append((lhs, rhs, int(n_l), int(n_p), bool(holds)))
+    return df.sparkSession.createDataFrame(
+        out,
+        "determinant string, dependent string, ndv_lhs long, "
+        "ndv_pair long, holds boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding drift — the vector-column member of the drift family (KS/PSI
 # cover scalar columns; 10^12-row embedding corpora drift too: encoder

@@ -413,3 +413,42 @@ def test_expectation_percentile_metric(spark):
         stats.Expectation("p0", "v", lo=1.0)
     with _pytest.raises(ValueError, match="percentile"):
         stats.Expectation("q50", "v", lo=1.0)
+
+
+# ---------------------------------------------------------------------------
+# suggest_fds — functional-dependency discovery (feeds FunctionalDep)
+# ---------------------------------------------------------------------------
+
+
+def test_suggest_fds_exact(spark):
+    df = spark.createDataFrame(
+        # k determines c (pure function); k does NOT determine v;
+        # NULL dep values are counted null-safely (k=3 twice with NULL c
+        # stays consistent)
+        [(1, "a", 10), (1, "a", 20), (2, "b", 10), (2, "b", 30),
+         (3, None, 1), (3, None, 2)],
+        "k int, c string, v int",
+    )
+    out = stats.suggest_fds(
+        df, determinants=["k"], dependents=["c", "v"], approx=False
+    )
+    got = {(r.determinant, r.dependent): (r.ndv_lhs, r.ndv_pair, r.holds)
+           for r in out.collect()}
+    assert got[("k", "c")] == (3, 3, True)
+    assert got[("k", "v")] == (3, 6, False)
+
+
+def test_suggest_fds_skips_self_and_approx_mode(spark):
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(200)], "k int, c int"
+    )
+    out = stats.suggest_fds(
+        df, determinants=["k", "c"], dependents=["k", "c"], approx=True
+    ).collect()
+    # self-pairs skipped: only (k->c) and (c->k)
+    assert {(r.determinant, r.dependent) for r in out} == {
+        ("k", "c"), ("c", "k")
+    }
+    got = {(r.determinant, r.dependent): r.holds for r in out}
+    assert got[("k", "c")] is True    # k -> k%5 holds (within HLL tolerance)
+    assert got[("c", "k")] is False   # 5 values can't determine 200 keys

@@ -100,6 +100,7 @@ AUDITED = [
     "bigram_lm_docs",
     "engine_fd_events",
     "engine_json_events",
+    "fd_discovery_events",
 ]
 
 JOIN_RE = re.compile(
