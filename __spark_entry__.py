@@ -4312,6 +4312,53 @@ GROUP BY window_start_us, event_type
 """
 
 
+def q_tfidf_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (ops/text.tfidf_keywords):
+    top-3 characteristic terms per doc, composed from the corpus
+    vocabulary (same tokenization + smooth-IDF). One explode -> one
+    (doc, token) count shuffle with map-side combine -> token-keyed IDF
+    join (ids+counts only) -> per-doc top-k window. min_df=2 prunes
+    hapax noise at the join."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.tfidf_keywords(
+        docs, text_col="text", id_col="doc_id", k=3, min_df=2
+    )
+
+
+_TFIDF_KEYWORDS_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, lower(t.tok) AS token
+  FROM documents, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS t(tok)
+  WHERE trim(coalesce(text, '')) <> ''
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+v AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY token
+),
+idf AS (
+  SELECT token,
+         CAST(ROUND(LN((n.n_docs + 1) / (v.df + 1)) + 1, 9) AS DOUBLE) AS idf
+  FROM v, n WHERE v.df >= 2
+),
+dt AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf_doc
+  FROM tok GROUP BY doc_id, token
+),
+s AS (
+  SELECT dt.doc_id, dt.token, dt.tf_doc,
+         ROUND(dt.tf_doc * idf.idf, 6) AS tfidf
+  FROM dt JOIN idf USING (token)
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rank
+  FROM s
+)
+SELECT doc_id, rank, token, tf_doc, tfidf FROM r WHERE rank <= 3
+"""
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health report: doc count, exact-dup count/rate
     (md5 fingerprint seen >1 across the WHOLE corpus), mean length,
@@ -4537,6 +4584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_drift": q_metrics_drift,
         "text_features_docs": q_text_features_docs,
         "vocab_docs": q_vocab_docs,
+        "tfidf_keywords_docs": q_tfidf_keywords_docs,
         "bigram_counts_docs": q_bigram_counts_docs,
         "pca_embeddings": q_pca_embeddings,
         "rank_normalize_events": q_rank_normalize_events,
@@ -4659,6 +4707,7 @@ def oracle_sql() -> dict[str, str]:
         "text_features_docs": _TEXT_ORACLE,
         # vocabulary: explode + group; smooth-IDF quantized to 9 dp
         "vocab_docs": _VOCAB_ORACLE,
+        "tfidf_keywords_docs": _TFIDF_KEYWORDS_ORACLE,
         # zip_with pair formation == positional UNNEST in SQL
         "bigram_counts_docs": _BIGRAM_ORACLE,
         # full-rank rotation invariance: proj norms == centered norms

@@ -689,3 +689,56 @@ def bigram_lm_score(
             ),
         )
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_df: int = 1,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF — the
+    keyword/topic-tag extraction step a curation pipeline runs for
+    search facets or cluster labeling, composed from :func:`vocabulary`
+    (same tokenization, same smooth-IDF, so the numbers agree with the
+    corpus table a user already has).
+
+    Scale story: one explode feeds a (doc, token) count aggregate (ONE
+    shuffle with map-side combine — hot tokens pre-sum per partition);
+    the IDF attach is a token-keyed equi-join of ids+counts (document
+    text never reaches the join); the per-doc top-k is a window over
+    doc id — no global sort. ``min_df`` prunes hapax noise AT THE JOIN
+    (a token in one doc scores idf_max everywhere and adds nothing as a
+    keyword). Deterministic ties: (tfidf desc, token asc); tfidf is
+    ``round(tf_doc * idf, 6)`` so a SQL oracle matches bit-for-bit.
+
+    Output: (``id_col``, rank, token, tf_doc, tfidf).
+    """
+    from pyspark.sql import Window
+
+    vocab = vocabulary(
+        df, text_col, id_col=id_col, min_df=min_df, lowercase=lowercase
+    ).select("token", "idf")
+    tk = tokens(F.col(text_col))
+    if lowercase:
+        tk = F.transform(tk, F.lower)
+    doc_tok = (
+        df.select(F.col(id_col).alias("__doc"), F.explode(tk).alias("token"))
+        .groupBy("__doc", "token")
+        .agg(F.count(F.lit(1)).alias("tf_doc"))
+    )
+    scored = doc_tok.join(vocab, "token").withColumn(
+        "tfidf", F.round(F.col("tf_doc") * F.col("idf"), 6)
+    )
+    w = Window.partitionBy("__doc").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__doc").alias(id_col), "rank", "token", "tf_doc", "tfidf"
+        )
+    )

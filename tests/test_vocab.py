@@ -10,6 +10,7 @@ import re
 from pyspark.sql import functions as F  # noqa: F401 (parity with suite style)
 import pytest
 
+from smcchecker_spark.ops import text
 from smcchecker_spark.ops.text import vocabulary
 
 LN2_IDF = 1.693147181  # round(ln((5+1)/(2+1)) + 1, 9)
@@ -71,3 +72,41 @@ def test_vocab_plan_shape(corpus):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# tfidf_keywords — per-doc top-k characteristic terms
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_keywords_ranks_distinctive_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple common common"),
+            (2, "banana banana common common"),
+            (3, "apple banana common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.tfidf_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.token, r.tf_doc))
+    # every doc gets <= k rows, rank is 1-based contiguous
+    assert all(sorted(x[0] for x in v) == list(range(1, len(v) + 1))
+               for v in by_doc.values())
+    # 'common' appears in all docs -> lowest idf -> never ranks above the
+    # distinctive term
+    assert by_doc[1][0][1] == "apple"
+    assert by_doc[2][0][1] == "banana"
+    # tf_doc counted per doc
+    assert dict((t, c) for _, t, c in by_doc[1])["apple"] == 3
+
+
+def test_tfidf_keywords_min_df_prunes_hapax(spark):
+    docs = spark.createDataFrame(
+        [(1, "unique1 shared"), (2, "unique2 shared")],
+        "doc_id long, text string",
+    )
+    out = text.tfidf_keywords(docs, k=5, min_df=2).collect()
+    assert {r.token for r in out} == {"shared"}

@@ -81,6 +81,7 @@ AUDITED = [
     "except_intersect_docs",
     "dataset_card_docs",
     "vocab_docs",
+    "tfidf_keywords_docs",
     "budget_select_docs",
     "incremental_neardup_docs",
     "leakage_split_docs",
