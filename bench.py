@@ -121,6 +121,14 @@ HEADLINE = [
     # round-2 tail: corpus datasheet + vocabulary/IDF table
     "dataset_card_docs",
     "vocab_docs",
+    # round-2 late additions: FD check + discovery, JSON payload shape,
+    # sliding windows, winsorization, TF-IDF keywords
+    "engine_fd_events",
+    "engine_json_events",
+    "fd_discovery_events",
+    "sliding_window_events",
+    "winsorize_events",
+    "tfidf_keywords_docs",
 ]
 
 
