@@ -41,6 +41,7 @@ from smcchecker_spark.ops import asof as asof_ops
 from smcchecker_spark.ops import incremental as inc_ops
 from smcchecker_spark.ops import sample as sample_ops
 from smcchecker_spark.ops import text as text_ops
+from smcchecker_spark.ops import urls as url_ops
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -4359,6 +4360,194 @@ SELECT doc_id, rank, token, tf_doc, tfidf FROM r WHERE rank <= 3
 """
 
 
+def q_token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token Shannon entropy + type-token ratio
+    (ops/text.token_entropy) — the compression-ratio proxy quality
+    signal. One explode -> map-side-combined (doc, token) count ->
+    per-doc 3-scalar reduction; empty docs re-attach via a two-column
+    left join."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.token_entropy(docs, id_col="doc_id")
+
+
+_TOKEN_ENTROPY_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, lower(t.tok) AS token
+  FROM documents, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS t(tok)
+  WHERE trim(coalesce(text, '')) <> ''
+),
+dt AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token),
+pd AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         SUM(c * LN(c)) AS clogc
+  FROM dt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(pd.n_tokens, 0) AS n_tokens,
+       COALESCE(pd.n_distinct, 0) AS n_distinct,
+       CAST(COALESCE(ROUND(LN(pd.n_tokens) - pd.clogc / pd.n_tokens, 9), 0.0)
+            AS DOUBLE) AS entropy,
+       CAST(COALESCE(ROUND(pd.n_distinct / CAST(pd.n_tokens AS DOUBLE), 9), 0.0)
+            AS DOUBLE) AS ttr
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
+def q_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate line removal (ops/text.
+    remove_boilerplate_lines, the C4/CCNet recipe): a newsletter header
+    is planted on doc_id % 3 docs and a copyright footer on doc_id % 5
+    docs; any line present in >= 25 distinct docs is stripped from
+    every document. Text never shuffles: the line-count pass moves
+    (md5, doc) pairs only, the flagged sliver broadcasts, per-doc
+    removal sets re-attach via a broadcast left join, and the rebuild
+    is a native filter/array_join projection."""
+    docs = _t(spark, sf_dir, "documents")
+    header = "subscribe to our newsletter for weekly updates"
+    footer = "copyright example corp all rights reserved"
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit(header + "\n")).otherwise(
+                F.lit("")
+            ),
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\n" + footer)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return text_ops.remove_boilerplate_lines(
+        planted, id_col="doc_id", text_col="text", min_docs=25, min_chars=4
+    ).orderBy("doc_id")
+
+
+_BOILERPLATE_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0
+          THEN 'subscribe to our newsletter for weekly updates' || chr(10)
+          ELSE '' END)
+    || text ||
+    (CASE WHEN doc_id % 5 = 0
+          THEN chr(10) || 'copyright example corp all rights reserved'
+          ELSE '' END) AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i AS pos, parts[i + 1] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM base),
+       UNNEST(range(len(parts))) AS g(i)
+),
+elig AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN length(trim(line)) >= 4 THEN md5(trim(line)) END AS fp
+  FROM lines
+),
+flagged AS (
+  SELECT fp FROM elig WHERE fp IS NOT NULL
+  GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 25
+),
+kept AS (
+  SELECT doc_id, pos, line FROM elig
+  WHERE fp IS NULL OR fp NOT IN (SELECT fp FROM flagged)
+),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT b.doc_id,
+       COALESCE(a.text, '') AS text,
+       CAST(t.n_lines AS INT) AS n_lines,
+       CAST(t.n_lines - COALESCE(a.n_kept, 0) AS INT) AS n_removed
+FROM base b
+LEFT JOIN agg a USING (doc_id)
+JOIN tot t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_url_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL feature extraction + blocklist-domain flagging (ops/urls):
+    deterministic synthetic URLs derived from (source, lang, doc_id) —
+    ads subdomains, mixed TLDs, query strings — then scheme/host/
+    registered-domain/path-depth/param-count via portable-regex native
+    expressions (one map-only codegen projection) and an is_blocked
+    flag from a broadcast blocklist probe (no corpus shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("ads.")).otherwise(
+                F.lit("www.")
+            ),
+            F.col("source"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".com")).otherwise(
+                F.lit(".org")
+            ),
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit("?ref=home&utm_source=feed")
+            )
+            .when(F.col("doc_id") % 4 == 1, F.lit("?q=spark"))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    blocklist = spark.createDataFrame(
+        [("src3.com",), ("src7.org",), ("src11.com",)], ["domain"]
+    )
+    return url_ops.flag_blocked_domains(
+        url_ops.url_features(urls, "url"), blocklist, url_col="url"
+    ).orderBy("doc_id")
+
+
+_URL_FEATURES_ORACLE = r"""
+WITH u AS (
+  SELECT doc_id,
+    'https://'
+    || (CASE WHEN doc_id % 7 = 0 THEN 'ads.' ELSE 'www.' END)
+    || source
+    || (CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END)
+    || '/' || lang || '/' || CAST(doc_id AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 0 THEN '?ref=home&utm_source=feed'
+             WHEN doc_id % 4 = 1 THEN '?q=spark'
+             ELSE '' END) AS url
+  FROM documents
+),
+f AS (
+  SELECT doc_id, url,
+    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1) AS host,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\?([^#]*)', 1) AS qs
+  FROM u
+)
+SELECT doc_id, url, scheme, host,
+  CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+       THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+       ELSE host END AS domain,
+  CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS INT)
+    AS path_depth,
+  CAST(CASE WHEN qs = '' THEN 0
+            ELSE len(string_split(qs, '&')) END AS INT) AS n_params,
+  (CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+        THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        ELSE host END)
+    IN ('src3.com', 'src7.org', 'src11.com') AS is_blocked
+FROM f
+ORDER BY doc_id
+"""
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health report: doc count, exact-dup count/rate
     (md5 fingerprint seen >1 across the WHOLE corpus), mean length,
@@ -4585,6 +4774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features_docs": q_text_features_docs,
         "vocab_docs": q_vocab_docs,
         "tfidf_keywords_docs": q_tfidf_keywords_docs,
+        "token_entropy_docs": q_token_entropy_docs,
+        "boilerplate_docs": q_boilerplate_docs,
+        "url_features_docs": q_url_features_docs,
         "bigram_counts_docs": q_bigram_counts_docs,
         "pca_embeddings": q_pca_embeddings,
         "rank_normalize_events": q_rank_normalize_events,
@@ -4708,6 +4900,9 @@ def oracle_sql() -> dict[str, str]:
         # vocabulary: explode + group; smooth-IDF quantized to 9 dp
         "vocab_docs": _VOCAB_ORACLE,
         "tfidf_keywords_docs": _TFIDF_KEYWORDS_ORACLE,
+        "token_entropy_docs": _TOKEN_ENTROPY_ORACLE,
+        "boilerplate_docs": _BOILERPLATE_ORACLE,
+        "url_features_docs": _URL_FEATURES_ORACLE,
         # zip_with pair formation == positional UNNEST in SQL
         "bigram_counts_docs": _BIGRAM_ORACLE,
         # full-rank rotation invariance: proj norms == centered norms

@@ -129,6 +129,11 @@ HEADLINE = [
     "sliding_window_events",
     "winsorize_events",
     "tfidf_keywords_docs",
+    # curation-surface tail: entropy quality signal, C4-style boilerplate
+    # line removal, URL/domain features + blocklist
+    "token_entropy_docs",
+    "boilerplate_docs",
+    "url_features_docs",
 ]
 
 

@@ -742,3 +742,145 @@ def tfidf_keywords(
             F.col("__doc").alias(id_col), "rank", "token", "tf_doc", "tfidf"
         )
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document token Shannon entropy (nats) and type-token ratio —
+    the compression-ratio proxy quality signal: gibberish and
+    keyword-stuffed documents sit at the extremes of the entropy
+    distribution, so curation gates pair this with ``quality_score`` /
+    ``repetition_features``.
+
+    Output: ``(id_col, n_tokens, n_distinct, entropy, ttr)`` with
+    ``entropy = round(ln(n) - sum(c*ln(c))/n, 9)`` over per-token counts
+    ``c`` (0.0 for empty docs) and ``ttr = round(n_distinct/n, 9)``.
+    Quantized to 9 dp so an ANSI-SQL oracle matches bit-for-bit.
+
+    Scale story: one explode -> one map-side-combined
+    ``groupBy(doc, token)`` count (hot tokens inside a doc combine
+    before the shuffle) -> one ``groupBy(doc)`` reduction of three
+    scalars. Text shuffles only as (doc, token) pairs; the final
+    left join re-attaching empty docs carries two BIGINT columns.
+    Requires unique ``id_col`` values.
+
+    Reference parity: none (beyond-reference text-pipeline surface,
+    same family as ``quality_score`` — SURVEY §2 text analysis).
+    """
+    tk = tokens(F.col(text_col))
+    if lowercase:
+        tk = F.transform(tk, F.lower)
+    per_token = (
+        df.select(F.col(id_col).alias("__doc"), F.explode(tk).alias("token"))
+        .groupBy("__doc", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = per_token.groupBy("__doc").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("_clogc"),
+    )
+    return (
+        df.select(F.col(id_col).alias("__doc"))
+        .join(per_doc, "__doc", "left")
+        .select(
+            F.col("__doc").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.when(
+                F.col("n_tokens").isNull(), F.lit(0.0)
+            ).otherwise(
+                F.round(
+                    F.log(F.col("n_tokens")) - F.col("_clogc") / F.col("n_tokens"), 9
+                )
+            ).alias("entropy"),
+            F.when(F.col("n_tokens").isNull(), F.lit(0.0)).otherwise(
+                F.round(F.col("n_distinct") / F.col("n_tokens"), 9)
+            ).alias("ttr"),
+        )
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_docs: int = 10,
+    min_chars: int = 4,
+    delimiter: str = "\n",
+    broadcast_removal: bool = True,
+) -> DataFrame:
+    """Corpus-level boilerplate line removal (the C4/CCNet recipe):
+    a line whose trimmed form appears in >= ``min_docs`` DISTINCT
+    documents is navigation/footer boilerplate ("subscribe to our
+    newsletter") and is deleted from every document; lines shorter than
+    ``min_chars`` after trim are exempt (never counted, never removed).
+
+    Output: the input columns with ``text_col`` replaced by the cleaned
+    text (kept lines re-joined with ``delimiter``, original order) plus
+    ``n_lines`` / ``n_removed`` counts. Requires unique ``id_col``.
+
+    Scale story: the corpus text NEVER shuffles. Pass 1 explodes lines
+    to (md5-fingerprint, doc) pairs only — the distinct-doc count
+    partial-aggregates map-side, so a footer shared by 10^9 pages does
+    not concentrate raw rows. The flagged sliver (boilerplate is tiny
+    by definition) broadcasts onto the pairs to build per-doc removal
+    sets — (doc, set<fp>) rows, each set bounded by the doc's own line
+    count — which re-attach to the ORIGINAL rows via a broadcast left
+    join (map-only; set ``broadcast_removal=False`` to fall back to a
+    shuffle join when most docs carry boilerplate). The rebuild is a
+    native ``filter``/``array_join`` projection — zero UDFs, zero
+    exchanges for the corpus in the default path.
+
+    Reference parity: none (beyond-reference curation surface; the
+    text analogue of the crossmodal boilerplate-caption flags in
+    ops/crossmodal.py).
+    """
+    line_trim = F.trim(F.col("_line"))
+    fp = F.when(
+        F.length(line_trim) >= min_chars, F.md5(line_trim)
+    )
+    pairs = (
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(F.split(F.col(text_col), delimiter)).alias("_line"),
+        )
+        .select("__doc", fp.alias("_fp"))
+        .filter(F.col("_fp").isNotNull())
+    )
+    flagged = (
+        pairs.groupBy("_fp")
+        .agg(F.count_distinct("__doc").alias("_ndocs"))
+        .filter(F.col("_ndocs") >= F.lit(min_docs))
+        .select("_fp")
+    )
+    removal = (
+        pairs.join(F.broadcast(flagged), "_fp")
+        .groupBy("__doc")
+        .agg(F.collect_set("_fp").alias("_bp"))
+    )
+    if broadcast_removal:
+        removal = F.broadcast(removal)
+    joined = df.join(
+        removal, df[id_col] == removal["__doc"], "left"
+    ).drop("__doc")
+    arr = F.split(F.col(text_col), delimiter)
+    is_bp = lambda l: F.coalesce(  # noqa: E731
+        (F.length(F.trim(l)) >= min_chars)
+        & F.array_contains(F.col("_bp"), F.md5(F.trim(l))),
+        F.lit(False),
+    )
+    kept = F.filter(arr, lambda l: ~is_bp(l))
+    out_cols = [
+        F.array_join(kept, delimiter).alias(text_col) if c == text_col else c
+        for c in df.columns
+    ]
+    return joined.select(
+        *out_cols,
+        F.size(arr).alias("n_lines"),
+        (F.size(arr) - F.size(kept)).alias("n_removed"),
+    )

@@ -82,6 +82,9 @@ AUDITED = [
     "dataset_card_docs",
     "vocab_docs",
     "tfidf_keywords_docs",
+    "token_entropy_docs",
+    "boilerplate_docs",
+    "url_features_docs",
     "budget_select_docs",
     "incremental_neardup_docs",
     "leakage_split_docs",
