@@ -2885,6 +2885,89 @@ def q_images_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full constraint suite over REAL baseline JFIF JPEG payloads
+    (smcchecker_spark/jpegcodec.py — from-scratch DCT + Annex-K Huffman
+    codec; fixtures.generate_jpeg_images plants dup/truncation/bitflip/
+    w-off/phash-off/caption violations). Proves the engine's lossy path
+    on actual JPEG bitstreams, not the FAKE-LOSSY stand-in. Not
+    SQL-expressible (JPEG decode) → rows-only check; golden violation
+    counts are locked by tests/test_jpeg.py."""
+    from smcchecker_spark import fixtures
+    from smcchecker_spark.image import ImageConsistent
+    from smcchecker_spark.package import ensure_shipped
+
+    ensure_shipped(spark)
+    df = fixtures.generate_jpeg_images(
+        spark, n_rows=600, n_parts=8, seed=7
+    ).localCheckpoint()
+    suite = Suite(
+        name="images_jpeg",
+        table="images",
+        constraints=[
+            NotNull("caption"),
+            Unique(["image_id"]),
+            ImageConsistent(),
+        ],
+    )
+    v = compile_suite(df, suite, row_id_col="image_id", part_id_col="part_id")
+    return (
+        v.groupBy("check_name")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .orderBy("check_name")
+    )
+
+
+def q_jpeg_psnr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star decoded-pixel parity on REAL lossy bitstreams:
+    (real JPEG q98, lossless PNG of the same pixels) pairs through the
+    PsnrAtLeast(40 dB) gate. Every 11th pair is re-encoded at q30 —
+    below the gate on noise pixels — so the violation set is non-empty
+    and index-computable. Rows-only (JPEG decode is not
+    SQL-expressible); goldens locked by tests/test_jpeg.py."""
+    from smcchecker_spark.image import PsnrAtLeast
+    from smcchecker_spark.package import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from smcchecker_spark import imagecodec as ic
+        from smcchecker_spark import jpegcodec as jc
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                rng = np.random.default_rng(9_000_017 + int(i))
+                h = int(rng.integers(8, 33))
+                w = int(rng.integers(8, 33))
+                arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                quality = 30 if i % 11 == 3 else 98
+                rows.append(
+                    {
+                        "image_id": f"pair{i:09d}",
+                        "bytes": jc.encode_jpeg(arr, quality=quality),
+                        "ref_bytes": ic.encode_png(arr),
+                        "part_id": int(i) % 4,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    pairs = spark.range(0, 300, numPartitions=8).mapInPandas(
+        gen,
+        "image_id string, bytes binary, ref_bytes binary, part_id int",
+    )
+    suite = Suite(
+        name="jpeg_psnr",
+        table="images",
+        constraints=[PsnrAtLeast("bytes", reference_col="ref_bytes")],
+    )
+    v = compile_suite(pairs, suite, row_id_col="image_id", part_id_col="part_id")
+    return v.select("row_id", "check_name").orderBy("row_id")
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: deterministic sampling / splits, repetition
 # quality, decontamination, sequence packing
@@ -4806,6 +4889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_clustered": q_semdedup_clustered,
         "engine_caption_parity": q_engine_caption_parity,
         "images_validate": q_images_validate,
+        "jpeg_validate": q_jpeg_validate,
+        "jpeg_psnr_gate": q_jpeg_psnr_gate,
         "det_split_docs": q_det_split_docs,
         "leakage_split_docs": q_leakage_split_docs,
         "cap_per_source_docs": q_cap_per_source_docs,

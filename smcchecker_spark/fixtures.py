@@ -202,3 +202,96 @@ def images_existing(
     every image_id with i % overlap_mod == 2."""
     ids = [( _image_id(i),) for i in range(n_rows) if i % overlap_mod == 2]
     return spark.createDataFrame(ids, "image_id string")
+
+
+# ---------------------------------------------------------------------------
+# Real-JPEG fixture (jpegcodec) — actual baseline JFIF bitstreams
+# ---------------------------------------------------------------------------
+#
+# Kept separate from the FAKE-LOSSY fixture above: the 2M-image bench
+# corpus stays on the cheap stand-in so the headline img/s series is
+# comparable across rounds, while this table proves the engine's real
+# lossy path end-to-end (encode → engine decode → w/h/fmt/phash
+# consistency). Violation moduli are coprime to the main fixture's so
+# golden sets stay computable per check.
+
+
+def expected_jpeg_flags(i: int) -> dict[str, bool]:
+    """Planted-violation rules for the real-JPEG fixture (index i)."""
+    return {
+        "dup": i % 89 == 1 and i > 0,
+        # byte 25 cuts mid-DQT → ValueError("truncated JPEG segment")
+        "truncated": i % 41 == 3,
+        # byte 2 is APP0's leading 0xFF → ValueError("expected marker")
+        "bitflip": i % 41 == 17,
+        "w_off": i % 37 == 5,
+        "phash_off": i % 43 == 7,
+        "caption_empty": i % 31 == 5,
+    }
+
+
+def _make_jpeg_row(i: int, seed: int, n_parts: int, clean: bool) -> dict:
+    from smcchecker_spark import jpegcodec as jc
+
+    rng = np.random.default_rng(seed * 2_000_003 + i)
+    fl = (
+        {k: False for k in expected_jpeg_flags(0)}
+        if clean
+        else expected_jpeg_flags(i)
+    )
+    h = int(rng.integers(8, 33))
+    w = int(rng.integers(8, 33))
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    # quality 98: ~44 dB on pure-noise pixels (worst case) — clears the
+    # north-star 40 dB gate with margin. Every 4th image is 4:2:0 to
+    # exercise the decoder's generic MCU path in the engine itself;
+    # stored phash always comes from the DECODED pixels, so chroma
+    # subsampling loss never trips the consistency check.
+    sub = "420" if i % 4 == 0 else "444"
+    payload = jc.encode_jpeg(arr, quality=98, subsampling=sub)
+    phash = ic.phash64(jc.decode_jpeg(payload))
+    if fl["truncated"]:
+        payload = payload[:25]
+    elif fl["bitflip"]:
+        ba = bytearray(payload)
+        ba[2] ^= 0xFF
+        payload = bytes(ba)
+    n_tok = int(rng.integers(2, 12))
+    caption = " ".join(rng.choice(_WORDS) for _ in range(n_tok))
+    if fl["caption_empty"]:
+        caption = ""
+    return {
+        "image_id": f"jpg{i - 1:09d}" if fl["dup"] else f"jpg{i:09d}",
+        "bytes": payload,
+        "w": (w + 1) if fl["w_off"] else w,
+        "h": h,
+        "fmt": ic.FMT_JPEG,
+        "caption": caption,
+        "phash": int(phash) + (1 if fl["phash_off"] else 0),
+        "part_id": i % n_parts,
+    }
+
+
+def generate_jpeg_images(
+    spark: SparkSession,
+    n_rows: int = 600,
+    n_parts: int = 8,
+    seed: int = 7,
+    clean: bool = False,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic images table whose lossy payloads are
+    REAL baseline JFIF JPEG bitstreams (same input_hint schema as
+    :func:`generate_images`)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    _make_jpeg_row(int(i), seed, n_parts, clean)
+                    for i in pdf["id"].tolist()
+                ]
+            )
+
+    rng_df = spark.range(0, n_rows, numPartitions=num_tasks or max(8, n_parts))
+    return rng_df.mapInPandas(gen, IMAGES_SCHEMA)

@@ -6,13 +6,19 @@ This container has no PIL/libjpeg/libwebp, so:
   (8-bit RGB, all five scanline filters on decode, filter 0 on encode)
   with zlib + CRC32 from the stdlib. Payloads round-trip losslessly and
   are valid PNG files any external tool can open.
-- **JPEG is a clearly-marked deterministic stand-in** (``FAKE-LOSSY``):
-  a container with real JPEG SOI/EOI magic bytes around a
-  quantize-then-deflate payload. It is NOT JPEG-compatible; it exists so
-  the *lossy-format code path* (decode → PSNR ≥ 40 dB instead of exact
-  equality) is real and testable. Quantization to 6 bits/channel gives
-  PSNR ≈ 46 dB — above the 40 dB gate, below lossless. When PIL is
-  present (import-try below), real JPEG decode takes over transparently.
+- **JPEG is real** (:mod:`smcchecker_spark.jpegcodec`): a from-scratch
+  baseline JFIF codec (DCT, Annex-K quantization + Huffman) in pure
+  numpy — any payload with JPEG magic that is not the FAKE-LOSSY
+  stand-in decodes through it, including externally-produced baseline
+  files (4:4:4/4:2:2/4:2:0/grayscale). PIL is deliberately NOT used even
+  when present: stored phash values must not depend on which decoder an
+  executor happens to have (libjpeg's fancy chroma upsampling differs
+  from our replication upsampling).
+- **FAKE-LOSSY remains as a cheap stand-in** inside a JPEG wrapper
+  (``FLSY`` tag): quantize-then-deflate, PSNR ≈ 46 dB. The 2M-image
+  bench corpus keeps it so the headline img/s series stays comparable
+  across rounds and measures the ENGINE, not Python entropy decode; the
+  real-JPEG path has its own fixture + query + throughput metric.
 - **WEBP is sniffed but not decodable** here → decode failure unless PIL
   is available (the engine reports it as a violation, which is the
   correct behavior for an undecodable payload).
@@ -350,14 +356,17 @@ def decode_image_batch(
                     fl_bufs.append(q)
                     fmts[i] = FMT_JPEG
                 else:
-                    errs[i] = "real JPEG decode unavailable (no libjpeg in env)"
+                    from smcchecker_spark import jpegcodec
+
+                    arrs[i] = jpegcodec.decode_jpeg(data)
+                    fmts[i] = FMT_JPEG
             elif fmt == FMT_WEBP:
                 errs[i] = "webp decode unavailable (no libwebp in env)"
             else:
                 errs[i] = "unknown image format (bad magic bytes)"
         except ValueError as e:
             errs[i] = str(e)
-        except (zlib.error, struct.error) as e:
+        except (zlib.error, struct.error, IndexError) as e:
             errs[i] = f"corrupt {fmt} payload: {e}"
     if fl_slots:
         by_shift: dict[int, list[int]] = {}

@@ -1,0 +1,711 @@
+"""Real baseline JPEG (JFIF) encode/decode in pure numpy + stdlib.
+
+The container has no libjpeg/PIL, and the engine's lossy image path
+(decode → PSNR ≥ 40 dB gate; BASELINE.json input_hint) needs an actual
+lossy bitstream, not the FAKE-LOSSY stand-in. This module implements
+ITU-T T.81 baseline sequential DCT from the public spec:
+
+- **Encode**: RGB → Rec.601 YCbCr, optional 4:2:0 chroma subsampling
+  (2×2 box mean), 8×8 blocks, orthonormal 2-D DCT (T.81's FDCT), IJG
+  quality-scaled Annex-K quantization tables, zigzag, DC-differential +
+  AC run-length symbols, Annex-K canonical Huffman codes, vectorized
+  bit packing, 0xFF byte stuffing, full JFIF header set
+  (SOI/APP0/DQT/SOF0/DHT/SOS/EOI). Output is a spec-valid JPEG any
+  external decoder can open.
+- **Decode**: marker walk, arbitrary quant/Huffman table slots,
+  baseline (SOF0/SOF1) frames with 1 or 3 components and sampling
+  factors up to 2×2 (so 4:4:4, 4:2:2, 4:4:0, 4:2:0 and grayscale all
+  decode), restart (DRI/RSTn) intervals, 2^16 Huffman LUT entropy
+  decode over a precomputed sliding 16-bit window, vectorized
+  dequantize + IDCT + upsample + color convert. Progressive (SOF2),
+  arithmetic coding and 12-bit precision raise ``ValueError`` — the
+  validation engine reports those payloads as violations rather than
+  mis-decoding them.
+
+Determinism: everything is fixed-point-free numpy float64 with
+``np.rint`` rounding — identical output across hosts, which the
+engine's stored-phash consistency checks rely on. PIL is deliberately
+NOT consulted even when present: two decoders (libjpeg's fancy chroma
+upsampling vs our replication) would make stored phash values
+environment-dependent.
+
+Scale notes: these functions run inside Arrow-batched pandas UDFs on
+executors. Entropy decode is a per-symbol Python loop over a 2^16 LUT
+(the one inherently sequential part of JPEG); everything before and
+after it is vectorized numpy over whole blocks. At validation-thumbnail
+sizes the cost is a few ms/image — the engine parallelizes across
+images, never within one.
+
+Reference semantics: SMC Checker validates uploaded payloads and
+reports undecodable/corrupt files as violations
+(/root/reference/proj/core_checks.py digit/format gates); this codec is
+the image-payload analogue demanded by BASELINE.json's north star
+(decoded-pixel PSNR ≥ 40 dB for lossy formats).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Public-spec constants (ITU-T T.81 Annex K)
+# ---------------------------------------------------------------------------
+
+# natural (row-major) order quantization tables
+QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.float64,
+)
+QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.float64,
+)
+
+# ZIGZAG[k] = natural index of the k-th zigzag-scan element
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K Huffman table definitions: (BITS[1..16], HUFFVAL)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix — T.81's FDCT/IDCT scaling exactly
+    (the 1/4·C_u·C_v normalization of the 2-D transform equals the
+    orthonormal 1-D matrix applied on both sides)."""
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    d = np.cos((2 * n + 1) * k * np.pi / 16)
+    d[0] *= np.sqrt(1 / 8)
+    d[1:] *= np.sqrt(2 / 8)
+    return d
+
+
+_DCT = _dct_matrix()
+
+
+def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling (public libjpeg convention): 1..100 →
+    (luma, chroma) tables in natural order, entries clipped to 1..255
+    (baseline requires 8-bit table entries)."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    lum = np.clip(np.floor((QT_LUMA * scale + 50) / 100), 1, 255)
+    chm = np.clip(np.floor((QT_CHROMA * scale + 50) / 100), 1, 255)
+    return lum, chm
+
+
+# ---------------------------------------------------------------------------
+# Huffman code construction (canonical, T.81 Annex C)
+# ---------------------------------------------------------------------------
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) by canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_LUT_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+
+
+def _build_lut(bits: tuple[int, ...], vals: tuple[int, ...]):
+    """2^16 decode LUT: next-16-bits (MSB-aligned) -> (symbol, code length).
+    length 0 marks an invalid prefix (corrupt stream). Cached per table
+    content — files reusing the Annex-K tables (ours, most encoders)
+    build each LUT once per process."""
+    key = (bits, vals)
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(1 << 16, dtype=np.int32)
+    ln = np.zeros(1 << 16, dtype=np.int32)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            sym[lo:hi] = vals[k]
+            ln[lo:hi] = length
+            code += 1
+            k += 1
+        code <<= 1
+    if k != len(vals):
+        raise ValueError("corrupt JPEG: Huffman BITS/HUFFVAL mismatch")
+    out = (sym.tolist(), ln.tolist())  # list indexing beats np scalars in the loop
+    _LUT_CACHE[key] = out
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+# RGB -> YCbCr (Rec.601 full-range, JFIF)
+_RGB2Y = np.array([0.299, 0.587, 0.114])
+_RGB2CB = np.array([-0.168735892, -0.331264108, 0.5])
+_RGB2CR = np.array([0.5, -0.418687589, -0.081312411])
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) with H, W multiples of 8 → (nb, 8, 8) in block-raster order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def _from_blocks(blocks: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """(bh*bw, 8, 8) block-raster → (bh*8, bw*8)."""
+    return (
+        blocks.reshape(bh, bw, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh * 8, bw * 8)
+    )
+
+
+def _pack_bits(vals: np.ndarray, lens: np.ndarray) -> bytes:
+    """Vectorized MSB-first bit packer: (values, bit lengths) → bytes,
+    1-padded to a byte boundary (T.81 F.1.2.3), 0xFF bytes stuffed with
+    0x00. Max symbol length here is 16 (Huffman) + 11 (magnitude) = 27
+    bits, so uint32 values suffice."""
+    if len(vals) == 0:
+        return b""
+    maxlen = int(lens.max())
+    ar = np.arange(maxlen, dtype=np.int64)
+    # bit j of symbol i (MSB first) = (val >> (len-1-j)) & 1, valid j < len
+    shifts = lens[:, None].astype(np.int64) - 1 - ar[None, :]
+    mask = shifts >= 0
+    bits = (
+        vals[:, None].astype(np.uint64)
+        >> np.where(mask, shifts, 0).astype(np.uint64)
+    ) & np.uint64(1)
+    flat = bits[mask].astype(np.uint8)  # row-major → stream order
+    pad = (-len(flat)) % 8
+    if pad:
+        flat = np.concatenate([flat, np.ones(pad, dtype=np.uint8)])
+    raw = np.packbits(flat).tobytes()
+    return raw.replace(b"\xff", b"\xff\x00")
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """T.81 F.1.2.1: value → (size category, appended bits)."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, v if v > 0 else v + (1 << s) - 1
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 95, subsampling: str = "444"
+) -> bytes:
+    """8-bit RGB HxWx3 array → baseline JFIF JPEG bytes.
+
+    ``subsampling``: "444" (default — every component full resolution;
+    highest PSNR, what the validation fixtures want) or "420" (2×2
+    box-mean chroma — the common web layout; exercises the decoder's
+    generic MCU path)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 uint8, got {arr.shape}")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("JPEG has zero-pixel dimensions")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hv = (2, 2) if subsampling == "420" else (1, 1)
+    hmax, vmax = hv
+
+    rgb = arr.astype(np.float64)
+    y = rgb @ _RGB2Y
+    cb = rgb @ _RGB2CB + 128.0
+    cr = rgb @ _RGB2CR + 128.0
+    if subsampling == "420":
+        # 2x2 box mean; pad odd dims by edge replication first
+        ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+        cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+        cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+    lum_qt, chm_qt = quality_tables(quality)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    comps = []  # (plane, (hi, vi), qtable natural)
+    comps.append((y, (hmax, vmax), lum_qt))
+    comps.append((cb, (1, 1), chm_qt))
+    comps.append((cr, (1, 1), chm_qt))
+
+    zz_per_comp = []
+    grid_per_comp = []  # (block rows, block cols)
+    for plane, (hi, vi), qt in comps:
+        bw, bh = mcux * hi, mcuy * vi  # blocks across / down
+        padded = np.pad(
+            plane,
+            ((0, bh * 8 - plane.shape[0]), (0, bw * 8 - plane.shape[1])),
+            mode="edge",
+        )
+        blocks = _to_blocks(padded) - 128.0
+        coef = _DCT @ blocks @ _DCT.T
+        q = np.rint(coef / qt.reshape(8, 8)).astype(np.int64)
+        zz_per_comp.append(q.reshape(-1, 64)[:, ZIGZAG])
+        grid_per_comp.append((bh, bw))
+
+    dc_lum = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_lum = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_chm = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_chm = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    tables = [(dc_lum, ac_lum), (dc_chm, ac_chm), (dc_chm, ac_chm)]
+
+    # interleaved MCU scan: per MCU, each component contributes its
+    # vi×hi blocks in raster order (T.81 A.2.3)
+    out_vals: list[int] = []
+    out_lens: list[int] = []
+    dc_pred = [0, 0, 0]
+    zz_lists = [z.tolist() for z in zz_per_comp]  # python ints in the hot loop
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c, (_, (hi, vi), _) in enumerate(comps):
+                dc_codes, ac_codes = tables[c]
+                _, bw = grid_per_comp[c]
+                zzl = zz_lists[c]
+                for by in range(vi):
+                    for bx in range(hi):
+                        blk = zzl[(my * vi + by) * bw + (mx * hi + bx)]
+                        diff = blk[0] - dc_pred[c]
+                        dc_pred[c] = blk[0]
+                        s, mag = _magnitude(diff)
+                        code, ln = dc_codes[s]
+                        out_vals.append((code << s) | mag)
+                        out_lens.append(ln + s)
+                        run = 0
+                        last_nz = 0
+                        for k in range(1, 64):
+                            if blk[k]:
+                                last_nz = k
+                        for k in range(1, last_nz + 1):
+                            v = blk[k]
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                code, ln = ac_codes[0xF0]  # ZRL
+                                out_vals.append(code)
+                                out_lens.append(ln)
+                                run -= 16
+                            s, mag = _magnitude(v)
+                            code, ln = ac_codes[(run << 4) | s]
+                            out_vals.append((code << s) | mag)
+                            out_lens.append(ln + s)
+                            run = 0
+                        if last_nz < 63:
+                            code, ln = ac_codes[0x00]  # EOB
+                            out_vals.append(code)
+                            out_lens.append(ln)
+
+    scan = _pack_bits(
+        np.asarray(out_vals, dtype=np.uint64),
+        np.asarray(out_lens, dtype=np.int64),
+    )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    app0 = seg(
+        0xFFE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    )
+    dqt = seg(
+        0xFFDB,
+        b"\x00"
+        + bytes(lum_qt.astype(np.uint8)[ZIGZAG])
+        + b"\x01"
+        + bytes(chm_qt.astype(np.uint8)[ZIGZAG]),
+    )
+    sof_comps = b""
+    for cid, (_, (hi, vi), _) in enumerate(comps, start=1):
+        sof_comps += struct.pack(">BBB", cid, (hi << 4) | vi, 0 if cid == 1 else 1)
+    sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(
+            0xFFC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        )
+
+    dhts = (
+        dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+        + dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+        + dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        + dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    )
+    sos = seg(
+        0xFFDA,
+        b"\x03"
+        + struct.pack(">BB", 1, 0x00)
+        + struct.pack(">BB", 2, 0x11)
+        + struct.pack(">BB", 3, 0x11)
+        + b"\x00\x3f\x00",
+    )
+    return (
+        b"\xff\xd8" + app0 + dqt + sof0 + dhts + sos + scan + b"\xff\xd9"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def _window16(seg: bytes) -> list[int]:
+    """Sliding MSB-first 16-bit window at every bit offset of ``seg``
+    (zero-padded past the end) — 16 vectorized shift-ors, then one
+    tolist() so the per-symbol loop indexes Python ints."""
+    bits = np.unpackbits(np.frombuffer(seg, dtype=np.uint8))
+    nbits = len(bits)
+    b = np.concatenate([bits, np.zeros(16, dtype=np.uint8)]).astype(np.uint32)
+    w = np.zeros(nbits, dtype=np.uint32)
+    for k in range(16):
+        w |= b[k : k + nbits] << (15 - k)
+    return w.tolist()
+
+
+def _extend(mag: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: s appended bits → signed value."""
+    return mag if mag >= (1 << (s - 1)) else mag - (1 << s) + 1
+
+
+class _Frame:
+    __slots__ = ("h", "w", "comps")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF JPEG bytes → HxWx3 uint8 (grayscale is replicated
+    to 3 channels — the engine's table schema is RGB). Raises
+    ``ValueError`` on anything corrupt or non-baseline."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    n = len(data)
+    qts: dict[int, np.ndarray] = {}
+    luts: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
+    frame: _Frame | None = None
+    restart = 0
+    out = None
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RSTn/TEM: no payload
+            continue
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG segment")
+        seglen = int.from_bytes(data[pos : pos + 2], "big")
+        payload = data[pos + 2 : pos + seglen]
+        if len(payload) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not baseline")
+                zz = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8)
+                if len(zz) != 64:
+                    raise ValueError("corrupt JPEG: short DQT")
+                nat = np.zeros(64, dtype=np.float64)
+                nat[ZIGZAG] = zz
+                qts[tq] = nat
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 15
+                bits = tuple(payload[p + 1 : p + 17])
+                if len(bits) != 16:
+                    raise ValueError("corrupt JPEG: short DHT")
+                nv = sum(bits)
+                vals = tuple(payload[p + 17 : p + 17 + nv])
+                if len(vals) != nv:
+                    raise ValueError("corrupt JPEG: short DHT")
+                luts[(tc, th)] = _build_lut(bits, vals)
+                p += 17 + nv
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            prec, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {nc}")
+            frame = _Frame()
+            frame.h, frame.w = fh, fw
+            frame.comps = []
+            for c in range(nc):
+                cid, hvs, tq = payload[6 + 3 * c : 9 + 3 * c]
+                hi, vi = hvs >> 4, hvs & 15
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise ValueError(f"unsupported sampling {hi}x{vi}")
+                frame.comps.append({"id": cid, "hi": hi, "vi": vi, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("progressive/arithmetic JPEG not supported")
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(payload[:2], "big")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
+            ns = payload[0]
+            scan_tabs = {}
+            for c in range(ns):
+                cid, tt = payload[1 + 2 * c : 3 + 2 * c]
+                scan_tabs[cid] = (tt >> 4, tt & 15)
+            scan_start = pos
+            # entropy data runs to the next non-RST/non-stuffed marker
+            segs: list[bytes] = []
+            cur = bytearray()
+            p = scan_start
+            while p < n:
+                b0 = data[p]
+                if b0 != 0xFF:
+                    cur.append(b0)
+                    p += 1
+                    continue
+                b1 = data[p + 1] if p + 1 < n else 0xD9
+                if b1 == 0x00:
+                    cur.append(0xFF)
+                    p += 2
+                elif 0xD0 <= b1 <= 0xD7:
+                    segs.append(bytes(cur))
+                    cur = bytearray()
+                    p += 2
+                else:
+                    break
+            segs.append(bytes(cur))
+            pos = p
+            out = _decode_scan(frame, qts, luts, scan_tabs, segs, restart)
+        # APPn/COM/other: skipped
+    if out is None:
+        raise ValueError("corrupt JPEG: no decoded scan")
+    return out
+
+
+def _decode_scan(frame, qts, luts, scan_tabs, segs, restart):
+    h, w = frame.h, frame.w
+    if h == 0 or w == 0:
+        raise ValueError("JPEG has zero-pixel dimensions")
+    if h * w * 3 > (1 << 30):
+        raise ValueError("JPEG dimensions exceed the decoded-size cap")
+    comps = frame.comps
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["hi"]
+        c["bh"] = mcuy * c["vi"]
+        c["coef"] = [
+            [0] * 64 for _ in range(c["bw"] * c["bh"])
+        ]  # filled by the symbol loop; ndarray conversion afterwards
+        tabs = scan_tabs.get(c["id"])
+        if tabs is None:
+            raise ValueError("corrupt JPEG: scan component not in SOS")
+        dc = luts.get((0, tabs[0]))
+        ac = luts.get((1, tabs[1]))
+        if dc is None or ac is None:
+            raise ValueError("corrupt JPEG: missing Huffman table")
+        c["dc_sym"], c["dc_len"] = dc
+        c["ac_sym"], c["ac_len"] = ac
+        if c["tq"] not in qts:
+            raise ValueError("corrupt JPEG: missing quant table")
+
+    total_mcus = mcux * mcuy
+    per_seg = restart if restart else total_mcus
+    zz = ZIGZAG.tolist()
+    mcu = 0
+    for seg_bytes in segs:
+        if mcu >= total_mcus:
+            break
+        wv = _window16(seg_bytes)
+        nbits = len(wv)
+        p = 0
+        preds = [0] * len(comps)
+        seg_end = min(mcu + per_seg, total_mcus)
+        while mcu < seg_end:
+            my, mx = divmod(mcu, mcux)
+            for ci, c in enumerate(comps):
+                dc_sym, dc_len = c["dc_sym"], c["dc_len"]
+                ac_sym, ac_len = c["ac_sym"], c["ac_len"]
+                bw = c["bw"]
+                hi, vi = c["hi"], c["vi"]
+                for by in range(vi):
+                    for bx in range(hi):
+                        blk = c["coef"][(my * vi + by) * bw + (mx * hi + bx)]
+                        if p >= nbits:
+                            raise ValueError("corrupt JPEG: scan underrun")
+                        key = wv[p]
+                        s = dc_sym[key]
+                        ln = dc_len[key]
+                        if ln == 0:
+                            raise ValueError("corrupt JPEG: bad Huffman code")
+                        p += ln
+                        if s:
+                            if p >= nbits:
+                                raise ValueError("corrupt JPEG: scan underrun")
+                            mag = wv[p] >> (16 - s)
+                            p += s
+                            preds[ci] += _extend(mag, s)
+                        blk[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            if p >= nbits:
+                                raise ValueError("corrupt JPEG: scan underrun")
+                            key = wv[p]
+                            sym = ac_sym[key]
+                            ln = ac_len[key]
+                            if ln == 0:
+                                raise ValueError("corrupt JPEG: bad Huffman code")
+                            p += ln
+                            r, s = sym >> 4, sym & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("corrupt JPEG: AC overrun")
+                            if p >= nbits:
+                                raise ValueError("corrupt JPEG: scan underrun")
+                            mag = wv[p] >> (16 - s)
+                            p += s
+                            blk[zz[k]] = _extend(mag, s)
+                            k += 1
+            mcu += 1
+    if mcu < total_mcus:
+        raise ValueError("corrupt JPEG: missing MCUs")
+
+    planes = []
+    for c in comps:
+        coef = np.asarray(c["coef"], dtype=np.float64) * qts[c["tq"]]
+        blocks = _DCT.T @ coef.reshape(-1, 8, 8) @ _DCT
+        plane = _from_blocks(blocks + 128.0, c["bh"], c["bw"])
+        # crop to the component's own sampled dims, then upsample by
+        # replication to full frame size
+        ch = -(-h * c["vi"] // vmax)
+        cw = -(-w * c["hi"] // hmax)
+        plane = plane[:ch, :cw]
+        if c["vi"] != vmax or c["hi"] != hmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["vi"], axis=0),
+                hmax // c["hi"],
+                axis=1,
+            )
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        y = planes[0]
+        rgb = np.stack([y, y, y], axis=-1)
+    else:
+        y, cb, cr = planes
+        cb = cb - 128.0
+        cr = cr - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136286 * cb - 0.714136286 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=-1,
+        )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)

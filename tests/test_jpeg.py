@@ -1,0 +1,213 @@
+"""Real baseline JPEG codec (smcchecker_spark/jpegcodec.py) + its engine
+integration: roundtrip PSNR vs the north-star 40 dB gate, bitstream
+structure, corrupt-payload robustness, decode dispatch, and the
+planted-violation golden for the real-JPEG fixture suite."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from smcchecker_spark import imagecodec as ic
+from smcchecker_spark import jpegcodec as jc
+
+
+def _noise(h, w, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), dtype=np.uint8
+    )
+
+
+def _smooth(h, w):
+    x = np.linspace(0, 200, w)
+    y = np.linspace(0, 55, h)
+    base = y[:, None] + x[None, :]
+    return np.stack(
+        [base, base * 0.8 + 20, base * 0.5 + 60], axis=-1
+    ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Roundtrip quality
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (13, 29), (32, 32), (9, 7), (64, 48)])
+def test_roundtrip_noise_q98_clears_gate(h, w):
+    # pure noise is JPEG's worst case — q98 (the fixture quality) must
+    # still clear the north-star 40 dB decoded-pixel gate
+    a = _noise(h, w, seed=h * 100 + w)
+    dec = jc.decode_jpeg(jc.encode_jpeg(a, quality=98))
+    assert dec.shape == a.shape
+    assert ic.psnr(a, dec) >= 40.0
+
+
+def test_roundtrip_smooth_both_samplings():
+    a = _smooth(48, 64)
+    for sub in ("444", "420"):
+        dec = jc.decode_jpeg(jc.encode_jpeg(a, quality=95, subsampling=sub))
+        assert dec.shape == a.shape
+        assert ic.psnr(a, dec) >= 45.0, sub
+
+
+def test_solid_color_exact():
+    # one DCT DC coefficient, zero ACs → bit-exact roundtrip
+    for v in (0, 128, 255):
+        a = np.full((24, 16, 3), v, dtype=np.uint8)
+        assert np.array_equal(jc.decode_jpeg(jc.encode_jpeg(a)), a)
+
+
+def test_one_pixel_and_odd_dims():
+    for shape in [(1, 1), (1, 17), (17, 1), (7, 9)]:
+        a = _noise(*shape, seed=3)
+        for sub in ("444", "420"):
+            dec = jc.decode_jpeg(jc.encode_jpeg(a, quality=98, subsampling=sub))
+            assert dec.shape == a.shape
+
+
+def test_lower_quality_monotone():
+    a = _noise(32, 32, seed=5)
+    ps = [
+        ic.psnr(a, jc.decode_jpeg(jc.encode_jpeg(a, quality=q)))
+        for q in (30, 75, 95, 100)
+    ]
+    assert ps == sorted(ps)
+    assert ps[0] < 40.0  # q30 noise is below the gate (used as planted pair)
+
+
+def test_determinism():
+    a = _noise(20, 30, seed=9)
+    assert jc.encode_jpeg(a) == jc.encode_jpeg(a)
+    d1 = jc.decode_jpeg(jc.encode_jpeg(a))
+    d2 = jc.decode_jpeg(jc.encode_jpeg(a))
+    assert np.array_equal(d1, d2)
+
+
+# ---------------------------------------------------------------------------
+# Bitstream structure (spec-level checks, no external decoder available)
+# ---------------------------------------------------------------------------
+
+
+def test_bitstream_markers():
+    a = _noise(16, 24, seed=1)
+    data = jc.encode_jpeg(a, quality=90)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert data[2:4] == b"\xff\xe0" and data[6:11] == b"JFIF\x00"  # APP0
+    # SOF0 present with big-endian dims and 3 components
+    i = data.index(b"\xff\xc0")
+    assert data[i + 4] == 8  # precision
+    assert int.from_bytes(data[i + 5 : i + 7], "big") == 16  # height
+    assert int.from_bytes(data[i + 7 : i + 9], "big") == 24  # width
+    assert data[i + 9] == 3
+    assert data.count(b"\xff\xc4") >= 4  # four DHT segments
+    assert b"\xff\xdb" in data and b"\xff\xda" in data  # DQT + SOS
+    # no bare 0xFF inside entropy data: every 0xFF outside markers is
+    # stuffed — verified by decoding (would desync otherwise)
+    assert jc.decode_jpeg(data).shape == a.shape
+
+
+def test_sniff_and_dispatch():
+    a = _noise(12, 12, seed=2)
+    data = jc.encode_jpeg(a, quality=98)
+    assert ic.sniff_format(data) == "jpeg"
+    arr, fmt = ic.decode_image(data)
+    assert fmt == "jpeg"
+    assert np.array_equal(arr, jc.decode_jpeg(data))
+    # mixed batch: png + fake-lossy + real jpeg + garbage
+    batch = [
+        ic.encode_png(a),
+        ic.encode_fake_lossy(a),
+        data,
+        b"\x00\x01\x02",
+    ]
+    arrs, fmts, errs = ic.decode_image_batch(batch)
+    assert fmts[:3] == ["png", "jpeg", "jpeg"] and errs[3] is not None
+    assert np.array_equal(arrs[2], arr)
+
+
+# ---------------------------------------------------------------------------
+# Robustness on corrupt payloads (validation engines see hostile bytes)
+# ---------------------------------------------------------------------------
+
+
+def test_truncation_never_crashes():
+    a = _noise(16, 16, seed=4)
+    data = jc.encode_jpeg(a, quality=90)
+    for cut in range(2, len(data), 7):
+        try:
+            out = jc.decode_jpeg(data[:cut])
+            assert out.shape == a.shape  # complete-scan prefixes may decode
+        except ValueError:
+            pass
+
+
+def test_bitflip_never_crashes():
+    a = _noise(12, 16, seed=6)
+    data = jc.encode_jpeg(a, quality=90)
+    for pos in range(0, len(data), 5):
+        ba = bytearray(data)
+        ba[pos] ^= 0xFF
+        try:
+            out = jc.decode_jpeg(bytes(ba))
+            assert out.ndim == 3  # some pixel-area flips decode to noise
+        except (ValueError, IndexError, struct.error):
+            pass
+
+
+def test_progressive_rejected():
+    a = _noise(8, 8, seed=7)
+    data = bytearray(jc.encode_jpeg(a))
+    i = bytes(data).index(b"\xff\xc0")
+    data[i + 1] = 0xC2  # SOF0 → SOF2 (progressive)
+    with pytest.raises(ValueError, match="progressive"):
+        jc.decode_jpeg(bytes(data))
+
+
+def test_oversize_header_rejected():
+    a = _noise(8, 8, seed=8)
+    data = bytearray(jc.encode_jpeg(a))
+    i = bytes(data).index(b"\xff\xc0")
+    data[i + 5 : i + 7] = (60000).to_bytes(2, "big")  # claim 60000px height
+    with pytest.raises(ValueError):
+        jc.decode_jpeg(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# Engine integration: real-JPEG fixture suite golden + PSNR gate query
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_fixture_suite_golden(spark):
+    from smcchecker_spark import fixtures
+    import __spark_entry__ as entry
+
+    n = 600
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in entry.q_jpeg_validate(spark, "").collect()
+    }
+    flags = [fixtures.expected_jpeg_flags(i) for i in range(n)]
+    exp_caption = sum(f["caption_empty"] for f in flags)
+    # Unique flags EVERY row of a duplicated id (dup row + its victim),
+    # unless the victim index never exists (i=0 has no i-1)
+    dup_pairs = sum(f["dup"] for f in flags)
+    exp_unique = 2 * dup_pairs
+    # ImageConsistent: one violation row per inconsistent image —
+    # truncated/bitflip (decode fail), w_off, phash_off; overlaps
+    # possible only if moduli collide (41 vs 37 vs 43 — compute exactly)
+    exp_img = sum(
+        1
+        for i, f in enumerate(flags)
+        if f["truncated"] or f["bitflip"] or f["w_off"] or f["phash_off"]
+    )
+    assert got.get("notnull_caption", 0) == exp_caption
+    assert got.get("unique_image_id", 0) == exp_unique
+    assert got.get("imageconsistent_bytes", 0) == exp_img
+
+
+def test_jpeg_psnr_gate_golden(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.q_jpeg_psnr_gate(spark, "").collect()
+    exp = {f"pair{i:09d}" for i in range(300) if i % 11 == 3}
+    assert {r["row_id"] for r in rows} == exp
