@@ -40,6 +40,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 N_IMAGES = int(os.environ.get("BENCH_IMAGES", "2000000"))
 IMG_DIR = f"/tmp/bench_images_v2_{N_IMAGES}.parquet"
 
+# Secondary metric: validation throughput over REAL baseline JPEG
+# bitstreams (jpegcodec.py). Kept on its own (smaller) corpus so the
+# headline 2M-image series stays comparable across rounds — real JPEG
+# entropy decode is a per-symbol Python loop and dominates the suite
+# cost, which measures the codec, not the engine.
+N_JPEG = int(os.environ.get("BENCH_JPEG_IMAGES", "30000"))
+JPEG_DIR = f"/tmp/bench_jpeg_images_v1_{N_JPEG}.parquet"
+
 # Scaling pair: this sandbox exposes 32 vCPUs but only ~8 effective
 # physical cores (multiprocessing throughput scales linearly to 8 procs,
 # then flatlines in steal time), so local[8]->local[32] cannot show real
@@ -181,6 +189,50 @@ def _prepare_images(cores: int) -> None:
     df.write.mode("overwrite").parquet(IMG_DIR + ".tmp")
     os.rename(IMG_DIR + ".tmp", IMG_DIR)
     spark.stop()
+
+
+def _prepare_jpeg_images(cores: int, spark) -> None:
+    if os.path.isdir(JPEG_DIR):
+        return
+    from smcchecker_spark import fixtures
+
+    df = fixtures.generate_jpeg_images(
+        spark, n_rows=N_JPEG, n_parts=64, seed=7, clean=True,
+        num_tasks=cores * 4,
+    )
+    df.write.mode("overwrite").parquet(JPEG_DIR + ".tmp")
+    os.rename(JPEG_DIR + ".tmp", JPEG_DIR)
+
+
+def _jpeg_real_throughput(spark) -> float:
+    """Full-suite validation img/s over real JPEG payloads (best-of-2,
+    warmed the same way as the headline corpus)."""
+    from smcchecker_spark.compile import compile_suite
+    from smcchecker_spark.constraints import NotNull, Suite, Unique
+    from smcchecker_spark.image import ImageConsistent
+
+    suite = Suite(
+        name="images_jpeg_bench",
+        table="images",
+        constraints=[NotNull("caption"), Unique(["image_id"]),
+                     ImageConsistent()],
+    )
+    df = spark.read.parquet(JPEG_DIR)
+    warm = compile_suite(
+        df.sample(0.05, seed=1), suite,
+        row_id_col="image_id", part_id_col="part_id",
+    )
+    _materialize(warm)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _materialize(
+            compile_suite(
+                df, suite, row_id_col="image_id", part_id_col="part_id"
+            )
+        )
+        best = min(best, time.time() - t0)
+    return N_JPEG / best
 
 
 def _validate_images_throughput(cores: int, repeats: int) -> float:
@@ -387,6 +439,9 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    _prepare_jpeg_images(cpus, spark)
+    jpeg_thr = _jpeg_real_throughput(spark)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -405,6 +460,12 @@ def main() -> None:
                     max(r["images_per_sec_4n"] for r in round_info), 1
                 ),
                 "n_images": N_IMAGES,
+                # real-JPEG secondary metric: same suite over actual
+                # baseline JFIF bitstreams (jpegcodec) — decode-bound by
+                # the per-symbol Huffman loop, reported separately so
+                # the headline engine series stays comparable
+                "jpeg_real_images_per_sec": round(jpeg_thr, 1),
+                "n_jpeg_images": N_JPEG,
                 "scaling": {
                     "cores_n": SCALE_N,
                     "cores_4n": SCALE_N * 4,

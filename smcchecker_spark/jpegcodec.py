@@ -440,6 +440,80 @@ def encode_jpeg(
     )
 
 
+def encode_jpeg_gray(arr: np.ndarray, quality: int = 95) -> bytes:
+    """8-bit grayscale HxW array → single-component baseline JFIF JPEG.
+    Web corpora carry grayscale JPEGs; the engine decodes them through
+    the same dispatch (replicated to HxWx3 — the table schema is RGB)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError(f"expected HxW uint8, got {arr.shape}")
+    h, w = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("JPEG has zero-pixel dimensions")
+    lum_qt, _ = quality_tables(quality)
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.pad(
+        arr.astype(np.float64), ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+    )
+    blocks = _to_blocks(padded) - 128.0
+    q = np.rint((_DCT @ blocks @ _DCT.T) / lum_qt.reshape(8, 8)).astype(np.int64)
+    zz = q.reshape(-1, 64)[:, ZIGZAG].tolist()
+
+    dc_codes = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    out_vals: list[int] = []
+    out_lens: list[int] = []
+    pred = 0
+    for blk in zz:  # MCU = one block for a 1-component scan
+        s, mag = _magnitude(blk[0] - pred)
+        pred = blk[0]
+        code, ln = dc_codes[s]
+        out_vals.append((code << s) | mag)
+        out_lens.append(ln + s)
+        run = 0
+        last_nz = 0
+        for k in range(1, 64):
+            if blk[k]:
+                last_nz = k
+        for k in range(1, last_nz + 1):
+            v = blk[k]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_codes[0xF0]
+                out_vals.append(code)
+                out_lens.append(ln)
+                run -= 16
+            s, mag = _magnitude(v)
+            code, ln = ac_codes[(run << 4) | s]
+            out_vals.append((code << s) | mag)
+            out_lens.append(ln + s)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_codes[0x00]
+            out_vals.append(code)
+            out_lens.append(ln)
+    scan = _pack_bits(
+        np.asarray(out_vals, dtype=np.uint64),
+        np.asarray(out_lens, dtype=np.int64),
+    )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    app0 = seg(
+        0xFFE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    )
+    dqt = seg(0xFFDB, b"\x00" + bytes(lum_qt.astype(np.uint8)[ZIGZAG]))
+    sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dhts = seg(
+        0xFFC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+    ) + seg(0xFFC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    sos = seg(0xFFDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
+    return b"\xff\xd8" + app0 + dqt + sof0 + dhts + sos + scan + b"\xff\xd9"
+
+
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------

@@ -211,3 +211,16 @@ def test_jpeg_psnr_gate_golden(spark):
     rows = entry.q_jpeg_psnr_gate(spark, "").collect()
     exp = {f"pair{i:09d}" for i in range(300) if i % 11 == 3}
     assert {r["row_id"] for r in rows} == exp
+
+
+def test_grayscale_roundtrip_and_dispatch():
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, (19, 27), dtype=np.uint8)
+    data = jc.encode_jpeg_gray(g, quality=98)
+    arr, fmt = ic.decode_image(data)  # engine dispatch, not just the codec
+    assert fmt == "jpeg" and arr.shape == (19, 27, 3)
+    assert np.array_equal(arr[:, :, 0], arr[:, :, 1])
+    assert ic.psnr(np.stack([g, g, g], axis=-1), arr) >= 45.0
+    solid = np.full((16, 16), 77, dtype=np.uint8)
+    dec = jc.decode_jpeg(jc.encode_jpeg_gray(solid))
+    assert np.array_equal(dec[:, :, 0], solid)
