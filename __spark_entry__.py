@@ -2918,6 +2918,37 @@ def q_jpeg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_webp_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suite over REAL lossless WebP (VP8L) payloads
+    (smcchecker_spark/webpcodec.py — from-scratch prefix-code/LZ77/
+    transform codec; fixtures.generate_webp_images plants the same
+    violation classes as the JPEG fixture). Rows-only (WebP decode is
+    not SQL-expressible); goldens locked by tests/test_webp.py."""
+    from smcchecker_spark import fixtures
+    from smcchecker_spark.image import ImageConsistent
+    from smcchecker_spark.package import ensure_shipped
+
+    ensure_shipped(spark)
+    df = fixtures.generate_webp_images(
+        spark, n_rows=400, n_parts=8, seed=11
+    ).localCheckpoint()
+    suite = Suite(
+        name="images_webp",
+        table="images",
+        constraints=[
+            NotNull("caption"),
+            Unique(["image_id"]),
+            ImageConsistent(),
+        ],
+    )
+    v = compile_suite(df, suite, row_id_col="image_id", part_id_col="part_id")
+    return (
+        v.groupBy("check_name")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .orderBy("check_name")
+    )
+
+
 def q_jpeg_psnr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star decoded-pixel parity on REAL lossy bitstreams:
     (real JPEG q98, lossless PNG of the same pixels) pairs through the
@@ -4891,6 +4922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_validate": q_images_validate,
         "jpeg_validate": q_jpeg_validate,
         "jpeg_psnr_gate": q_jpeg_psnr_gate,
+        "webp_validate": q_webp_validate,
         "det_split_docs": q_det_split_docs,
         "leakage_split_docs": q_leakage_split_docs,
         "cap_per_source_docs": q_cap_per_source_docs,

@@ -189,8 +189,8 @@ def lu_fmt(spark: SparkSession) -> DataFrame:
     """Lookup list for the fmt RI check (FIXTURES.md §2)."""
     return spark.createDataFrame(
         [("png", "Portable Network Graphics"),
-         ("jpeg", "JPEG (engine stand-in codec)"),
-         ("webp", "WebP")],
+         ("jpeg", "JPEG (baseline JFIF, jpegcodec)"),
+         ("webp", "WebP (lossless VP8L, webpcodec)")],
         "fmt string, description string",
     )
 
@@ -230,9 +230,9 @@ def expected_jpeg_flags(i: int) -> dict[str, bool]:
     }
 
 
-def _make_jpeg_row(i: int, seed: int, n_parts: int, clean: bool) -> dict:
-    from smcchecker_spark import jpegcodec as jc
-
+def _make_jpeg_row(
+    i: int, seed: int, n_parts: int, clean: bool, codec: str = "jpeg"
+) -> dict:
     rng = np.random.default_rng(seed * 2_000_003 + i)
     fl = (
         {k: False for k in expected_jpeg_flags(0)}
@@ -242,14 +242,25 @@ def _make_jpeg_row(i: int, seed: int, n_parts: int, clean: bool) -> dict:
     h = int(rng.integers(8, 33))
     w = int(rng.integers(8, 33))
     arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-    # quality 98: ~44 dB on pure-noise pixels (worst case) — clears the
-    # north-star 40 dB gate with margin. Every 4th image is 4:2:0 to
-    # exercise the decoder's generic MCU path in the engine itself;
-    # stored phash always comes from the DECODED pixels, so chroma
-    # subsampling loss never trips the consistency check.
-    sub = "420" if i % 4 == 0 else "444"
-    payload = jc.encode_jpeg(arr, quality=98, subsampling=sub)
-    phash = ic.phash64(jc.decode_jpeg(payload))
+    if codec == "webp":
+        from smcchecker_spark import webpcodec as wc
+
+        # lossless VP8L: decoded pixels == arr bit-exactly
+        payload = wc.encode_webp(arr)
+        phash = ic.phash64(wc.decode_webp(payload))
+        fmt = ic.FMT_WEBP
+    else:
+        from smcchecker_spark import jpegcodec as jc
+
+        # quality 98: ~44 dB on pure-noise pixels (worst case) — clears
+        # the north-star 40 dB gate with margin. Every 4th image is
+        # 4:2:0 to exercise the decoder's generic MCU path in the engine
+        # itself; stored phash always comes from the DECODED pixels, so
+        # chroma subsampling loss never trips the consistency check.
+        sub = "420" if i % 4 == 0 else "444"
+        payload = jc.encode_jpeg(arr, quality=98, subsampling=sub)
+        phash = ic.phash64(jc.decode_jpeg(payload))
+        fmt = ic.FMT_JPEG
     if fl["truncated"]:
         payload = payload[:25]
     elif fl["bitflip"]:
@@ -260,12 +271,13 @@ def _make_jpeg_row(i: int, seed: int, n_parts: int, clean: bool) -> dict:
     caption = " ".join(rng.choice(_WORDS) for _ in range(n_tok))
     if fl["caption_empty"]:
         caption = ""
+    pre = "wbp" if codec == "webp" else "jpg"
     return {
-        "image_id": f"jpg{i - 1:09d}" if fl["dup"] else f"jpg{i:09d}",
+        "image_id": f"{pre}{i - 1:09d}" if fl["dup"] else f"{pre}{i:09d}",
         "bytes": payload,
         "w": (w + 1) if fl["w_off"] else w,
         "h": h,
-        "fmt": ic.FMT_JPEG,
+        "fmt": fmt,
         "caption": caption,
         "phash": int(phash) + (1 if fl["phash_off"] else 0),
         "part_id": i % n_parts,
@@ -289,6 +301,33 @@ def generate_jpeg_images(
             yield pd.DataFrame(
                 [
                     _make_jpeg_row(int(i), seed, n_parts, clean)
+                    for i in pdf["id"].tolist()
+                ]
+            )
+
+    rng_df = spark.range(0, n_rows, numPartitions=num_tasks or max(8, n_parts))
+    return rng_df.mapInPandas(gen, IMAGES_SCHEMA)
+
+
+def generate_webp_images(
+    spark: SparkSession,
+    n_rows: int = 400,
+    n_parts: int = 8,
+    seed: int = 11,
+    clean: bool = False,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic images table whose payloads are REAL
+    lossless WebP (VP8L) bitstreams (same input_hint schema and planted
+    violation rules — :func:`expected_jpeg_flags` — as the JPEG
+    fixture). Truncation cuts mid-chunk (→ "truncated WebP chunk");
+    bitflip hits byte 2 of "RIFF" (→ unknown-format sniff failure)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    _make_jpeg_row(int(i), seed, n_parts, clean, codec="webp")
                     for i in pdf["id"].tolist()
                 ]
             )

@@ -19,9 +19,11 @@ This container has no PIL/libjpeg/libwebp, so:
   bench corpus keeps it so the headline img/s series stays comparable
   across rounds and measures the ENGINE, not Python entropy decode; the
   real-JPEG path has its own fixture + query + throughput metric.
-- **WEBP is sniffed but not decodable** here → decode failure unless PIL
-  is available (the engine reports it as a violation, which is the
-  correct behavior for an undecodable payload).
+- **WebP lossless is real** (:mod:`smcchecker_spark.webpcodec`): a
+  from-scratch VP8L codec — prefix codes, LZ77, color cache, all four
+  transforms on decode; literal-coded spec-valid encode. Lossy ``VP8``
+  and extended ``VP8X`` payloads are reported as violations (honest —
+  decoding VP8's arithmetic-coded predictive format is out of scope).
 
 phash is a 64-bit average-hash (8×8 block-mean luma vs its mean), chosen
 over DCT-phash to stay pure-numpy; it is deterministic and stable across
@@ -361,7 +363,10 @@ def decode_image_batch(
                     arrs[i] = jpegcodec.decode_jpeg(data)
                     fmts[i] = FMT_JPEG
             elif fmt == FMT_WEBP:
-                errs[i] = "webp decode unavailable (no libwebp in env)"
+                from smcchecker_spark import webpcodec
+
+                arrs[i] = webpcodec.decode_webp(data)
+                fmts[i] = FMT_WEBP
             else:
                 errs[i] = "unknown image format (bad magic bytes)"
         except ValueError as e:

@@ -1,0 +1,798 @@
+"""Lossless WebP (VP8L) encode/decode in pure numpy + stdlib.
+
+Closes the last "sniffed but not decodable" format in the payload
+dispatch: the engine previously reported every ``RIFF....WEBP`` payload
+as a decode violation. This module implements the public VP8L lossless
+bitstream format (the WebP container's ``VP8L`` chunk):
+
+- **Decode**: full spec surface needed for files in the wild — LSB-first
+  bit reader, simple + normal prefix codes (code-length-code with
+  16/17/18 repeats), meta prefix-code images, color cache, LZ77
+  backward references with the 120-entry 2-D distance neighborhood map,
+  and all four transforms (predictor / color / subtract-green /
+  color-indexing incl. sub-byte index packing), applied in reverse
+  order. Lossy ``VP8 `` and ``VP8X``-extended files raise ``ValueError``
+  (reported as violations — honest, not mis-decoded).
+- **Encode**: spec-valid minimal writer — no transforms, no LZ77, no
+  color cache, one normal prefix-code group per channel built from the
+  image's histogram. Bit-exact lossless roundtrip (locked by
+  tests/test_webp.py), byte streams any external WebP decoder can open.
+
+Determinism: integer numpy + stdlib only; same bytes on every host.
+Runs inside Arrow-batched pandas UDFs on executors: decode's prefix-
+symbol loop is per-pixel Python over 2^13 LUTs (the inherently
+sequential part), everything else (transform application, packing) is
+vectorized numpy. Validation thumbnails are small; the engine
+parallelizes across images.
+
+Reference semantics: the reference checker reports undecodable uploads
+as violations (/root/reference/proj/core_checks.py); BASELINE.json's
+north star demands decoded-pixel validation of image payloads — WebP is
+one of the three formats the fixture corpus's ``fmt`` lookup admits.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# code-length-code symbol storage order (VP8L spec §6.2.2)
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+# 2-D distance neighborhood map: codes 1..120 → (dx, dy) offsets
+# (VP8L spec §5.2.3). Generated row-major exactly as the spec lists it.
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+
+# ---------------------------------------------------------------------------
+# Bit I/O (LSB-first — VP8L, unlike JPEG's MSB-first)
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+        self.n = len(data) * 8
+
+    def read(self, nbits: int) -> int:
+        p = self.pos
+        if p + nbits > self.n:
+            raise ValueError("truncated VP8L stream")
+        self.pos = p + nbits
+        # little-endian: bit k of the stream = bit (k % 8) of byte k//8
+        v = int.from_bytes(
+            self.data[p // 8 : (p + nbits + 7) // 8 + 1], "little"
+        )
+        return (v >> (p % 8)) & ((1 << nbits) - 1)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, value: int, nbits: int) -> None:
+        for k in range(nbits):  # LSB first
+            self.bits.append((value >> k) & 1)
+
+    def tobytes(self) -> bytes:
+        arr = np.array(self.bits, dtype=np.uint8)
+        pad = (-len(arr)) % 8
+        if pad:
+            arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
+        return np.packbits(arr, bitorder="little").tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Prefix (canonical Huffman) codes — VP8L assigns codes by increasing
+# length then symbol order, MSB-first codes read bit-by-bit LSB-first
+# from the stream (i.e. the stream carries each code's bits from the
+# root of the tree down).
+# ---------------------------------------------------------------------------
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical by (length, symbol)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    for ln in range(1, max(lengths, default=0) + 1):
+        for sym, l in enumerate(lengths):
+            if l == ln:
+                out[sym] = (code, ln)
+                code += 1
+        code <<= 1
+    return out
+
+
+class _PrefixTree:
+    """Decode table: nested dict-free two-level array walk. Codes are at
+    most 15 bits; we build a flat LUT over min(15, maxlen) bits."""
+
+    __slots__ = ("lut_sym", "lut_len", "bits", "single")
+
+    def __init__(self, lengths: list[int]):
+        nz = [(s, l) for s, l in enumerate(lengths) if l > 0]
+        if not nz:
+            raise ValueError("corrupt VP8L: empty prefix code")
+        if len(nz) == 1:
+            # degenerate: one symbol, zero bits consumed
+            self.single = nz[0][0]
+            self.lut_sym = self.lut_len = None
+            self.bits = 0
+            return
+        self.single = None
+        maxlen = max(l for _, l in nz)
+        if maxlen > 15:
+            raise ValueError("corrupt VP8L: code length > 15")
+        # completeness check (kraft sum)
+        if sum(1 << (maxlen - l) for _, l in nz) != (1 << maxlen):
+            raise ValueError("corrupt VP8L: over/under-subscribed code")
+        codes = _canonical_codes(lengths)
+        size = 1 << maxlen
+        sym_t = np.zeros(size, dtype=np.int32)
+        len_t = np.zeros(size, dtype=np.int32)
+        for sym, (code, ln) in codes.items():
+            # stream carries MSB of the code first; the LUT is indexed by
+            # the next `maxlen` stream bits in read order → bit-reverse
+            rev = int(f"{code:0{ln}b}"[::-1], 2)
+            step = 1 << ln
+            for base in range(rev, size, step):
+                sym_t[base] = sym
+                len_t[base] = ln
+        self.lut_sym = sym_t.tolist()
+        self.lut_len = len_t.tolist()
+        self.bits = maxlen
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        p = br.pos
+        avail = br.n - p
+        take = self.bits if avail >= self.bits else avail
+        if take <= 0:
+            raise ValueError("truncated VP8L stream")
+        v = int.from_bytes(
+            br.data[p // 8 : (p + take + 7) // 8 + 1], "little"
+        )
+        key = (v >> (p % 8)) & ((1 << self.bits) - 1)
+        ln = self.lut_len[key]
+        if ln == 0 or ln > avail:
+            raise ValueError("corrupt VP8L: bad prefix code")
+        br.pos = p + ln
+        return self.lut_sym[key]
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixTree:
+    """One prefix code: simple (1-2 symbols) or normal (code-length-code
+    + run-length coded lengths). VP8L spec §6.2.2."""
+    simple = br.read(1)
+    lengths = [0] * alphabet_size
+    if simple:
+        n_sym = br.read(1) + 1
+        first_8 = br.read(1)
+        s0 = br.read(8 if first_8 else 1)
+        if s0 >= alphabet_size:
+            raise ValueError("corrupt VP8L: simple-code symbol OOB")
+        lengths[s0] = 1
+        if n_sym == 2:
+            s1 = br.read(8)
+            if s1 >= alphabet_size:
+                raise ValueError("corrupt VP8L: simple-code symbol OOB")
+            lengths[s1] = 1
+        return _PrefixTree(lengths)
+    n_codes = br.read(4) + 4
+    if n_codes > len(_CLC_ORDER):
+        raise ValueError("corrupt VP8L: bad code-length-code count")
+    clc_lengths = [0] * 19
+    for i in range(n_codes):
+        clc_lengths[_CLC_ORDER[i]] = br.read(3)
+    clc = _PrefixTree(clc_lengths)
+    # max_symbol: optional cap on coded symbols
+    if br.read(1):
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    prev_len = 8
+    i = 0
+    while i < alphabet_size:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        sym = clc.read(br)
+        if sym < 16:
+            lengths[i] = sym
+            i += 1
+            if sym:
+                prev_len = sym
+        elif sym == 16:
+            rep = 3 + br.read(2)
+            for _ in range(rep):
+                if i >= alphabet_size:
+                    raise ValueError("corrupt VP8L: repeat overflow")
+                lengths[i] = prev_len
+                i += 1
+        elif sym == 17:
+            i += 3 + br.read(3)
+        else:  # 18
+            i += 11 + br.read(7)
+        if i > alphabet_size:
+            raise ValueError("corrupt VP8L: repeat overflow")
+    return _PrefixTree(lengths)
+
+
+def _length_prefix_value(code: int, br: _BitReader) -> int:
+    """LZ77 length/distance prefix decoding (VP8L spec §5.2.2)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+# ---------------------------------------------------------------------------
+# Entropy-coded image (the core of VP8L — used for the main image AND
+# for transform/meta images)
+# ---------------------------------------------------------------------------
+
+
+def _read_entropy_image(
+    br: _BitReader, w: int, h: int, allow_meta: bool
+) -> np.ndarray:
+    """Decode a (h, w, 4) uint8 ARGB array from the spatially-coded
+    image data at the reader's position."""
+    color_cache_size = 0
+    meta_tree = None
+    meta_bits = 0
+    meta_img = None
+    if allow_meta and br.read(1):  # meta prefix codes present
+        meta_bits = br.read(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _read_entropy_image(br, mw, mh, allow_meta=False)
+    if br.read(1):  # color cache
+        cbits = br.read(4)
+        if not (1 <= cbits <= 11):
+            raise ValueError("corrupt VP8L: bad color-cache bits")
+        color_cache_size = 1 << cbits
+    n_groups = 1
+    group_of = None
+    if meta_img is not None:
+        # group index = (meta red << 8) | meta green
+        group_of = (
+            meta_img[:, :, 1].astype(np.int32) << 8
+        ) | meta_img[:, :, 2].astype(np.int32)
+        n_groups = int(group_of.max()) + 1
+    groups = []
+    green_size = 256 + 24 + color_cache_size
+    for _ in range(n_groups):
+        groups.append(
+            (
+                _read_prefix_code(br, green_size),   # green/len/cache
+                _read_prefix_code(br, 256),          # red
+                _read_prefix_code(br, 256),          # blue
+                _read_prefix_code(br, 256),          # alpha
+                _read_prefix_code(br, 40),           # distance
+            )
+        )
+    cache = [0] * color_cache_size
+    cache_shift = 32 - (color_cache_size.bit_length() - 1) if color_cache_size else 0
+    out = np.zeros(w * h, dtype=np.uint32)
+    pos = 0
+    total = w * h
+    while pos < total:
+        if group_of is not None:
+            y, x = divmod(pos, w)
+            g = groups[group_of[y >> meta_bits, x >> meta_bits]]
+        else:
+            g = groups[0]
+        green_t, red_t, blue_t, alpha_t, dist_t = g
+        s = green_t.read(br)
+        if s < 256:  # literal
+            red = red_t.read(br)
+            blue = blue_t.read(br)
+            alpha = alpha_t.read(br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            pos += 1
+            if color_cache_size:
+                cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> cache_shift] = px
+        elif s < 256 + 24:  # LZ77 backward reference
+            length = _length_prefix_value(s - 256, br)
+            dcode = dist_t.read(br)
+            dist = _length_prefix_value(dcode, br)
+            if dist > 120:
+                dist -= 120
+            else:
+                dx, dy = _DIST_MAP[dist - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > total:
+                raise ValueError("corrupt VP8L: LZ77 reference OOB")
+            for k in range(length):
+                px = int(out[pos - dist])
+                out[pos] = px
+                pos += 1
+                if color_cache_size:
+                    cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> cache_shift] = px
+        else:  # color-cache hit
+            idx = s - 256 - 24
+            if idx >= color_cache_size:
+                raise ValueError("corrupt VP8L: cache index without cache")
+            out[pos] = cache[idx]
+            pos += 1
+    argb = out.reshape(h, w)
+    return np.stack(
+        [
+            (argb >> 24) & 0xFF,  # A
+            (argb >> 16) & 0xFF,  # R
+            (argb >> 8) & 0xFF,   # G
+            argb & 0xFF,          # B
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Transforms (decode side applies them in REVERSE read order)
+# ---------------------------------------------------------------------------
+
+
+def _clamp_u8(v: np.ndarray) -> np.ndarray:
+    return (v & 0xFF).astype(np.uint8)
+
+
+def _apply_predictor_inverse(
+    img: np.ndarray, pred_img: np.ndarray, bits: int
+) -> np.ndarray:
+    """Predictor transform inverse: each stored value is residual +
+    prediction (mod 256), scanline order. Per-pixel Python — transform
+    images are thumbnail-sized in this engine's corpora."""
+    h, w = img.shape[:2]
+    out = img.astype(np.int32)
+
+    def px(y, x):
+        return out[y, x]
+
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([255, 0, 0, 0], dtype=np.int32)
+            elif y == 0:
+                pred = px(0, x - 1)
+            elif x == 0:
+                pred = px(y - 1, 0)
+            else:
+                mode = int(pred_img[y >> bits, x >> bits, 2])  # green channel
+                L = px(y, x - 1)
+                T = px(y - 1, x)
+                TL = px(y - 1, x - 1)
+                # rightmost column: TR addresses the current row's
+                # leftmost (already-decoded) pixel — libwebp's top[x+1]
+                # wraps into out[0] of the current row
+                TR = px(y - 1, x + 1) if x + 1 < w else px(y, 0)
+                if mode == 0:
+                    pred = np.array([255, 0, 0, 0], dtype=np.int32)
+                elif mode == 1:
+                    pred = L
+                elif mode == 2:
+                    pred = T
+                elif mode == 3:
+                    pred = TR
+                elif mode == 4:
+                    pred = TL
+                elif mode == 5:
+                    pred = ((L + TR) // 2 + T) // 2
+                elif mode == 6:
+                    pred = (L + TL) // 2
+                elif mode == 7:
+                    pred = (L + T) // 2
+                elif mode == 8:
+                    pred = (TL + T) // 2
+                elif mode == 9:
+                    pred = (T + TR) // 2
+                elif mode == 10:
+                    pred = (((L + TL) // 2) + ((T + TR) // 2)) // 2
+                elif mode == 11:  # Select
+                    p = L + T - TL
+                    pl = int(np.abs(p - L).sum())
+                    pt = int(np.abs(p - T).sum())
+                    pred = L if pl < pt else T
+                elif mode == 12:  # ClampAddSubtractFull
+                    pred = np.clip(L + T - TL, 0, 255)
+                elif mode == 13:  # ClampAddSubtractHalf
+                    a = (L + T) // 2
+                    d = a - TL  # C truncates toward zero, not floor
+                    pred = np.clip(a + np.sign(d) * (np.abs(d) // 2), 0, 255)
+                else:
+                    raise ValueError("corrupt VP8L: bad predictor mode")
+            out[y, x] = (out[y, x] + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _apply_color_inverse(
+    img: np.ndarray, ct_img: np.ndarray, bits: int
+) -> np.ndarray:
+    """Color transform inverse (VP8L §4.2): green→red/blue and red→blue
+    cross-channel deltas, per block. Vectorized by broadcasting the
+    block-level transform elements to pixel resolution."""
+    h, w = img.shape[:2]
+    # libwebp packs the ColorTransformElement as argb: green_to_red in
+    # the BLUE byte, green_to_blue in GREEN, red_to_blue in RED
+    g2r = ct_img[:, :, 3].astype(np.int8)
+    g2b = ct_img[:, :, 2].astype(np.int8)
+    r2b = ct_img[:, :, 1].astype(np.int8)
+    yy = (np.arange(h) >> bits)[:, None]
+    xx = (np.arange(w) >> bits)[None, :]
+    g2r = g2r[yy, xx].astype(np.int32)
+    g2b = g2b[yy, xx].astype(np.int32)
+    r2b = r2b[yy, xx].astype(np.int32)
+    a = img[:, :, 0]
+    r = img[:, :, 1].astype(np.int32)
+    g = img[:, :, 2].astype(np.int32)
+    b = img[:, :, 3].astype(np.int32)
+    gs = g.astype(np.int8).astype(np.int32)  # signed green
+    r = (r + ((g2r * gs) >> 5)) & 0xFF
+    rs = r.astype(np.uint8).astype(np.int8).astype(np.int32)
+    b = (b + ((g2b * gs) >> 5) + ((r2b * rs) >> 5)) & 0xFF
+    return np.stack([a, _clamp_u8(r), img[:, :, 2], _clamp_u8(b)], axis=-1)
+
+
+def _apply_subtract_green_inverse(img: np.ndarray) -> np.ndarray:
+    g = img[:, :, 2].astype(np.int32)
+    r = (img[:, :, 1].astype(np.int32) + g) & 0xFF
+    b = (img[:, :, 3].astype(np.int32) + g) & 0xFF
+    return np.stack(
+        [img[:, :, 0], r.astype(np.uint8), img[:, :, 2], b.astype(np.uint8)],
+        axis=-1,
+    )
+
+
+def _apply_palette_inverse(
+    img: np.ndarray, palette: np.ndarray, packed_w: int, w: int
+) -> np.ndarray:
+    """Color-indexing inverse: indices live in the green channel,
+    possibly sub-byte packed (width-reduced image)."""
+    h = img.shape[0]
+    n = palette.shape[0]
+    idx = img[:, :, 2].astype(np.int32)  # green channel
+    if n <= 2:
+        bits = 3  # 8 pixels/byte
+    elif n <= 4:
+        bits = 2  # 4 pixels/byte
+    elif n <= 16:
+        bits = 1  # 2 pixels/byte
+    else:
+        bits = 0
+    if bits:
+        per = 1 << bits
+        width_b = 8 >> bits
+        # unpack: pixel x comes from packed byte x // per, field x % per
+        xs = np.arange(w)
+        src = idx[:, xs // per]
+        shift = (xs % per) * width_b
+        idx = (src >> shift[None, :]) & ((1 << width_b) - 1)
+    else:
+        idx = idx[:, :w]
+    if int(idx.max(initial=0)) >= n:
+        raise ValueError("corrupt VP8L: palette index OOB")
+    return palette[idx]
+
+
+# ---------------------------------------------------------------------------
+# Decode entry
+# ---------------------------------------------------------------------------
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """WebP bytes → HxWx3 uint8 RGB (alpha composited over nothing —
+    dropped; the engine's table schema is RGB). Lossless (VP8L) only;
+    lossy VP8 / extended VP8X raise ValueError."""
+    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP (bad RIFF header)")
+    chunk = data[12:16]
+    if chunk == b"VP8 ":
+        raise ValueError("lossy VP8 WebP not supported")
+    if chunk == b"VP8X":
+        raise ValueError("extended (VP8X) WebP not supported")
+    if chunk != b"VP8L":
+        raise ValueError("unknown WebP chunk")
+    (size,) = struct.unpack("<I", data[16:20])
+    body = data[20 : 20 + size]
+    if len(body) != size:
+        raise ValueError("truncated WebP chunk")
+    if not body or body[0] != 0x2F:
+        raise ValueError("corrupt VP8L: bad signature")
+    br = _BitReader(body[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("corrupt VP8L: bad version")
+    if h * w * 4 > (1 << 30):
+        raise ValueError("WebP dimensions exceed the decoded-size cap")
+
+    transforms = []  # applied in reverse later
+    cur_w = w
+    used = set()
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in used:
+            raise ValueError("corrupt VP8L: repeated transform")
+        used.add(ttype)
+        if ttype == 2:  # subtract-green
+            transforms.append(("subgreen",))
+        elif ttype == 0:  # predictor
+            bits = br.read(3) + 2
+            tw = (cur_w + (1 << bits) - 1) >> bits
+            th = (h + (1 << bits) - 1) >> bits
+            timg = _read_entropy_image(br, tw, th, allow_meta=False)
+            transforms.append(("predictor", bits, timg))
+        elif ttype == 1:  # color transform
+            bits = br.read(3) + 2
+            tw = (cur_w + (1 << bits) - 1) >> bits
+            th = (h + (1 << bits) - 1) >> bits
+            timg = _read_entropy_image(br, tw, th, allow_meta=False)
+            transforms.append(("color", bits, timg))
+        else:  # 3: color indexing (palette)
+            n = br.read(8) + 1
+            pal_img = _read_entropy_image(br, n, 1, allow_meta=False)
+            # palette entries are delta-coded component-wise
+            pal = np.cumsum(pal_img[0].astype(np.int32), axis=0) & 0xFF
+            palette = pal.astype(np.uint8)
+            if n <= 2:
+                cur_w = (cur_w + 7) >> 3
+            elif n <= 4:
+                cur_w = (cur_w + 3) >> 2
+            elif n <= 16:
+                cur_w = (cur_w + 1) >> 1
+            transforms.append(("palette", palette, cur_w))
+
+    img = _read_entropy_image(br, cur_w, h, allow_meta=True)
+    for t in reversed(transforms):
+        if t[0] == "subgreen":
+            img = _apply_subtract_green_inverse(img)
+        elif t[0] == "predictor":
+            img = _apply_predictor_inverse(img, t[2], t[1])
+        elif t[0] == "color":
+            img = _apply_color_inverse(img, t[2], t[1])
+        else:
+            img = _apply_palette_inverse(img, t[1], t[2], w)
+    if img.shape[1] != w:
+        img = img[:, :w]
+    return np.ascontiguousarray(img[:, :, 1:4])  # drop alpha → RGB
+
+
+# ---------------------------------------------------------------------------
+# Encode (minimal spec-valid writer: literals only, one prefix group)
+# ---------------------------------------------------------------------------
+
+
+def _write_prefix_code(bw: _BitWriter, lengths: list[int]) -> None:
+    """Normal prefix-code writer: code-length-code with plain (no-repeat)
+    length symbols — small and always valid; compression is not this
+    writer's job."""
+    nz = [s for s, l in enumerate(lengths) if l > 0]
+    # simple codes carry symbols in 1 or 8 raw bits — only expressible
+    # for symbol values <= 255
+    if len(nz) <= 2 and all(lengths[s] == 1 for s in nz) and all(
+        s <= 255 for s in nz
+    ):
+        # simple code
+        bw.write(1, 1)
+        bw.write(len(nz) - 1, 1)
+        if nz[0] >= 2:
+            bw.write(1, 1)
+            bw.write(nz[0], 8)
+        else:
+            bw.write(0, 1)
+            bw.write(nz[0], 1)
+        if len(nz) == 2:
+            bw.write(nz[1], 8)
+        return
+    bw.write(0, 1)  # normal
+    # 1) tokenize the length sequence: (CL symbol, extra value, extra bits)
+    tokens: list[tuple[int, int, int]] = []
+    i = 0
+    L = len(lengths)
+    while i < L:
+        if lengths[i] == 0:
+            run = 0
+            while i < L and lengths[i] == 0:
+                run += 1
+                i += 1
+            while run >= 11:
+                take = min(run, 138)
+                tokens.append((18, take - 11, 7))
+                run -= take
+            while run >= 3:
+                take = min(run, 10)
+                tokens.append((17, take - 3, 3))
+                run -= take
+            for _ in range(run):
+                tokens.append((0, 0, 0))
+        else:
+            tokens.append((lengths[i], 0, 0))
+            i += 1
+    # 2) balanced complete code over the used CL symbols
+    used = sorted({t[0] for t in tokens})
+    n = len(used)
+    clc_len = [0] * 19
+    if n == 1:
+        clc_len[used[0]] = 1  # decoder treats it as 0-bit single symbol
+    else:
+        nbits = (n - 1).bit_length()
+        short = (1 << nbits) - n  # this many symbols get one bit less
+        for j, sym in enumerate(used):
+            clc_len[sym] = nbits - 1 if j < short else nbits
+    # 3) emit CLC lengths in spec storage order (all 19 — simplest valid)
+    bw.write(19 - 4, 4)
+    for sym in _CLC_ORDER:
+        bw.write(clc_len[sym], 3)
+    bw.write(0, 1)  # no max_symbol cap
+    clc_codes = _canonical_codes(clc_len)
+    single_cl = n == 1
+
+    for sym, extra, ebits in tokens:
+        if not single_cl:
+            code, ln = clc_codes[sym]
+            for k in range(ln - 1, -1, -1):  # MSB of the code first
+                bw.write((code >> k) & 1, 1)
+        if ebits:
+            bw.write(extra, ebits)
+
+
+def _huffman_lengths(freqs: np.ndarray, max_len: int = 15) -> list[int]:
+    """Package-merge-free simple Huffman: heap-built tree, then depth
+    clamp via Kraft repair (validation payloads are small — optimality
+    is not required, completeness is)."""
+    import heapq
+
+    syms = [s for s, f in enumerate(freqs) if f > 0]
+    if not syms:
+        return [0] * len(freqs)
+    if len(syms) == 1:
+        out = [0] * len(freqs)
+        out[syms[0]] = 1
+        return out
+    heap = [(int(freqs[s]), s, (s,)) for s in syms]
+    heapq.heapify(heap)
+    depth = {s: 0 for s in syms}
+    while len(heap) > 1:
+        f1, _, g1 = heapq.heappop(heap)
+        f2, _, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, min(g1 + g2), g1 + g2))
+    # clamp to max_len and repair Kraft sum
+    lens = {s: min(d, max_len) for s, d in depth.items()}
+    kraft = sum(1 << (max_len - l) for l in lens.values())
+    full = 1 << max_len
+    syms_by_len = sorted(lens, key=lambda s: (lens[s], s))
+    while kraft > full:  # over-subscribed: lengthen the shallowest fixable
+        for s in syms_by_len:
+            if lens[s] < max_len:
+                kraft -= 1 << (max_len - lens[s] - 1)
+                lens[s] += 1
+                break
+        syms_by_len.sort(key=lambda s: (lens[s], s))
+    while kraft < full:  # under-subscribed: shorten the deepest possible
+        for s in sorted(syms_by_len, key=lambda s: -lens[s]):
+            gain = 1 << (max_len - lens[s])
+            if kraft + gain <= full and lens[s] > 1:
+                kraft += gain
+                lens[s] -= 1
+                break
+        else:
+            # give the slack to a new 'phantom'? cannot happen: huffman
+            # trees are exactly complete before clamping
+            raise AssertionError("kraft repair failed")
+    out = [0] * len(freqs)
+    for s, l in lens.items():
+        out[s] = l
+    return out
+
+
+def _write_literal_image(
+    bw: _BitWriter, argb: np.ndarray, allow_meta: bool
+) -> None:
+    """Write one spatially-coded image (VP8L §5): no meta codes, no
+    color cache, no LZ77 — per-channel Huffman literals. ``argb`` is
+    (h, w, 4) uint8 in A,R,G,B order (matching the decoder's layout).
+    Shared by :func:`encode_webp` (main image) and the test suite's
+    hand-composed transform streams."""
+    if allow_meta:
+        bw.write(0, 1)  # no meta prefix codes
+    bw.write(0, 1)  # no color cache
+    a = argb[:, :, 0].ravel()
+    r = argb[:, :, 1].ravel()
+    g = argb[:, :, 2].ravel()
+    b = argb[:, :, 3].ravel()
+    green_size = 256 + 24
+    glen = _huffman_lengths(np.bincount(g, minlength=green_size))
+    rlen = _huffman_lengths(np.bincount(r, minlength=256))
+    blen = _huffman_lengths(np.bincount(b, minlength=256))
+    alen = _huffman_lengths(np.bincount(a, minlength=256))
+    dlen = [0] * 40
+    dlen[0] = 1  # unused distance code — still must be a valid tree
+    for lengths in (glen, rlen, blen, alen, dlen):
+        _write_prefix_code(bw, lengths)
+    codes = [
+        (_canonical_codes(glen), len([l for l in glen if l]) == 1),
+        (_canonical_codes(rlen), len([l for l in rlen if l]) == 1),
+        (_canonical_codes(blen), len([l for l in blen if l]) == 1),
+        (_canonical_codes(alen), len([l for l in alen if l]) == 1),
+    ]
+
+    def emit(cmap, sym):
+        code, ln = cmap[sym]
+        for k in range(ln - 1, -1, -1):
+            bw.write((code >> k) & 1, 1)
+
+    (gc, sg), (rc, sr), (bc, sb), (ac, sa) = codes
+    for i in range(len(g)):
+        if not sg:
+            emit(gc, int(g[i]))
+        if not sr:
+            emit(rc, int(r[i]))
+        if not sb:
+            emit(bc, int(b[i]))
+        if not sa:
+            emit(ac, int(a[i]))
+
+
+def encode_webp(arr: np.ndarray) -> bytes:
+    """8-bit RGB HxWx3 → lossless WebP (VP8L) bytes. Literal-coded (no
+    LZ77/transforms) with per-channel Huffman codes — spec-valid and
+    bit-exact on decode; compactness is secondary (validation fixtures
+    are thumbnails)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 uint8, got {arr.shape}")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("WebP has zero-pixel dimensions")
+    if w > (1 << 14) or h > (1 << 14):
+        raise ValueError("dimensions exceed VP8L's 14-bit limit")
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # no alpha
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    argb = np.concatenate(
+        [np.full((h, w, 1), 255, dtype=np.uint8), arr], axis=-1
+    )
+    _write_literal_image(bw, argb, allow_meta=True)
+    body = b"\x2f" + bw.tobytes()
+    pad = b"\x00" if len(body) % 2 else b""  # RIFF pad, excluded from size
+    riff = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(body) + len(pad))
+        + b"WEBP"
+        + b"VP8L"
+        + struct.pack("<I", len(body))
+        + body
+        + pad
+    )
+    return riff
