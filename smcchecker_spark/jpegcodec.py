@@ -196,30 +196,29 @@ _LUT_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
 
 
 def _build_lut(bits: tuple[int, ...], vals: tuple[int, ...]):
-    """2^16 decode LUT: next-16-bits (MSB-aligned) -> (symbol, code length).
-    length 0 marks an invalid prefix (corrupt stream). Cached per table
-    content — files reusing the Annex-K tables (ours, most encoders)
-    build each LUT once per process."""
+    """2^16 decode LUT: next-16-bits (MSB-aligned) -> (symbol << 5) |
+    code length, packed into ONE int so the per-symbol loop pays a
+    single list indexing. 0 marks an invalid prefix (corrupt stream).
+    Cached per table content — files reusing the Annex-K tables (ours,
+    most encoders) build each LUT once per process."""
     key = (bits, vals)
     hit = _LUT_CACHE.get(key)
     if hit is not None:
         return hit
-    sym = np.zeros(1 << 16, dtype=np.int32)
-    ln = np.zeros(1 << 16, dtype=np.int32)
+    packed = np.zeros(1 << 16, dtype=np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             lo = code << (16 - length)
             hi = (code + 1) << (16 - length)
-            sym[lo:hi] = vals[k]
-            ln[lo:hi] = length
+            packed[lo:hi] = (vals[k] << 5) | length
             code += 1
             k += 1
         code <<= 1
     if k != len(vals):
         raise ValueError("corrupt JPEG: Huffman BITS/HUFFVAL mismatch")
-    out = (sym.tolist(), ln.tolist())  # list indexing beats np scalars in the loop
+    out = packed.tolist()  # list indexing beats np scalars in the loop
     _LUT_CACHE[key] = out
     return out
 
@@ -624,26 +623,30 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tt = payload[1 + 2 * c : 3 + 2 * c]
                 scan_tabs[cid] = (tt >> 4, tt & 15)
-            scan_start = pos
-            # entropy data runs to the next non-RST/non-stuffed marker
+            # entropy data runs to the next non-RST/non-stuffed marker.
+            # Unstuffing hops between 0xFF positions with bytes.find and
+            # slice-copies the (overwhelmingly non-FF) runs in between —
+            # the per-byte Python loop this replaces was ~20% of decode.
             segs: list[bytes] = []
             cur = bytearray()
-            p = scan_start
+            p = pos
             while p < n:
-                b0 = data[p]
-                if b0 != 0xFF:
-                    cur.append(b0)
-                    p += 1
-                    continue
-                b1 = data[p + 1] if p + 1 < n else 0xD9
+                f = data.find(b"\xff", p)
+                if f == -1:
+                    cur += data[p:]
+                    p = n
+                    break
+                cur += data[p:f]
+                b1 = data[f + 1] if f + 1 < n else 0xD9
                 if b1 == 0x00:
                     cur.append(0xFF)
-                    p += 2
+                    p = f + 2
                 elif 0xD0 <= b1 <= 0xD7:
                     segs.append(bytes(cur))
                     cur = bytearray()
-                    p += 2
+                    p = f + 2
                 else:
+                    p = f
                     break
             segs.append(bytes(cur))
             pos = p
@@ -678,14 +681,19 @@ def _decode_scan(frame, qts, luts, scan_tabs, segs, restart):
         ac = luts.get((1, tabs[1]))
         if dc is None or ac is None:
             raise ValueError("corrupt JPEG: missing Huffman table")
-        c["dc_sym"], c["dc_len"] = dc
-        c["ac_sym"], c["ac_len"] = ac
+        c["dc"], c["ac"] = dc, ac
         if c["tq"] not in qts:
             raise ValueError("corrupt JPEG: missing quant table")
 
     total_mcus = mcux * mcuy
     per_seg = restart if restart else total_mcus
     zz = ZIGZAG.tolist()
+    # flatten per-component state into tuples — dict lookups and
+    # attribute chasing must stay out of the per-symbol loop
+    cstate = [
+        (ci, c["dc"], c["ac"], c["coef"], c["bw"], c["hi"], c["vi"])
+        for ci, c in enumerate(comps)
+    ]
     mcu = 0
     for seg_bytes in segs:
         if mcu >= total_mcus:
@@ -697,53 +705,56 @@ def _decode_scan(frame, qts, luts, scan_tabs, segs, restart):
         seg_end = min(mcu + per_seg, total_mcus)
         while mcu < seg_end:
             my, mx = divmod(mcu, mcux)
-            for ci, c in enumerate(comps):
-                dc_sym, dc_len = c["dc_sym"], c["dc_len"]
-                ac_sym, ac_len = c["ac_sym"], c["ac_len"]
-                bw = c["bw"]
-                hi, vi = c["hi"], c["vi"]
+            for ci, dc_lut, ac_lut, coef, bw, hi, vi in cstate:
                 for by in range(vi):
                     for bx in range(hi):
-                        blk = c["coef"][(my * vi + by) * bw + (mx * hi + bx)]
+                        blk = coef[(my * vi + by) * bw + (mx * hi + bx)]
                         if p >= nbits:
                             raise ValueError("corrupt JPEG: scan underrun")
-                        key = wv[p]
-                        s = dc_sym[key]
-                        ln = dc_len[key]
-                        if ln == 0:
+                        v = dc_lut[wv[p]]
+                        if v == 0:
                             raise ValueError("corrupt JPEG: bad Huffman code")
-                        p += ln
+                        p += v & 31
+                        s = v >> 5
                         if s:
                             if p >= nbits:
                                 raise ValueError("corrupt JPEG: scan underrun")
                             mag = wv[p] >> (16 - s)
                             p += s
-                            preds[ci] += _extend(mag, s)
+                            # inline EXTEND — runs once per coefficient
+                            preds[ci] += (
+                                mag
+                                if mag >> (s - 1)
+                                else mag - (1 << s) + 1
+                            )
                         blk[0] = preds[ci]
                         k = 1
                         while k < 64:
                             if p >= nbits:
                                 raise ValueError("corrupt JPEG: scan underrun")
-                            key = wv[p]
-                            sym = ac_sym[key]
-                            ln = ac_len[key]
-                            if ln == 0:
+                            v = ac_lut[wv[p]]
+                            if v == 0:
                                 raise ValueError("corrupt JPEG: bad Huffman code")
-                            p += ln
-                            r, s = sym >> 4, sym & 15
+                            p += v & 31
+                            sym = v >> 5
+                            s = sym & 15
                             if s == 0:
-                                if r == 15:
+                                if sym == 0xF0:
                                     k += 16
                                     continue
                                 break  # EOB
-                            k += r
+                            k += sym >> 4
                             if k > 63:
                                 raise ValueError("corrupt JPEG: AC overrun")
                             if p >= nbits:
                                 raise ValueError("corrupt JPEG: scan underrun")
                             mag = wv[p] >> (16 - s)
                             p += s
-                            blk[zz[k]] = _extend(mag, s)
+                            blk[zz[k]] = (
+                                mag
+                                if mag >> (s - 1)
+                                else mag - (1 << s) + 1
+                            )
                             k += 1
             mcu += 1
     if mcu < total_mcus:
