@@ -34,6 +34,7 @@ one of the three formats the fixture corpus's ``fmt`` lookup admits.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -67,23 +68,36 @@ _DIST_MAP = [
 
 
 class _BitReader:
-    __slots__ = ("data", "pos", "n")
+    """LSB-first reader over a PRECOMPUTED sliding 16-bit window: wv[p]
+    holds stream bits p..p+15 (bit k of the value = stream bit p+k),
+    built with 16 vectorized shift-ors at construction. Every read —
+    fixed-width fields, prefix-code LUT keys, extra bits — is then one
+    list indexing, the same design as the JPEG decoder's hot loop. All
+    VP8L field widths are ≤ 14 and code lengths ≤ 15, so 16 bits cover
+    every single read."""
+
+    __slots__ = ("wv", "pos", "n")
 
     def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0  # bit position
-        self.n = len(data) * 8
+        bits = np.unpackbits(
+            np.frombuffer(data, dtype=np.uint8), bitorder="little"
+        )
+        self.n = len(bits)
+        b = np.concatenate([bits, np.zeros(16, dtype=np.uint8)]).astype(
+            np.uint32
+        )
+        w = np.zeros(self.n, dtype=np.uint32)
+        for k in range(16):
+            w |= b[k : k + self.n] << k
+        self.wv = w.tolist()
+        self.pos = 0
 
     def read(self, nbits: int) -> int:
         p = self.pos
         if p + nbits > self.n:
             raise ValueError("truncated VP8L stream")
         self.pos = p + nbits
-        # little-endian: bit k of the stream = bit (k % 8) of byte k//8
-        v = int.from_bytes(
-            self.data[p // 8 : (p + nbits + 7) // 8 + 1], "little"
-        )
-        return (v >> (p % 8)) & ((1 << nbits) - 1)
+        return self.wv[p] & ((1 << nbits) - 1) if nbits else 0
 
 
 class _BitWriter:
@@ -111,23 +125,40 @@ class _BitWriter:
 
 
 def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
-    """symbol -> (code, length), canonical by (length, symbol)."""
+    """symbol -> (code, length), canonical by (length, symbol). Walks
+    only the nonzero symbols (the old per-length × per-symbol double
+    loop dominated tree construction on 280-symbol alphabets)."""
+    nz = sorted((l, s) for s, l in enumerate(lengths) if l > 0)
     out: dict[int, tuple[int, int]] = {}
     code = 0
-    for ln in range(1, max(lengths, default=0) + 1):
-        for sym, l in enumerate(lengths):
-            if l == ln:
-                out[sym] = (code, ln)
-                code += 1
-        code <<= 1
+    prev = nz[0][0] if nz else 0
+    for l, s in nz:
+        code <<= l - prev
+        out[s] = (code, l)
+        code += 1
+        prev = l
     return out
 
 
-class _PrefixTree:
-    """Decode table: nested dict-free two-level array walk. Codes are at
-    most 15 bits; we build a flat LUT over min(15, maxlen) bits."""
+@lru_cache(maxsize=16)
+def _bitrev_perm(mbits: int) -> np.ndarray:
+    """rev[i] = i with its low ``mbits`` bits reversed — the permutation
+    between an MSB-indexed canonical LUT and the LSB-first window keys."""
+    idx = np.arange(1 << mbits, dtype=np.uint32)
+    rev = np.zeros(1 << mbits, dtype=np.uint32)
+    for k in range(mbits):
+        rev |= ((idx >> np.uint32(k)) & np.uint32(1)) << np.uint32(
+            mbits - 1 - k
+        )
+    return rev
 
-    __slots__ = ("lut_sym", "lut_len", "bits", "single")
+
+class _PrefixTree:
+    """Decode table: one flat LUT over ``maxlen`` (≤ 15) window bits,
+    each entry packing (symbol << 5) | code length — the per-symbol read
+    is a single list indexing on the reader's precomputed window."""
+
+    __slots__ = ("lut", "mask", "single")
 
     def __init__(self, lengths: list[int]):
         nz = [(s, l) for s, l in enumerate(lengths) if l > 0]
@@ -136,8 +167,8 @@ class _PrefixTree:
         if len(nz) == 1:
             # degenerate: one symbol, zero bits consumed
             self.single = nz[0][0]
-            self.lut_sym = self.lut_len = None
-            self.bits = 0
+            self.lut = None
+            self.mask = 0
             return
         self.single = None
         maxlen = max(l for _, l in nz)
@@ -146,39 +177,32 @@ class _PrefixTree:
         # completeness check (kraft sum)
         if sum(1 << (maxlen - l) for _, l in nz) != (1 << maxlen):
             raise ValueError("corrupt VP8L: over/under-subscribed code")
-        codes = _canonical_codes(lengths)
         size = 1 << maxlen
-        sym_t = np.zeros(size, dtype=np.int32)
-        len_t = np.zeros(size, dtype=np.int32)
-        for sym, (code, ln) in codes.items():
-            # stream carries MSB of the code first; the LUT is indexed by
-            # the next `maxlen` stream bits in read order → bit-reverse
-            rev = int(f"{code:0{ln}b}"[::-1], 2)
-            step = 1 << ln
-            for base in range(rev, size, step):
-                sym_t[base] = sym
-                len_t[base] = ln
-        self.lut_sym = sym_t.tolist()
-        self.lut_len = len_t.tolist()
-        self.bits = maxlen
+        # canonical order = consecutive ranges in MSB code space: repeat
+        # each packed entry over its 2^(maxlen-len) slots, then permute
+        # into LSB-window key space via bit reversal (the stream carries
+        # each code MSB-first while the window is little-endian)
+        by_canon = sorted((l, s) for s, l in nz)
+        lens = np.array([l for l, _ in by_canon], dtype=np.int64)
+        syms = np.array([s for _, s in by_canon], dtype=np.int64)
+        msb = np.repeat((syms << 5) | lens, 1 << (maxlen - lens))
+        packed = np.empty(size, dtype=np.int64)
+        packed[_bitrev_perm(maxlen)] = msb
+        self.lut = packed.tolist()
+        self.mask = size - 1
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
         p = br.pos
-        avail = br.n - p
-        take = self.bits if avail >= self.bits else avail
-        if take <= 0:
+        if p >= br.n:
             raise ValueError("truncated VP8L stream")
-        v = int.from_bytes(
-            br.data[p // 8 : (p + take + 7) // 8 + 1], "little"
-        )
-        key = (v >> (p % 8)) & ((1 << self.bits) - 1)
-        ln = self.lut_len[key]
-        if ln == 0 or ln > avail:
+        v = self.lut[br.wv[p] & self.mask]
+        ln = v & 31
+        if ln == 0 or p + ln > br.n:
             raise ValueError("corrupt VP8L: bad prefix code")
         br.pos = p + ln
-        return self.lut_sym[key]
+        return v >> 5
 
 
 def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixTree:
@@ -214,29 +238,53 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixTree:
         max_symbol = alphabet_size
     prev_len = 8
     i = 0
+    # inlined window reads (same pattern as the pixel loop) — this runs
+    # once per alphabet symbol across every tree of every image
+    wv, nb, p = br.wv, br.n, br.pos
+    clut, cmask, csng = (
+        (None, 0, clc.single) if clc.single is not None else
+        (clc.lut, clc.mask, -1)
+    )
     while i < alphabet_size:
         if max_symbol <= 0:
             break
         max_symbol -= 1
-        sym = clc.read(br)
+        if csng >= 0:
+            sym = csng
+        else:
+            if p >= nb:
+                raise ValueError("truncated VP8L stream")
+            v = clut[wv[p] & cmask]
+            ln = v & 31
+            if ln == 0 or p + ln > nb:
+                raise ValueError("corrupt VP8L: bad prefix code")
+            p += ln
+            sym = v >> 5
         if sym < 16:
             lengths[i] = sym
             i += 1
             if sym:
                 prev_len = sym
-        elif sym == 16:
-            rep = 3 + br.read(2)
-            for _ in range(rep):
-                if i >= alphabet_size:
-                    raise ValueError("corrupt VP8L: repeat overflow")
-                lengths[i] = prev_len
-                i += 1
-        elif sym == 17:
-            i += 3 + br.read(3)
-        else:  # 18
-            i += 11 + br.read(7)
-        if i > alphabet_size:
-            raise ValueError("corrupt VP8L: repeat overflow")
+        else:
+            if sym == 16:
+                ebits, base, fill = 2, 3, prev_len
+            elif sym == 17:
+                ebits, base, fill = 3, 3, 0
+            else:  # 18
+                ebits, base, fill = 7, 11, 0
+            if p + ebits > nb:
+                raise ValueError("truncated VP8L stream")
+            rep = base + (wv[p] & ((1 << ebits) - 1))
+            p += ebits
+            if i + rep > alphabet_size:
+                raise ValueError("corrupt VP8L: repeat overflow")
+            if fill:
+                for _ in range(rep):
+                    lengths[i] = fill
+                    i += 1
+            else:
+                i += rep
+    br.pos = p
     return _PrefixTree(lengths)
 
 
@@ -296,30 +344,121 @@ def _read_entropy_image(
         )
     cache = [0] * color_cache_size
     cache_shift = 32 - (color_cache_size.bit_length() - 1) if color_cache_size else 0
-    out = np.zeros(w * h, dtype=np.uint32)
+    out = [0] * (w * h)
     pos = 0
     total = w * h
+    # hot loop: every prefix-code and extra-bits read is inlined against
+    # the reader's precomputed window (wv) — one list indexing per read,
+    # no method calls (the JPEG decoder's design; ~3× the method-call
+    # form on literal-heavy streams). Single-symbol trees are flagged by
+    # single >= 0 and consume zero bits.
+    wv = br.wv
+    nb = br.n
+    p = br.pos
+
+    def _locals(t):
+        return (
+            (t.lut, t.mask, -1) if t.single is None else (None, 0, t.single)
+        )
+
+    cur_group = 0
+    (glut, gmask, gsng), (rlut, rmask, rsng), (blut, bmask, bsng), (
+        alut, amask, asng
+    ), (dlut, dmask, dsng) = (_locals(t) for t in groups[0])
     while pos < total:
         if group_of is not None:
             y, x = divmod(pos, w)
-            g = groups[group_of[y >> meta_bits, x >> meta_bits]]
+            gi = group_of[y >> meta_bits, x >> meta_bits]
+            if gi != cur_group:
+                cur_group = gi
+                (glut, gmask, gsng), (rlut, rmask, rsng), (
+                    blut, bmask, bsng
+                ), (alut, amask, asng), (dlut, dmask, dsng) = (
+                    _locals(t) for t in groups[gi]
+                )
+        if gsng >= 0:
+            s = gsng
         else:
-            g = groups[0]
-        green_t, red_t, blue_t, alpha_t, dist_t = g
-        s = green_t.read(br)
+            if p >= nb:
+                raise ValueError("truncated VP8L stream")
+            v = glut[wv[p] & gmask]
+            ln = v & 31
+            if ln == 0 or p + ln > nb:
+                raise ValueError("corrupt VP8L: bad prefix code")
+            p += ln
+            s = v >> 5
         if s < 256:  # literal
-            red = red_t.read(br)
-            blue = blue_t.read(br)
-            alpha = alpha_t.read(br)
+            if rsng >= 0:
+                red = rsng
+            else:
+                if p >= nb:
+                    raise ValueError("truncated VP8L stream")
+                v = rlut[wv[p] & rmask]
+                ln = v & 31
+                if ln == 0 or p + ln > nb:
+                    raise ValueError("corrupt VP8L: bad prefix code")
+                p += ln
+                red = v >> 5
+            if bsng >= 0:
+                blue = bsng
+            else:
+                if p >= nb:
+                    raise ValueError("truncated VP8L stream")
+                v = blut[wv[p] & bmask]
+                ln = v & 31
+                if ln == 0 or p + ln > nb:
+                    raise ValueError("corrupt VP8L: bad prefix code")
+                p += ln
+                blue = v >> 5
+            if asng >= 0:
+                alpha = asng
+            else:
+                if p >= nb:
+                    raise ValueError("truncated VP8L stream")
+                v = alut[wv[p] & amask]
+                ln = v & 31
+                if ln == 0 or p + ln > nb:
+                    raise ValueError("corrupt VP8L: bad prefix code")
+                p += ln
+                alpha = v >> 5
             px = (alpha << 24) | (red << 16) | (s << 8) | blue
             out[pos] = px
             pos += 1
             if color_cache_size:
                 cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> cache_shift] = px
         elif s < 256 + 24:  # LZ77 backward reference
-            length = _length_prefix_value(s - 256, br)
-            dcode = dist_t.read(br)
-            dist = _length_prefix_value(dcode, br)
+            code = s - 256
+            if code < 4:
+                length = code + 1
+            else:
+                extra = (code - 2) >> 1
+                if p + extra > nb:
+                    raise ValueError("truncated VP8L stream")
+                length = ((2 + (code & 1)) << extra) + (
+                    wv[p] & ((1 << extra) - 1)
+                ) + 1
+                p += extra
+            if dsng >= 0:
+                dcode = dsng
+            else:
+                if p >= nb:
+                    raise ValueError("truncated VP8L stream")
+                v = dlut[wv[p] & dmask]
+                ln = v & 31
+                if ln == 0 or p + ln > nb:
+                    raise ValueError("corrupt VP8L: bad prefix code")
+                p += ln
+                dcode = v >> 5
+            if dcode < 4:
+                dist = dcode + 1
+            else:
+                extra = (dcode - 2) >> 1
+                if p + extra > nb:
+                    raise ValueError("truncated VP8L stream")
+                dist = ((2 + (dcode & 1)) << extra) + (
+                    wv[p] & ((1 << extra) - 1)
+                ) + 1
+                p += extra
             if dist > 120:
                 dist -= 120
             else:
@@ -329,19 +468,25 @@ def _read_entropy_image(
                     dist = 1
             if dist > pos or pos + length > total:
                 raise ValueError("corrupt VP8L: LZ77 reference OOB")
-            for k in range(length):
-                px = int(out[pos - dist])
-                out[pos] = px
-                pos += 1
-                if color_cache_size:
+            if color_cache_size:
+                for _ in range(length):
+                    px = out[pos - dist]
+                    out[pos] = px
+                    pos += 1
                     cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> cache_shift] = px
+            else:
+                out[pos : pos + length] = out[pos - dist : pos - dist + length] if dist >= length else [
+                    out[pos - dist + (k % dist)] for k in range(length)
+                ]
+                pos += length
         else:  # color-cache hit
             idx = s - 256 - 24
             if idx >= color_cache_size:
                 raise ValueError("corrupt VP8L: cache index without cache")
             out[pos] = cache[idx]
             pos += 1
-    argb = out.reshape(h, w)
+    br.pos = p
+    argb = np.array(out, dtype=np.uint32).reshape(h, w)
     return np.stack(
         [
             (argb >> 24) & 0xFF,  # A
