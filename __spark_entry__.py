@@ -2949,6 +2949,43 @@ def q_webp_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcode_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-normalization curation stage (ops/multimodal.py
+    transcode_images): the mixed png/fake-lossy fixture — including its
+    planted truncated/bitflipped payloads — is transcoded to canonical
+    PNG in ONE map-only Arrow stage, then the REFRESHED metadata is
+    re-validated with ImageConsistent. Returns (n_ok, n_err,
+    n_post_violations): undecodable inputs are flagged (never silently
+    dropped) and every successfully transcoded row must validate clean —
+    the self-consistency invariant a normalization stage owes its
+    downstream. Rows-only (image decode not SQL-expressible); exact
+    counts locked by tests/test_ops.py."""
+    from smcchecker_spark import fixtures
+    from smcchecker_spark.image import ImageConsistent
+    from smcchecker_spark.ops import multimodal
+    from smcchecker_spark.package import ensure_shipped
+
+    ensure_shipped(spark)
+    df = fixtures.generate_images(
+        spark, n_rows=2000, n_parts=8, seed=42
+    ).localCheckpoint()
+    out = multimodal.transcode_images(df, target="png").localCheckpoint()
+    ok = out.filter(F.col("transcode_err").isNull())
+    suite = Suite(
+        name="post_transcode",
+        table="images",
+        constraints=[ImageConsistent()],
+    )
+    v = compile_suite(ok, suite, row_id_col="image_id", part_id_col="part_id")
+    counts = out.agg(
+        F.count(F.when(F.col("transcode_err").isNull(), 1)).alias("n_ok"),
+        F.count(F.col("transcode_err")).alias("n_err"),
+    )
+    return counts.crossJoin(
+        v.agg(F.count(F.lit(1)).alias("n_post_violations"))
+    )
+
+
 def q_jpeg_psnr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star decoded-pixel parity on REAL lossy bitstreams:
     (real JPEG q98, lossless PNG of the same pixels) pairs through the
@@ -4923,6 +4960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_validate": q_jpeg_validate,
         "jpeg_psnr_gate": q_jpeg_psnr_gate,
         "webp_validate": q_webp_validate,
+        "transcode_images": q_transcode_images,
         "det_split_docs": q_det_split_docs,
         "leakage_split_docs": q_leakage_split_docs,
         "cap_per_source_docs": q_cap_per_source_docs,

@@ -2,13 +2,14 @@
 with typed metadata, processed by Arrow-batched UDFs.
 
 What's REAL here (tested): the Spark-side plumbing — schemas, batch
-iteration, partition behavior, UDF signatures — plus image decode/resize/
-feature-extraction via the engine's own numpy codecs. What's STUBBED
-(this container has no PIL/ffmpeg/librosa): real JPEG/WebP decode, audio
-sample decode, video frame demux — each gated behind an import-try and
-raising ``NotImplementedError`` with a clear message, with a
-deterministic fake extractor available for pipeline testing
-(``deterministic_fake=True``).
+iteration, partition behavior, UDF signatures — plus image decode /
+resize / feature-extraction / format transcoding via the engine's own
+numpy codecs (PNG, baseline JPEG via :mod:`..jpegcodec`, lossless WebP
+via :mod:`..webpcodec`). What's STUBBED (this container has no
+PIL/ffmpeg/librosa): lossy-VP8 WebP, audio sample decode, video frame
+demux — each gated behind an import-try and raising
+``NotImplementedError`` with a clear message, with a deterministic fake
+extractor available for pipeline testing (``deterministic_fake=True``).
 """
 
 from __future__ import annotations
@@ -121,6 +122,100 @@ def image_resize_udf(out_w: int, out_h: int):
 
         _UDFS[key] = resize
     return _UDFS[key]
+
+
+TRANSCODE_SCHEMA = (
+    "bytes binary, fmt string, w int, h int, phash long, err string"
+)
+
+
+def transcode_udf(target: str = "png", quality: int = 95):
+    """bytes (any supported format) → re-encoded payload in ``target``
+    ("png" | "jpeg" | "webp") with refreshed metadata. A curation
+    pipeline normalizes heterogeneous web-crawled payloads to ONE
+    canonical format before training-batch assembly; this is that stage
+    as a single Arrow-batched map (no shuffle, no driver involvement).
+
+    The returned ``phash`` is recomputed from a DECODE of the NEW
+    payload (not the source pixels), so downstream consistency
+    validation — which recomputes from stored bytes — always agrees even
+    across a lossy target. For lossless targets the re-decode is skipped
+    (pixels are bit-identical by construction; locked by
+    tests/test_ops.py). Undecodable inputs set ``err`` and NULL fields —
+    flagged, never silently dropped."""
+    if target not in ("png", "jpeg", "webp"):
+        raise ValueError(f"unsupported transcode target {target!r}")
+    key = f"transcode_{target}_{quality}"
+    if key not in _UDFS:
+
+        @pandas_udf(TRANSCODE_SCHEMA)
+        def transcode(
+            batches: Iterator[pd.Series],
+        ) -> Iterator[pd.DataFrame]:
+            from smcchecker_spark import jpegcodec as jc
+            from smcchecker_spark import webpcodec as wc
+
+            for s in batches:
+                rows = []
+                for b in s.values:
+                    try:
+                        arr, _ = ic.decode_image(
+                            bytes(b) if b is not None else None
+                        )
+                        if target == "png":
+                            payload = ic.encode_png(arr)
+                            ph = ic.phash64(arr)  # lossless: same pixels
+                        elif target == "webp":
+                            payload = wc.encode_webp(arr)
+                            ph = ic.phash64(arr)  # VP8L is lossless too
+                        else:
+                            payload = jc.encode_jpeg(arr, quality=quality)
+                            ph = ic.phash64(jc.decode_jpeg(payload))
+                        h, w = arr.shape[:2]
+                        rows.append(
+                            (payload, target, int(w), int(h), int(ph), None)
+                        )
+                    except ValueError as e:
+                        rows.append((None, None, None, None, None, str(e)))
+                # explicit nullable dtypes: a plain DataFrame would
+                # coerce phash to float64 whenever the batch holds an
+                # error row's None, silently rounding int64 hashes past
+                # 2^53 (caught by tests/test_ops.py transcode golden)
+                yield pd.DataFrame(
+                    {
+                        "bytes": pd.Series(
+                            [r[0] for r in rows], dtype=object
+                        ),
+                        "fmt": pd.Series([r[1] for r in rows], dtype=object),
+                        "w": pd.Series([r[2] for r in rows], dtype="Int32"),
+                        "h": pd.Series([r[3] for r in rows], dtype="Int32"),
+                        "phash": pd.Series(
+                            [r[4] for r in rows], dtype="Int64"
+                        ),
+                        "err": pd.Series([r[5] for r in rows], dtype=object),
+                    }
+                )
+
+        _UDFS[key] = transcode
+    return _UDFS[key]
+
+
+def transcode_images(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    target: str = "png",
+    quality: int = 95,
+) -> DataFrame:
+    """Replace (bytes, fmt, w, h, phash) with the transcoded payload's
+    values; append ``transcode_err`` (NULL on success). Columns the
+    input lacks are simply added. ONE Python stage, map-only."""
+    t = transcode_udf(target, quality)(F.col(bytes_col))
+    out = df.withColumn("_tc", t)
+    for field in ("bytes", "fmt", "w", "h", "phash"):
+        out = out.withColumn(field, F.col("_tc").getField(field))
+    return out.withColumn(
+        "transcode_err", F.col("_tc").getField("err")
+    ).drop("_tc")
 
 
 def with_image_meta(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:

@@ -764,3 +764,109 @@ def test_bigram_lm_score_hand_computed(spark):
     f = text.bigram_lm_score(fluent, train, "doc_id").first()["avg_neg_logp"]
     s = text.bigram_lm_score(salad, train, "doc_id").first()["avg_neg_logp"]
     assert f < s
+
+
+def test_transcode_images(spark):
+    """Format normalization: every decodable payload re-encodes to the
+    target with refreshed (bytes, fmt, w, h, phash); undecodable ones are
+    flagged, never dropped; the refreshed metadata validates clean."""
+    import numpy as np
+
+    from smcchecker_spark import fixtures, imagecodec as icod
+    from smcchecker_spark import jpegcodec as jc
+    from smcchecker_spark import webpcodec as wc
+    from smcchecker_spark.ops import multimodal
+
+    # scalar invariants per source format, checked off-Spark first
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (12, 17, 3), dtype=np.uint8)
+    for payload in (
+        icod.encode_png(arr),
+        icod.encode_fake_lossy(arr),
+        jc.encode_jpeg(arr, quality=98),
+        wc.encode_webp(arr),
+    ):
+        src = icod.decode_image(payload)[0]
+        for target, codec_dec in (
+            ("png", icod.decode_png),
+            ("webp", wc.decode_webp),
+        ):
+            udf_like = None  # exercised through Spark below; here: codecs
+            if target == "png":
+                new = icod.encode_png(src)
+            else:
+                new = wc.encode_webp(src)
+            assert np.array_equal(codec_dec(new), src)  # lossless targets
+
+    df = fixtures.generate_images(spark, n_rows=400, n_parts=4, seed=42)
+    out = multimodal.transcode_images(df, target="png").cache()
+    flags = [fixtures.expected_flags(i) for i in range(400)]
+    n_err_exp = sum(1 for f in flags if f["truncated"] or f["bitflip"])
+    rows = out.collect()
+    errs = [r for r in rows if r["transcode_err"] is not None]
+    assert len(errs) == n_err_exp
+    assert all(r["bytes"] is None and r["fmt"] is None for r in errs)
+    oks = [r for r in rows if r["transcode_err"] is None]
+    assert all(r["fmt"] == "png" for r in oks)
+    # refreshed metadata is self-consistent: decode agrees with stored
+    # dims/fmt (checked driver-side), and the FULL consistency gate —
+    # including phash — passes IN THE ENGINE. phash must be recomputed
+    # worker-side, not here: BLAS accumulation order differs between the
+    # driver and Spark workers, flipping tie bits (luma() docstring).
+    for r in oks[:20]:
+        arr2, fmt2 = icod.decode_image(bytes(r["bytes"]))
+        assert fmt2 == "png"
+        assert (arr2.shape[1], arr2.shape[0]) == (r["w"], r["h"])
+    from smcchecker_spark.compile import compile_suite
+    from smcchecker_spark.constraints import Suite
+    from smcchecker_spark.image import ImageConsistent
+
+    suite = Suite("post", "images", [ImageConsistent()])
+    v = compile_suite(
+        out.filter(out["transcode_err"].isNull()),
+        suite,
+        row_id_col="image_id",
+        part_id_col="part_id",
+    )
+    assert v.count() == 0
+    out.unpersist()
+
+
+def test_transcode_lossy_target_phash_consistent(spark):
+    """JPEG target: stored phash comes from a re-decode of the NEW
+    payload, so consistency validation over the transcoded table agrees
+    even though the pixels changed."""
+    import numpy as np
+
+    from smcchecker_spark import imagecodec as icod
+    from smcchecker_spark.ops import multimodal
+
+    rng = np.random.default_rng(4)
+    rows = [
+        (f"t{i}", icod.encode_png(
+            rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        ))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = multimodal.transcode_images(df, target="jpeg", quality=90)
+    collected = out.collect()
+    for r in collected:
+        assert r["transcode_err"] is None and r["fmt"] == "jpeg"
+        arr, fmt = icod.decode_image(bytes(r["bytes"]))
+        assert fmt == "jpeg"
+        assert (arr.shape[1], arr.shape[0]) == (r["w"], r["h"])
+    # phash recompute == stored must hold worker-side (see BLAS tie-bit
+    # note in test_transcode_images) — assert through the engine gate
+    from smcchecker_spark.compile import compile_suite
+    from smcchecker_spark.constraints import Suite
+    from smcchecker_spark.image import ImageConsistent
+
+    suite = Suite("post", "images", [ImageConsistent()])
+    v = compile_suite(
+        out.withColumn("part_id", F.lit(0)),
+        suite,
+        row_id_col="image_id",
+        part_id_col="part_id",
+    )
+    assert v.count() == 0
