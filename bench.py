@@ -47,6 +47,8 @@ IMG_DIR = f"/tmp/bench_images_v2_{N_IMAGES}.parquet"
 # cost, which measures the codec, not the engine.
 N_JPEG = int(os.environ.get("BENCH_JPEG_IMAGES", "30000"))
 JPEG_DIR = f"/tmp/bench_jpeg_images_v1_{N_JPEG}.parquet"
+N_WEBP = int(os.environ.get("BENCH_WEBP_IMAGES", "20000"))
+WEBP_DIR = f"/tmp/bench_webp_images_v1_{N_WEBP}.parquet"
 
 # Scaling pair: this sandbox exposes 32 vCPUs but only ~8 effective
 # physical cores (multiprocessing throughput scales linearly to 8 procs,
@@ -191,33 +193,37 @@ def _prepare_images(cores: int) -> None:
     spark.stop()
 
 
-def _prepare_jpeg_images(cores: int, spark) -> None:
-    if os.path.isdir(JPEG_DIR):
-        return
+def _prepare_real_codec_images(cores: int, spark) -> None:
     from smcchecker_spark import fixtures
 
-    df = fixtures.generate_jpeg_images(
-        spark, n_rows=N_JPEG, n_parts=64, seed=7, clean=True,
-        num_tasks=cores * 4,
-    )
-    df.write.mode("overwrite").parquet(JPEG_DIR + ".tmp")
-    os.rename(JPEG_DIR + ".tmp", JPEG_DIR)
+    for path, gen, n, seed in (
+        (JPEG_DIR, fixtures.generate_jpeg_images, N_JPEG, 7),
+        (WEBP_DIR, fixtures.generate_webp_images, N_WEBP, 11),
+    ):
+        if os.path.isdir(path):
+            continue
+        df = gen(
+            spark, n_rows=n, n_parts=64, seed=seed, clean=True,
+            num_tasks=cores * 4,
+        )
+        df.write.mode("overwrite").parquet(path + ".tmp")
+        os.rename(path + ".tmp", path)
 
 
-def _jpeg_real_throughput(spark) -> float:
-    """Full-suite validation img/s over real JPEG payloads (best-of-2,
+def _real_codec_throughput(spark, path: str, n: int) -> float:
+    """Full-suite validation img/s over real-codec payloads (best-of-2,
     warmed the same way as the headline corpus)."""
     from smcchecker_spark.compile import compile_suite
     from smcchecker_spark.constraints import NotNull, Suite, Unique
     from smcchecker_spark.image import ImageConsistent
 
     suite = Suite(
-        name="images_jpeg_bench",
+        name="images_real_codec_bench",
         table="images",
         constraints=[NotNull("caption"), Unique(["image_id"]),
                      ImageConsistent()],
     )
-    df = spark.read.parquet(JPEG_DIR)
+    df = spark.read.parquet(path)
     warm = compile_suite(
         df.sample(0.05, seed=1), suite,
         row_id_col="image_id", part_id_col="part_id",
@@ -232,7 +238,7 @@ def _jpeg_real_throughput(spark) -> float:
             )
         )
         best = min(best, time.time() - t0)
-    return N_JPEG / best
+    return n / best
 
 
 def _validate_images_throughput(cores: int, repeats: int) -> float:
@@ -439,8 +445,9 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
-    _prepare_jpeg_images(cpus, spark)
-    jpeg_thr = _jpeg_real_throughput(spark)
+    _prepare_real_codec_images(cpus, spark)
+    jpeg_thr = _real_codec_throughput(spark, JPEG_DIR, N_JPEG)
+    webp_thr = _real_codec_throughput(spark, WEBP_DIR, N_WEBP)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -466,6 +473,8 @@ def main() -> None:
                 # the headline engine series stays comparable
                 "jpeg_real_images_per_sec": round(jpeg_thr, 1),
                 "n_jpeg_images": N_JPEG,
+                "webp_real_images_per_sec": round(webp_thr, 1),
+                "n_webp_images": N_WEBP,
                 "scaling": {
                     "cores_n": SCALE_N,
                     "cores_4n": SCALE_N * 4,

@@ -138,3 +138,63 @@ def test_batch_slot_isolation_with_hostile_payload(data, seed):
         assert np.array_equal(arrs[1], ref)
     except ValueError as e:
         assert arrs[1] is None and errs[1] == str(e)
+
+
+# ---------------------------------------------------------------------------
+# Real JPEG / WebP decoders under the same contract: every input either
+# decodes or raises ValueError THROUGH decode_image — never any other
+# exception type (a stray IndexError would fail the Spark task, not emit
+# a violation row).
+# ---------------------------------------------------------------------------
+
+
+def _decode_only_valueerror(payload: bytes) -> None:
+    try:
+        arr, fmt = ic.decode_image(payload)
+        assert arr.ndim == 3 and arr.dtype == np.uint8
+    except ValueError:
+        pass
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_jpeg_magic_random_tail_never_crash(data):
+    _decode_only_valueerror(b"\xff\xd8\xff" + data)
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_webp_magic_random_tail_never_crash(data):
+    riff = b"RIFF" + len(data).to_bytes(4, "little") + b"WEBP"
+    _decode_only_valueerror(riff + data)
+    _decode_only_valueerror(
+        riff + b"VP8L" + len(data).to_bytes(4, "little") + data
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=dims, w=dims, seed=st.integers(0, 2**31),
+    pos=st.integers(0, 10_000), bit=st.integers(0, 7),
+)
+def test_real_codec_bitflip_never_crash(h, w, seed, pos, bit):
+    from smcchecker_spark import jpegcodec as jc
+    from smcchecker_spark import webpcodec as wc
+
+    a = _arr(h, w, seed)
+    for payload in (jc.encode_jpeg(a, quality=90), wc.encode_webp(a)):
+        ba = bytearray(payload)
+        ba[pos % len(ba)] ^= 1 << bit
+        _decode_only_valueerror(bytes(ba))
+
+
+@settings(max_examples=40, deadline=None)
+@given(h=dims, w=dims, seed=st.integers(0, 2**31), frac=st.floats(0, 1))
+def test_real_codec_truncation_never_crash(h, w, seed, frac):
+    from smcchecker_spark import jpegcodec as jc
+    from smcchecker_spark import webpcodec as wc
+
+    a = _arr(h, w, seed)
+    for payload in (jc.encode_jpeg(a, quality=90), wc.encode_webp(a)):
+        cut = int(len(payload) * frac)
+        _decode_only_valueerror(payload[:cut])
