@@ -105,6 +105,9 @@ AUDITED = [
     "engine_fd_events",
     "engine_json_events",
     "fd_discovery_events",
+    "jpeg_validate",
+    "webp_validate",
+    "transcode_images",
 ]
 
 JOIN_RE = re.compile(
