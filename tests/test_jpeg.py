@@ -224,3 +224,50 @@ def test_grayscale_roundtrip_and_dispatch():
     solid = np.full((16, 16), 77, dtype=np.uint8)
     dec = jc.decode_jpeg(jc.encode_jpeg_gray(solid))
     assert np.array_equal(dec[:, :, 0], solid)
+
+
+def test_dct_matrix_orthonormal():
+    # T.81's FDCT normalization equals the orthonormal 1-D matrix on
+    # both sides: D @ D.T must be exactly I (up to float eps), which
+    # also proves encode's D@b@D.T and decode's D.T@c@D invert exactly
+    eye = jc._DCT @ jc._DCT.T
+    assert np.allclose(eye, np.eye(8), atol=1e-12)
+
+
+def test_quality_tables_spec_points():
+    # q50 must reproduce Annex K verbatim (scale factor 100)
+    lum50, chm50 = jc.quality_tables(50)
+    assert np.array_equal(lum50, jc.QT_LUMA)
+    assert np.array_equal(chm50, jc.QT_CHROMA)
+    # q100 floors to the minimum step everywhere
+    lum100, _ = jc.quality_tables(100)
+    assert lum100.min() == 1.0 and lum100.max() <= 2.0
+    # monotone: lower quality -> coarser steps, everywhere
+    lum10, _ = jc.quality_tables(10)
+    assert np.all(lum10 >= lum50)
+
+
+def test_annex_k_huffman_tables_complete():
+    # every table must define a complete (Kraft-exact) prefix code with
+    # the spec's symbol counts
+    for bits, vals, n in (
+        (jc.DC_LUMA_BITS, jc.DC_LUMA_VALS, 12),
+        (jc.DC_CHROMA_BITS, jc.DC_CHROMA_VALS, 12),
+        (jc.AC_LUMA_BITS, jc.AC_LUMA_VALS, 162),
+        (jc.AC_CHROMA_BITS, jc.AC_CHROMA_VALS, 162),
+    ):
+        assert sum(bits) == len(vals) == n
+        codes = jc._build_codes(bits, vals)
+        assert len(codes) == n
+        # prefix-free: no code is a prefix of another
+        as_bits = {f"{c:0{l}b}" for c, l in codes.values()}
+        assert len(as_bits) == n
+        for a in as_bits:
+            assert not any(b != a and b.startswith(a) for b in as_bits)
+
+
+def test_zigzag_is_permutation():
+    assert sorted(jc.ZIGZAG.tolist()) == list(range(64))
+    # spec spot-checks: scan starts 0,1,8,16,9,2 and ends ...55,62,63
+    assert jc.ZIGZAG[:6].tolist() == [0, 1, 8, 16, 9, 2]
+    assert jc.ZIGZAG[-3:].tolist() == [55, 62, 63]
