@@ -284,6 +284,168 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, v if v > 0 else v + (1 << s) - 1
 
 
+_CODE_ARRAYS: list | None = None
+
+
+def _code_arrays():
+    """Annex-K Huffman codes as numpy lookup arrays, per class
+    (0 = luma, 1 = chroma): (dc_code[12], dc_len[12], ac_code[256],
+    ac_len[256]). Built once per process."""
+    global _CODE_ARRAYS
+    if _CODE_ARRAYS is None:
+        out = []
+        for dcb, dcv, acb, acv in (
+            (DC_LUMA_BITS, DC_LUMA_VALS, AC_LUMA_BITS, AC_LUMA_VALS),
+            (DC_CHROMA_BITS, DC_CHROMA_VALS, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ):
+            dc = _build_codes(dcb, dcv)
+            ac = _build_codes(acb, acv)
+            dc_code = np.zeros(12, dtype=np.uint64)
+            dc_len = np.zeros(12, dtype=np.int64)
+            for s, (c, l) in dc.items():
+                dc_code[s], dc_len[s] = c, l
+            ac_code = np.zeros(256, dtype=np.uint64)
+            ac_len = np.zeros(256, dtype=np.int64)
+            for s, (c, l) in ac.items():
+                ac_code[s], ac_len[s] = c, l
+            out.append((dc_code, dc_len, ac_code, ac_len))
+        _CODE_ARRAYS = out
+    return _CODE_ARRAYS
+
+
+_POW2_12 = (1 << np.arange(12, dtype=np.int64))
+
+
+def _size_mag(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized T.81 F.1.2.1: values → (size category, appended
+    magnitude bits). bit_length(|v|) = searchsorted over powers of two
+    (exact — no float log)."""
+    a = np.abs(v)
+    s = np.searchsorted(_POW2_12, a, side="right").astype(np.int64)
+    mag = np.where(v >= 0, v, v + (1 << s) - 1).astype(np.int64)
+    return s, mag
+
+
+def _entropy_tokens(
+    zz_per_comp: list[np.ndarray],
+    grids: list[tuple[int, int]],
+    sampling: list[tuple[int, int]],
+    classes: list[int],
+    mcux: int,
+    mcuy: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-image entropy-token stream as (values, bit lengths) arrays,
+    fully vectorized — no per-coefficient Python (the loop form was ~75%
+    of encode time). Stream order is reconstructed with one lexsort:
+    every token carries (scan-slot of its block, zigzag position,
+    ZRL-before-symbol sub-key). DC diffs, magnitude categories, AC
+    run-lengths (incl. ZRL expansion via np.repeat) and EOB flags are
+    all array expressions."""
+    slots_per_mcu = sum(hi * vi for hi, vi in sampling)
+    Zs, slots, clss, cids = [], [], [], []
+    offset = 0
+    for c, (zz, (bh, bw), (hi, vi)) in enumerate(
+        zip(zz_per_comp, grids, sampling)
+    ):
+        byg, bxg = np.divmod(np.arange(bh * bw, dtype=np.int64), bw)
+        mcu_id = (byg // vi) * mcux + (bxg // hi)
+        ordinal = offset + (byg % vi) * hi + (bxg % hi)
+        slots.append(mcu_id * slots_per_mcu + ordinal)
+        Zs.append(zz)
+        clss.append(np.full(bh * bw, classes[c], dtype=np.int64))
+        cids.append(np.full(bh * bw, c, dtype=np.int64))
+        offset += hi * vi
+    Z = np.concatenate(Zs)
+    order = np.argsort(np.concatenate(slots), kind="stable")
+    Z = Z[order]
+    cls = np.concatenate(clss)[order]
+    cid = np.concatenate(cids)[order]
+    N = Z.shape[0]
+    tabs = _code_arrays()
+
+    # DC: per-component differential in scan order
+    dc = Z[:, 0]
+    diff = np.empty_like(dc)
+    for c in range(len(zz_per_comp)):
+        m = cid == c
+        diff[m] = np.diff(dc[m], prepend=0)
+    s_dc, mag_dc = _size_mag(diff)
+    dcode = np.where(cls == 0, tabs[0][0][s_dc], tabs[1][0][s_dc])
+    dlen = np.where(cls == 0, tabs[0][1][s_dc], tabs[1][1][s_dc])
+    dc_vals = (dcode << s_dc.astype(np.uint64)) | mag_dc.astype(np.uint64)
+    dc_lens = dlen + s_dc
+
+    # AC: run-lengths from nonzero positions (row-major nonzero ⇒ per
+    # block in zigzag order)
+    AC = Z[:, 1:]
+    nzb, nzk = np.nonzero(AC)
+    if len(nzb):
+        v = AC[nzb, nzk]
+        prev = np.concatenate([[np.int64(-1)], nzk[:-1]])
+        first = np.concatenate([[True], nzb[1:] != nzb[:-1]])
+        prev[first] = -1
+        run = nzk - prev - 1
+        zrl_n = run >> 4
+        s_ac, mag_ac = _size_mag(v)
+        sym = ((run & 15) << 4) | s_ac
+        ac_cls = cls[nzb]
+        accode = np.where(ac_cls == 0, tabs[0][2][sym], tabs[1][2][sym])
+        aclen = np.where(ac_cls == 0, tabs[0][3][sym], tabs[1][3][sym])
+        ac_vals = (accode << s_ac.astype(np.uint64)) | mag_ac.astype(
+            np.uint64
+        )
+        ac_lens = aclen + s_ac
+        zrl_rows = np.repeat(nzb, zrl_n)
+        zrl_keys = np.repeat(nzk, zrl_n)
+        zrl_cls = cls[zrl_rows]
+        zrl_vals = np.where(
+            zrl_cls == 0, tabs[0][2][0xF0], tabs[1][2][0xF0]
+        ).astype(np.uint64)
+        zrl_lens = np.where(zrl_cls == 0, tabs[0][3][0xF0], tabs[1][3][0xF0])
+        last_k = np.full(N, -1, dtype=np.int64)
+        last_k[nzb] = nzk  # row-major ⇒ last write per block is its max
+    else:
+        nzb = nzk = ac_vals = ac_lens = np.empty(0, dtype=np.int64)
+        zrl_rows = zrl_keys = zrl_vals = zrl_lens = np.empty(
+            0, dtype=np.int64
+        )
+        last_k = np.full(N, -1, dtype=np.int64)
+
+    eob_rows = np.nonzero(last_k < 62)[0]
+    eob_cls = cls[eob_rows]
+    eob_vals = np.where(eob_cls == 0, tabs[0][2][0], tabs[1][2][0]).astype(
+        np.uint64
+    )
+    eob_lens = np.where(eob_cls == 0, tabs[0][3][0], tabs[1][3][0])
+
+    rows = np.concatenate(
+        [np.arange(N, dtype=np.int64), zrl_rows, nzb, eob_rows]
+    )
+    keys = np.concatenate(
+        [
+            np.full(N, -1, dtype=np.int64),
+            zrl_keys,
+            nzk,
+            np.full(len(eob_rows), 63, dtype=np.int64),
+        ]
+    )
+    subs = np.concatenate(
+        [
+            np.ones(N, dtype=np.int64),
+            np.zeros(len(zrl_rows), dtype=np.int64),
+            np.ones(len(nzb), dtype=np.int64),
+            np.ones(len(eob_rows), dtype=np.int64),
+        ]
+    )
+    vals = np.concatenate(
+        [dc_vals, zrl_vals.astype(np.uint64), ac_vals.astype(np.uint64),
+         eob_vals]
+    )
+    lens = np.concatenate([dc_lens, zrl_lens, ac_lens, eob_lens])
+    o = np.lexsort((subs, keys, rows))
+    return vals[o], lens[o]
+
+
 def encode_jpeg(
     arr: np.ndarray, quality: int = 95, subsampling: str = "444"
 ) -> bytes:
@@ -340,62 +502,16 @@ def encode_jpeg(
         zz_per_comp.append(q.reshape(-1, 64)[:, ZIGZAG])
         grid_per_comp.append((bh, bw))
 
-    dc_lum = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_lum = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
-    dc_chm = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
-    ac_chm = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
-    tables = [(dc_lum, ac_lum), (dc_chm, ac_chm), (dc_chm, ac_chm)]
-
-    # interleaved MCU scan: per MCU, each component contributes its
-    # vi×hi blocks in raster order (T.81 A.2.3)
-    out_vals: list[int] = []
-    out_lens: list[int] = []
-    dc_pred = [0, 0, 0]
-    zz_lists = [z.tolist() for z in zz_per_comp]  # python ints in the hot loop
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for c, (_, (hi, vi), _) in enumerate(comps):
-                dc_codes, ac_codes = tables[c]
-                _, bw = grid_per_comp[c]
-                zzl = zz_lists[c]
-                for by in range(vi):
-                    for bx in range(hi):
-                        blk = zzl[(my * vi + by) * bw + (mx * hi + bx)]
-                        diff = blk[0] - dc_pred[c]
-                        dc_pred[c] = blk[0]
-                        s, mag = _magnitude(diff)
-                        code, ln = dc_codes[s]
-                        out_vals.append((code << s) | mag)
-                        out_lens.append(ln + s)
-                        run = 0
-                        last_nz = 0
-                        for k in range(1, 64):
-                            if blk[k]:
-                                last_nz = k
-                        for k in range(1, last_nz + 1):
-                            v = blk[k]
-                            if v == 0:
-                                run += 1
-                                continue
-                            while run >= 16:
-                                code, ln = ac_codes[0xF0]  # ZRL
-                                out_vals.append(code)
-                                out_lens.append(ln)
-                                run -= 16
-                            s, mag = _magnitude(v)
-                            code, ln = ac_codes[(run << 4) | s]
-                            out_vals.append((code << s) | mag)
-                            out_lens.append(ln + s)
-                            run = 0
-                        if last_nz < 63:
-                            code, ln = ac_codes[0x00]  # EOB
-                            out_vals.append(code)
-                            out_lens.append(ln)
-
-    scan = _pack_bits(
-        np.asarray(out_vals, dtype=np.uint64),
-        np.asarray(out_lens, dtype=np.int64),
+    # interleaved MCU scan (T.81 A.2.3), tokenized fully vectorized
+    tok_vals, tok_lens = _entropy_tokens(
+        zz_per_comp,
+        grid_per_comp,
+        [hv_c for _, hv_c, _ in comps],
+        [0, 1, 1],
+        mcux,
+        mcuy,
     )
+    scan = _pack_bits(tok_vals, tok_lens)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -456,47 +572,15 @@ def encode_jpeg_gray(arr: np.ndarray, quality: int = 95) -> bytes:
     )
     blocks = _to_blocks(padded) - 128.0
     q = np.rint((_DCT @ blocks @ _DCT.T) / lum_qt.reshape(8, 8)).astype(np.int64)
-    zz = q.reshape(-1, 64)[:, ZIGZAG].tolist()
+    zz = q.reshape(-1, 64)[:, ZIGZAG]
 
-    dc_codes = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_codes = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
-    out_vals: list[int] = []
-    out_lens: list[int] = []
-    pred = 0
-    for blk in zz:  # MCU = one block for a 1-component scan
-        s, mag = _magnitude(blk[0] - pred)
-        pred = blk[0]
-        code, ln = dc_codes[s]
-        out_vals.append((code << s) | mag)
-        out_lens.append(ln + s)
-        run = 0
-        last_nz = 0
-        for k in range(1, 64):
-            if blk[k]:
-                last_nz = k
-        for k in range(1, last_nz + 1):
-            v = blk[k]
-            if v == 0:
-                run += 1
-                continue
-            while run >= 16:
-                code, ln = ac_codes[0xF0]
-                out_vals.append(code)
-                out_lens.append(ln)
-                run -= 16
-            s, mag = _magnitude(v)
-            code, ln = ac_codes[(run << 4) | s]
-            out_vals.append((code << s) | mag)
-            out_lens.append(ln + s)
-            run = 0
-        if last_nz < 63:
-            code, ln = ac_codes[0x00]
-            out_vals.append(code)
-            out_lens.append(ln)
-    scan = _pack_bits(
-        np.asarray(out_vals, dtype=np.uint64),
-        np.asarray(out_lens, dtype=np.int64),
+    # non-interleaved 1-component scan: MCU = one block in raster order,
+    # which _entropy_tokens reproduces with 1x1 sampling over a bw x bh
+    # MCU grid
+    tok_vals, tok_lens = _entropy_tokens(
+        [zz], [(bh, bw)], [(1, 1)], [0], bw, bh
     )
+    scan = _pack_bits(tok_vals, tok_lens)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
