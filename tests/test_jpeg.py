@@ -271,3 +271,49 @@ def test_zigzag_is_permutation():
     # spec spot-checks: scan starts 0,1,8,16,9,2 and ends ...55,62,63
     assert jc.ZIGZAG[:6].tolist() == [0, 1, 8, 16, 9, 2]
     assert jc.ZIGZAG[-3:].tolist() == [55, 62, 63]
+
+
+def test_restart_markers_decode():
+    """DRI/RSTn support: a scan split into byte-aligned restart segments
+    (DC predictors reset per segment) must decode identically to the
+    unsegmented stream. Composed from the encoder's own tokenizer since
+    our writer never emits restarts but real-world files do."""
+    rng = np.random.default_rng(21)
+    h, w = 16, 16  # 2x2 MCUs at 4:4:4
+    a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    base = jc.encode_jpeg(a, quality=90)
+    ref = jc.decode_jpeg(base)
+
+    # re-derive the quantized blocks exactly as encode_jpeg does
+    lum_qt, chm_qt = jc.quality_tables(90)
+    rgb = a.astype(np.float64)
+    y = rgb @ jc._RGB2Y
+    cb = rgb @ jc._RGB2CB + 128.0
+    cr = rgb @ jc._RGB2CR + 128.0
+    zz, grids = [], []
+    for plane, qt in ((y, lum_qt), (cb, chm_qt), (cr, chm_qt)):
+        blocks = jc._to_blocks(plane) - 128.0
+        q = np.rint((jc._DCT @ blocks @ jc._DCT.T) / qt.reshape(8, 8))
+        zz.append(q.astype(np.int64).reshape(-1, 64)[:, jc.ZIGZAG])
+        grids.append((2, 2))
+
+    # restart_interval=2 → one segment per MCU row; each segment is an
+    # independent token stream (DC predictors reset) packed byte-aligned
+    segs = []
+    for row in (0, 1):
+        zz_row = [z.reshape(2, 2, 64)[row].reshape(2, 64) for z in zz]
+        vals, lens = jc._entropy_tokens(
+            zz_row, [(1, 2)] * 3, [(1, 1)] * 3, [0, 1, 1], 2, 1
+        )
+        segs.append(jc._pack_bits(vals, lens))
+    scan = segs[0] + b"\xff\xd0" + segs[1]
+
+    # splice: headers from the reference stream + a DRI segment + scan
+    sos_at = base.index(b"\xff\xda")
+    sos_len = int.from_bytes(base[sos_at + 2 : sos_at + 4], "big")
+    headers = base[: sos_at]
+    sos = base[sos_at : sos_at + 2 + sos_len]
+    dri = b"\xff\xdd\x00\x04" + (2).to_bytes(2, "big")
+    data = headers + dri + sos + scan + b"\xff\xd9"
+    dec = jc.decode_jpeg(data)
+    assert np.array_equal(dec, ref)
