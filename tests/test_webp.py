@@ -360,3 +360,53 @@ def test_webp_fixture_suite_golden(spark):
     assert got.get("notnull_caption", 0) == exp_caption
     assert got.get("unique_image_id", 0) == exp_unique
     assert got.get("imageconsistent_bytes", 0) == exp_img
+
+
+def test_meta_prefix_codes_two_groups():
+    """Meta prefix codes: a meta image assigns a DIFFERENT prefix-code
+    group to each 8px block column; pixels must decode through their
+    block's own group. Groups are built with disjoint literal alphabets
+    so a group mix-up cannot silently produce the right bytes."""
+    h, w = 4, 16  # two 8px meta blocks side by side
+    left = np.tile(np.array([10, 20, 30], np.uint8), (h, 8, 1))
+    right = np.tile(np.array([200, 150, 100], np.uint8), (h, 8, 1))
+    a = np.concatenate([left, right], axis=1)
+    bw = wc._BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # meta prefix codes present
+    bw.write(1, 3)  # size_bits = 1+2 = 3 → 8px blocks → meta is 2x1
+    # meta image (2x1): group index = (red<<8)|green → groups 0 and 1
+    meta = np.zeros((1, 2, 4), dtype=np.uint8)
+    meta[0, 0, 2] = 0  # left block → group 0
+    meta[0, 1, 2] = 1  # right block → group 1
+    wc._write_literal_image(bw, meta, allow_meta=False)
+    bw.write(0, 1)  # no color cache
+    # group 0: only left's literals; group 1: only right's
+    for px in ((10, 20, 30), (200, 150, 100)):
+        r, g, b = px
+        glen = [0] * (256 + 24)
+        glen[g] = 1
+        glen[0x55 if g != 0x55 else 0x56] = 1  # 2nd symbol: valid 2-leaf tree
+        rlen = [0] * 256
+        rlen[r] = 1
+        blen = [0] * 256
+        blen[b] = 1
+        alen = [0] * 256
+        alen[255] = 1
+        dlen = [0] * 40
+        dlen[0] = 1
+        for lengths in (glen, rlen, blen, alen, dlen):
+            wc._write_prefix_code(bw, lengths)
+    g0 = wc._canonical_codes(
+        [1 if i in (20, 0x55) else 0 for i in range(256 + 24)]
+    )
+    g1 = wc._canonical_codes(
+        [1 if i in (150, 0x55) else 0 for i in range(256 + 24)]
+    )
+    for y in range(h):
+        for x in range(w):
+            codes, gsym = (g0, 20) if x < 8 else (g1, 150)
+            _emit_code(bw, codes, gsym)  # r/b/a trees are single → 0 bits
+    dec = wc.decode_webp(_riff(b"\x2f" + bw.tobytes()))
+    assert np.array_equal(dec, a)
