@@ -620,6 +620,12 @@ def _extend(mag: int, s: int) -> int:
     return mag if mag >= (1 << (s - 1)) else mag - (1 << s) + 1
 
 
+# block-count threshold where coefficient storage switches from fast
+# list-of-lists (~28 B/coeff) to a compact int32 matrix (4 B/coeff);
+# 65536 blocks ≈ a 2048x2048 4:4:4 frame per component
+_COMPACT_COEF_BLOCKS = 65536
+
+
 class _Frame:
     __slots__ = ("h", "w", "comps")
 
@@ -752,12 +758,25 @@ def _decode_scan(frame, qts, luts, scan_tabs, segs, restart):
     vmax = max(c["vi"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    # coefficient storage: list-of-lists is the fastest thing the symbol
+    # loop can write into, but costs ~28 bytes/int — a hostile header
+    # claiming max-cap dims would transiently need >20 GB on an executor.
+    # Above a block threshold, store rows in a compact int32 matrix
+    # (4 B/coeff, ~1.3x the decoded-pixel bytes) and pay one row-assign
+    # per block; thumbnails keep the fast path.
+    compact = (
+        sum(mcux * c["hi"] * mcuy * c["vi"] for c in comps)
+        > _COMPACT_COEF_BLOCKS
+    )
     for c in comps:
         c["bw"] = mcux * c["hi"]
         c["bh"] = mcuy * c["vi"]
-        c["coef"] = [
-            [0] * 64 for _ in range(c["bw"] * c["bh"])
-        ]  # filled by the symbol loop; ndarray conversion afterwards
+        nb = c["bw"] * c["bh"]
+        c["coef"] = (
+            np.zeros((nb, 64), dtype=np.int32)
+            if compact
+            else [[0] * 64 for _ in range(nb)]
+        )
         tabs = scan_tabs.get(c["id"])
         if tabs is None:
             raise ValueError("corrupt JPEG: scan component not in SOS")

@@ -34,6 +34,7 @@ one of the three formats the fixture corpus's ``fmt`` lookup admits.
 from __future__ import annotations
 
 import struct
+from array import array
 from functools import lru_cache
 
 import numpy as np
@@ -344,9 +345,14 @@ def _read_entropy_image(
         )
     cache = [0] * color_cache_size
     cache_shift = 32 - (color_cache_size.bit_length() - 1) if color_cache_size else 0
-    out = [0] * (w * h)
-    pos = 0
     total = w * h
+    # compact 4-byte pixel store: element writes cost the same as a
+    # Python list's (measured), but a hostile max-cap header can't make
+    # the buffer balloon to ~28 bytes per pixel of boxed ints
+    out = array("I", bytes(4 * total))
+    if out.itemsize != 4:  # exotic platform: fall back, correctness first
+        out = [0] * total
+    pos = 0
     # hot loop: every prefix-code and extra-bits read is inlined against
     # the reader's precomputed window (wv) — one list indexing per read,
     # no method calls (the JPEG decoder's design; ~3× the method-call
@@ -474,10 +480,17 @@ def _read_entropy_image(
                     out[pos] = px
                     pos += 1
                     cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> cache_shift] = px
+            elif dist >= length:
+                # array/list slicing copies the source first, so the
+                # non-overlapping fast path is safe for both stores
+                out[pos : pos + length] = out[pos - dist : pos - dist + length]
+                pos += length
             else:
-                out[pos : pos + length] = out[pos - dist : pos - dist + length] if dist >= length else [
-                    out[pos - dist + (k % dist)] for k in range(length)
-                ]
+                src = out[pos - dist : pos]  # cyclic overlap: repeat period
+                reps = [src[k % dist] for k in range(length)]
+                out[pos : pos + length] = (
+                    array("I", reps) if isinstance(out, array) else reps
+                )
                 pos += length
         else:  # color-cache hit
             idx = s - 256 - 24
@@ -486,7 +499,11 @@ def _read_entropy_image(
             out[pos] = cache[idx]
             pos += 1
     br.pos = p
-    argb = np.array(out, dtype=np.uint32).reshape(h, w)
+    argb = (
+        np.frombuffer(out, dtype=np.uint32)
+        if isinstance(out, array)
+        else np.array(out, dtype=np.uint32)
+    ).reshape(h, w)
     return np.stack(
         [
             (argb >> 24) & 0xFF,  # A

@@ -317,3 +317,15 @@ def test_restart_markers_decode():
     data = headers + dri + sos + scan + b"\xff\xd9"
     dec = jc.decode_jpeg(data)
     assert np.array_equal(dec, ref)
+
+
+def test_compact_coefficient_path_parity(monkeypatch):
+    """Large frames switch coefficient storage to a compact int32 matrix
+    (bounded memory against hostile max-dims headers); the two stores
+    must decode identically."""
+    a = _noise(40, 56, seed=31)
+    data = jc.encode_jpeg(a, quality=90)
+    fast = jc.decode_jpeg(data)
+    monkeypatch.setattr(jc, "_COMPACT_COEF_BLOCKS", 1)  # force compact
+    compact = jc.decode_jpeg(data)
+    assert np.array_equal(fast, compact)
