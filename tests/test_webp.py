@@ -410,3 +410,47 @@ def test_meta_prefix_codes_two_groups():
             _emit_code(bw, codes, gsym)  # r/b/a trees are single → 0 bits
     dec = wc.decode_webp(_riff(b"\x2f" + bw.tobytes()))
     assert np.array_equal(dec, a)
+
+
+def test_lz77_direct_distance_beyond_neighborhood():
+    """Distance prefix values > 120 bypass the 2-D neighborhood map and
+    mean (value - 120) pixels back — the long-range branch the other
+    LZ77 test doesn't reach. 1x130 image: 126 literals, then a length-4
+    copy from 122 back (prefix value 242 = code 15 + 6 extra bits 49)."""
+    w, h = 130, 1
+    greens = [(17 * i + 5) % 251 for i in range(126)]
+    bw = wc._BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no meta
+    bw.write(0, 1)  # no cache
+    glen = [0] * (256 + 24)
+    for g in set(greens):
+        glen[g] = 0  # assigned below by canonical builder
+    # build a complete code over the distinct greens + the length code
+    syms = sorted(set(greens)) + [256 + 3]  # length code 3 → length 4
+    n = len(syms)
+    nbits = (n - 1).bit_length()
+    short = (1 << nbits) - n
+    for j, s in enumerate(syms):
+        glen[s] = nbits - 1 if j < short and nbits > 1 else nbits
+    rlen = [0] * 256
+    rlen[9] = 1
+    blen = [0] * 256
+    blen[7] = 1
+    alen = [0] * 256
+    alen[255] = 1
+    dlen = [0] * 40
+    dlen[15] = 1  # single-symbol distance tree → 0 bits per use
+    for lengths in (glen, rlen, blen, alen, dlen):
+        wc._write_prefix_code(bw, lengths)
+    g = wc._canonical_codes(glen)
+    for gv in greens:
+        _emit_code(bw, g, gv)
+    _emit_code(bw, g, 256 + 3)  # length 4, no extra bits
+    bw.write(49, 6)  # distance extra bits: 192 + 49 + 1 = 242 → dist 122
+    dec = wc.decode_webp(_riff(b"\x2f" + bw.tobytes()))
+    exp_g = greens + [greens[126 - 122 + k] for k in range(4)]
+    assert dec.shape == (1, 130, 3)
+    assert dec[0, :, 1].tolist() == exp_g
+    assert set(dec[0, :, 0].tolist()) == {9} and set(dec[0, :, 2].tolist()) == {7}
