@@ -277,7 +277,9 @@ def _pack_bits(vals: np.ndarray, lens: np.ndarray) -> bytes:
 
 
 def _magnitude(v: int) -> tuple[int, int]:
-    """T.81 F.1.2.1: value → (size category, appended bits)."""
+    """T.81 F.1.2.1: value → (size category, appended bits). Scalar
+    reference for :func:`_size_mag` (property-tested parity); the
+    encoder itself uses the vectorized form."""
     if v == 0:
         return 0, 0
     s = int(abs(v)).bit_length()

@@ -198,3 +198,13 @@ def test_real_codec_truncation_never_crash(h, w, seed, frac):
     for payload in (jc.encode_jpeg(a, quality=90), wc.encode_webp(a)):
         cut = int(len(payload) * frac)
         _decode_only_valueerror(payload[:cut])
+
+
+@settings(max_examples=200, deadline=None)
+@given(v=st.integers(min_value=-2047, max_value=2047))
+def test_size_mag_matches_scalar_reference(v):
+    from smcchecker_spark import jpegcodec as jc
+
+    s, mag = jc._magnitude(v)
+    sv, magv = jc._size_mag(np.array([v], dtype=np.int64))
+    assert (int(sv[0]), int(magv[0])) == (s, mag)
