@@ -192,7 +192,7 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return out
 
 
-_LUT_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+_LUT_CACHE: dict[tuple, list[int]] = {}
 
 
 def _build_lut(bits: tuple[int, ...], vals: tuple[int, ...]):
@@ -641,7 +641,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     pos = 2
     n = len(data)
     qts: dict[int, np.ndarray] = {}
-    luts: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
+    luts: dict[tuple[int, int], list[int]] = {}
     frame: _Frame | None = None
     restart = 0
     out = None
@@ -832,6 +832,15 @@ def _decode_scan(frame, qts, luts, scan_tabs, segs, restart):
                                 if mag >> (s - 1)
                                 else mag - (1 << s) + 1
                             )
+                            # valid 8-bit baseline DC stays within ±2048;
+                            # a runaway predictor only happens on corrupt
+                            # streams and would overflow the compact
+                            # int32 store (OverflowError ≠ the ValueError
+                            # contract) — reject loudly instead
+                            if not (-32768 <= preds[ci] <= 32767):
+                                raise ValueError(
+                                    "corrupt JPEG: DC predictor overflow"
+                                )
                         blk[0] = preds[ci]
                         k = 1
                         while k < 64:

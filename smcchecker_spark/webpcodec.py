@@ -34,6 +34,7 @@ one of the three formats the fixture corpus's ``fmt`` lookup admits.
 from __future__ import annotations
 
 import struct
+import sys
 from array import array
 from functools import lru_cache
 
@@ -192,18 +193,9 @@ class _PrefixTree:
         self.lut = packed.tolist()
         self.mask = size - 1
 
-    def read(self, br: _BitReader) -> int:
-        if self.single is not None:
-            return self.single
-        p = br.pos
-        if p >= br.n:
-            raise ValueError("truncated VP8L stream")
-        v = self.lut[br.wv[p] & self.mask]
-        ln = v & 31
-        if ln == 0 or p + ln > br.n:
-            raise ValueError("corrupt VP8L: bad prefix code")
-        br.pos = p + ln
-        return v >> 5
+    # no read() method: both consumers (the pixel loop and the
+    # code-length loop) inline the LUT walk against the reader's window
+    # for per-symbol speed — lut/mask/single are the whole contract
 
 
 def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixTree:
@@ -289,15 +281,6 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixTree:
     return _PrefixTree(lengths)
 
 
-def _length_prefix_value(code: int, br: _BitReader) -> int:
-    """LZ77 length/distance prefix decoding (VP8L spec §5.2.2)."""
-    if code < 4:
-        return code + 1
-    extra = (code - 2) >> 1
-    offset = (2 + (code & 1)) << extra
-    return offset + br.read(extra) + 1
-
-
 # ---------------------------------------------------------------------------
 # Entropy-coded image (the core of VP8L — used for the main image AND
 # for transform/meta images)
@@ -310,19 +293,21 @@ def _read_entropy_image(
     """Decode a (h, w, 4) uint8 ARGB array from the spatially-coded
     image data at the reader's position."""
     color_cache_size = 0
-    meta_tree = None
     meta_bits = 0
     meta_img = None
-    if allow_meta and br.read(1):  # meta prefix codes present
-        meta_bits = br.read(3) + 2
-        mw = (w + (1 << meta_bits) - 1) >> meta_bits
-        mh = (h + (1 << meta_bits) - 1) >> meta_bits
-        meta_img = _read_entropy_image(br, mw, mh, allow_meta=False)
+    # spec field order (RFC 9649 §7, libwebp DecodeImageStream):
+    # color-cache-info FIRST, then the meta-prefix bit — a spatially-
+    # coded image is `color-cache-info meta-prefix data`
     if br.read(1):  # color cache
         cbits = br.read(4)
         if not (1 <= cbits <= 11):
             raise ValueError("corrupt VP8L: bad color-cache bits")
         color_cache_size = 1 << cbits
+    if allow_meta and br.read(1):  # meta prefix codes present
+        meta_bits = br.read(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _read_entropy_image(br, mw, mh, allow_meta=False)
     n_groups = 1
     group_of = None
     if meta_img is not None:
@@ -499,11 +484,15 @@ def _read_entropy_image(
             out[pos] = cache[idx]
             pos += 1
     br.pos = p
-    argb = (
-        np.frombuffer(out, dtype=np.uint32)
-        if isinstance(out, array)
-        else np.array(out, dtype=np.uint32)
-    ).reshape(h, w)
+    if isinstance(out, array) and sys.byteorder == "little":
+        # zero-copy channel split: the little-endian uint32 pixel
+        # (A<<24)|(R<<16)|(G<<8)|B is stored as bytes [B,G,R,A], so a
+        # reversed uint8 view IS the ARGB layout — one 4 B/px copy to
+        # make it contiguous, instead of four uint32 temporaries plus a
+        # 16 B/px stack (which defeated the decoded-size cap)
+        v8 = np.frombuffer(out, dtype=np.uint8).reshape(h, w, 4)
+        return np.ascontiguousarray(v8[:, :, ::-1])
+    argb = np.array(out, dtype=np.uint32).reshape(h, w)
     return np.stack(
         [
             (argb >> 24) & 0xFF,  # A
@@ -631,7 +620,7 @@ def _apply_subtract_green_inverse(img: np.ndarray) -> np.ndarray:
 
 
 def _apply_palette_inverse(
-    img: np.ndarray, palette: np.ndarray, packed_w: int, w: int
+    img: np.ndarray, palette: np.ndarray, w: int
 ) -> np.ndarray:
     """Color-indexing inverse: indices live in the green channel,
     possibly sub-byte packed (width-reduced image)."""
@@ -691,7 +680,10 @@ def decode_webp(data: bytes) -> np.ndarray:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("corrupt VP8L: bad version")
-    if h * w * 4 > (1 << 30):
+    # 256 MiB pixel-buffer cap (64 Mpx): sized so worst-case transient
+    # memory — pixel store + channel-split copy + a transform image —
+    # stays under ~1 GiB per task even for hostile max-dims headers
+    if h * w * 4 > (1 << 28):
         raise ValueError("WebP dimensions exceed the decoded-size cap")
 
     transforms = []  # applied in reverse later
@@ -739,7 +731,7 @@ def decode_webp(data: bytes) -> np.ndarray:
         elif t[0] == "color":
             img = _apply_color_inverse(img, t[2], t[1])
         else:
-            img = _apply_palette_inverse(img, t[1], t[2], w)
+            img = _apply_palette_inverse(img, t[1], w)
     if img.shape[1] != w:
         img = img[:, :w]
     return np.ascontiguousarray(img[:, :, 1:4])  # drop alpha → RGB
@@ -883,9 +875,9 @@ def _write_literal_image(
     (h, w, 4) uint8 in A,R,G,B order (matching the decoder's layout).
     Shared by :func:`encode_webp` (main image) and the test suite's
     hand-composed transform streams."""
+    bw.write(0, 1)  # no color cache (spec order: cache bit first)
     if allow_meta:
         bw.write(0, 1)  # no meta prefix codes
-    bw.write(0, 1)  # no color cache
     a = argb[:, :, 0].ravel()
     r = argb[:, :, 1].ravel()
     g = argb[:, :, 2].ravel()

@@ -227,8 +227,8 @@ def test_lz77_backward_reference():
     bw = wc._BitWriter()
     _header(bw, w, h)
     bw.write(0, 1)  # no transforms
-    bw.write(0, 1)  # no meta
-    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no color cache (spec order: cache bit first)
+    bw.write(0, 1)  # no meta prefix codes
     green_size = 256 + 24
     glen = [0] * green_size
     glen[P[2]] = 1
@@ -261,9 +261,9 @@ def test_color_cache():
     bw = wc._BitWriter()
     _header(bw, w, h)
     bw.write(0, 1)  # no transforms
-    bw.write(0, 1)  # no meta
-    bw.write(1, 1)  # color cache present
+    bw.write(1, 1)  # color cache present (spec order: cache bit first)
     bw.write(1, 4)  # cache bits = 1 → size 2
+    bw.write(0, 1)  # no meta prefix codes
     green_size = 256 + 24 + 2
     glen = [0] * green_size
     glen[A[2]] = 2
@@ -374,6 +374,7 @@ def test_meta_prefix_codes_two_groups():
     bw = wc._BitWriter()
     _header(bw, w, h)
     bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache (spec order: cache bit first)
     bw.write(1, 1)  # meta prefix codes present
     bw.write(1, 3)  # size_bits = 1+2 = 3 → 8px blocks → meta is 2x1
     # meta image (2x1): group index = (red<<8)|green → groups 0 and 1
@@ -381,7 +382,6 @@ def test_meta_prefix_codes_two_groups():
     meta[0, 0, 2] = 0  # left block → group 0
     meta[0, 1, 2] = 1  # right block → group 1
     wc._write_literal_image(bw, meta, allow_meta=False)
-    bw.write(0, 1)  # no color cache
     # group 0: only left's literals; group 1: only right's
     for px in ((10, 20, 30), (200, 150, 100)):
         r, g, b = px
@@ -422,8 +422,8 @@ def test_lz77_direct_distance_beyond_neighborhood():
     bw = wc._BitWriter()
     _header(bw, w, h)
     bw.write(0, 1)  # no transforms
-    bw.write(0, 1)  # no meta
-    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no color cache (spec order: cache bit first)
+    bw.write(0, 1)  # no meta prefix codes
     glen = [0] * (256 + 24)
     for g in set(greens):
         glen[g] = 0  # assigned below by canonical builder
@@ -454,3 +454,17 @@ def test_lz77_direct_distance_beyond_neighborhood():
     assert dec.shape == (1, 130, 3)
     assert dec[0, :, 1].tolist() == exp_g
     assert set(dec[0, :, 0].tolist()) == {9} and set(dec[0, :, 2].tolist()) == {7}
+
+
+def test_oversize_header_rejected():
+    # hostile max-dims header: 16384x16384 (1 GiB at 4 B/px) must be
+    # rejected by the 256 MiB pixel-buffer cap before any allocation
+    a = np.zeros((4, 4, 3), np.uint8)
+    data = bytearray(wc.encode_webp(a))
+    body = bytearray(data[20:])
+    body[1] = 0xFF
+    body[2] = 0xFF
+    body[3] = 0xFF
+    body[4] |= 0x0F  # bits 0..27 of the VP8L header → w-1 = h-1 = 16383
+    with pytest.raises(ValueError, match="decoded-size cap"):
+        wc.decode_webp(bytes(data[:20]) + bytes(body))
