@@ -829,17 +829,30 @@ def _huffman_lengths(freqs: np.ndarray, max_len: int = 15) -> list[int]:
         out = [0] * len(freqs)
         out[syms[0]] = 1
         return out
-    heap = [(int(freqs[s]), s, (s,)) for s in syms]
+    # parent-pointer tree build: O(n log n) heap merges, then each
+    # leaf's depth by a parent walk — the previous tuple-concatenating
+    # group form was quadratic and dominated encode on 256-symbol trees
+    n = len(syms)
+    parent = [0] * (2 * n - 1)
+    heap = [(int(freqs[s]), i) for i, s in enumerate(syms)]
     heapq.heapify(heap)
-    depth = {s: 0 for s in syms}
+    nxt = n
     while len(heap) > 1:
-        f1, _, g1 = heapq.heappop(heap)
-        f2, _, g2 = heapq.heappop(heap)
-        for s in g1 + g2:
-            depth[s] += 1
-        heapq.heappush(heap, (f1 + f2, min(g1 + g2), g1 + g2))
-    # clamp to max_len and repair Kraft sum
-    lens = {s: min(d, max_len) for s, d in depth.items()}
+        f1, n1 = heapq.heappop(heap)
+        f2, n2 = heapq.heappop(heap)
+        parent[n1] = parent[n2] = nxt
+        heapq.heappush(heap, (f1 + f2, nxt))
+        nxt += 1
+    root = nxt - 1
+    lens = {}
+    for i, s in enumerate(syms):
+        d = 0
+        j = i
+        while j != root:
+            j = parent[j]
+            d += 1
+        lens[s] = min(d, max_len)
+    # repair Kraft sum after clamping
     kraft = sum(1 << (max_len - l) for l in lens.values())
     full = 1 << max_len
     syms_by_len = sorted(lens, key=lambda s: (lens[s], s))
@@ -891,28 +904,38 @@ def _write_literal_image(
     dlen[0] = 1  # unused distance code — still must be a valid tree
     for lengths in (glen, rlen, blen, alen, dlen):
         _write_prefix_code(bw, lengths)
-    codes = [
-        (_canonical_codes(glen), len([l for l in glen if l]) == 1),
-        (_canonical_codes(rlen), len([l for l in rlen if l]) == 1),
-        (_canonical_codes(blen), len([l for l in blen if l]) == 1),
-        (_canonical_codes(alen), len([l for l in alen if l]) == 1),
-    ]
-
-    def emit(cmap, sym):
-        code, ln = cmap[sym]
-        for k in range(ln - 1, -1, -1):
-            bw.write((code >> k) & 1, 1)
-
-    (gc, sg), (rc, sr), (bc, sb), (ac, sa) = codes
-    for i in range(len(g)):
-        if not sg:
-            emit(gc, int(g[i]))
-        if not sr:
-            emit(rc, int(r[i]))
-        if not sb:
-            emit(bc, int(b[i]))
-        if not sa:
-            emit(ac, int(a[i]))
+    # pixel payload fully vectorized (the per-bit Python emit was ~80%
+    # of encode time): per channel, fancy-index a BIT-REVERSED code
+    # table (the stream is LSB-first while codes are written MSB-first,
+    # so the LSB-first expansion of the reversed code IS the stream
+    # order), interleave channels per pixel by column-stacking, expand
+    # to bits with one masked broadcast, and append to the writer.
+    cols = []
+    for lengths, vals_arr, alphabet in (
+        (glen, g, green_size),
+        (rlen, r, 256),
+        (blen, b, 256),
+        (alen, a, 256),
+    ):
+        if len([l for l in lengths if l]) == 1:
+            continue  # single-symbol tree: zero bits per pixel
+        cmap = _canonical_codes(lengths)
+        rev = np.zeros(alphabet, dtype=np.uint32)
+        ln_arr = np.zeros(alphabet, dtype=np.int64)
+        for sym, (code, ln) in cmap.items():
+            rev[sym] = int(f"{code:0{ln}b}"[::-1], 2)
+            ln_arr[sym] = ln
+        cols.append((rev[vals_arr], ln_arr[vals_arr]))
+    if cols:
+        vals = np.stack([c[0] for c in cols], axis=1).reshape(-1)
+        lens = np.stack([c[1] for c in cols], axis=1).reshape(-1)
+        maxlen = int(lens.max())
+        ar = np.arange(maxlen, dtype=np.int64)
+        bits = (
+            vals[:, None].astype(np.uint64) >> ar[None, :].astype(np.uint64)
+        ) & np.uint64(1)
+        mask = ar[None, :] < lens[:, None]
+        bw.bits.extend(bits[mask].astype(np.uint8).tolist())
 
 
 def encode_webp(arr: np.ndarray) -> bytes:
