@@ -2,14 +2,16 @@
 with typed metadata, processed by Arrow-batched UDFs.
 
 What's REAL here (tested): the Spark-side plumbing — schemas, batch
-iteration, partition behavior, UDF signatures — plus image decode /
-resize / feature-extraction / format transcoding via the engine's own
-numpy codecs (PNG, baseline JPEG via :mod:`..jpegcodec`, lossless WebP
-via :mod:`..webpcodec`). What's STUBBED (this container has no
-PIL/ffmpeg/librosa): lossy-VP8 WebP, audio sample decode, video frame
-demux — each gated behind an import-try and raising
-``NotImplementedError`` with a clear message, with a deterministic fake
-extractor available for pipeline testing (``deterministic_fake=True``).
+iteration, partition behavior, UDF signatures — plus, via the engine's
+own from-scratch codecs: image decode / resize / feature-extraction /
+format transcoding (PNG, baseline JPEG via :mod:`..jpegcodec`, lossless
+WebP via :mod:`..webpcodec`), WAV audio metadata (RIFF/WAVE integer PCM
+via :mod:`..wavcodec`), and AVI-MJPEG video frame sampling
+(:mod:`..avicodec` RIFF demux feeding the JPEG decoder). What's STUBBED
+(no PIL/ffmpeg/librosa in this container): lossy-VP8 WebP, compressed
+audio (mp3/flac/ogg), inter-frame-coded video (mp4/h264) — reported as
+not-ok / no-rows, with deterministic fakes available for pipeline
+testing (``deterministic_fake=True``).
 """
 
 from __future__ import annotations
@@ -242,32 +244,48 @@ except ImportError:
 
 
 def audio_meta_udf(deterministic_fake: bool = False):
-    """STUB: audio decode is unavailable here (no librosa/soundfile).
-
-    With ``deterministic_fake=True`` the payload is interpreted as raw
-    int16 PCM at 16 kHz — a deterministic stand-in exercising the real
-    batching/schema path. Otherwise raises NotImplementedError at plan
-    time (fail fast, not per-task).
+    """Audio metadata extraction. REAL for WAV (RIFF/WAVE integer PCM —
+    decoded by the from-scratch :mod:`smcchecker_spark.wavcodec`, no
+    librosa needed). Compressed formats (mp3/flac/ogg) still need
+    librosa/soundfile, absent here; with ``deterministic_fake=True``
+    non-WAV payloads fall back to the raw-int16-PCM-at-16kHz stand-in
+    instead of reporting a violation — otherwise a non-WAV payload is
+    simply not ok (the honest behavior for an undecodable format).
     """
-    if not deterministic_fake and not HAVE_AUDIO:
-        raise NotImplementedError(
-            "audio decode needs librosa/soundfile (absent in this image); "
-            "pass deterministic_fake=True for the raw-PCM stand-in"
-        )
-    key = "audio_fake"
+    key = f"audio_{deterministic_fake}"
     if key not in _UDFS:
 
         @pandas_udf(AUDIO_META_SCHEMA)
         def audio_meta(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+            from smcchecker_spark import wavcodec
+
             for s in batches:
                 rows = []
                 for b in s.values:
                     if b is None or len(b) < 2:
                         rows.append((False, None, None, None))
                         continue
-                    pcm = np.frombuffer(bytes(b)[: len(b) // 2 * 2], dtype="<i2")
-                    rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
-                    rows.append((True, int(pcm.size), 16000, round(rms, 4)))
+                    b = bytes(b)
+                    if wavcodec.sniff_wav(b):
+                        try:
+                            samples, rate = wavcodec.decode_wav(b)
+                        except ValueError:
+                            rows.append((False, None, None, None))
+                            continue
+                        rms = float(
+                            np.sqrt(np.mean(samples.astype(np.float64) ** 2))
+                        )
+                        rows.append(
+                            (True, int(samples.shape[0]), rate, round(rms, 4))
+                        )
+                    elif deterministic_fake:
+                        pcm = np.frombuffer(b[: len(b) // 2 * 2], dtype="<i2")
+                        rms = float(
+                            np.sqrt(np.mean(pcm.astype(np.float64) ** 2))
+                        )
+                        rows.append((True, int(pcm.size), 16000, round(rms, 4)))
+                    else:
+                        rows.append((False, None, None, None))
                 yield pd.DataFrame(
                     rows, columns=["ok", "n_samples", "sample_rate", "rms"]
                 )
@@ -323,29 +341,47 @@ def video_frame_sample(
     input carries over, so a salted repartition upstream defuses
     long-video skew).
 
-    Real video demux needs ffmpeg/pyav (absent in this image) → stubbed;
-    ``deterministic_fake=True`` demuxes the FVID stand-in container,
-    exercising the identical Spark plumbing. Undecodable payloads emit no
-    rows (a validation suite catches them upstream)."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "video demux needs ffmpeg/pyav (absent in this image); pass "
-            "deterministic_fake=True for the FVID stand-in container"
-        )
+    REAL for AVI-MJPEG payloads: the RIFF demux
+    (:mod:`smcchecker_spark.avicodec`) yields per-frame baseline JPEGs,
+    decoded by the engine's own :mod:`smcchecker_spark.jpegcodec` and
+    re-encoded to PNG — no ffmpeg anywhere. Inter-frame-coded containers
+    (mp4/h264 etc.) still need ffmpeg/pyav, absent here; the FVID
+    stand-in container also demuxes (its frames are already PNG).
+    Undecodable payloads emit no rows (a validation suite catches them
+    upstream). ``deterministic_fake`` is kept for call-site
+    compatibility; both container formats decode regardless."""
+    del deterministic_fake  # both supported containers are always real
     out_schema = f"{id_col} string, frame_idx int, frame_png binary"
 
     def demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from smcchecker_spark import avicodec, jpegcodec
+
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for vid, b in zip(pdf[id_col].values, pdf[bytes_col].values):
                 try:
-                    pngs = decode_fake_video(b)
+                    b = bytes(b) if b is not None else b""
+                    if avicodec.sniff_avi(b):
+                        jpegs = avicodec.demux_avi_mjpeg(b)
+                        pngs = None
+                    else:
+                        pngs = decode_fake_video(b)
+                        jpegs = None
                 except ValueError:
                     continue
-                for i in range(0, len(pngs), every_n):
+                payloads = pngs if pngs is not None else jpegs
+                for i in range(0, len(payloads), every_n):
+                    if jpegs is not None:
+                        try:
+                            arr = jpegcodec.decode_jpeg(jpegs[i])
+                        except ValueError:
+                            continue  # skip the corrupt frame, keep the video
+                        frame = ic.encode_png(arr)
+                    else:
+                        frame = pngs[i]
                     ids.append(vid)
                     idxs.append(i)
-                    frames.append(pngs[i])
+                    frames.append(frame)
             yield pd.DataFrame(
                 {id_col: ids, "frame_idx": idxs, "frame_png": frames}
             )

@@ -488,11 +488,81 @@ def test_multimodal_resize(spark, image_df):
     assert bad["small"] is None
 
 
-def test_multimodal_stubs():
-    with pytest.raises(NotImplementedError, match="librosa"):
-        multimodal.audio_meta_udf(deterministic_fake=False)
-    with pytest.raises(NotImplementedError, match="ffmpeg"):
-        multimodal.video_frame_sample(None)
+def test_audio_non_wav_flagged_without_fake(spark):
+    # without the fake fallback, a non-WAV payload is honestly not-ok
+    df = spark.createDataFrame(
+        [(0, b"\x01\x02\x03\x04mp3ish")], "id long, audio binary"
+    )
+    out = df.select(
+        multimodal.audio_meta_udf(deterministic_fake=False)(
+            F.col("audio")
+        ).alias("m")
+    ).collect()[0]["m"]
+    assert out["ok"] is False and out["n_samples"] is None
+
+
+def test_audio_real_wav(spark):
+    """WAV decode is REAL (wavcodec): stereo 16-bit PCM through the
+    engine UDF reports the true rate/sample count/RMS; truncated WAV is
+    flagged, not crashed."""
+    from smcchecker_spark import wavcodec
+
+    t = np.linspace(0, 1, 800)
+    samples = np.stack(
+        [np.sin(t * 50) * 9000, np.cos(t * 30) * 4000], axis=1
+    ).astype(np.int16)
+    wav = wavcodec.encode_wav(samples, sample_rate=8000)
+    dec, rate = wavcodec.decode_wav(wav)
+    assert rate == 8000 and np.array_equal(dec, samples)  # exact roundtrip
+    df = spark.createDataFrame(
+        [(0, wav), (1, wav[:20]), (2, None)], "id long, audio binary"
+    )
+    out = {
+        r["id"]: r["m"]
+        for r in df.select(
+            "id",
+            multimodal.audio_meta_udf()(F.col("audio")).alias("m"),
+        ).collect()
+    }
+    assert out[0]["ok"] and out[0]["n_samples"] == 800
+    assert out[0]["sample_rate"] == 8000 and out[0]["rms"] > 1000
+    assert out[1]["ok"] is False and out[2]["ok"] is False
+
+
+def test_video_real_avi_mjpeg(spark):
+    """AVI-MJPEG demux is REAL (avicodec + jpegcodec): frames come back
+    as PNGs of the JPEG-decoded pixels; a corrupt frame is skipped while
+    the rest of the video survives."""
+    from smcchecker_spark import avicodec, jpegcodec
+
+    rng = np.random.default_rng(5)
+    frames_px = [
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(5)
+    ]
+    jpegs = [jpegcodec.encode_jpeg(f, quality=98) for f in frames_px]
+    avi = avicodec.encode_avi_mjpeg(jpegs, 16, 16, fps=10)
+    assert avicodec.sniff_avi(avi)
+    assert [len(f) for f in avicodec.demux_avi_mjpeg(avi)] == [
+        len(j) for j in jpegs
+    ]
+    # corrupt frame 2 in a second video
+    bad_jpegs = list(jpegs)
+    bad_jpegs[2] = b"\xff\xd8\xffgarbage"
+    avi_bad = avicodec.encode_avi_mjpeg(bad_jpegs, 16, 16, fps=10)
+    df = spark.createDataFrame(
+        [("good", avi), ("bad", avi_bad), ("junk", b"RIFFxxxxAVI ")],
+        "video_id string, video_bytes binary",
+    )
+    out = multimodal.video_frame_sample(df, every_n=2).collect()
+    got = {(r["video_id"], r["frame_idx"]) for r in out}
+    assert got == {("good", 0), ("good", 2), ("good", 4),
+                   ("bad", 0), ("bad", 4)}  # bad frame 2 skipped
+    for r in out:
+        arr, fmt = ic.decode_image(bytes(r["frame_png"]))
+        assert fmt == "png"
+        src = frames_px[r["frame_idx"]]
+        # MJPEG frames are lossy: compare via PSNR, not equality
+        assert ic.psnr(src, arr) >= 40.0
 
 
 def test_audio_fake_pcm(spark):
