@@ -175,7 +175,11 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only). Scale surfaces as integer micro-units (bit-safe compare)
     and the per-row reconstruction bound |v − q·s| ≤ s/2 as a boolean
     the oracle expects TRUE — quantized values themselves are
-    value-checked element-for-element."""
+    value-checked element-for-element. The quantized vector surfaces as
+    a CSV string (``q_csv``) rather than a raw array: the driver's
+    canonicalizer sorts every output column through pandas and dies on
+    unhashable list cells, so registry outputs must be scalar-typed
+    (enforced by tests/test_entry.py)."""
     from smcchecker_spark.ops import quant
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -185,7 +189,9 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return q.select(
         "vec_id",
-        F.transform("q", lambda x: x.cast("int")).alias("q"),
+        F.concat_ws(
+            ",", F.transform("q", lambda x: x.cast("int").cast("string"))
+        ).alias("q_csv"),
         F.round(F.col("q_scale") * 1e6).cast("long").alias("scale_micro"),
         (err <= F.col("q_scale") / 2 + 1e-12).alias("err_ok"),
     )
@@ -201,8 +207,10 @@ WITH s AS (
   FROM embeddings
 )
 SELECT vec_id,
-       list_transform(embedding,
-                      x -> CAST(round(CAST(x AS DOUBLE) / sc) AS INT)) AS q,
+       array_to_string(
+         list_transform(embedding,
+                        x -> CAST(CAST(round(CAST(x AS DOUBLE) / sc) AS INT)
+                                  AS VARCHAR)), ',') AS q_csv,
        CAST(round(sc * 1000000) AS BIGINT) AS scale_micro,
        TRUE AS err_ok
 FROM s
@@ -4878,14 +4886,94 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is load-bearing: the correctness driver samples the
+    FIRST 50 entries each round. Round-3 window = the red round-2 row
+    (quantize_embeddings, output canonicalization fixed) followed by the
+    49 highest-priority never-driver-checked queries (codecs, semdedup,
+    incremental indexes, pipeline/curation ops). Entries from position 51
+    onward have prior green driver rows (r1/r2) or are within-family
+    variants of an in-window sibling, all locked by pytest goldens."""
     return {
+        # -- round-3 driver window: red row first, then never-checked --
+        "quantize_embeddings": q_quantize_embeddings,
+        "jpeg_validate": q_jpeg_validate,
+        "webp_validate": q_webp_validate,
+        "transcode_images": q_transcode_images,
+        "semdedup_embeddings": q_semdedup_embeddings,
+        "incremental_neardup_docs": q_incremental_neardup_docs,
+        "incremental_phash_events": q_incremental_phash_events,
+        "phash_neardup_events": q_phash_neardup_events,
+        "simhash_neardup_exact": q_simhash_neardup_exact,
+        "lsh_topk_exhaustive": q_lsh_topk_exhaustive,
+        "pack_docs": q_pack_docs,
+        "asof_purchase_events": q_asof_purchase_events,
+        "curate_images_events": q_curate_images_events,
+        "snapshot_diff_events": q_snapshot_diff_events,
+        "crossmodal_events": q_crossmodal_events,
+        "pca_embeddings": q_pca_embeddings,
+        "rank_normalize_events": q_rank_normalize_events,
+        "impute_events": q_impute_events,
+        "winsorize_events": q_winsorize_events,
+        "budget_select_docs": q_budget_select_docs,
+        "lm_quality_docs": q_lm_quality_docs,
+        "bigram_lm_docs": q_bigram_lm_docs,
+        "det_split_docs": q_det_split_docs,
+        "leakage_split_docs": q_leakage_split_docs,
+        "cap_per_source_docs": q_cap_per_source_docs,
+        "chunk_docs": q_chunk_docs,
+        "mix_budget_docs": q_mix_budget_docs,
+        "repetition_docs": q_repetition_docs,
+        "contamination_docs": q_contamination_docs,
+        "decontaminate_docs": q_decontaminate_docs,
+        "scrub_pii_docs": q_scrub_pii_docs,
+        "image_batches_events": q_image_batches_events,
+        "curate_docs": q_curate_docs,
+        "corpus_report": q_corpus_report,
+        "sessionize_events": q_sessionize_events,
+        "zorder_events": q_zorder_events,
+        "bloom_anti_events": q_bloom_anti_events,
+        "corpus_rollup": q_corpus_rollup,
+        "weighted_sample_events": q_weighted_sample_events,
+        "expectations_lineitem": q_expectations_lineitem,
+        "topk_per_user_events": q_topk_per_user_events,
+        "row_diff_events": q_row_diff_events,
+        "skew_join_events": q_skew_join_events,
+        "dedup_resolve_quality_docs": q_dedup_resolve_quality_docs,
+        "pivot_user_events": q_pivot_user_events,
+        "except_intersect_docs": q_except_intersect_docs,
+        "dataset_card_docs": q_dataset_card_docs,
+        "embedding_drift": q_embedding_drift,
+        "cat_drift_events": q_cat_drift_events,
+        "image_decontaminate_events": q_image_decontaminate_events,
+        # -- position 51+: within-family variants of in-window siblings --
+        "jpeg_psnr_gate": q_jpeg_psnr_gate,
+        "semdedup_clustered": q_semdedup_clustered,
+        "phash_dedup_resolve_events": q_phash_dedup_resolve_events,
+        "asof_next_purchase_events": q_asof_next_purchase_events,
+        "impute_mode_events": q_impute_mode_events,
+        "topk_cosine_partial": q_topk_cosine_partial,
+        "sliding_window_events": q_sliding_window_events,
+        "unpivot_lineitem": q_unpivot_lineitem,
+        # -- green in round 1 --
+        "images_validate": q_images_validate,
+        "engine_caption_parity": q_engine_caption_parity,
+        "exact_dups_docs": q_exact_dups_docs,
+        "minhash_neardup_docs": q_minhash_neardup_docs,
+        "neardup_components_docs": q_neardup_components_docs,
+        "dedup_resolve_docs": q_dedup_resolve_docs,
+        "simhash_neardup_docs": q_simhash_neardup_docs,
+        "topk_cosine": q_topk_cosine,
+        "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
+        "embedding_neardup": q_embedding_neardup,
+        # -- green in round 2 --
         "engine_suite_documents": q_engine_suite_documents,
         "engine_conditional_docs": q_engine_conditional_docs,
         "engine_monotonic_events": q_engine_monotonic_events,
         "engine_fd_events": q_engine_fd_events,
         "engine_json_events": q_engine_json_events,
         "fd_discovery_events": q_fd_discovery_events,
-        "quantize_embeddings": q_quantize_embeddings,
         "quantized_topk": q_quantized_topk,
         "heavy_hitters_events": q_heavy_hitters_events,
         "union_evolution_events": q_union_evolution_events,
@@ -4929,75 +5017,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_docs": q_boilerplate_docs,
         "url_features_docs": q_url_features_docs,
         "bigram_counts_docs": q_bigram_counts_docs,
-        "pca_embeddings": q_pca_embeddings,
-        "rank_normalize_events": q_rank_normalize_events,
-        "impute_events": q_impute_events,
-        "winsorize_events": q_winsorize_events,
-        "impute_mode_events": q_impute_mode_events,
-        "budget_select_docs": q_budget_select_docs,
-        "lm_quality_docs": q_lm_quality_docs,
-        "bigram_lm_docs": q_bigram_lm_docs,
-        "exact_dups_docs": q_exact_dups_docs,
-        "minhash_neardup_docs": q_minhash_neardup_docs,
-        "incremental_neardup_docs": q_incremental_neardup_docs,
-        "neardup_components_docs": q_neardup_components_docs,
-        "dedup_resolve_docs": q_dedup_resolve_docs,
-        "simhash_neardup_docs": q_simhash_neardup_docs,
-        "simhash_neardup_exact": q_simhash_neardup_exact,
-        "phash_neardup_events": q_phash_neardup_events,
-        "phash_dedup_resolve_events": q_phash_dedup_resolve_events,
-        "topk_cosine": q_topk_cosine,
-        "topk_cosine_partial": q_topk_cosine_partial,
-        "lsh_topk_embeddings": q_lsh_topk_embeddings,
-        "lsh_topk_exhaustive": q_lsh_topk_exhaustive,
-        "ivf_topk_embeddings": q_ivf_topk_embeddings,
-        "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
-        "embedding_neardup": q_embedding_neardup,
-        "semdedup_embeddings": q_semdedup_embeddings,
-        "semdedup_clustered": q_semdedup_clustered,
-        "engine_caption_parity": q_engine_caption_parity,
-        "images_validate": q_images_validate,
-        "jpeg_validate": q_jpeg_validate,
-        "jpeg_psnr_gate": q_jpeg_psnr_gate,
-        "webp_validate": q_webp_validate,
-        "transcode_images": q_transcode_images,
-        "det_split_docs": q_det_split_docs,
-        "leakage_split_docs": q_leakage_split_docs,
-        "cap_per_source_docs": q_cap_per_source_docs,
-        "chunk_docs": q_chunk_docs,
-        "mix_budget_docs": q_mix_budget_docs,
-        "repetition_docs": q_repetition_docs,
-        "contamination_docs": q_contamination_docs,
-        "decontaminate_docs": q_decontaminate_docs,
-        "scrub_pii_docs": q_scrub_pii_docs,
-        "pack_docs": q_pack_docs,
-        "image_batches_events": q_image_batches_events,
-        "curate_docs": q_curate_docs,
-        "corpus_report": q_corpus_report,
-        "sessionize_events": q_sessionize_events,
-        "sliding_window_events": q_sliding_window_events,
-        "asof_purchase_events": q_asof_purchase_events,
-        "asof_next_purchase_events": q_asof_next_purchase_events,
-        "zorder_events": q_zorder_events,
-        "bloom_anti_events": q_bloom_anti_events,
-        "corpus_rollup": q_corpus_rollup,
-        "weighted_sample_events": q_weighted_sample_events,
-        "expectations_lineitem": q_expectations_lineitem,
-        "topk_per_user_events": q_topk_per_user_events,
-        "row_diff_events": q_row_diff_events,
-        "skew_join_events": q_skew_join_events,
-        "dedup_resolve_quality_docs": q_dedup_resolve_quality_docs,
-        "pivot_user_events": q_pivot_user_events,
-        "except_intersect_docs": q_except_intersect_docs,
-        "dataset_card_docs": q_dataset_card_docs,
-        "unpivot_lineitem": q_unpivot_lineitem,
-        "embedding_drift": q_embedding_drift,
-        "cat_drift_events": q_cat_drift_events,
-        "image_decontaminate_events": q_image_decontaminate_events,
-        "curate_images_events": q_curate_images_events,
-        "incremental_phash_events": q_incremental_phash_events,
-        "snapshot_diff_events": q_snapshot_diff_events,
-        "crossmodal_events": q_crossmodal_events,
     }
 
 

@@ -1,0 +1,68 @@
+"""Registry hygiene for ``__spark_entry__`` — guards the driver contract.
+
+The correctness driver canonicalizes every query output with pandas
+``sort_values`` over all columns; a raw ``array<...>`` / ``map<...>``
+column crashes it with ``TypeError: unhashable type: 'list'`` (this
+killed ``quantize_embeddings`` in round 2). These tests make that class
+of regression impossible to land silently: every ``queries()`` entry
+must produce a schema of sortable scalar columns only, and every
+``oracle_sql()`` key must name a registered query.
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import types as T
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+# Types the driver's pandas canonicalizer can sort/hash. Binary is fine
+# (bytes are hashable); nested containers are not.
+_SCALAR_TYPES = (
+    T.StringType,
+    T.BooleanType,
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+    T.DateType,
+    T.TimestampType,
+    T.TimestampNTZType,
+    T.BinaryType,
+)
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = set(entry_mod.queries())
+    extra = set(entry_mod.oracle_sql()) - qs
+    assert not extra, f"oracle_sql keys without a queries() entry: {sorted(extra)}"
+
+
+def test_registry_window_prioritizes_unchecked():
+    # The driver samples the first 50 entries; keep the registry large
+    # enough that ordering matters and free of duplicate names.
+    names = list(entry_mod.queries())
+    assert len(names) == len(set(names))
+    assert len(names) >= 50
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_query_output_schema_is_scalar_only(spark, sf_dir, name):
+    fn = entry_mod.queries()[name]
+    df = fn(spark, sf_dir)  # lazy: builds the plan, no collect of rows
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if not isinstance(f.dataType, _SCALAR_TYPES)
+    ]
+    assert not bad, (
+        f"{name} emits non-scalar column(s) {bad} — the driver's pandas "
+        "canonicalizer cannot sort these; stringify (concat_ws/to_json) "
+        "or explode before returning"
+    )
