@@ -83,8 +83,9 @@ def encode_avi_mjpeg(
 
 def demux_avi_mjpeg(data: bytes) -> list[bytes]:
     """AVI bytes → list of JPEG frame payloads (scan order). Walks RIFF
-    LISTs recursively; collects video chunks (``..dc`` compressed /
-    ``..db`` uncompressed tags). Raises ``ValueError`` on non-AVI or
+    LISTs with an explicit stack of (start, end) ranges — hostile inputs
+    with thousands of nested LISTs cannot trigger RecursionError, so the
+    ValueError-only contract holds. Raises ``ValueError`` on non-AVI or
     structurally corrupt input."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI (bad RIFF header)")
@@ -92,22 +93,30 @@ def demux_avi_mjpeg(data: bytes) -> list[bytes]:
         raise ValueError("AVI exceeds the payload-size cap")
     frames: list[bytes] = []
 
-    def walk(buf: bytes) -> None:
-        pos = 0
-        n = len(buf)
-        while pos + 8 <= n:
-            tag = buf[pos : pos + 4]
-            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
-            payload = buf[pos + 8 : pos + 8 + size]
-            if len(payload) != size:
+    # Depth-first walk over (pos, end) ranges into `data` (no payload
+    # copies). A LIST pushes the remainder of the current range, then its
+    # own payload, preserving scan order. Each LIST strictly shrinks the
+    # range, so the stack is bounded by nesting depth but never recurses
+    # in Python frames.
+    stack: list[tuple[int, int]] = [(12, len(data))]
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if body_start + size > end:
                 raise ValueError("truncated AVI chunk")
+            nxt = body_start + size + (size % 2)
             if tag == b"LIST":
-                walk(payload[4:])  # skip the 4-byte list kind
-            elif tag[2:4] in (b"dc", b"db"):
-                frames.append(bytes(payload))
-            pos += 8 + size + (size % 2)
-
-    walk(data[12:])
+                if size < 4:
+                    raise ValueError("corrupt AVI: LIST shorter than kind")
+                stack.append((nxt, end))       # resume siblings after
+                pos, end = body_start + 4, body_start + size
+                continue                        # descend (skip list kind)
+            if tag[2:4] in (b"dc", b"db"):
+                frames.append(bytes(data[body_start : body_start + size]))
+            pos = nxt
     if not frames:
         raise ValueError("AVI contains no video frames")
     return frames

@@ -529,6 +529,39 @@ def test_audio_real_wav(spark):
     assert out[1]["ok"] is False and out[2]["ok"] is False
 
 
+def test_avi_hostile_nesting_and_corruption():
+    """The RIFF walk is iterative: a hostile AVI with thousands of nested
+    LISTs must raise nothing worse than ValueError (never RecursionError),
+    and structurally corrupt chunks must raise ValueError."""
+    import struct
+
+    from smcchecker_spark import avicodec
+
+    inner = b"00dc" + struct.pack("<I", 4) + b"ABCD"
+    body = inner
+    for _ in range(5000):
+        body = b"LIST" + struct.pack("<I", 4 + len(body)) + b"nest" + body
+    avi = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+    assert avicodec.demux_avi_mjpeg(avi) == [b"ABCD"]
+
+    with pytest.raises(ValueError, match="truncated AVI chunk"):
+        avicodec.demux_avi_mjpeg(
+            b"RIFF" + struct.pack("<I", 100) + b"AVI "
+            + b"00dc" + struct.pack("<I", 999) + b"xx"
+        )
+    with pytest.raises(ValueError, match="LIST shorter than kind"):
+        avicodec.demux_avi_mjpeg(
+            b"RIFF" + struct.pack("<I", 12) + b"AVI "
+            + b"LIST" + struct.pack("<I", 2) + b"xx"
+        )
+    # a LIST whose declared size overruns its parent must not be walked
+    with pytest.raises(ValueError, match="truncated AVI chunk"):
+        avicodec.demux_avi_mjpeg(
+            b"RIFF" + struct.pack("<I", 16) + b"AVI "
+            + b"LIST" + struct.pack("<I", 4000) + b"movi" + inner
+        )
+
+
 def test_video_real_avi_mjpeg(spark):
     """AVI-MJPEG demux is REAL (avicodec + jpegcodec): frames come back
     as PNGs of the JPEG-decoded pixels; a corrupt frame is skipped while
