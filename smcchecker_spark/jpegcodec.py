@@ -195,13 +195,25 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
 _LUT_CACHE: dict[tuple, list[int]] = {}
 
 
-def _build_lut(bits: tuple[int, ...], vals: tuple[int, ...]):
-    """2^16 decode LUT: next-16-bits (MSB-aligned) -> (symbol << 5) |
-    code length, packed into ONE int so the per-symbol loop pays a
-    single list indexing. 0 marks an invalid prefix (corrupt stream).
+def _build_lut(bits: tuple[int, ...], vals: tuple[int, ...], is_dc: bool):
+    """2^16 COMBINED decode LUT: next-16-bits (MSB-aligned) → one packed
+    int that resolves the Huffman code AND, whenever code+magnitude fit
+    in the window (the overwhelmingly common case), the EXTENDed signed
+    coefficient value — so the per-symbol loop pays ONE list index and
+    one branch instead of two window reads plus EXTEND arithmetic.
+
+    Entry layout (0 = invalid prefix / corrupt stream)::
+
+        op = e >> 22
+        op 1  combined:  advance = e & 31 (code+magnitude bits),
+                         run = (e >> 5) & 15, value = ((e >> 9) & 8191) - 2048
+        op 2  fallback (code+size don't fit 16 bits): code len = e & 31,
+                         size s = (e >> 5) & 15, run = (e >> 9) & 15
+        op 3  EOB,  op 4  ZRL: advance = e & 31
+
     Cached per table content — files reusing the Annex-K tables (ours,
     most encoders) build each LUT once per process."""
-    key = (bits, vals)
+    key = (bits, vals, is_dc)
     hit = _LUT_CACHE.get(key)
     if hit is not None:
         return hit
@@ -210,9 +222,32 @@ def _build_lut(bits: tuple[int, ...], vals: tuple[int, ...]):
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            sym = vals[k]
             lo = code << (16 - length)
             hi = (code + 1) << (16 - length)
-            packed[lo:hi] = (vals[k] << 5) | length
+            if hi > (1 << 16):
+                raise ValueError("corrupt JPEG: Huffman BITS overflow")
+            run, s = (0, sym) if is_dc else (sym >> 4, sym & 15)
+            if s > (11 if is_dc else 10):
+                raise ValueError("corrupt JPEG: bad Huffman size symbol")
+            if s == 0:
+                if is_dc:  # zero DC diff: combined, value 0
+                    packed[lo:hi] = (1 << 22) | (2048 << 9) | length
+                elif sym == 0x00:
+                    packed[lo:hi] = (3 << 22) | length  # EOB
+                elif sym == 0xF0:
+                    packed[lo:hi] = (4 << 22) | length  # ZRL
+                else:
+                    raise ValueError("corrupt JPEG: bad AC run/size symbol")
+            elif length + s <= 16:
+                idx = np.arange(lo, hi, dtype=np.int32)
+                mag = (idx >> (16 - length - s)) & ((1 << s) - 1)
+                val = np.where(mag >> (s - 1), mag, mag - (1 << s) + 1)
+                packed[lo:hi] = (
+                    (1 << 22) | ((val + 2048) << 9) | (run << 5) | (length + s)
+                )
+            else:
+                packed[lo:hi] = (2 << 22) | (run << 9) | (s << 5) | length
             code += 1
             k += 1
         code <<= 1
@@ -604,16 +639,31 @@ def encode_jpeg_gray(arr: np.ndarray, quality: int = 95) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def _window16(seg: bytes) -> list[int]:
-    """Sliding MSB-first 16-bit window at every bit offset of ``seg``
-    (zero-padded past the end) — 16 vectorized shift-ors, then one
-    tolist() so the per-symbol loop indexes Python ints."""
-    bits = np.unpackbits(np.frombuffer(seg, dtype=np.uint8))
-    nbits = len(bits)
+# entropy-data window slab: windows are materialized for at most this many
+# bytes at a time (~8x36 B of Python ints per byte), so a multi-megabyte
+# scan costs a bounded ~40 MB of transient window memory per task instead
+# of hundreds of MB — the rest of the scan is windowed on demand.
+_WINDOW_CHUNK_BYTES = 1 << 17
+
+# T.81 worst case per 8x8 data unit: 64 coefficients, each ≤16 code bits
+# + ≤11 magnitude bits → < 216 bytes. A segment longer than its block
+# budget cannot be a valid scan — reject before windowing (hostile
+# tiny-dims JPEGs with huge scans would otherwise cost GBs of windows).
+_MAX_BYTES_PER_BLOCK = 216
+
+
+def _window16(seg: bytes, b0: int, b1: int) -> list[int]:
+    """Sliding MSB-first 16-bit window at every bit offset in byte range
+    [b0, b1) of ``seg`` (16-bit lookahead reads seg[b1:b1+2]; zero-padded
+    past the segment end) — 16 vectorized shift-ors, then one tolist()
+    so the per-symbol loop indexes Python ints."""
+    chunk = seg[b0 : b1 + 2]
+    bits = np.unpackbits(np.frombuffer(chunk, dtype=np.uint8))
+    nb = 8 * (b1 - b0)
     b = np.concatenate([bits, np.zeros(16, dtype=np.uint8)]).astype(np.uint32)
-    w = np.zeros(nbits, dtype=np.uint32)
+    w = np.zeros(nb, dtype=np.uint32)
     for k in range(16):
-        w |= b[k : k + nbits] << (15 - k)
+        w |= b[k : k + nb] << (15 - k)
     return w.tolist()
 
 
@@ -634,7 +684,9 @@ class _Frame:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF JPEG bytes → HxWx3 uint8 (grayscale is replicated
-    to 3 channels — the engine's table schema is RGB). Raises
+    to 3 channels — the engine's table schema is RGB). Handles
+    interleaved and non-interleaved (single-component, T.81 A.2) scans,
+    including sequential multi-scan baseline files. Raises
     ``ValueError`` on anything corrupt or non-baseline."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
@@ -644,10 +696,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     luts: dict[tuple[int, int], list[int]] = {}
     frame: _Frame | None = None
     restart = 0
-    out = None
+    covered: set[int] = set()
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before the
+        # marker code — skip them rather than misreading 0xFF as a marker
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -685,14 +741,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = tuple(payload[p + 17 : p + 17 + nv])
                 if len(vals) != nv:
                     raise ValueError("corrupt JPEG: short DHT")
-                luts[(tc, th)] = _build_lut(bits, vals)
+                if tc > 1:
+                    raise ValueError("corrupt JPEG: bad Huffman table class")
+                luts[(tc, th)] = _build_lut(bits, vals, is_dc=(tc == 0))
                 p += 17 + nv
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if frame is not None:
+                raise ValueError("corrupt JPEG: multiple SOF markers")
             prec, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
             if nc not in (1, 3):
                 raise ValueError(f"unsupported JPEG component count {nc}")
+            if fh == 0 or fw == 0:
+                raise ValueError("JPEG has zero-pixel dimensions")
+            if fh * fw * 3 > (1 << 30):
+                raise ValueError("JPEG dimensions exceed the decoded-size cap")
             frame = _Frame()
             frame.h, frame.w = fh, fw
             frame.comps = []
@@ -711,10 +775,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
             ns = payload[0]
-            scan_tabs = {}
+            if not (1 <= ns <= len(frame.comps)):
+                raise ValueError("corrupt JPEG: bad scan component count")
+            scan_list = []  # (cid, dc table id, ac table id) in SOS order
             for c in range(ns):
                 cid, tt = payload[1 + 2 * c : 3 + 2 * c]
-                scan_tabs[cid] = (tt >> 4, tt & 15)
+                scan_list.append((cid, tt >> 4, tt & 15))
             # entropy data runs to the next non-RST/non-stuffed marker.
             # Unstuffing hops between 0xFF positions with bytes.find and
             # slice-copies the (overwhelmingly non-FF) runs in between —
@@ -742,30 +808,28 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     break
             segs.append(bytes(cur))
             pos = p
-            out = _decode_scan(frame, qts, luts, scan_tabs, segs, restart)
+            _decode_scan_into(frame, luts, scan_list, segs, restart, covered)
         # APPn/COM/other: skipped
-    if out is None:
+    if frame is None or not covered:
         raise ValueError("corrupt JPEG: no decoded scan")
-    return out
+    if covered != {c["id"] for c in frame.comps}:
+        raise ValueError("corrupt JPEG: component never scanned")
+    return _reconstruct(frame, qts)
 
 
-def _decode_scan(frame, qts, luts, scan_tabs, segs, restart):
-    h, w = frame.h, frame.w
-    if h == 0 or w == 0:
-        raise ValueError("JPEG has zero-pixel dimensions")
-    if h * w * 3 > (1 << 30):
-        raise ValueError("JPEG dimensions exceed the decoded-size cap")
+def _ensure_coef(frame, mcux: int, mcuy: int) -> None:
+    """Allocate per-component coefficient stores once per frame (shared
+    across the scans of a multi-scan file).
+
+    Storage: list-of-lists is the fastest thing the symbol loop can
+    write into, but costs ~28 bytes/int — a hostile header claiming
+    max-cap dims would transiently need >20 GB on an executor. Above a
+    block threshold, store rows in a compact int32 matrix (4 B/coeff,
+    ~1.3x the decoded-pixel bytes) and pay one row-assign per block;
+    thumbnails keep the fast path."""
     comps = frame.comps
-    hmax = max(c["hi"] for c in comps)
-    vmax = max(c["vi"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    # coefficient storage: list-of-lists is the fastest thing the symbol
-    # loop can write into, but costs ~28 bytes/int — a hostile header
-    # claiming max-cap dims would transiently need >20 GB on an executor.
-    # Above a block threshold, store rows in a compact int32 matrix
-    # (4 B/coeff, ~1.3x the decoded-pixel bytes) and pay one row-assign
-    # per block; thumbnails keep the fast path.
+    if "coef" in comps[0]:
+        return
     compact = (
         sum(mcux * c["hi"] * mcuy * c["vi"] for c in comps)
         > _COMPACT_COEF_BLOCKS
@@ -779,101 +843,185 @@ def _decode_scan(frame, qts, luts, scan_tabs, segs, restart):
             if compact
             else [[0] * 64 for _ in range(nb)]
         )
-        tabs = scan_tabs.get(c["id"])
-        if tabs is None:
-            raise ValueError("corrupt JPEG: scan component not in SOS")
-        dc = luts.get((0, tabs[0]))
-        ac = luts.get((1, tabs[1]))
+
+
+def _decode_scan_into(frame, luts, scan_list, segs, restart, covered):
+    """Decode one scan's entropy data into the frame's coefficient
+    stores. Interleaved (multi-component) scans walk the full-frame MCU
+    grid; a single-component scan is non-interleaved per T.81 A.2 — one
+    data unit per MCU over the component's own ceil(x_i/8) x ceil(y_i/8)
+    block grid."""
+    h, w = frame.h, frame.w
+    comps = frame.comps
+    byid = {c["id"]: c for c in comps}
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    _ensure_coef(frame, mcux, mcuy)
+    interleaved = len(scan_list) > 1
+
+    # per-component template: block index = my*rowstep + mx*colstep + off
+    tmpl = []
+    scan_mcux, scan_total = mcux, mcux * mcuy
+    for cid, td, ta in scan_list:
+        c = byid.get(cid)
+        if c is None:
+            raise ValueError("corrupt JPEG: scan component not in frame")
+        if cid in covered:
+            raise ValueError("corrupt JPEG: component scanned twice")
+        covered.add(cid)
+        dc = luts.get((0, td))
+        ac = luts.get((1, ta))
         if dc is None or ac is None:
             raise ValueError("corrupt JPEG: missing Huffman table")
-        c["dc"], c["ac"] = dc, ac
-        if c["tq"] not in qts:
-            raise ValueError("corrupt JPEG: missing quant table")
+        bw = c["bw"]
+        if interleaved:
+            hi_, vi_ = c["hi"], c["vi"]
+            offs = [by * bw + bx for by in range(vi_) for bx in range(hi_)]
+            tmpl.append((dc, ac, c["coef"], vi_ * bw, hi_, offs))
+        else:
+            xi = -(-w * c["hi"] // hmax)  # T.81 A.1.1 component dims
+            yi = -(-h * c["vi"] // vmax)
+            scan_mcux = -(-xi // 8)
+            scan_total = scan_mcux * (-(-yi // 8))
+            tmpl.append((dc, ac, c["coef"], bw, 1, [0]))
 
-    total_mcus = mcux * mcuy
-    per_seg = restart if restart else total_mcus
+    blocks_per_mcu = sum(len(t[5]) for t in tmpl)
+    per_seg = restart if restart else scan_total
     zz = ZIGZAG.tolist()
-    # flatten per-component state into tuples — dict lookups and
-    # attribute chasing must stay out of the per-symbol loop
-    cstate = [
-        (ci, c["dc"], c["ac"], c["coef"], c["bw"], c["hi"], c["vi"])
-        for ci, c in enumerate(comps)
-    ]
+    npreds = len(tmpl)
+    chunk = _WINDOW_CHUNK_BYTES
     mcu = 0
     for seg_bytes in segs:
-        if mcu >= total_mcus:
+        if mcu >= scan_total:
             break
-        wv = _window16(seg_bytes)
-        nbits = len(wv)
+        seg_end = min(mcu + per_seg, scan_total)
+        # reject segments beyond the worst-case entropy budget BEFORE
+        # windowing: bounded window memory is only meaningful if a
+        # hostile scan can't make us walk gigabytes of it
+        if len(seg_bytes) > (seg_end - mcu) * blocks_per_mcu * \
+                _MAX_BYTES_PER_BLOCK + 64:
+            raise ValueError(
+                "corrupt JPEG: entropy segment exceeds worst-case budget"
+            )
+        nbits = 8 * len(seg_bytes)
+        # window slab state: wv covers bits [lo, hi_b); refilled on demand
+        lo = hi_b = 0
+        wv: list[int] = []
         p = 0
-        preds = [0] * len(comps)
-        seg_end = min(mcu + per_seg, total_mcus)
+        preds = [0] * npreds
         while mcu < seg_end:
-            my, mx = divmod(mcu, mcux)
-            for ci, dc_lut, ac_lut, coef, bw, hi, vi in cstate:
-                for by in range(vi):
-                    for bx in range(hi):
-                        blk = coef[(my * vi + by) * bw + (mx * hi + bx)]
+            my, mx = divmod(mcu, scan_mcux)
+            ti = 0
+            for dc_lut, ac_lut, coef, rowstep, colstep, offs in tmpl:
+                base = my * rowstep + mx * colstep
+                for off in offs:
+                    blk = coef[base + off]
+                    # ---- DC ----
+                    if p >= hi_b:
                         if p >= nbits:
                             raise ValueError("corrupt JPEG: scan underrun")
-                        v = dc_lut[wv[p]]
-                        if v == 0:
-                            raise ValueError("corrupt JPEG: bad Huffman code")
-                        p += v & 31
-                        s = v >> 5
-                        if s:
+                        b0 = p >> 3
+                        b1 = min(b0 + chunk, len(seg_bytes))
+                        lo, hi_b = 8 * b0, 8 * b1
+                        wv = _window16(seg_bytes, b0, b1)
+                    e = dc_lut[wv[p - lo]]
+                    if e == 0:
+                        raise ValueError("corrupt JPEG: bad Huffman code")
+                    op = e >> 22
+                    p += e & 31
+                    if op == 1:
+                        d = ((e >> 9) & 8191) - 2048
+                    else:  # fallback: magnitude bits beyond the window
+                        s = (e >> 5) & 15
+                        if p >= hi_b:
                             if p >= nbits:
-                                raise ValueError("corrupt JPEG: scan underrun")
-                            mag = wv[p] >> (16 - s)
-                            p += s
-                            # inline EXTEND — runs once per coefficient
-                            preds[ci] += (
-                                mag
-                                if mag >> (s - 1)
-                                else mag - (1 << s) + 1
-                            )
-                            # valid 8-bit baseline DC stays within ±2048;
-                            # a runaway predictor only happens on corrupt
-                            # streams and would overflow the compact
-                            # int32 store (OverflowError ≠ the ValueError
-                            # contract) — reject loudly instead
-                            if not (-32768 <= preds[ci] <= 32767):
                                 raise ValueError(
-                                    "corrupt JPEG: DC predictor overflow"
+                                    "corrupt JPEG: scan underrun"
                                 )
-                        blk[0] = preds[ci]
-                        k = 1
-                        while k < 64:
+                            b0 = p >> 3
+                            b1 = min(b0 + chunk, len(seg_bytes))
+                            lo, hi_b = 8 * b0, 8 * b1
+                            wv = _window16(seg_bytes, b0, b1)
+                        mag = wv[p - lo] >> (16 - s)
+                        p += s
+                        d = mag if mag >> (s - 1) else mag - (1 << s) + 1
+                    pred = preds[ti] + d
+                    # valid 8-bit baseline DC stays within ±2048; a
+                    # runaway predictor only happens on corrupt streams
+                    # and would overflow the compact int32 store
+                    # (OverflowError ≠ the ValueError contract)
+                    if not (-32768 <= pred <= 32767):
+                        raise ValueError(
+                            "corrupt JPEG: DC predictor overflow"
+                        )
+                    preds[ti] = pred
+                    blk[0] = pred
+                    # ---- AC ----
+                    k = 1
+                    while k < 64:
+                        if p >= hi_b:
                             if p >= nbits:
-                                raise ValueError("corrupt JPEG: scan underrun")
-                            v = ac_lut[wv[p]]
-                            if v == 0:
-                                raise ValueError("corrupt JPEG: bad Huffman code")
-                            p += v & 31
-                            sym = v >> 5
-                            s = sym & 15
-                            if s == 0:
-                                if sym == 0xF0:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += sym >> 4
+                                raise ValueError(
+                                    "corrupt JPEG: scan underrun"
+                                )
+                            b0 = p >> 3
+                            b1 = min(b0 + chunk, len(seg_bytes))
+                            lo, hi_b = 8 * b0, 8 * b1
+                            wv = _window16(seg_bytes, b0, b1)
+                        e = ac_lut[wv[p - lo]]
+                        if e == 0:
+                            raise ValueError(
+                                "corrupt JPEG: bad Huffman code"
+                            )
+                        op = e >> 22
+                        p += e & 31
+                        if op == 1:  # combined code+value
+                            k += (e >> 5) & 15
                             if k > 63:
                                 raise ValueError("corrupt JPEG: AC overrun")
-                            if p >= nbits:
-                                raise ValueError("corrupt JPEG: scan underrun")
-                            mag = wv[p] >> (16 - s)
+                            blk[zz[k]] = ((e >> 9) & 8191) - 2048
+                            k += 1
+                        elif op == 3:  # EOB
+                            break
+                        elif op == 4:  # ZRL
+                            k += 16
+                        else:  # fallback
+                            s = (e >> 5) & 15
+                            k += (e >> 9) & 15
+                            if k > 63:
+                                raise ValueError("corrupt JPEG: AC overrun")
+                            if p >= hi_b:
+                                if p >= nbits:
+                                    raise ValueError(
+                                        "corrupt JPEG: scan underrun"
+                                    )
+                                b0 = p >> 3
+                                b1 = min(b0 + chunk, len(seg_bytes))
+                                lo, hi_b = 8 * b0, 8 * b1
+                                wv = _window16(seg_bytes, b0, b1)
+                            mag = wv[p - lo] >> (16 - s)
                             p += s
                             blk[zz[k]] = (
-                                mag
-                                if mag >> (s - 1)
+                                mag if mag >> (s - 1)
                                 else mag - (1 << s) + 1
                             )
                             k += 1
+                ti += 1
             mcu += 1
-    if mcu < total_mcus:
+    if mcu < scan_total:
         raise ValueError("corrupt JPEG: missing MCUs")
 
+
+def _reconstruct(frame, qts):
+    h, w = frame.h, frame.w
+    comps = frame.comps
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
+    for c in comps:
+        if c["tq"] not in qts:
+            raise ValueError("corrupt JPEG: missing quant table")
     planes = []
     for c in comps:
         coef = np.asarray(c["coef"], dtype=np.float64) * qts[c["tq"]]

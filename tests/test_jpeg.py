@@ -329,3 +329,137 @@ def test_compact_coefficient_path_parity(monkeypatch):
     monkeypatch.setattr(jc, "_COMPACT_COEF_BLOCKS", 1)  # force compact
     compact = jc.decode_jpeg(data)
     assert np.array_equal(fast, compact)
+
+
+# ---------------------------------------------------------------------------
+# T.81 conformance paths our own encoder never emits (round-3 ADVICE items):
+# fill bytes, non-interleaved scans, multi-scan baseline, entropy budgets
+# ---------------------------------------------------------------------------
+
+
+def test_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker code. Spec-valid padded files must decode identically."""
+    a = _noise(24, 16, seed=41)
+    base = jc.encode_jpeg(a, quality=90)
+    ref = jc.decode_jpeg(base)
+    padded = bytearray(base)
+    # pad before DQT, SOF0, SOS and EOI (markers found in the raw bytes;
+    # all sit outside entropy data for our writer's layout)
+    for m in (b"\xff\xdb", b"\xff\xc0", b"\xff\xda", b"\xff\xd9"):
+        at = bytes(padded).index(m)
+        padded[at:at] = b"\xff" * 3
+    dec = jc.decode_jpeg(bytes(padded))
+    assert np.array_equal(dec, ref)
+
+
+@pytest.mark.parametrize("h,w", [(16, 16), (24, 24), (40, 24), (17, 23)])
+def test_gray_2x2_sampling_is_non_interleaved(h, w):
+    """T.81 A.2: a single-component scan is non-interleaved — one data
+    unit per MCU on the component's own ceil(dims/8) grid — regardless
+    of the SOF sampling factors. A grayscale SOF declaring 2x2 sampling
+    must decode identically to the 1x1 version (libjpeg behaves the
+    same way)."""
+    a = np.random.default_rng(h * 100 + w).integers(
+        0, 256, (h, w), dtype=np.uint8
+    )
+    enc = bytearray(jc.encode_jpeg_gray(a, quality=95))
+    ref = jc.decode_jpeg(bytes(enc))
+    at = bytes(enc).index(b"\xff\xc0")
+    hv_off = at + 2 + 2 + 1 + 2 + 2 + 1 + 1  # SOF comp #1 H/V byte
+    assert enc[hv_off] == 0x11
+    enc[hv_off] = 0x22
+    assert np.array_equal(jc.decode_jpeg(bytes(enc)), ref)
+
+
+def _encode_multi_scan(a: np.ndarray, quality: int) -> bytes:
+    """Test-only writer: 4:4:4 color baseline with THREE sequential
+    single-component scans (T.81 sequential multi-scan layout) carrying
+    the exact quantized coefficients of the interleaved encoder."""
+    h, w = a.shape[:2]
+    lum_qt, chm_qt = jc.quality_tables(quality)
+    rgb = a.astype(np.float64)
+    planes = (
+        rgb @ jc._RGB2Y,
+        rgb @ jc._RGB2CB + 128.0,
+        rgb @ jc._RGB2CR + 128.0,
+    )
+    base = jc.encode_jpeg(a, quality=quality)  # headers template
+    sos_at = base.index(b"\xff\xda")
+    headers = base[:sos_at]
+    out = bytearray(headers)
+    bh, bw = -(-h // 8), -(-w // 8)
+    for cid, (plane, qt, cls) in enumerate(
+        zip(planes, (lum_qt, chm_qt, chm_qt), (0, 1, 1)), start=1
+    ):
+        padded = np.pad(
+            plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+        )
+        blocks = jc._to_blocks(padded) - 128.0
+        q = np.rint((jc._DCT @ blocks @ jc._DCT.T) / qt.reshape(8, 8))
+        zz = q.astype(np.int64).reshape(-1, 64)[:, jc.ZIGZAG]
+        vals, lens = jc._entropy_tokens(
+            [zz], [(bh, bw)], [(1, 1)], [cls], bw, bh
+        )
+        tt = 0x00 if cls == 0 else 0x11
+        sos = b"\xff\xda\x00\x08\x01" + bytes([cid, tt]) + b"\x00\x3f\x00"
+        out += sos + jc._pack_bits(vals, lens)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_multi_scan_baseline_decodes():
+    """Sequential baseline files may carry each component in its own
+    SOS (one coefficient store shared across scans). Must decode
+    identically to the interleaved layout of the same coefficients."""
+    a = _noise(17, 23, seed=43)
+    ref = jc.decode_jpeg(jc.encode_jpeg(a, quality=90))
+    dec = jc.decode_jpeg(_encode_multi_scan(a, quality=90))
+    assert np.array_equal(dec, ref)
+
+
+def test_component_scanned_twice_rejected():
+    a = _noise(16, 16, seed=44)
+    data = _encode_multi_scan(a, quality=90)
+    # duplicate the first scan: find the first two SOS offsets
+    first = data.index(b"\xff\xda")
+    second = data.index(b"\xff\xda", first + 2)
+    doubled = data[:second] + data[first:second] + data[second:]
+    with pytest.raises(ValueError, match="scanned twice"):
+        jc.decode_jpeg(doubled)
+
+
+def test_component_never_scanned_rejected():
+    a = _noise(16, 16, seed=45)
+    data = _encode_multi_scan(a, quality=90)
+    # truncate after the second scan (drop component 3's SOS entirely)
+    third = data.index(b"\xff\xda", data.index(
+        b"\xff\xda", data.index(b"\xff\xda") + 2) + 2)
+    with pytest.raises(ValueError, match="never scanned"):
+        jc.decode_jpeg(data[:third] + b"\xff\xd9")
+
+
+def test_entropy_budget_rejects_oversized_scan():
+    """A hostile tiny-dims JPEG with a multi-MB scan must be rejected
+    BEFORE the decoder materializes bit windows for it (bounded memory
+    per task) — T.81's worst case bounds valid scans at <216 bytes per
+    8x8 block."""
+    a = _noise(8, 8, seed=46)
+    data = jc.encode_jpeg(a, quality=90)
+    eoi = data.rindex(b"\xff\xd9")
+    # 64 KB of zero bytes is valid entropy padding byte-wise (no 0xFF),
+    # but blows the 3-block budget by ~100x
+    hostile = data[:eoi] + b"\x00" * 65536 + data[eoi:]
+    with pytest.raises(ValueError, match="worst-case budget"):
+        jc.decode_jpeg(hostile)
+
+
+def test_window_chunk_refill_parity(monkeypatch):
+    """Entropy windows are materialized in bounded slabs; force a tiny
+    slab so every refill site (DC code, DC magnitude, AC code, AC
+    magnitude) triggers repeatedly and assert bit-exact parity."""
+    a = _noise(32, 32, seed=47)
+    data = jc.encode_jpeg(a, quality=98)
+    ref = jc.decode_jpeg(data)
+    monkeypatch.setattr(jc, "_WINDOW_CHUNK_BYTES", 7)
+    assert np.array_equal(jc.decode_jpeg(data), ref)
