@@ -949,14 +949,18 @@ def resolve_duplicates(
     id_a: str = "id_a",
     id_b: str = "id_b",
     keep_by: str | None = None,
+    broadcast_components: bool = True,
 ) -> DataFrame:
     """Keep one canonical row per near-dup component; rows in no pair
     pass through untouched. ``components`` holds only dup-cluster
-    members — a sliver for curated corpora, but a web corpus can be
-    30%+ duplicates, so the comp join is deliberately UNHINTED: it
-    carries (id, component) longs only, shuffles fine at any scale,
-    and AQE demotes it to broadcast when comp turns out small. The
-    corpus is scanned once either way.
+    members — (id, component) longs bounded by the dup-pair count — so
+    by default it attaches through a BROADCAST left join (map-only for
+    the corpus: no corpus-side sort or shuffle, mirroring
+    ``leakage_safe_split``). For pathologically dup-heavy corpora
+    (a web crawl can be 30%+ duplicates, where comp stops being
+    broadcast-scale) set ``broadcast_components=False`` to fall back to
+    a shuffle join that AQE demotes to broadcast when comp turns out
+    small. The corpus is scanned once either way.
 
     Canonical selection: smallest id by default; with ``keep_by`` the
     component member with the GREATEST value of that column wins (ties
@@ -967,6 +971,8 @@ def resolve_duplicates(
     from pyspark.sql import Window
 
     comp = connected_components(pairs, id_a, id_b)
+    if broadcast_components:
+        comp = F.broadcast(comp)
     joined = df.join(
         comp, df[id_col] == comp["id"], "left"
     )
@@ -978,14 +984,15 @@ def resolve_duplicates(
     w = Window.partitionBy("component").orderBy(
         F.desc_nulls_last(keep_by), F.asc(df[id_col])
     )
-    # one row per component — same order of magnitude as comp itself,
-    # which at a 30%-duplicate web corpus is NOT broadcast-scale; no
-    # hint, AQE demotes the join to broadcast when it IS small
+    # one row per component — strictly smaller than comp, so it follows
+    # the same broadcast policy
     winners = (
         members.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(df[id_col].alias("__win"))
     )
+    if broadcast_components:
+        winners = F.broadcast(winners)
     out = joined.join(winners, df[id_col] == F.col("__win"), "left")
     return (
         out.filter(comp["component"].isNull() | F.col("__win").isNotNull())
