@@ -517,8 +517,178 @@ def _apply_predictor_inverse(
     img: np.ndarray, pred_img: np.ndarray, bits: int
 ) -> np.ndarray:
     """Predictor transform inverse: each stored value is residual +
-    prediction (mod 256), scanline order. Per-pixel Python — transform
-    images are thumbnail-sized in this engine's corpora."""
+    prediction (mod 256), scanline order. Real-world lossless WebPs
+    nearly always carry this transform at FULL resolution, so the walk
+    is vectorized per block-row segment wherever the mode's prediction
+    does not read the left neighbor (modes 0/2/3/4/8/9: pure numpy
+    over the previous decoded row; mode 1 via cumsum); only the
+    genuinely left-sequential modes (5/6/7/10/11/12/13) fall back to a
+    per-pixel walk, and that walk runs on Python ints over row lists —
+    no numpy scalar churn. Property-tested against
+    :func:`_predictor_inverse_scalar` (the straight-from-spec form)."""
+    h, w = img.shape[:2]
+    res = img.astype(np.int32)
+    out = np.empty_like(res)
+    # row 0: (0,0) predicts [255,0,0,0], the rest predict from L
+    out[0] = np.cumsum(res[0], axis=0)
+    out[0, :, 0] += 255
+    out[0] &= 0xFF
+    block = 1 << bits
+    for y in range(1, h):
+        prev = out[y - 1]
+        out[y, 0] = (res[y, 0] + prev[0]) & 0xFF  # x==0 predicts T
+        cur_list = prev_list = None  # row lists, built lazily on demand
+        modes = pred_img[y >> bits, : ((w - 1) >> bits) + 1, 2]
+        x = 1
+        while x < w:
+            x1 = min((x // block + 1) * block, w)
+            mode = int(modes[x >> bits])
+            if mode in (0, 2, 3, 4, 8, 9):
+                seg = res[y, x:x1]
+                if mode == 0:
+                    px = seg.copy()
+                    px[:, 0] += 255
+                elif mode == 2:
+                    px = seg + prev[x:x1]
+                elif mode == 4:
+                    px = seg + prev[x - 1 : x1 - 1]
+                else:
+                    tr = prev[x + 1 : x1 + 1]
+                    if x1 == w:  # TR of the last pixel wraps to out[y,0]
+                        tr = np.concatenate([tr, out[y, 0:1]])
+                    if mode == 3:
+                        px = seg + tr
+                    elif mode == 8:
+                        px = seg + (prev[x - 1 : x1 - 1] + prev[x:x1]) // 2
+                    else:  # 9
+                        px = seg + (prev[x:x1] + tr) // 2
+                out[y, x:x1] = px & 0xFF
+                if cur_list is not None:
+                    cur_list[4 * x : 4 * x1] = (
+                        out[y, x:x1].reshape(-1).tolist()
+                    )
+            elif mode == 1:  # pred = L → running sum along the segment
+                px = np.cumsum(res[y, x:x1], axis=0) + out[y, x - 1]
+                out[y, x:x1] = px & 0xFF
+                if cur_list is not None:
+                    cur_list[4 * x : 4 * x1] = (
+                        out[y, x:x1].reshape(-1).tolist()
+                    )
+            else:
+                if mode > 13:
+                    raise ValueError("corrupt VP8L: bad predictor mode")
+                if cur_list is None:
+                    # FLAT channel lists (4w ints): per-pixel nested-list
+                    # allocation was ~40% of the scalar walk
+                    cur_list = out[y].reshape(-1).tolist()
+                    prev_list = prev.reshape(-1).tolist()
+                _predict_segment_scalar(
+                    res[y, x:x1].reshape(-1).tolist(), cur_list,
+                    prev_list, x, x1, w, mode,
+                )
+                out[y].reshape(-1)[4 * x : 4 * x1] = cur_list[
+                    4 * x : 4 * x1
+                ]
+            x = x1
+    return out.astype(np.uint8)
+
+
+def _predict_segment_scalar(
+    seg: list, cur: list, prev: list, x0: int, x1: int, w: int, mode: int
+) -> None:
+    """Left-sequential predictor modes (5/6/7/10/11/12/13) over one
+    block segment, channel math on Python ints; writes into ``cur``."""
+    # channel math fully unrolled over FLAT 4w-int channel lists — this
+    # is the per-pixel hot loop for the left-sequential modes; nested
+    # per-pixel lists and range(4) comprehensions cost ~3x
+    b = 4 * (x0 - 1)
+    L0, L1, L2, L3 = cur[b], cur[b + 1], cur[b + 2], cur[b + 3]
+    j = 0
+    for x in range(x0, x1):
+        b = 4 * x
+        r0, r1, r2, r3 = seg[j], seg[j + 1], seg[j + 2], seg[j + 3]
+        j += 4
+        T0, T1, T2, T3 = prev[b], prev[b + 1], prev[b + 2], prev[b + 3]
+        A0, A1, A2, A3 = (
+            prev[b - 4], prev[b - 3], prev[b - 2], prev[b - 1],
+        )  # TL
+        if mode == 5:
+            if x + 1 < w:  # TR
+                B0, B1, B2, B3 = (
+                    prev[b + 4], prev[b + 5], prev[b + 6], prev[b + 7],
+                )
+            else:
+                B0, B1, B2, B3 = cur[0], cur[1], cur[2], cur[3]
+            p0 = ((L0 + B0) // 2 + T0) // 2
+            p1 = ((L1 + B1) // 2 + T1) // 2
+            p2 = ((L2 + B2) // 2 + T2) // 2
+            p3 = ((L3 + B3) // 2 + T3) // 2
+        elif mode == 6:
+            p0 = (L0 + A0) // 2
+            p1 = (L1 + A1) // 2
+            p2 = (L2 + A2) // 2
+            p3 = (L3 + A3) // 2
+        elif mode == 7:
+            p0 = (L0 + T0) // 2
+            p1 = (L1 + T1) // 2
+            p2 = (L2 + T2) // 2
+            p3 = (L3 + T3) // 2
+        elif mode == 10:
+            if x + 1 < w:
+                B0, B1, B2, B3 = (
+                    prev[b + 4], prev[b + 5], prev[b + 6], prev[b + 7],
+                )
+            else:
+                B0, B1, B2, B3 = cur[0], cur[1], cur[2], cur[3]
+            p0 = ((L0 + A0) // 2 + (T0 + B0) // 2) // 2
+            p1 = ((L1 + A1) // 2 + (T1 + B1) // 2) // 2
+            p2 = ((L2 + A2) // 2 + (T2 + B2) // 2) // 2
+            p3 = ((L3 + A3) // 2 + (T3 + B3) // 2) // 2
+        elif mode == 11:  # Select
+            p0 = L0 + T0 - A0
+            p1 = L1 + T1 - A1
+            p2 = L2 + T2 - A2
+            p3 = L3 + T3 - A3
+            pl = abs(p0 - L0) + abs(p1 - L1) + abs(p2 - L2) + abs(p3 - L3)
+            pt = abs(p0 - T0) + abs(p1 - T1) + abs(p2 - T2) + abs(p3 - T3)
+            if pl < pt:
+                p0, p1, p2, p3 = L0, L1, L2, L3
+            else:
+                p0, p1, p2, p3 = T0, T1, T2, T3
+        elif mode == 12:  # ClampAddSubtractFull
+            p0 = min(255, max(0, L0 + T0 - A0))
+            p1 = min(255, max(0, L1 + T1 - A1))
+            p2 = min(255, max(0, L2 + T2 - A2))
+            p3 = min(255, max(0, L3 + T3 - A3))
+        else:  # 13: ClampAddSubtractHalf (C truncates toward 0)
+            a = (L0 + T0) // 2
+            d = a - A0
+            p0 = min(255, max(0, a + (d // 2 if d >= 0 else -((-d) // 2))))
+            a = (L1 + T1) // 2
+            d = a - A1
+            p1 = min(255, max(0, a + (d // 2 if d >= 0 else -((-d) // 2))))
+            a = (L2 + T2) // 2
+            d = a - A2
+            p2 = min(255, max(0, a + (d // 2 if d >= 0 else -((-d) // 2))))
+            a = (L3 + T3) // 2
+            d = a - A3
+            p3 = min(255, max(0, a + (d // 2 if d >= 0 else -((-d) // 2))))
+        L0 = (r0 + p0) & 0xFF
+        L1 = (r1 + p1) & 0xFF
+        L2 = (r2 + p2) & 0xFF
+        L3 = (r3 + p3) & 0xFF
+        cur[b] = L0
+        cur[b + 1] = L1
+        cur[b + 2] = L2
+        cur[b + 3] = L3
+
+
+def _predictor_inverse_scalar(
+    img: np.ndarray, pred_img: np.ndarray, bits: int
+) -> np.ndarray:
+    """Straight-from-spec per-pixel predictor inverse — the reference
+    form :func:`_apply_predictor_inverse` is property-tested against
+    (kept runnable, never on the hot path)."""
     h, w = img.shape[:2]
     out = img.astype(np.int32)
 

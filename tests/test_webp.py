@@ -468,3 +468,41 @@ def test_oversize_header_rejected():
     body[4] |= 0x0F  # bits 0..27 of the VP8L header → w-1 = h-1 = 16383
     with pytest.raises(ValueError, match="decoded-size cap"):
         wc.decode_webp(bytes(data[:20]) + bytes(body))
+
+
+def test_predictor_inverse_vectorized_parity():
+    """The row-vectorized predictor inverse must be bit-identical to
+    the straight-from-spec per-pixel reference across every mode, mixed
+    block modes, block sizes, and edge widths (TR wrap at x = w-1)."""
+    rng = np.random.default_rng(99)
+    for bits in (2, 3, 4):
+        for h, w in ((1, 1), (2, 17), (9, 8), (23, 33), (16, 16)):
+            res = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+            tw = (w + (1 << bits) - 1) >> bits
+            th = (h + (1 << bits) - 1) >> bits
+            pred = np.zeros((th, tw, 4), dtype=np.uint8)
+            pred[:, :, 2] = rng.integers(0, 14, (th, tw))
+            fast = wc._apply_predictor_inverse(res, pred, bits)
+            ref = wc._predictor_inverse_scalar(res, pred, bits)
+            assert np.array_equal(fast, ref), (bits, h, w)
+
+
+def test_predictor_inverse_single_mode_parity():
+    """Every mode alone over the whole image (catches a wrong formula
+    that mixed-mode noise might mask)."""
+    rng = np.random.default_rng(7)
+    for mode in range(14):
+        res = rng.integers(0, 256, (11, 13, 4), dtype=np.uint8)
+        pred = np.zeros((1, 1, 4), dtype=np.uint8)
+        pred[0, 0, 2] = mode
+        fast = wc._apply_predictor_inverse(res, pred, bits=8)
+        ref = wc._predictor_inverse_scalar(res, pred, bits=8)
+        assert np.array_equal(fast, ref), mode
+
+
+def test_predictor_inverse_bad_mode_rejected():
+    res = np.zeros((4, 4, 4), dtype=np.uint8)
+    pred = np.zeros((1, 1, 4), dtype=np.uint8)
+    pred[0, 0, 2] = 14
+    with pytest.raises(ValueError, match="bad predictor mode"):
+        wc._apply_predictor_inverse(res, pred, bits=8)
