@@ -49,6 +49,8 @@ import struct
 
 import numpy as np
 
+from smcchecker_spark import native as _native
+
 # ---------------------------------------------------------------------------
 # Public-spec constants (ITU-T T.81 Annex K)
 # ---------------------------------------------------------------------------
@@ -253,7 +255,9 @@ def _build_lut(bits: tuple[int, ...], vals: tuple[int, ...], is_dc: bool):
         code <<= 1
     if k != len(vals):
         raise ValueError("corrupt JPEG: Huffman BITS/HUFFVAL mismatch")
-    out = packed.tolist()  # list indexing beats np scalars in the loop
+    # both forms cached: the Python loop indexes the list (list indexing
+    # beats np scalars), the native kernel reads the int32 array directly
+    out = (packed.tolist(), packed)
     _LUT_CACHE[key] = out
     return out
 
@@ -817,20 +821,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     return _reconstruct(frame, qts)
 
 
-def _ensure_coef(frame, mcux: int, mcuy: int) -> None:
+def _ensure_coef(
+    frame, mcux: int, mcuy: int, force_compact: bool = False
+) -> None:
     """Allocate per-component coefficient stores once per frame (shared
     across the scans of a multi-scan file).
 
-    Storage: list-of-lists is the fastest thing the symbol loop can
-    write into, but costs ~28 bytes/int — a hostile header claiming
+    Storage: list-of-lists is the fastest thing the PYTHON symbol loop
+    can write into, but costs ~28 bytes/int — a hostile header claiming
     max-cap dims would transiently need >20 GB on an executor. Above a
     block threshold, store rows in a compact int32 matrix (4 B/coeff,
-    ~1.3x the decoded-pixel bytes) and pay one row-assign per block;
-    thumbnails keep the fast path."""
+    ~1.3x the decoded-pixel bytes); thumbnails keep the fast path. The
+    native kernel writes int32 directly, so it forces compact stores at
+    every size."""
     comps = frame.comps
     if "coef" in comps[0]:
         return
-    compact = (
+    compact = force_compact or (
         sum(mcux * c["hi"] * mcuy * c["vi"] for c in comps)
         > _COMPACT_COEF_BLOCKS
     )
@@ -858,7 +865,14 @@ def _decode_scan_into(frame, luts, scan_list, segs, restart, covered):
     vmax = max(c["vi"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    _ensure_coef(frame, mcux, mcuy)
+    native = _native.jpegscan()
+    _ensure_coef(frame, mcux, mcuy, force_compact=native is not None)
+    # a python-path frame of a multi-scan file may hold list stores;
+    # the native kernel needs int32 matrices — fall back in that case
+    if native is not None and not isinstance(
+        comps[0]["coef"], np.ndarray
+    ):
+        native = None
     interleaved = len(scan_list) > 1
 
     # per-component template: block index = my*rowstep + mx*colstep + off
@@ -879,19 +893,20 @@ def _decode_scan_into(frame, luts, scan_list, segs, restart, covered):
         if interleaved:
             hi_, vi_ = c["hi"], c["vi"]
             offs = [by * bw + bx for by in range(vi_) for bx in range(hi_)]
-            tmpl.append((dc, ac, c["coef"], vi_ * bw, hi_, offs))
+            tmpl.append((dc[0], ac[0], c["coef"], vi_ * bw, hi_, offs,
+                         dc[1], ac[1]))
         else:
             xi = -(-w * c["hi"] // hmax)  # T.81 A.1.1 component dims
             yi = -(-h * c["vi"] // vmax)
             scan_mcux = -(-xi // 8)
             scan_total = scan_mcux * (-(-yi // 8))
-            tmpl.append((dc, ac, c["coef"], bw, 1, [0]))
+            tmpl.append((dc[0], ac[0], c["coef"], bw, 1, [0],
+                         dc[1], ac[1]))
 
     blocks_per_mcu = sum(len(t[5]) for t in tmpl)
     per_seg = restart if restart else scan_total
-    zz = ZIGZAG.tolist()
-    npreds = len(tmpl)
-    chunk = _WINDOW_CHUNK_BYTES
+    if native is not None:
+        call = _native_call_args(native, tmpl)
     mcu = 0
     for seg_bytes in segs:
         if mcu >= scan_total:
@@ -905,6 +920,81 @@ def _decode_scan_into(frame, luts, scan_list, segs, restart, covered):
             raise ValueError(
                 "corrupt JPEG: entropy segment exceeds worst-case budget"
             )
+        if native is not None:
+            rc = call(seg_bytes, mcu, seg_end, scan_mcux)
+            if rc < 0:
+                raise ValueError(_NATIVE_ERRORS.get(
+                    rc, f"corrupt JPEG: native decode error {rc}"
+                ))
+        else:
+            _decode_segment_py(seg_bytes, mcu, seg_end, scan_mcux, tmpl)
+        mcu = seg_end
+    if mcu < scan_total:
+        raise ValueError("corrupt JPEG: missing MCUs")
+
+
+_NATIVE_ERRORS = {
+    -1: "corrupt JPEG: bad Huffman code",
+    -2: "corrupt JPEG: scan underrun",
+    -3: "corrupt JPEG: AC overrun",
+    -4: "corrupt JPEG: DC predictor overflow",
+    -5: "corrupt JPEG: bad scan component count",
+}
+
+_ZIGZAG_U8 = None  # built lazily: contiguous uint8 view for the kernel
+
+
+def _native_call_args(native, tmpl):
+    """Marshal one scan's template into a closure over the native
+    kernel — per-segment calls then only pass (bytes, mcu range)."""
+    import ctypes
+
+    global _ZIGZAG_U8
+    if _ZIGZAG_U8 is None:
+        _ZIGZAG_U8 = np.ascontiguousarray(ZIGZAG.astype(np.uint8))
+    n = len(tmpl)
+    dc_ptrs = (ctypes.c_void_p * n)(
+        *[t[6].ctypes.data for t in tmpl]
+    )
+    ac_ptrs = (ctypes.c_void_p * n)(
+        *[t[7].ctypes.data for t in tmpl]
+    )
+    coef_ptrs = (ctypes.c_void_p * n)(
+        *[t[2].ctypes.data for t in tmpl]
+    )
+    rowstep = np.array([t[3] for t in tmpl], dtype=np.int64)
+    colstep = np.array([t[4] for t in tmpl], dtype=np.int64)
+    offs_flat = np.array(
+        [o for t in tmpl for o in t[5]], dtype=np.int64
+    )
+    noffs = np.array([len(t[5]) for t in tmpl], dtype=np.int64)
+    offbase = np.concatenate([[0], np.cumsum(noffs)[:-1]]).astype(
+        np.int64
+    )
+    # keep every marshalled buffer alive for the closure's lifetime
+    keep = (tmpl, rowstep, colstep, offs_flat, noffs, offbase,
+            _ZIGZAG_U8)
+
+    def call(seg_bytes: bytes, mcu: int, seg_end: int, scan_mcux: int):
+        return native(
+            seg_bytes, len(seg_bytes), mcu, seg_end, scan_mcux, n,
+            dc_ptrs, ac_ptrs, coef_ptrs,
+            keep[1].ctypes.data, keep[2].ctypes.data,
+            keep[3].ctypes.data, keep[5].ctypes.data,
+            keep[4].ctypes.data, keep[6].ctypes.data,
+        )
+
+    return call
+
+
+def _decode_segment_py(seg_bytes, mcu, seg_end, scan_mcux, tmpl):
+    """Reference Python symbol loop over one entropy segment — the
+    always-available fallback the native kernel is property-tested
+    against (bit-exact coefficient parity)."""
+    zz = ZIGZAG.tolist()
+    npreds = len(tmpl)
+    chunk = _WINDOW_CHUNK_BYTES
+    if True:  # (kept indentation: body shared verbatim with history)
         nbits = 8 * len(seg_bytes)
         # window slab state: wv covers bits [lo, hi_b); refilled on demand
         lo = hi_b = 0
@@ -914,7 +1004,8 @@ def _decode_scan_into(frame, luts, scan_list, segs, restart, covered):
         while mcu < seg_end:
             my, mx = divmod(mcu, scan_mcux)
             ti = 0
-            for dc_lut, ac_lut, coef, rowstep, colstep, offs in tmpl:
+            for dc_lut, ac_lut, coef, rowstep, colstep, offs, _, _ \
+                    in tmpl:
                 base = my * rowstep + mx * colstep
                 for off in offs:
                     blk = coef[base + off]
@@ -1010,8 +1101,6 @@ def _decode_scan_into(frame, luts, scan_list, segs, restart, covered):
                             k += 1
                 ti += 1
             mcu += 1
-    if mcu < scan_total:
-        raise ValueError("corrupt JPEG: missing MCUs")
 
 
 def _reconstruct(frame, qts):

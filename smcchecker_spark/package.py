@@ -29,7 +29,9 @@ def _content_hash() -> str:
         if "__pycache__" in root:
             continue
         for f in sorted(files):
-            if f.endswith(".py"):
+            # .c sources ride along: native kernels compile on demand
+            # per executor node (smcchecker_spark.native)
+            if f.endswith((".py", ".c")):
                 p = os.path.join(root, f)
                 h.update(p.encode())
                 with open(p, "rb") as fh:
@@ -49,7 +51,7 @@ def build_pyfiles_zip(dest_dir: str | None = None) -> str:
             if "__pycache__" in root:
                 continue
             for f in sorted(files):
-                if f.endswith(".py"):
+                if f.endswith((".py", ".c")):
                     p = os.path.join(root, f)
                     rel = os.path.join(
                         _PKG_NAME, os.path.relpath(p, _PKG_DIR)

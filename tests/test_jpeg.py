@@ -322,7 +322,11 @@ def test_restart_markers_decode():
 def test_compact_coefficient_path_parity(monkeypatch):
     """Large frames switch coefficient storage to a compact int32 matrix
     (bounded memory against hostile max-dims headers); the two stores
-    must decode identically."""
+    must decode identically. Pinned to the Python symbol loop — the
+    native kernel always uses compact stores."""
+    from smcchecker_spark import native
+
+    monkeypatch.setitem(native._cache, "jpegscan.c", False)
     a = _noise(40, 56, seed=31)
     data = jc.encode_jpeg(a, quality=90)
     fast = jc.decode_jpeg(data)
@@ -457,9 +461,94 @@ def test_entropy_budget_rejects_oversized_scan():
 def test_window_chunk_refill_parity(monkeypatch):
     """Entropy windows are materialized in bounded slabs; force a tiny
     slab so every refill site (DC code, DC magnitude, AC code, AC
-    magnitude) triggers repeatedly and assert bit-exact parity."""
+    magnitude) triggers repeatedly and assert bit-exact parity.
+    Pinned to the Python symbol loop — the slab is a Python-path-only
+    construct (the native kernel reads bytes in place)."""
+    from smcchecker_spark import native
+
+    monkeypatch.setitem(native._cache, "jpegscan.c", False)
     a = _noise(32, 32, seed=47)
     data = jc.encode_jpeg(a, quality=98)
     ref = jc.decode_jpeg(data)
     monkeypatch.setattr(jc, "_WINDOW_CHUNK_BYTES", 7)
     assert np.array_equal(jc.decode_jpeg(data), ref)
+
+
+# ---------------------------------------------------------------------------
+# Native entropy-decode kernel vs the Python reference loop
+# ---------------------------------------------------------------------------
+
+
+def _pin_python(monkeypatch):
+    from smcchecker_spark import native
+
+    monkeypatch.setitem(native._cache, "jpegscan.c", False)
+
+
+def test_native_kernel_loads():
+    """This container has cc; the kernel must compile and load (other
+    environments may legitimately lack it — the codec then falls back,
+    which the parity tests cover either way)."""
+    from smcchecker_spark import native
+
+    native._cache.pop("jpegscan.c", None)
+    assert native.jpegscan() is not None
+
+
+def test_native_python_pixel_parity(monkeypatch):
+    """Bit-exact decoded pixels across both paths for every layout the
+    decoder supports: 4:4:4, 4:2:0, grayscale, restarts, multi-scan."""
+    from smcchecker_spark import native
+
+    cases = []
+    for i, (h, w) in enumerate([(8, 8), (17, 23), (32, 32), (9, 40)]):
+        a = _noise(h, w, seed=60 + i)
+        cases.append(jc.encode_jpeg(a, quality=98))
+        cases.append(jc.encode_jpeg(a, quality=85, subsampling="420"))
+    g = np.random.default_rng(5).integers(0, 256, (24, 24), dtype=np.uint8)
+    cases.append(jc.encode_jpeg_gray(g, quality=92))
+    cases.append(_encode_multi_scan(_noise(16, 16, seed=66), quality=90))
+    if native.jpegscan() is None:
+        pytest.skip("no C compiler in this environment")
+    dec_native = [jc.decode_jpeg(p) for p in cases]
+    _pin_python(monkeypatch)
+    for i, p in enumerate(cases):
+        assert np.array_equal(jc.decode_jpeg(p), dec_native[i]), i
+
+
+def test_native_python_error_parity(monkeypatch):
+    """Corrupt streams must raise the same ValueError text on both
+    paths (the kernel returns error codes the dispatcher maps back)."""
+    from smcchecker_spark import native
+
+    if native.jpegscan() is None:
+        pytest.skip("no C compiler in this environment")
+    a = _noise(16, 16, seed=70)
+    data = bytearray(jc.encode_jpeg(a, quality=90))
+    sos_at = bytes(data).index(b"\xff\xda")
+    scan0 = sos_at + 2 + int.from_bytes(data[sos_at + 2 : sos_at + 4], "big")
+    rng = np.random.default_rng(71)
+    msgs_native, msgs_py = [], []
+    corrupted = []
+    for _ in range(40):
+        mut = bytearray(data)
+        # flip bytes inside the entropy segment only
+        for at in rng.integers(scan0, len(data) - 2, size=3):
+            mut[at] ^= int(rng.integers(1, 256))
+            if mut[at] == 0xFF:
+                mut[at] = 0xFE  # keep the mutation inside the segment
+        corrupted.append(bytes(mut))
+    for p in corrupted:
+        try:
+            jc.decode_jpeg(p)
+            msgs_native.append(None)
+        except ValueError as e:
+            msgs_native.append(str(e))
+    _pin_python(monkeypatch)
+    for p in corrupted:
+        try:
+            jc.decode_jpeg(p)
+            msgs_py.append(None)
+        except ValueError as e:
+            msgs_py.append(str(e))
+    assert msgs_native == msgs_py
