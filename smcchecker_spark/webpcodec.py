@@ -69,37 +69,63 @@ _DIST_MAP = [
 # ---------------------------------------------------------------------------
 
 
-class _BitReader:
-    """LSB-first reader over a PRECOMPUTED sliding 16-bit window: wv[p]
-    holds stream bits p..p+15 (bit k of the value = stream bit p+k),
-    built with 16 vectorized shift-ors at construction. Every read —
-    fixed-width fields, prefix-code LUT keys, extra bits — is then one
-    list indexing, the same design as the JPEG decoder's hot loop. All
-    VP8L field widths are ≤ 14 and code lengths ≤ 15, so 16 bits cover
-    every single read."""
+# window slab: per-bit 16-bit windows cost ~36 B of Python int per bit
+# (~290 B per payload byte), so they are materialized at most this many
+# bytes at a time — a multi-MB hostile VP8L body costs a bounded ~40 MB
+# of transient window memory per task instead of gigabytes (same design
+# as jpegcodec._WINDOW_CHUNK_BYTES)
+_WINDOW_CHUNK_BYTES = 1 << 17
 
-    __slots__ = ("wv", "pos", "n")
+
+class _BitReader:
+    """LSB-first reader over a sliding 16-bit window materialized in
+    bounded slabs: wv[p - lo] holds stream bits p..p+15 (bit k of the
+    value = stream bit p+k) for p in [lo, hi), built with 16 vectorized
+    shift-ors per slab. Every read — fixed-width fields, prefix-code
+    LUT keys, extra bits — is then one list indexing, the same design
+    as the JPEG decoder's hot loop; hot loops inline the
+    refill-on-demand check. All VP8L field widths are ≤ 14 and code
+    lengths ≤ 15, so 16 bits cover every single read (the lone wider
+    field — distance extra bits, up to 18 — is read in two pieces)."""
+
+    __slots__ = ("data", "wv", "pos", "n", "lo", "hi")
 
     def __init__(self, data: bytes):
+        self.data = data
+        self.n = 8 * len(data)
+        self.pos = 0
+        self.wv: list[int] = []
+        self.lo = self.hi = 0
+
+    def _slab(self, p: int):
+        """Materialize the window slab containing bit ``p``; returns
+        (wv, lo, hi) for the hot loops' locals."""
+        b0 = p >> 3
+        b1 = min(b0 + _WINDOW_CHUNK_BYTES, len(self.data))
+        chunk = self.data[b0 : b1 + 2]  # 16-bit lookahead
         bits = np.unpackbits(
-            np.frombuffer(data, dtype=np.uint8), bitorder="little"
+            np.frombuffer(chunk, dtype=np.uint8), bitorder="little"
         )
-        self.n = len(bits)
+        nb = 8 * (b1 - b0)
         b = np.concatenate([bits, np.zeros(16, dtype=np.uint8)]).astype(
             np.uint32
         )
-        w = np.zeros(self.n, dtype=np.uint32)
+        w = np.zeros(nb, dtype=np.uint32)
         for k in range(16):
-            w |= b[k : k + self.n] << k
-        self.wv = w.tolist()
-        self.pos = 0
+            w |= b[k : k + nb] << k
+        self.wv, self.lo, self.hi = w.tolist(), 8 * b0, 8 * b1
+        return self.wv, self.lo, self.hi
 
     def read(self, nbits: int) -> int:
         p = self.pos
         if p + nbits > self.n:
             raise ValueError("truncated VP8L stream")
+        if not nbits:
+            return 0
+        if p >= self.hi:
+            self._slab(p)
         self.pos = p + nbits
-        return self.wv[p] & ((1 << nbits) - 1) if nbits else 0
+        return self.wv[p - self.lo] & ((1 << nbits) - 1)
 
 
 class _BitWriter:
@@ -233,7 +259,8 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixTree:
     i = 0
     # inlined window reads (same pattern as the pixel loop) — this runs
     # once per alphabet symbol across every tree of every image
-    wv, nb, p = br.wv, br.n, br.pos
+    nb, p = br.n, br.pos
+    wv, lo, hi = br.wv, br.lo, br.hi
     clut, cmask, csng = (
         (None, 0, clc.single) if clc.single is not None else
         (clc.lut, clc.mask, -1)
@@ -245,9 +272,11 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixTree:
         if csng >= 0:
             sym = csng
         else:
-            if p >= nb:
-                raise ValueError("truncated VP8L stream")
-            v = clut[wv[p] & cmask]
+            if p >= hi:
+                if p >= nb:
+                    raise ValueError("truncated VP8L stream")
+                wv, lo, hi = br._slab(p)
+            v = clut[wv[p - lo] & cmask]
             ln = v & 31
             if ln == 0 or p + ln > nb:
                 raise ValueError("corrupt VP8L: bad prefix code")
@@ -267,7 +296,9 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixTree:
                 ebits, base, fill = 7, 11, 0
             if p + ebits > nb:
                 raise ValueError("truncated VP8L stream")
-            rep = base + (wv[p] & ((1 << ebits) - 1))
+            if p >= hi:
+                wv, lo, hi = br._slab(p)
+            rep = base + (wv[p - lo] & ((1 << ebits) - 1))
             p += ebits
             if i + rep > alphabet_size:
                 raise ValueError("corrupt VP8L: repeat overflow")
@@ -343,9 +374,9 @@ def _read_entropy_image(
     # no method calls (the JPEG decoder's design; ~3× the method-call
     # form on literal-heavy streams). Single-symbol trees are flagged by
     # single >= 0 and consume zero bits.
-    wv = br.wv
     nb = br.n
     p = br.pos
+    wv, lo, hi = br.wv, br.lo, br.hi
 
     def _locals(t):
         return (
@@ -370,9 +401,11 @@ def _read_entropy_image(
         if gsng >= 0:
             s = gsng
         else:
-            if p >= nb:
-                raise ValueError("truncated VP8L stream")
-            v = glut[wv[p] & gmask]
+            if p >= hi:
+                if p >= nb:
+                    raise ValueError("truncated VP8L stream")
+                wv, lo, hi = br._slab(p)
+            v = glut[wv[p - lo] & gmask]
             ln = v & 31
             if ln == 0 or p + ln > nb:
                 raise ValueError("corrupt VP8L: bad prefix code")
@@ -382,9 +415,11 @@ def _read_entropy_image(
             if rsng >= 0:
                 red = rsng
             else:
-                if p >= nb:
-                    raise ValueError("truncated VP8L stream")
-                v = rlut[wv[p] & rmask]
+                if p >= hi:
+                    if p >= nb:
+                        raise ValueError("truncated VP8L stream")
+                    wv, lo, hi = br._slab(p)
+                v = rlut[wv[p - lo] & rmask]
                 ln = v & 31
                 if ln == 0 or p + ln > nb:
                     raise ValueError("corrupt VP8L: bad prefix code")
@@ -393,9 +428,11 @@ def _read_entropy_image(
             if bsng >= 0:
                 blue = bsng
             else:
-                if p >= nb:
-                    raise ValueError("truncated VP8L stream")
-                v = blut[wv[p] & bmask]
+                if p >= hi:
+                    if p >= nb:
+                        raise ValueError("truncated VP8L stream")
+                    wv, lo, hi = br._slab(p)
+                v = blut[wv[p - lo] & bmask]
                 ln = v & 31
                 if ln == 0 or p + ln > nb:
                     raise ValueError("corrupt VP8L: bad prefix code")
@@ -404,9 +441,11 @@ def _read_entropy_image(
             if asng >= 0:
                 alpha = asng
             else:
-                if p >= nb:
-                    raise ValueError("truncated VP8L stream")
-                v = alut[wv[p] & amask]
+                if p >= hi:
+                    if p >= nb:
+                        raise ValueError("truncated VP8L stream")
+                    wv, lo, hi = br._slab(p)
+                v = alut[wv[p - lo] & amask]
                 ln = v & 31
                 if ln == 0 or p + ln > nb:
                     raise ValueError("corrupt VP8L: bad prefix code")
@@ -425,16 +464,20 @@ def _read_entropy_image(
                 extra = (code - 2) >> 1
                 if p + extra > nb:
                     raise ValueError("truncated VP8L stream")
+                if p >= hi:
+                    wv, lo, hi = br._slab(p)
                 length = ((2 + (code & 1)) << extra) + (
-                    wv[p] & ((1 << extra) - 1)
+                    wv[p - lo] & ((1 << extra) - 1)
                 ) + 1
                 p += extra
             if dsng >= 0:
                 dcode = dsng
             else:
-                if p >= nb:
-                    raise ValueError("truncated VP8L stream")
-                v = dlut[wv[p] & dmask]
+                if p >= hi:
+                    if p >= nb:
+                        raise ValueError("truncated VP8L stream")
+                    wv, lo, hi = br._slab(p)
+                v = dlut[wv[p - lo] & dmask]
                 ln = v & 31
                 if ln == 0 or p + ln > nb:
                     raise ValueError("corrupt VP8L: bad prefix code")
@@ -446,9 +489,22 @@ def _read_entropy_image(
                 extra = (dcode - 2) >> 1
                 if p + extra > nb:
                     raise ValueError("truncated VP8L stream")
-                dist = ((2 + (dcode & 1)) << extra) + (
-                    wv[p] & ((1 << extra) - 1)
-                ) + 1
+                if p >= hi:
+                    wv, lo, hi = br._slab(p)
+                if extra <= 16:
+                    eb = wv[p - lo] & ((1 << extra) - 1)
+                else:
+                    # distance codes 36-39 carry 17-18 extra bits — the
+                    # 16-bit window can't hold them in one read (LSB
+                    # first: the second window supplies the high bits)
+                    eb = wv[p - lo]
+                    p2 = p + 16
+                    if p2 >= hi:
+                        wv, lo, hi = br._slab(p2)
+                    eb |= (
+                        wv[p2 - lo] & ((1 << (extra - 16)) - 1)
+                    ) << 16
+                dist = ((2 + (dcode & 1)) << extra) + eb + 1
                 p += extra
             if dist > 120:
                 dist -= 120

@@ -77,18 +77,18 @@ def _simple1(p: _Pack, sym: int) -> None:
 
 
 def _explicit_lengths(p: _Pack, lengths: dict[int, int], alphabet: int):
-    """Normal prefix code written the verbose way: a {0,1}-symbol
+    """Normal prefix code written the verbose way: a {0,1,2}-symbol
     code-length code and one explicit length per alphabet symbol
-    (every ``lengths`` value must be 1 — two length-1 codes make the
-    only complete tree this helper needs)."""
+    (``lengths`` values must be 1 or 2 and Kraft-complete)."""
     p.put(0, 1)  # not simple
-    p.put(0, 4)  # n_codes = 4 → CLC order prefix [17, 18, 0, 1]
-    for ln in (0, 0, 1, 1):  # lengths for CLC symbols 17, 18, 0, 1
+    p.put(1, 4)  # n_codes = 5 → CLC order prefix [17, 18, 0, 1, 2]
+    for ln in (0, 0, 1, 2, 2):  # lengths for CLC symbols 17, 18, 0, 1, 2
         p.put(ln, 3)
     p.put(0, 1)  # no max_symbol cap
-    # CLC canonical codes: sym 0 → '0', sym 1 → '1'
+    # CLC canonical codes: sym 0 → '0', sym 1 → '10', sym 2 → '11'
+    codes = {0: (0b0, 1), 1: (0b10, 2), 2: (0b11, 2)}
     for s in range(alphabet):
-        p.put_code(lengths.get(s, 0), 1)
+        p.put_code(*codes[lengths.get(s, 0)])
 
 
 def test_simple_code_1x1():
@@ -176,3 +176,68 @@ def test_length_extra_bits_4x2():
     dec = wc.decode_webp(_vp8l(4, 2, p))
     exp = np.full((2, 4, 3), (40, 7, 50), dtype=np.uint8)
     assert np.array_equal(dec, exp)
+
+
+def test_distance_17_extra_bits_wide_image():
+    """Distance prefix codes 36-39 carry 17-18 extra bits — wider than
+    one 16-bit window, so the reader must compose two windows. A
+    truncated read (the old single-window form) lands 65,536 pixels
+    away from the true source; a period-3 green pattern makes that
+    land on different pixel values. ~330k-pixel stream also forces
+    multiple window-slab refills at the default slab size."""
+    w, h = 1024, 322
+    total = w * h
+    L = 327650  # literals before the backward reference
+    dist = 327600
+    eb = 0x10000 + 39  # bit 16 set — truncation would read 39
+    # dcode 36: base (2 + 0) << 17; dist_pre = base + eb + 1; > 120
+    assert ((2 + 0) << 17) + eb + 1 - 120 == dist
+
+    p = _Pack()
+    p.put(0, 1)  # no transforms
+    p.put(0, 1)  # no color cache
+    p.put(0, 1)  # no meta prefix
+    # green tree: literals 5 ('10') and 9 ('11'), length-prefix 258
+    # ('0', length 3)
+    _explicit_lengths(p, {5: 2, 9: 2, 258: 1}, 280)
+    _simple1(p, 77)   # red
+    _simple1(p, 88)   # blue
+    _simple1(p, 255)  # alpha
+    _simple1(p, 36)   # distance prefix 36 → 17 extra bits
+    greens = []
+
+    def put_literal(k):
+        g = 5 if k % 3 == 0 else 9
+        p.put_code(0b10 if g == 5 else 0b11, 2)
+        greens.append(g)
+
+    for k in range(L):
+        put_literal(k)
+    p.put_code(0b0, 1)  # length prefix 258 → length 3
+    p.put(eb, 17)       # distance extra bits (LSB first)
+    for k in range(L, L + total - L - 3):
+        put_literal(k)
+    dec = wc.decode_webp(_vp8l(w, h, p))
+
+    # expected: simulate the copy over the literal green sequence
+    exp_g = greens[:L] + [greens[L - dist + i] for i in range(3)] \
+        + greens[L:]
+    exp = np.zeros((h, w, 3), dtype=np.uint8)
+    exp[:, :, 0] = 77
+    exp[:, :, 1] = np.array(exp_g, dtype=np.uint8).reshape(h, w)
+    exp[:, :, 2] = 88
+    assert np.array_equal(dec, exp)
+
+
+def test_window_slab_refill_parity(monkeypatch):
+    """Force a tiny window slab so every refill site (fixed fields,
+    CLC reads, all five tree reads, both extra-bits reads) triggers
+    constantly; decode must be bit-identical to the default slab."""
+    streams = []
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    streams.append(wc.encode_webp(a))
+    refs = [wc.decode_webp(s) for s in streams]
+    monkeypatch.setattr(wc, "_WINDOW_CHUNK_BYTES", 3)
+    for s, ref in zip(streams, refs):
+        assert np.array_equal(wc.decode_webp(s), ref)
