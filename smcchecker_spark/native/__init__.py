@@ -16,7 +16,12 @@ binary artifact can't ride along; each executor node compiles once
 task mmap's the cached .so. This is also the documented takeover seam
 for a production native decoder (e.g. pinned libjpeg-turbo): implement
 this module's loader against it and the dispatch in jpegcodec picks it
-up unchanged.
+up unchanged. Policy when doing that: a FOREIGN decoder is bit-exact
+only per pinned build (T.81 specifies IDCT accuracy, not output), so
+pin the library version fleet-wide and validate stored phashes with
+``ImageConsistent(phash_tolerance=2)`` instead of equality during any
+decoder migration — the bundled kernels sidestep this entirely by
+reproducing the Python reference arithmetic exactly.
 
 Determinism: the C kernels are pure integer arithmetic translated
 line-for-line from the Python loops and property-tested for bit-exact
