@@ -126,3 +126,33 @@ def jpegscan():
         ]
         fn._smc_typed = True
     return fn
+
+
+def vp8lpix():
+    """ctypes handle for the VP8L pixel-loop kernel, or None.
+
+    long decode_pixels(data, nbytes, p0, w, h, ngroups, luts,
+                       masks, singles, meta_bits, group_of, meta_w,
+                       cache_bits, dist_map, out, final_pos)
+    """
+    lib = _load("vp8lpix.c")
+    if lib is None:
+        return None
+    fn = lib.decode_pixels
+    if not getattr(fn, "_smc_typed", False):
+        c_i64 = ctypes.c_longlong
+        fn.restype = ctypes.c_long
+        fn.argtypes = [
+            ctypes.c_char_p,                  # data
+            c_i64, c_i64, c_i64, c_i64,       # nbytes, p0, w, h
+            ctypes.c_long,                    # ngroups
+            ctypes.POINTER(ctypes.c_void_p),  # luts (per group*5+slot)
+            ctypes.c_void_p, ctypes.c_void_p,  # masks, singles
+            ctypes.c_long, ctypes.c_void_p, c_i64,  # meta_bits/of/w
+            ctypes.c_long,                    # cache_bits
+            ctypes.c_void_p,                  # dist_map
+            ctypes.c_void_p,                  # out
+            ctypes.c_void_p,                  # final_pos
+        ]
+        fn._smc_typed = True
+    return fn

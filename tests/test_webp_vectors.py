@@ -241,3 +241,90 @@ def test_window_slab_refill_parity(monkeypatch):
     monkeypatch.setattr(wc, "_WINDOW_CHUNK_BYTES", 3)
     for s, ref in zip(streams, refs):
         assert np.array_equal(wc.decode_webp(s), ref)
+
+
+# ---------------------------------------------------------------------------
+# Native pixel-loop kernel vs the Python reference walk
+# ---------------------------------------------------------------------------
+
+
+def _collect_streams():
+    """A spread of VP8L payloads: encoder roundtrips plus the
+    hand-built vectors above (simple codes, CLC trees, LZ77, cache,
+    wide distances)."""
+    rng = np.random.default_rng(17)
+    streams = []
+    for h, w in ((1, 1), (7, 9), (16, 16), (23, 5)):
+        a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        streams.append(wc.encode_webp(a))
+
+    def grab(build):
+        p = _Pack()
+        build(p)
+        return p
+
+    # rebuild the vector payloads byte-for-byte
+    p = _Pack()
+    p.put(0, 1); p.put(0, 1); p.put(0, 1)
+    _explicit_lengths(p, {10: 1, 258: 1}, 280)
+    _simple1(p, 20); _simple1(p, 30); _simple1(p, 255); _simple1(p, 1)
+    p.put_code(0, 1); p.put_code(1, 1)
+    streams.append(_vp8l(2, 2, p))
+
+    cbits = 1
+    argb = (255 << 24) | (1 << 16) | (2 << 8) | 3
+    idx = ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cbits)
+    p = _Pack()
+    p.put(0, 1); p.put(1, 1); p.put(cbits, 4); p.put(0, 1)
+    _explicit_lengths(p, {2: 1, 280 + idx: 1}, 282)
+    _simple1(p, 1); _simple1(p, 3); _simple1(p, 255); _simple1(p, 0)
+    p.put_code(0, 1); p.put_code(1, 1)
+    streams.append(_vp8l(2, 1, p))
+    return streams
+
+
+def test_native_python_pixel_parity(monkeypatch):
+    from smcchecker_spark import native
+
+    if native.vp8lpix() is None:
+        import pytest
+
+        pytest.skip("no C compiler in this environment")
+    streams = _collect_streams()
+    dec_native = [wc.decode_webp(s) for s in streams]
+    monkeypatch.setitem(native._cache, "vp8lpix.c", False)
+    for i, s in enumerate(streams):
+        assert np.array_equal(wc.decode_webp(s), dec_native[i]), i
+
+
+def test_native_python_error_parity(monkeypatch):
+    """Corrupt payload bytes must raise the same ValueError text on
+    both paths."""
+    from smcchecker_spark import native
+
+    if native.vp8lpix() is None:
+        import pytest
+
+        pytest.skip("no C compiler in this environment")
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
+    base = bytearray(wc.encode_webp(a))
+    corrupted = []
+    for _ in range(40):
+        mut = bytearray(base)
+        for at in rng.integers(30, len(base), size=2):
+            mut[at] ^= int(rng.integers(1, 256))
+        corrupted.append(bytes(mut))
+
+    def outcomes():
+        res = []
+        for s in corrupted:
+            try:
+                res.append(wc.decode_webp(s).tobytes())
+            except ValueError as e:
+                res.append(str(e))
+        return res
+
+    got_native = outcomes()
+    monkeypatch.setitem(native._cache, "vp8lpix.c", False)
+    assert outcomes() == got_native
