@@ -161,19 +161,31 @@ def phash_overlap(
     shuffled at all until the final tiny groupBy on flagged ids.
     Pigeonhole (max_hamming < chunks) keeps recall exact, same as
     :func:`~smcchecker_spark.ops.dedup.hamming_near_dups` — the banding
-    projection is shared with it (``dedup.chunk_band_structs``).
+    projection is shared with it, including the COMPOUND upgrade
+    (``dedup.combo_band_structs``) when chunks - max_hamming ≥ 2:
+    single 16-bit chunk keys would flag a huge fraction of a 10^12
+    corpus as candidates once the benchmark covers most chunk values;
+    32-bit compound keys keep the candidate set ≈ the true match set.
     """
-    from smcchecker_spark.ops.dedup import check_pigeonhole, chunk_band_structs
+    from smcchecker_spark.ops.dedup import (
+        check_pigeonhole, chunk_band_structs, combo_band_structs,
+    )
 
     check_pigeonhole(max_hamming, chunks)
+    band_chunks = chunks - max_hamming
     bench_ph = bench_phash_col or phash_col
 
     def bands(df: DataFrame, ph: str, keep: list) -> DataFrame:
         h = F.col(ph).cast("long")
+        b = (
+            combo_band_structs(h, chunks, band_chunks)
+            if band_chunks >= 2
+            else chunk_band_structs(h, chunks)
+        )
         return df.select(
             *keep,
             h.alias("__h"),
-            F.explode(chunk_band_structs(h, chunks)).alias("cc"),
+            F.explode(b).alias("cc"),
         ).select(*keep, "__h", "cc.chunk", "cc.val")
 
     bench_bands = bands(bench, bench_ph, []).select(

@@ -738,6 +738,49 @@ def chunk_band_structs(h: Column, chunks: int) -> Column:
     )
 
 
+def combo_band_structs(
+    h: Column, chunks: int, band_chunks: int
+) -> Column:
+    """``array<struct<chunk:int, val:long>>`` — one entry per
+    combination of ``band_chunks`` of the fingerprint's ``chunks``
+    chunk values, val = their concatenation, chunk = combination index.
+
+    WHY (the 10^12-row part): single-chunk banding keys on 64/chunks
+    bits. At chunks=4 that is a 16-bit key space — 65k buckets per
+    chunk id — which SATURATES around 10^7 rows: bucket population
+    grows linearly with corpus size, so candidate pairs grow
+    QUADRATICALLY (measured: 35x time for 10x rows at sf1). Pigeonhole
+    generalizes: ≤ h flipped bits damage ≤ h chunks, so a qualifying
+    pair agrees on ≥ chunks-h chunks — i.e. on at least one FULL
+    combination of (chunks-h) chunks. Banding on every such
+    combination keeps recall exact while the key space widens to
+    (chunks-h)·(64/chunks) bits: 32 bits at h=2/chunks=4 (6 bands),
+    42+ bits at h=2/chunks=8 (15 bands of 6 chunks... C(8,6)=28).
+    Cost is C(chunks, chunks-h) band rows per fingerprint instead of
+    ``chunks`` — a constant-factor shuffle increase that buys
+    collapse of in-bucket quadratic pairing."""
+    from itertools import combinations
+
+    assert 64 % chunks == 0
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    vals = [
+        F.shiftright(h, c * width).bitwiseAND(F.lit(mask))
+        for c in range(chunks)
+    ]
+    entries = []
+    for ci, combo in enumerate(combinations(range(chunks), band_chunks)):
+        v = F.lit(0).cast("long")
+        for j, c in enumerate(combo):
+            v = v.bitwiseOR(
+                F.shiftleft(vals[c].cast("long"), j * width)
+            )
+        entries.append(
+            F.struct(F.lit(ci).alias("chunk"), v.alias("val"))
+        )
+    return F.array(*entries)
+
+
 def hamming_near_dups(
     sigs: DataFrame,
     id_col: str = "id",
@@ -758,15 +801,29 @@ def hamming_near_dups(
     one O(m²) task. The 8-byte fingerprint rides inside the member
     struct, so Hamming distance is computed at pair time from the
     struct fields — no signature re-join, and the whole op is native
-    Column expressions (no Python UDF). Ids must be unique."""
+    Column expressions (no Python UDF). Ids must be unique.
+
+    When chunks - max_hamming ≥ 2 the banding upgrades itself to
+    COMPOUND bands (:func:`combo_band_structs`): every combination of
+    chunks-max_hamming chunks forms one band key, so the key space is
+    e.g. 32 bits instead of 16 at the (4, 2) default — single-chunk
+    16-bit buckets saturate around 10^7 fingerprints and make
+    candidate pairs grow quadratically; compound bands keep them
+    linear. Recall stays exact by the same pigeonhole argument."""
     check_pigeonhole(max_hamming, chunks)
+    band_chunks = chunks - max_hamming
     sh = sigs.select(
         F.col(id_col).alias("id"), F.col(hash_col).cast("long").alias("h")
+    )
+    bands = (
+        combo_band_structs(F.col("h"), chunks, band_chunks)
+        if band_chunks >= 2
+        else chunk_band_structs(F.col("h"), chunks)
     )
     chunked = sh.select(
         # id FIRST: struct order (= pair order a < b) is id order
         F.struct(F.col("id"), F.col("h")).alias("m"),
-        F.explode(chunk_band_structs(F.col("h"), chunks)).alias("cc"),
+        F.explode(bands).alias("cc"),
     ).select("m", "cc.chunk", "cc.val")
     pairs = bucketed_pairs(
         chunked, ["chunk", "val"],

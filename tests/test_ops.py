@@ -289,6 +289,58 @@ def test_hamming_near_dups_rejects_lossy_banding():
         dedup.hamming_near_dups(None, max_hamming=4, chunks=4)
 
 
+def test_compound_banding_exact_recall(spark):
+    """chunks - max_hamming >= 2 switches to compound bands (combos of
+    chunks-h chunks, 32-bit keys at the (4,2) default). Recall must
+    stay EXACT vs brute force across every (chunks, h) regime, and the
+    banding projection must emit C(chunks, chunks-h) structs."""
+    rng = np.random.default_rng(77)
+    base = rng.integers(-(2**63), 2**63 - 1, 40, dtype=np.int64)
+    rows = [(int(i), int(h)) for i, h in enumerate(base)]
+    nid = 1000
+    for i in range(8):  # plant near-dups at exact budget h=2
+        h = int(base[i]) & (2**64 - 1)  # unsigned view for bit math
+        for b in rng.choice(64, 2, replace=False):
+            h ^= 1 << int(b)
+        if h >= 2**63:  # wrap back to signed int64
+            h -= 2**64
+        rows.append((nid + i, h))
+    df = spark.createDataFrame(rows, "id long, hash long")
+
+    def brute(h):
+        out = set()
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d = bin((rows[i][1] ^ rows[j][1]) & (2**64 - 1)).count("1")
+                if d <= h:
+                    out.add((*sorted((rows[i][0], rows[j][0])), d))
+        return out
+
+    for chunks, h in ((4, 2), (4, 1), (8, 2), (4, 3), (2, 1)):
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.hamming_near_dups(
+                df, id_col="id", hash_col="hash",
+                max_hamming=h, chunks=chunks,
+            ).collect()
+        }
+        assert got == brute(h), (chunks, h)
+
+
+def test_combo_band_structs_count_and_width(spark):
+    """C(chunks, band) entries; band values concatenate the selected
+    chunks LSB-first so equal-combo equality == chunkwise equality."""
+    from math import comb
+
+    df = spark.createDataFrame([(0x0123456789ABCDEF,)], "h long")
+    for chunks, band in ((4, 2), (4, 3), (8, 6)):
+        row = df.select(
+            dedup.combo_band_structs(F.col("h"), chunks, band).alias("b")
+        ).collect()[0]["b"]
+        assert len(row) == comb(chunks, band)
+        assert len({e["chunk"] for e in row}) == len(row)
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.default_rng(42)
