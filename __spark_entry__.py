@@ -2696,6 +2696,13 @@ def q_ivf_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted exact copies must pair; near-orthogonal noise must not.
+    n_planes=14 / n_bands=2 is the similarity.embedding_near_dups
+    scale rule (≈ n/2^14 rows per bucket per band — sub-linear
+    candidate growth), and CANNOT change this query's result set:
+    identical vectors co-bucket under every plane set (recall of exact
+    copies is 1 at any n_planes), and raising n_planes only shrinks
+    the candidate set the cosine ≥ 0.95 filter already prunes."""
     emb = _emb_double(spark, sf_dir)
     copies = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
         "vec_id", F.col("vec_id") + 100000
@@ -2706,7 +2713,8 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding",
         threshold=0.95,
         dim=64,
-        n_planes=8,
+        n_planes=14,
+        n_bands=2,
     )
 
 

@@ -378,10 +378,21 @@ def embedding_near_dups(
     seed: int = 42,
     hot_bucket: int = 256,
     max_bucket: int | None = None,
+    n_bands: int = 1,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ τ, LSH-bucketed
     (near-identical vectors share a bucket with probability
-    (1−θ/π)^n_planes).
+    (1−θ/π)^n_planes, per band).
+
+    Scale rule (the 10^12-row part): the bucket key space is
+    2^n_planes per band, so bucket population — and with it the
+    in-bucket quadratic pairing — grows linearly with corpus size once
+    n ≫ 2^n_planes. Size n_planes ≈ log2(n) − 8 (≈ 256 rows/bucket)
+    and recover the recall that longer signatures cost with
+    ``n_bands`` independent plane sets (recall 1−(1−p^r)^b): at 10^9
+    vectors, n_planes=22 / n_bands=8 keeps both the shuffle and the
+    pairing linear. The (8, 1) default preserves the historical
+    single-band semantics.
 
     Pairing routes through ``dedup.bucketed_pairs`` with ids ONLY — the
     bucket shuffle moves (bucket, id), never the vectors, and a hot
@@ -396,11 +407,28 @@ def embedding_near_dups(
     pair)."""
     from smcchecker_spark.ops.dedup import bucketed_pairs
 
-    planes = _hyperplanes(dim, n_planes, seed)
-    bucketed = df.select(
-        F.struct(F.col(id_col).alias("id")).alias("m"),
-        lsh_signature(F.col(vec_col), planes).alias("bucket"),
-    )
+    sig_cols = [
+        lsh_signature(
+            F.col(vec_col), _hyperplanes(dim, n_planes, seed + 7919 * b)
+        ).alias(f"__sig{b}")
+        for b in range(n_bands)
+    ]
+    member = F.struct(F.col(id_col).alias("id")).alias("m")
+    if n_bands == 1:
+        bucketed = df.select(member, sig_cols[0].alias("bucket"))
+    else:
+        # one row per (band, signature): bands are independent plane
+        # sets, so the bucket key carries the band index; cross-band
+        # duplicate pairs are dropped by bucketed_pairs' dedup
+        bucketed = df.select(member, F.array(*sig_cols).alias("__sigs"))             .select(
+                "m",
+                F.posexplode("__sigs").alias("__band", "__sig"),
+            ).select(
+                "m",
+                F.struct(
+                    F.col("__band"), F.col("__sig")
+                ).alias("bucket"),
+            )
     pairs = (
         bucketed_pairs(
             bucketed, ["bucket"], hot_bucket=hot_bucket, max_bucket=max_bucket

@@ -488,6 +488,24 @@ def test_embedding_hot_bucket_path_identical_pairs(spark, vectors):
     assert f == h and f
 
 
+def test_embedding_multiband_recall_and_dedup(spark, vectors):
+    """n_bands > 1: recall is a superset of any single band (more
+    independent plane sets can only add candidate buckets), pairs are
+    deduplicated across bands, and cosine values are unchanged."""
+    kw = dict(threshold=0.99, dim=8, n_planes=4)
+    one = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in similarity.embedding_near_dups(vectors, **kw).collect()
+    }
+    multi_rows = similarity.embedding_near_dups(
+        vectors, n_bands=4, **kw
+    ).collect()
+    multi = {(r["id_a"], r["id_b"], r["cosine"]) for r in multi_rows}
+    assert len(multi_rows) == len(multi)  # deduped across bands
+    assert one <= multi
+    assert (0, 20) in {(a, b) for a, b, _ in multi}
+
+
 def test_embedding_planted_hot_bucket_complete(spark):
     """30 near-identical vectors share every hyperplane sign → ONE
     30-member bucket; chunked pairing (hot_bucket=8) must emit all

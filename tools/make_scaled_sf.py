@@ -48,10 +48,20 @@ DIM_TABLES = ["region", "nation"]
 
 
 def _shuffle_words(text: str, seed: int) -> str:
+    """Shuffle AND substitute: shuffling alone defeats shingle-based
+    dedup (MinHash) but NOT order-invariant fingerprints — SimHash over
+    the word multiset is identical for every shuffled copy, which made
+    the first sf1 cut measure a corpus with 10x planted signature dups
+    instead of a 10x corpus. Tagging ~30% of tokens per copy changes
+    the multiset too."""
     words = text.split()
     rng = np.random.default_rng(seed)
     rng.shuffle(words)
-    return " ".join(words)
+    marks = rng.random(len(words)) < 0.3
+    tag = str(seed % 97)
+    return " ".join(
+        w + tag if m else w for w, m in zip(words, marks)
+    )
 
 
 def scale_table(name: str, src: str, dst: str, factor: int) -> int:
