@@ -315,7 +315,17 @@ def incremental_ngram_dedup(
 # Image twin: persisted 64-bit fingerprint (phash/simhash) chunk-band index
 # ---------------------------------------------------------------------------
 
-_PHASH_META_SCHEMA = "chunks int, max_hamming int"
+_PHASH_META_SCHEMA = "chunks int, max_hamming int, band_chunks int"
+
+
+def _meta_band_chunks(meta) -> int:
+    """band_chunks from an index meta row; pre-round-3 indexes lack the
+    column and were banded on single chunks."""
+    try:
+        bc = meta["band_chunks"]
+    except (KeyError, ValueError):
+        return 1
+    return 1 if bc is None else int(bc)
 
 
 def save_phash_index(
@@ -341,10 +351,16 @@ def save_phash_index(
 
     check_pigeonhole(max_hamming, chunks)
     spark = df.sparkSession
+    # compound bands whenever the Hamming budget leaves >= 2 agreeing
+    # chunks (same saturation argument as dedup.combo_band_structs: a
+    # persisted 16-bit single-chunk index saturates around 10^7 images
+    # and makes every probe quadratic); the combination size is part of
+    # the index format and rides in meta
+    band_chunks = max(1, chunks - max_hamming)
     spark.createDataFrame(
-        [(chunks, max_hamming)], _PHASH_META_SCHEMA
+        [(chunks, max_hamming, band_chunks)], _PHASH_META_SCHEMA
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
-    _banded_phash(df, id_col, phash_col, chunks).withColumn(
+    _banded_phash(df, id_col, phash_col, chunks, band_chunks).withColumn(
         "ingest", F.lit("base")
     ).write.mode("overwrite").partitionBy("ingest", "chunk").parquet(
         f"{path}/banded"
@@ -352,15 +368,23 @@ def save_phash_index(
 
 
 def _banded_phash(
-    df: DataFrame, id_col: str, phash_col: str, chunks: int
+    df: DataFrame, id_col: str, phash_col: str, chunks: int,
+    band_chunks: int = 1,
 ) -> DataFrame:
-    from smcchecker_spark.ops.dedup import chunk_band_structs
+    from smcchecker_spark.ops.dedup import (
+        chunk_band_structs, combo_band_structs,
+    )
 
     h = F.col(phash_col).cast("long")
+    bands = (
+        combo_band_structs(h, chunks, band_chunks)
+        if band_chunks >= 2
+        else chunk_band_structs(h, chunks)
+    )
     return df.select(
         F.col(id_col).alias("id"),
         h.alias("h"),
-        F.explode(chunk_band_structs(h, chunks)).alias("cc"),
+        F.explode(bands).alias("cc"),
     ).select(
         F.col("cc.chunk").alias("chunk"),
         F.col("cc.val").alias("val"),
@@ -383,7 +407,10 @@ def append_to_phash_index(
     label = ingest_label if ingest_label is not None else "append"
     mode = "overwrite" if ingest_label is not None else "append"
     (
-        _banded_phash(new_df, id_col, phash_col, meta["chunks"])
+        _banded_phash(
+            new_df, id_col, phash_col, meta["chunks"],
+            _meta_band_chunks(meta),
+        )
         .withColumn("ingest", F.lit(label))
         .write.mode(mode)
         .option("partitionOverwriteMode", "dynamic")
@@ -416,12 +443,20 @@ def incremental_phash_pairs(
 
     spark = new_df.sparkSession
     meta = spark.read.parquet(f"{path}/meta").first()
+    band_chunks = _meta_band_chunks(meta)
     if max_hamming is None:
         max_hamming = meta["max_hamming"]
     check_pigeonhole(max_hamming, meta["chunks"])
+    if max_hamming > meta["chunks"] - band_chunks:
+        raise ValueError(
+            f"index banded on {band_chunks}-chunk combinations only "
+            f"guarantees recall for max_hamming <= "
+            f"{meta['chunks'] - band_chunks}; got {max_hamming} — "
+            "rebuild the index with the looser bound"
+        )
 
     banded_new = _banded_phash(
-        new_df, id_col, phash_col, meta["chunks"]
+        new_df, id_col, phash_col, meta["chunks"], band_chunks
     ).localCheckpoint(eager=True)
 
     nn = hamming_near_dups(

@@ -241,3 +241,58 @@ def test_phash_probe_hot_bucket_and_append(spark, tmp_path_factory):
     inc.append_to_phash_index(nov, path, ingest_label="b1")
     assert {(r["id_a"], r["id_b"]) for r in
             inc.incremental_phash_pairs(probe, path).collect()} == {(901, 950)}
+
+
+def test_phash_index_compound_bands_exact_recall(spark, tmp_path_factory):
+    """max_hamming=2 indexes band on 2-chunk combinations (32-bit keys
+    — single 16-bit chunks saturate ~10^7 images). Probe recall must
+    equal brute force, appends must reuse the index's combination
+    size, and a looser-than-indexed probe must be refused."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = [int(x) for x in
+            rng.integers(-(2**62), 2**62, 30, dtype=np.int64)]
+    old_rows = [(i, h) for i, h in enumerate(base)]
+    # new batch: 2-bit perturbations of the first 6 + 2 novel values
+    new_rows = []
+    for i in range(6):
+        h = base[i] & (2**64 - 1)
+        for b in rng.choice(64, 2, replace=False):
+            h ^= 1 << int(b)
+        new_rows.append((500 + i, h - 2**64 if h >= 2**63 else h))
+    new_rows += [(600, 42), (601, -99)]
+    old = _ph_df(spark, old_rows)
+    new = _ph_df(spark, new_rows)
+    path = str(tmp_path_factory.mktemp("phcombo"))
+    inc.save_phash_index(old, path, max_hamming=2)
+    meta = spark.read.parquet(f"{path}/meta").first()
+    assert meta["band_chunks"] == 2
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+           inc.incremental_phash_pairs(new, path).collect()}
+    allr = old_rows + new_rows
+    new_ids = {i for i, _ in new_rows}
+    brute = set()
+    for i in range(len(allr)):
+        for j in range(i + 1, len(allr)):
+            if allr[i][0] not in new_ids and allr[j][0] not in new_ids:
+                continue  # old x old never re-pairs
+            d = bin((allr[i][1] ^ allr[j][1]) & (2**64 - 1)).count("1")
+            if d <= 2:
+                brute.add((*sorted((allr[i][0], allr[j][0])), d))
+    assert got == brute and brute  # planted pairs exist
+    # probing looser than the indexed bound must be refused
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="rebuild the index"):
+        inc.incremental_phash_pairs(new, path, max_hamming=3)
+    # appends reuse the combination size; next probe still exact
+    inc.append_to_phash_index(_ph_df(spark, [(700, 42 ^ 3)]), path,
+                              ingest_label="b1")
+    got2 = {(r["id_a"], r["id_b"]) for r in
+            inc.incremental_phash_pairs(
+                _ph_df(spark, [(800, 42 ^ 1)]), path
+            ).collect()}
+    # 700 (appended, hamming(42^3, 42^1)=1) pairs; 600 was probed but
+    # never appended, so the index rightly doesn't know it
+    assert got2 == {(700, 800)}
