@@ -943,6 +943,14 @@ _NATIVE_ERRORS = {
 
 _ZIGZAG_U8 = None  # built lazily: contiguous uint8 view for the kernel
 
+# scan-structure marshalling cache: every field of the kernel call
+# except the coefficient-store pointers depends only on the Huffman
+# tables and the scan geometry — which repeat across a whole corpus
+# (Annex-K tables, a handful of sampling layouts) — so the numpy/ctypes
+# marshalling (~40 µs) is paid once per distinct structure per process,
+# not once per image. Values referenced by the cache stay alive with it.
+_SCAN_STRUCT_CACHE: dict[tuple, tuple] = {}
+
 
 def _native_call_args(native, tmpl):
     """Marshal one scan's template into a closure over the native
@@ -953,35 +961,48 @@ def _native_call_args(native, tmpl):
     if _ZIGZAG_U8 is None:
         _ZIGZAG_U8 = np.ascontiguousarray(ZIGZAG.astype(np.uint8))
     n = len(tmpl)
-    dc_ptrs = (ctypes.c_void_p * n)(
-        *[t[6].ctypes.data for t in tmpl]
+    key = tuple(
+        (id(t[6]), id(t[7]), t[3], t[4], tuple(t[5])) for t in tmpl
     )
-    ac_ptrs = (ctypes.c_void_p * n)(
-        *[t[7].ctypes.data for t in tmpl]
-    )
+    hit = _SCAN_STRUCT_CACHE.get(key)
+    if hit is None:
+        dc_ptrs = (ctypes.c_void_p * n)(
+            *[t[6].ctypes.data for t in tmpl]
+        )
+        ac_ptrs = (ctypes.c_void_p * n)(
+            *[t[7].ctypes.data for t in tmpl]
+        )
+        rowstep = np.array([t[3] for t in tmpl], dtype=np.int64)
+        colstep = np.array([t[4] for t in tmpl], dtype=np.int64)
+        offs_flat = np.array(
+            [o for t in tmpl for o in t[5]], dtype=np.int64
+        )
+        noffs = np.array([len(t[5]) for t in tmpl], dtype=np.int64)
+        offbase = np.concatenate([[0], np.cumsum(noffs)[:-1]]).astype(
+            np.int64
+        )
+        # lut arrays are cached forever in _LUT_CACHE, so holding their
+        # ids in the key and the arrays in the value is stable
+        hit = (
+            dc_ptrs, ac_ptrs,
+            rowstep.ctypes.data, colstep.ctypes.data,
+            offs_flat.ctypes.data, offbase.ctypes.data,
+            noffs.ctypes.data, _ZIGZAG_U8.ctypes.data,
+            (tmpl[0][6], tmpl[0][7], rowstep, colstep, offs_flat,
+             noffs, offbase, _ZIGZAG_U8),
+        )
+        _SCAN_STRUCT_CACHE[key] = hit
+    (dc_ptrs, ac_ptrs, p_rowstep, p_colstep, p_offs, p_offbase,
+     p_noffs, p_zz, _keep) = hit
     coef_ptrs = (ctypes.c_void_p * n)(
         *[t[2].ctypes.data for t in tmpl]
     )
-    rowstep = np.array([t[3] for t in tmpl], dtype=np.int64)
-    colstep = np.array([t[4] for t in tmpl], dtype=np.int64)
-    offs_flat = np.array(
-        [o for t in tmpl for o in t[5]], dtype=np.int64
-    )
-    noffs = np.array([len(t[5]) for t in tmpl], dtype=np.int64)
-    offbase = np.concatenate([[0], np.cumsum(noffs)[:-1]]).astype(
-        np.int64
-    )
-    # keep every marshalled buffer alive for the closure's lifetime
-    keep = (tmpl, rowstep, colstep, offs_flat, noffs, offbase,
-            _ZIGZAG_U8)
 
     def call(seg_bytes: bytes, mcu: int, seg_end: int, scan_mcux: int):
         return native(
             seg_bytes, len(seg_bytes), mcu, seg_end, scan_mcux, n,
             dc_ptrs, ac_ptrs, coef_ptrs,
-            keep[1].ctypes.data, keep[2].ctypes.data,
-            keep[3].ctypes.data, keep[5].ctypes.data,
-            keep[4].ctypes.data, keep[6].ctypes.data,
+            p_rowstep, p_colstep, p_offs, p_offbase, p_noffs, p_zz,
         )
 
     return call
