@@ -169,6 +169,181 @@ _MESSAGES_ORACLE = (
 )
 
 
+def q_pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (ops/pq.py): int8 vectors → m=8
+    code indices against deterministic closed-form INTEGER codebooks
+    (16x compression over the int8 form; 4-bit codes). All distances
+    are exact int64, so the per-subspace argmin — tie → lowest code —
+    is reproduced bit-for-bit by the DuckDB oracle from the same
+    codebook formula. Codes surface as CSV (scalar-output contract).
+    Trained-codebook quality is covered by the rows-only sibling
+    ``pq_trained_recon`` and tests/test_pq.py."""
+    from smcchecker_spark.ops import pq, quant
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quant.quantize_embeddings(emb).select(
+        "vec_id", F.col("q").cast("array<int>").alias("q")
+    )
+    enc = pq.pq_encode(q, pq.formula_codebooks())
+    return enc.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("pq_codes", lambda c: c.cast("string"))
+        ).alias("codes_csv"),
+    )
+
+
+# the oracle rebuilds int8 quantization (the proven _QUANTIZE_ORACLE
+# expression), expands the (subspace j, code c, dim d) grid, computes
+# exact integer squared distances against the formula codebook
+# cb = (j*29 + c*5 + d*11) % 31 - 15, and takes the per-(vec, j)
+# argmin with the same lowest-code tie rule
+_PQ_ENCODE_ORACLE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         greatest(
+           list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) / 127.0,
+           1e-12) AS sc
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) / sc)
+                                  AS BIGINT)) AS qv
+  FROM s
+),
+grid AS (
+  SELECT q.vec_id, j.range AS j, c.range AS c,
+         SUM( (qv[CAST(j.range*8 + d.range + 1 AS INT)]
+               - ((j.range*29 + c.range*5 + d.range*11) % 31 - 15))
+            * (qv[CAST(j.range*8 + d.range + 1 AS INT)]
+               - ((j.range*29 + c.range*5 + d.range*11) % 31 - 15)) )
+           AS dist
+  FROM q, range(8) j, range(16) c, range(8) d
+  GROUP BY q.vec_id, j.range, c.range
+),
+best AS (
+  SELECT vec_id, j, c,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                            ORDER BY dist ASC, c ASC) AS rn
+  FROM grid
+)
+SELECT vec_id,
+       string_agg(CAST(c AS VARCHAR), ',' ORDER BY j) AS codes_csv
+FROM best WHERE rn = 1
+GROUP BY vec_id
+"""
+
+
+def q_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (ops/pq.py): the query's m×k
+    integer LUT folds into the scan projection as literals and each
+    row costs m table picks — one corpus scan, NO Python stage in
+    scoring (plan-asserted in tests/test_pq.py), no vector
+    reconstruction. Query = the int8 form of corpus row vec_id=7
+    (bounded single-row collect; the oracle reuses it by subquery).
+    Exact integer ADC ⇒ value-checked ranks."""
+    from smcchecker_spark.ops import pq, quant
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quant.quantize_embeddings(emb).select(
+        "vec_id", F.col("q").cast("array<int>").alias("q")
+    )
+    import numpy as np
+
+    books = pq.formula_codebooks()
+    enc = pq.pq_encode(q, books)
+    query_q = np.array(
+        q.filter(F.col("vec_id") == 7).first()["q"], dtype=np.int64
+    )
+    return pq.pq_topk_partial(enc, query_q, books, k=10)
+
+
+_PQ_TOPK_ORACLE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         greatest(
+           list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) / 127.0,
+           1e-12) AS sc
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) / sc)
+                                  AS BIGINT)) AS qv
+  FROM s
+),
+grid AS (
+  SELECT q.vec_id, j.range AS j, c.range AS c,
+         SUM( (qv[CAST(j.range*8 + d.range + 1 AS INT)]
+               - ((j.range*29 + c.range*5 + d.range*11) % 31 - 15))
+            * (qv[CAST(j.range*8 + d.range + 1 AS INT)]
+               - ((j.range*29 + c.range*5 + d.range*11) % 31 - 15)) )
+           AS dist
+  FROM q, range(8) j, range(16) c, range(8) d
+  GROUP BY q.vec_id, j.range, c.range
+),
+best AS (
+  SELECT vec_id, j, c AS code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                            ORDER BY dist ASC, c ASC) AS rn
+  FROM grid
+),
+qq AS (SELECT qv FROM q WHERE vec_id = 7),
+lut AS (
+  SELECT j.range AS j, c.range AS c,
+         SUM( ((SELECT qv FROM qq)[CAST(j.range*8 + d.range + 1 AS INT)]
+               - ((j.range*29 + c.range*5 + d.range*11) % 31 - 15))
+            * ((SELECT qv FROM qq)[CAST(j.range*8 + d.range + 1 AS INT)]
+               - ((j.range*29 + c.range*5 + d.range*11) % 31 - 15)) )
+           AS d2
+  FROM range(8) j, range(16) c, range(8) d
+  GROUP BY j.range, c.range
+),
+scored AS (
+  SELECT b.vec_id AS neighbor_id, SUM(l.d2) AS adc_dist
+  FROM (SELECT vec_id, j, code FROM best WHERE rn = 1) b
+  JOIN lut l ON l.j = b.j AND l.c = b.code
+  GROUP BY b.vec_id
+),
+ranked AS (
+  SELECT neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (ORDER BY adc_dist ASC, neighbor_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_pq_trained_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with TRAINED codebooks (driver k-means on a bounded
+    id-ordered sample, centroids rounded to ints): corpus-level
+    reconstruction-error summary. k-means is not SQL-expressible, so
+    this is a rows-only check — the encode/ADC machinery itself is
+    value-checked by the formula-codebook siblings above."""
+    from smcchecker_spark.ops import pq, quant
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quant.quantize_embeddings(emb).select(
+        "vec_id", F.col("q").cast("array<int>").alias("q")
+    )
+    books = pq.train_pq_codebooks(q, sample=512)
+    enc = pq.pq_encode(q, books)
+    err = pq.reconstruction_error(enc, books)
+    return err.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("pq_sq_err").alias("total_sq_err"),
+        F.max("pq_sq_err").alias("max_sq_err"),
+    )
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric embedding quantization (ops/quant.py): the 4x
     storage path for vector columns, pure Column HOFs (no Python stage,
@@ -4903,6 +5078,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     variants of an in-window sibling, all locked by pytest goldens."""
     return {
         # -- round-3 driver window: red row first, then never-checked --
+        "pq_encode_embeddings": q_pq_encode_embeddings,
+        "pq_topk_embeddings": q_pq_topk_embeddings,
+        "pq_trained_recon": q_pq_trained_recon,
         "quantize_embeddings": q_quantize_embeddings,
         "jpeg_validate": q_jpeg_validate,
         "webp_validate": q_webp_validate,
@@ -5040,6 +5218,8 @@ def oracle_sql() -> dict[str, str]:
         "fd_discovery_events": _FD_DISCOVERY_ORACLE,
         # int8 quantization: q values element-checked; scale in integer
         # micro-units; reconstruction bound as an expected-TRUE boolean
+        "pq_encode_embeddings": _PQ_ENCODE_ORACLE,
+        "pq_topk_embeddings": _PQ_TOPK_ORACLE,
         "quantize_embeddings": _QUANTIZE_ORACLE,
         # int-dot scoring: the ONLY ANN path whose scores are exactly
         # SQL-reproducible (integer arithmetic; no rounding tolerance)
