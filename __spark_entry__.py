@@ -322,6 +322,38 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q_ivfpq_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (ops/pq.py ivfpq_encode/ivfpq_topk — the FAISS-IVFADC
+    layout: coarse cell for source-level pruning + 4-bit codes for
+    scoring, float vectors dropped from the search path). Probing ALL
+    cells makes the result provably identical to exact PQ top-k over
+    the whole index, so the k-means cell assignment cannot perturb the
+    value-checked answer — the same exhaustive-regime trick as
+    ``ivf_topk_exhaustive``. The pruned regime's subset/recall behavior
+    is locked by tests/test_pq.py."""
+    import numpy as np
+
+    from smcchecker_spark.ops import pq, quant, similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quant.quantize_embeddings(emb).select(
+        "vec_id", "embedding", F.col("q").cast("array<int>").alias("q")
+    )
+    cents = similarity.train_centroids(q, k=8, sample=256)
+    books = pq.formula_codebooks()
+    index = pq.ivfpq_encode(q, cents, books)
+    row = q.filter(F.col("vec_id") == 7).first()
+    return pq.ivfpq_topk(
+        index,
+        np.array(row["embedding"], dtype=np.float64),
+        np.array(row["q"], dtype=np.int64),
+        cents,
+        books,
+        k=10,
+        n_probe=8,
+    )
+
+
 def q_pq_trained_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ with TRAINED codebooks (driver k-means on a bounded
     id-ordered sample, centroids rounded to ints): corpus-level
@@ -5080,6 +5112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-3 driver window: red row first, then never-checked --
         "pq_encode_embeddings": q_pq_encode_embeddings,
         "pq_topk_embeddings": q_pq_topk_embeddings,
+        "ivfpq_topk_exhaustive": q_ivfpq_topk_exhaustive,
         "pq_trained_recon": q_pq_trained_recon,
         "quantize_embeddings": q_quantize_embeddings,
         "jpeg_validate": q_jpeg_validate,
@@ -5220,6 +5253,7 @@ def oracle_sql() -> dict[str, str]:
         # micro-units; reconstruction bound as an expected-TRUE boolean
         "pq_encode_embeddings": _PQ_ENCODE_ORACLE,
         "pq_topk_embeddings": _PQ_TOPK_ORACLE,
+        "ivfpq_topk_exhaustive": _PQ_TOPK_ORACLE,
         "quantize_embeddings": _QUANTIZE_ORACLE,
         # int-dot scoring: the ONLY ANN path whose scores are exactly
         # SQL-reproducible (integer arithmetic; no rounding tolerance)

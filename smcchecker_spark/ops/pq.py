@@ -242,3 +242,63 @@ def reconstruction_error(
     return df.withColumn(
         "pq_sq_err", err(F.col(q_col), F.col(codes_col))
     )
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    q_col: str = "q",
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Build the IVF-PQ index projection: (id, cell, codes) — the
+    canonical billion-scale ANN layout (FAISS IVFADC): coarse cell for
+    partition pruning, 4-bit codes for in-cell scoring, the float
+    vector DROPPED from the search path entirely. Map-only; at corpus
+    scale write it partitioned by ``cell`` so probes prune at the
+    source."""
+    from smcchecker_spark.ops.similarity import _cell_udf
+
+    return df.select(
+        F.col(id_col),
+        _cell_udf(centroids)(F.col(vec_col)).alias(cell_col),
+        _encode_udf(codebooks)(F.col(q_col)).alias(codes_col),
+    )
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    query_vec: np.ndarray,
+    query_q: np.ndarray,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF-PQ ANN: probe the query's ``n_probe`` nearest cells (cosine
+    to the coarse centroids, computed driver-side — the query is one
+    vector), then ADC top-k inside the probed slice. The cell filter is
+    a literal IN list, so a cell-partitioned index prunes at the
+    source; scoring touches only the codes column. n_probe = n_cells
+    degenerates to exact :func:`pq_topk` over the whole index (the
+    oracle regime). ADC distances live in the symmetric-int8 q-space
+    (per-row max-abs normalization) — the storage form's metric, which
+    the recall tests measure against exact q-space distance."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qv = qv / max(np.linalg.norm(qv), 1e-12)
+    C = np.asarray(centroids, dtype=np.float64)
+    n_probe = min(n_probe, len(C))
+    probe = np.argsort(-(C @ qv))[:n_probe]
+    sliced = index.filter(
+        F.col(cell_col).isin([int(c) for c in probe])
+    )
+    return pq_topk_partial(
+        sliced, query_q, codebooks, k=k,
+        id_col=id_col, codes_col=codes_col,
+    )

@@ -162,3 +162,43 @@ def test_adc_scoring_has_no_python_stage(spark, qdf):
         pq.pq_topk(enc, query, CB, k=5).explain("formatted")
     plan = buf.getvalue()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ivfpq_exhaustive_equals_pq_and_pruned_is_subset(spark):
+    """n_probe = n_cells makes IVF-PQ identical to exact PQ top-k over
+    the whole index; a pruned probe returns a subset ranking whose
+    entries keep their ADC distances; recall@10 of 4/16 probes on
+    clustered data stays useful (>= 0.5)."""
+    from smcchecker_spark.ops import similarity
+
+    rng = np.random.default_rng(21)
+    centers = rng.standard_normal((16, 64))
+    rows = []
+    for i in range(400):
+        v = centers[i % 16] + rng.normal(0, 0.05, 64)
+        q = np.clip(np.rint(v / max(np.abs(v).max(), 1e-12) * 127),
+                    -127, 127)
+        rows.append((i, [float(x) for x in v], [int(x) for x in q]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, q array<int>"
+    ).cache()
+    cents = similarity.train_centroids(df, k=16, sample=400)
+    CB = pq.train_pq_codebooks(df, m=8, k=16, sample=400)
+    index = pq.ivfpq_encode(df, cents, CB).cache()
+    qv = np.array(rows[5][1])
+    qq = np.array(rows[5][2], dtype=np.int64)
+    exact = pq.pq_topk(
+        index.select("vec_id", "pq_codes"), qq, CB, k=10
+    ).collect()
+    exh = pq.ivfpq_topk(index, qv, qq, cents, CB, k=10, n_probe=16
+                        ).collect()
+    assert [(r["neighbor_id"], r["adc_dist"]) for r in exh] == \
+           [(r["neighbor_id"], r["adc_dist"]) for r in exact]
+    pruned = pq.ivfpq_topk(index, qv, qq, cents, CB, k=10, n_probe=4
+                           ).collect()
+    exact_d = {r["neighbor_id"]: r["adc_dist"] for r in exact}
+    hit = sum(1 for r in pruned if r["neighbor_id"] in exact_d)
+    assert hit >= 5
+    for r in pruned:
+        if r["neighbor_id"] in exact_d:
+            assert r["adc_dist"] == exact_d[r["neighbor_id"]]
