@@ -5102,12 +5102,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the correctness driver samples the
-    FIRST 50 entries each round. Round-3 window = the red round-2 row
-    (quantize_embeddings, output canonicalization fixed) followed by the
-    49 highest-priority never-driver-checked queries (codecs, semdedup,
-    incremental indexes, pipeline/curation ops). Entries from position 51
-    onward have prior green driver rows (r1/r2) or are within-family
-    variants of an in-window sibling, all locked by pytest goldens."""
+    FIRST 50 entries each round. Round-3 window = the brand-new PQ/IVFPQ
+    queries, the red round-2 row (quantize_embeddings, output
+    canonicalization fixed), then the highest-priority
+    never-driver-checked queries (codecs, semdedup, incremental indexes,
+    pipeline/curation ops). Entries from position 51 onward have prior
+    green driver rows (r1/r2), are within-family variants of an
+    in-window sibling, or were spot-checked via tools/check_entry this
+    round — all locked by pytest goldens."""
     return {
         # -- round-3 driver window: red row first, then never-checked --
         "pq_encode_embeddings": q_pq_encode_embeddings,
