@@ -144,6 +144,11 @@ HEADLINE = [
     "token_entropy_docs",
     "boilerplate_docs",
     "url_features_docs",
+    # round-3 additions: product-quantization ANN (integer-exact encode
+    # + LUT-literal ADC top-k + IVF-PQ composition)
+    "pq_encode_embeddings",
+    "pq_topk_embeddings",
+    "ivfpq_topk_exhaustive",
 ]
 
 

@@ -108,6 +108,9 @@ AUDITED = [
     "jpeg_validate",
     "webp_validate",
     "transcode_images",
+    "pq_encode_embeddings",
+    "pq_topk_embeddings",
+    "ivfpq_topk_exhaustive",
 ]
 
 JOIN_RE = re.compile(
