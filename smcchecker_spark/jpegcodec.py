@@ -163,6 +163,44 @@ def _dct_matrix() -> np.ndarray:
 
 _DCT = _dct_matrix()
 
+# Decode-side IDCT runs in FIXED-POINT integer arithmetic so the native
+# kernel (native/jpegrecon.c) and this numpy reference are bit-exact on
+# every host — the same doctrine as the entropy-decode kernel: phash
+# values must not depend on which path (or which libm/BLAS) decoded the
+# image. Constants are round(_dct_matrix() * 2^18) frozen as literals
+# (a test pins them against the cos() derivation); stage 1 keeps 6
+# guard bits (shift 12 of 18), stage 2 descales the rest (shift 24).
+# Error vs the exact real-valued IDCT is < 0.05 of a pixel step —
+# comfortably inside IEEE-1180-class accuracy — and every intermediate
+# fits int64 even for hostile streams (|coef| ≤ 32767 enforced by the
+# scan decoder, qt ≤ 255 ⇒ stage-2 sums ≤ 2.2e15 « 2^63).
+_IDCT_BITS = 18
+_IDCT_PASS1_SHIFT = 12  # 2^6 scale kept between the passes
+_IDCT_PASS2_SHIFT = 2 * _IDCT_BITS - _IDCT_PASS1_SHIFT
+_IDCT_M = np.array(
+    [
+        (92682, 92682, 92682, 92682, 92682, 92682, 92682, 92682),
+        (128553, 108982, 72820, 25571, -25571, -72820, -108982, -128553),
+        (121095, 50159, -50159, -121095, -121095, -50159, 50159, 121095),
+        (108982, -25571, -128553, -72820, 72820, 128553, 25571, -108982),
+        (92682, -92682, -92682, 92682, 92682, -92682, -92682, 92682),
+        (72820, -128553, 25571, 108982, -108982, -25571, 128553, -72820),
+        (50159, -121095, 121095, -50159, -50159, 121095, -121095, 50159),
+        (25571, -72820, 108982, -128553, 128553, -108982, 72820, -25571),
+    ],
+    dtype=np.int64,
+)
+_IDCT_MT = np.ascontiguousarray(_IDCT_M.T)
+
+# JFIF YCbCr → RGB in 16.16 fixed point (round(c * 65536) of the
+# Rec.601 inverse coefficients); same per-term round-half-up in both
+# paths. Chroma products use int64: a hostile stream's unclipped plane
+# samples can reach ~1.3e8, so 116130 * cr would wrap int32.
+_FIX_CR_R = 91881  # 1.402
+_FIX_CB_G = 22554  # 0.344136286
+_FIX_CR_G = 46802  # 0.714136286
+_FIX_CB_B = 116130  # 1.772
+
 
 def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     """IJG quality scaling (public libjpeg convention): 1..100 →
@@ -686,6 +724,13 @@ class _Frame:
     __slots__ = ("h", "w", "comps")
 
 
+# natural-order quant tables cached by DQT payload bytes: a corpus
+# reuses a handful of quality-scaled tables, so the unzigzag scatter is
+# paid once per distinct table per process (the arrays are shared and
+# never mutated; the cap guards hostile one-table-per-image corpora)
+_DQT_CACHE: dict[bytes, np.ndarray] = {}
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF JPEG bytes → HxWx3 uint8 (grayscale is replicated
     to 3 channels — the engine's table schema is RGB). Handles
@@ -727,11 +772,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 pq, tq = payload[p] >> 4, payload[p] & 15
                 if pq != 0:
                     raise ValueError("16-bit quant tables not baseline")
-                zz = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8)
-                if len(zz) != 64:
+                raw = payload[p + 1 : p + 65]
+                if len(raw) != 64:
                     raise ValueError("corrupt JPEG: short DQT")
-                nat = np.zeros(64, dtype=np.float64)
-                nat[ZIGZAG] = zz
+                nat = _DQT_CACHE.get(raw)
+                if nat is None:
+                    if len(_DQT_CACHE) >= 1024:
+                        _DQT_CACHE.clear()
+                    nat = np.zeros(64, dtype=np.int32)
+                    nat[ZIGZAG] = np.frombuffer(raw, dtype=np.uint8)
+                    _DQT_CACHE[raw] = nat
                 qts[tq] = nat
                 p += 65
         elif marker == 0xC4:  # DHT
@@ -845,11 +895,13 @@ def _ensure_coef(
         c["bw"] = mcux * c["hi"]
         c["bh"] = mcuy * c["vi"]
         nb = c["bw"] * c["bh"]
-        c["coef"] = (
-            np.zeros((nb, 64), dtype=np.int32)
-            if compact
-            else [[0] * 64 for _ in range(nb)]
-        )
+        if compact:
+            c["coef"] = np.zeros((nb, 64), dtype=np.int32)
+            # raw pointer recorded once: the scan and reconstruct
+            # kernels both reuse it (ndarray.ctypes is ~1 µs a pop)
+            c["coef_ptr"] = c["coef"].ctypes.data
+        else:
+            c["coef"] = [[0] * 64 for _ in range(nb)]
 
 
 def _decode_scan_into(frame, luts, scan_list, segs, restart, covered):
@@ -894,14 +946,14 @@ def _decode_scan_into(frame, luts, scan_list, segs, restart, covered):
             hi_, vi_ = c["hi"], c["vi"]
             offs = [by * bw + bx for by in range(vi_) for bx in range(hi_)]
             tmpl.append((dc[0], ac[0], c["coef"], vi_ * bw, hi_, offs,
-                         dc[1], ac[1]))
+                         dc[1], ac[1], c.get("coef_ptr")))
         else:
             xi = -(-w * c["hi"] // hmax)  # T.81 A.1.1 component dims
             yi = -(-h * c["vi"] // vmax)
             scan_mcux = -(-xi // 8)
             scan_total = scan_mcux * (-(-yi // 8))
             tmpl.append((dc[0], ac[0], c["coef"], bw, 1, [0],
-                         dc[1], ac[1]))
+                         dc[1], ac[1], c.get("coef_ptr")))
 
     blocks_per_mcu = sum(len(t[5]) for t in tmpl)
     per_seg = restart if restart else scan_total
@@ -995,7 +1047,7 @@ def _native_call_args(native, tmpl):
     (dc_ptrs, ac_ptrs, p_rowstep, p_colstep, p_offs, p_offbase,
      p_noffs, p_zz, _keep) = hit
     coef_ptrs = (ctypes.c_void_p * n)(
-        *[t[2].ctypes.data for t in tmpl]
+        *[t[8] for t in tmpl]
     )
 
     def call(seg_bytes: bytes, mcu: int, seg_end: int, scan_mcux: int):
@@ -1025,7 +1077,7 @@ def _decode_segment_py(seg_bytes, mcu, seg_end, scan_mcux, tmpl):
         while mcu < seg_end:
             my, mx = divmod(mcu, scan_mcux)
             ti = 0
-            for dc_lut, ac_lut, coef, rowstep, colstep, offs, _, _ \
+            for dc_lut, ac_lut, coef, rowstep, colstep, offs, *_ \
                     in tmpl:
                 base = my * rowstep + mx * colstep
                 for off in offs:
@@ -1125,18 +1177,33 @@ def _decode_segment_py(seg_bytes, mcu, seg_end, scan_mcux, tmpl):
 
 
 def _reconstruct(frame, qts):
-    h, w = frame.h, frame.w
+    """Coefficient stores → HxWx3 uint8 via the fixed-point integer
+    pipeline (dequant → two-pass integer IDCT → +128 → replication
+    upsample → 16.16 integer color convert → clip). Dispatches to the
+    native kernel when available; this numpy body is the bit-exact
+    reference it is property-tested against."""
     comps = frame.comps
-    hmax = max(c["hi"] for c in comps)
-    vmax = max(c["vi"] for c in comps)
     for c in comps:
         if c["tq"] not in qts:
             raise ValueError("corrupt JPEG: missing quant table")
+    native = _native.jpegrecon()
+    if native is not None and isinstance(comps[0]["coef"], np.ndarray):
+        return _reconstruct_native(native, frame, qts)
+    h, w = frame.h, frame.w
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
     planes = []
     for c in comps:
-        coef = np.asarray(c["coef"], dtype=np.float64) * qts[c["tq"]]
-        blocks = _DCT.T @ coef.reshape(-1, 8, 8) @ _DCT
-        plane = _from_blocks(blocks + 128.0, c["bh"], c["bw"])
+        coef = np.asarray(c["coef"], dtype=np.int64) * qts[c["tq"]]
+        t1 = (
+            np.matmul(_IDCT_MT, coef.reshape(-1, 8, 8))
+            + (1 << (_IDCT_PASS1_SHIFT - 1))
+        ) >> _IDCT_PASS1_SHIFT
+        blocks = (
+            (np.matmul(t1, _IDCT_M) + (1 << (_IDCT_PASS2_SHIFT - 1)))
+            >> _IDCT_PASS2_SHIFT
+        ) + 128
+        plane = _from_blocks(blocks, c["bh"], c["bw"])
         # crop to the component's own sampled dims, then upsample by
         # replication to full frame size
         ch = -(-h * c["vi"] // vmax)
@@ -1155,14 +1222,89 @@ def _reconstruct(frame, qts):
         rgb = np.stack([y, y, y], axis=-1)
     else:
         y, cb, cr = planes
-        cb = cb - 128.0
-        cr = cr - 128.0
+        cb = cb - 128
+        cr = cr - 128
         rgb = np.stack(
             [
-                y + 1.402 * cr,
-                y - 0.344136286 * cb - 0.714136286 * cr,
-                y + 1.772 * cb,
+                y + ((_FIX_CR_R * cr + 32768) >> 16),
+                y - ((_FIX_CB_G * cb + _FIX_CR_G * cr + 32768) >> 16),
+                y + ((_FIX_CB_B * cb + 32768) >> 16),
             ],
             axis=-1,
         )
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+# quant tables marshalled once per table content for the native kernel
+# (real corpora reuse a handful of quality-scaled tables; the cap only
+# guards against a hostile corpus minting a new table per image)
+_QT_I32_CACHE: dict[bytes, np.ndarray] = {}
+_QT_I32_CACHE_MAX = 1024
+
+
+# frame-geometry marshalling cache: (geo ptr, offs ptr, scratch size)
+# per (bw, bh, sx, sy)-tuple — a corpus repeats a handful of layouts
+_GEO_CACHE: dict[tuple, tuple] = {}
+
+
+def _reconstruct_native(native, frame, qts):
+    """Marshal one frame into the jpegrecon kernel. The kernel computes
+    the identical integer pipeline in one call: per-component IDCT into
+    an int32 scratch plane, then the fused upsample + color-convert +
+    clip pass straight into the uint8 output. Everything reusable
+    (geometry arrays, int32 quant tables, the IDCT constant table) is
+    marshalled once per distinct structure per process; only the
+    coefficient/scratch/output pointers are per-image."""
+    import ctypes
+
+    h, w = frame.h, frame.w
+    comps = frame.comps
+    n = len(comps)
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
+    coef_ptrs = (ctypes.c_void_p * n)(
+        *[c["coef_ptr"] for c in comps]
+    )
+    qt_ptrs = (ctypes.c_void_p * n)()
+    for i, c in enumerate(comps):
+        qkey = qts[c["tq"]].tobytes()
+        hit = _QT_I32_CACHE.get(qkey)
+        if hit is None:
+            if len(_QT_I32_CACHE) >= _QT_I32_CACHE_MAX:
+                _QT_I32_CACHE.clear()
+            qt = np.ascontiguousarray(qts[c["tq"]], dtype=np.int32)
+            hit = (qt, qt.ctypes.data)
+            _QT_I32_CACHE[qkey] = hit
+        qt_ptrs[i] = hit[1]
+    gkey = tuple(
+        (c["bw"], c["bh"], hmax // c["hi"], vmax // c["vi"])
+        for c in comps
+    )
+    ghit = _GEO_CACHE.get(gkey)
+    if ghit is None:
+        if len(_GEO_CACHE) >= 4096:
+            _GEO_CACHE.clear()
+        geo = np.empty(4 * n, dtype=np.int64)  # bw, bh, sx, sy per comp
+        offs = np.empty(n + 1, dtype=np.int64)
+        offs[0] = 0
+        for i, (bw_, bh_, fx, fy) in enumerate(gkey):
+            geo[4 * i] = bw_
+            geo[4 * i + 1] = bh_
+            # replication factors are 1 or 2 (enforced at SOF), stored
+            # as shifts: x >> sx / y >> sy index the component plane
+            geo[4 * i + 2] = fx - 1
+            geo[4 * i + 3] = fy - 1
+            offs[i + 1] = offs[i] + (bh_ * 8) * (bw_ * 8)
+        ghit = (geo.ctypes.data, offs.ctypes.data, int(offs[n]),
+                geo, offs)
+        _GEO_CACHE[gkey] = ghit
+    p_geo, p_offs, scratch_n = ghit[0], ghit[1], ghit[2]
+    scratch = np.empty(scratch_n, dtype=np.int32)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    rc = native(
+        coef_ptrs, qt_ptrs, p_geo, p_offs, n, h, w,
+        scratch.ctypes.data, _IDCT_M.ctypes.data, out.ctypes.data,
+    )
+    if rc != 0:
+        raise ValueError(f"corrupt JPEG: native reconstruct error {rc}")
+    return out

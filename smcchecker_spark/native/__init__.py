@@ -128,6 +128,32 @@ def jpegscan():
     return fn
 
 
+def jpegrecon():
+    """ctypes handle for the JPEG reconstruction kernel, or None.
+
+    long reconstruct(coefs, qts, geo, offs, ncomp, h, w,
+                     scratch, m, out)
+    """
+    lib = _load("jpegrecon.c")
+    if lib is None:
+        return None
+    fn = lib.reconstruct
+    if not getattr(fn, "_smc_typed", False):
+        c_i64 = ctypes.c_longlong
+        fn.restype = ctypes.c_long
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),  # coefs
+            ctypes.POINTER(ctypes.c_void_p),  # qts
+            ctypes.c_void_p, ctypes.c_void_p,  # geo, offs
+            ctypes.c_long, c_i64, c_i64,      # ncomp, h, w
+            ctypes.c_void_p,                  # scratch
+            ctypes.c_void_p,                  # m (IDCT constants)
+            ctypes.c_void_p,                  # out
+        ]
+        fn._smc_typed = True
+    return fn
+
+
 def vp8lpix():
     """ctypes handle for the VP8L pixel-loop kernel, or None.
 

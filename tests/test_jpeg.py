@@ -552,3 +552,79 @@ def test_native_python_error_parity(monkeypatch):
         except ValueError as e:
             msgs_py.append(str(e))
     assert msgs_native == msgs_py
+
+
+# ---------------------------------------------------------------------------
+# Reconstruction kernel (jpegrecon.c): fixed-point integer IDCT +
+# upsample + color convert, bit-exact vs the numpy reference
+# ---------------------------------------------------------------------------
+
+
+def test_idct_constants_pinned_to_cos_derivation():
+    """_IDCT_M is a frozen literal (so decode never depends on the
+    host's libm); this pins it against the cos() derivation it came
+    from — if a platform's cos ever rounds differently, THIS fails
+    rather than decode output drifting."""
+    ref = np.round(jc._dct_matrix() * (1 << jc._IDCT_BITS)).astype(np.int64)
+    assert np.array_equal(jc._IDCT_M, ref)
+
+
+def test_recon_native_python_pixel_parity(monkeypatch):
+    """jpegrecon.c must produce bit-identical pixels to the numpy
+    integer reference for every layout: 4:4:4, 4:2:0, grayscale,
+    DC-only solid blocks, odd crop edges."""
+    from smcchecker_spark import native
+
+    if native.jpegrecon() is None:
+        pytest.skip("no C compiler in this environment")
+    cases = []
+    for i, (h, w) in enumerate([(8, 8), (17, 23), (32, 32), (9, 40), (64, 48)]):
+        a = _noise(h, w, seed=80 + i)
+        cases.append(jc.encode_jpeg(a, quality=98))
+        cases.append(jc.encode_jpeg(a, quality=75, subsampling="420"))
+    g = np.random.default_rng(81).integers(0, 256, (21, 35), dtype=np.uint8)
+    cases.append(jc.encode_jpeg_gray(g, quality=92))
+    cases.append(jc.encode_jpeg(np.full((16, 16, 3), 200, np.uint8), quality=95))
+    dec_native = [jc.decode_jpeg(p) for p in cases]
+    monkeypatch.setitem(native._cache, "jpegrecon.c", False)
+    for i, p in enumerate(cases):
+        assert np.array_equal(jc.decode_jpeg(p), dec_native[i]), i
+
+
+def test_recon_parity_extreme_coefficients(monkeypatch):
+    """Hostile-regime parity: saturated coefficient stores (|coef| at
+    the scan decoder's ±32767 cap, qt 255) exercise the largest int64
+    intermediates — both paths must still agree bit-exactly (the
+    analysis says pass-2 sums stay ≪ 2^63; this checks it end to end)."""
+    from smcchecker_spark import native
+
+    if native.jpegrecon() is None:
+        pytest.skip("no C compiler in this environment")
+    rng = np.random.default_rng(93)
+
+    def mk_frame():
+        f = jc._Frame()
+        f.h, f.w = 29, 37
+        f.comps = [
+            {"id": 1, "hi": 2, "vi": 2, "tq": 0},
+            {"id": 2, "hi": 1, "vi": 1, "tq": 1},
+            {"id": 3, "hi": 1, "vi": 1, "tq": 1},
+        ]
+        for c in f.comps:
+            c["bw"] = 6 if c["hi"] == 2 else 3
+            c["bh"] = 4 if c["vi"] == 2 else 2
+            nb = c["bw"] * c["bh"]
+            coef = rng.integers(-32767, 32768, (nb, 64)).astype(np.int32)
+            c["coef"] = np.ascontiguousarray(coef)
+            c["coef_ptr"] = c["coef"].ctypes.data
+        return f
+
+    qts = {
+        0: np.full(64, 255, dtype=np.int32),
+        1: rng.integers(1, 256, 64).astype(np.int32),
+    }
+    frames = [mk_frame() for _ in range(5)]
+    out_native = [jc._reconstruct(f, qts) for f in frames]
+    monkeypatch.setitem(native._cache, "jpegrecon.c", False)
+    for i, f in enumerate(frames):
+        assert np.array_equal(jc._reconstruct(f, qts), out_native[i]), i
