@@ -3606,6 +3606,41 @@ FROM documents
 """
 
 
+def q_shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assembly (ops/shards.py): rows grouped into
+    ~8 KiB byte-budget shards in deterministic md5 order — the
+    WebDataset-style export layout. Assignment = floor(exclusive
+    prefix sum / target) over (md5 key, doc_id) order, computed with
+    the shared two-pass distributed prefix sum (no single-partition
+    window); the oracle re-derives the md5 key, the order, the running
+    byte offsets, and the shard ids verbatim."""
+    from smcchecker_spark.ops import shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return shards.assign_shards(
+        docs, "n_chars", target_bytes=8192, salt="shard",
+        offset_col="shard_offset", num_ranges=8,
+    ).select("doc_id", "shard_id", "shard_offset")
+
+
+_SHARD_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5('shard' || doc_id::VARCHAR), 1, 15))::UBIGINT
+           AS k
+  FROM documents
+)
+SELECT doc_id,
+       CAST(coalesce(sum(n_chars) OVER (ORDER BY k, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 8192
+            AS BIGINT) AS shard_id,
+       CAST(coalesce(sum(n_chars) OVER (ORDER BY k, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS shard_offset
+FROM keyed
+"""
+
+
 def q_image_batches_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-ratio bucketing + deterministic training-batch assembly
     (ops/batching.py): nearest-AR bucket via exact integer fixed-point
@@ -5109,7 +5144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pipeline/curation ops). Entries from position 51 onward have prior
     green driver rows (r1/r2), are within-family variants of an
     in-window sibling, or were spot-checked via tools/check_entry this
-    round — all locked by pytest goldens."""
+    round — all locked by pytest goldens. Additions made after the
+    window was frozen (shard_docs) sit at the very end so they cannot
+    displace a never-checked entry; they carry check_entry spot-checks
+    at sf0.001 AND sf0.01 and rotate into the window next round."""
     return {
         # -- round-3 driver window: red row first, then never-checked --
         "pq_encode_embeddings": q_pq_encode_embeddings,
@@ -5238,6 +5276,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_docs": q_boilerplate_docs,
         "url_features_docs": q_url_features_docs,
         "bigram_counts_docs": q_bigram_counts_docs,
+        # round-3 additions past the driver's 50-entry window: rotate
+        # forward next round
+        "shard_docs": q_shard_docs,
     }
 
 
@@ -5303,6 +5344,8 @@ def oracle_sql() -> dict[str, str]:
         "url_features_docs": _URL_FEATURES_ORACLE,
         # zip_with pair formation == positional UNNEST in SQL
         "bigram_counts_docs": _BIGRAM_ORACLE,
+        # byte-budget shards: md5 order + prefix-sum chop, all in SQL
+        "shard_docs": _SHARD_ORACLE,
         # full-rank rotation invariance: proj norms == centered norms
         "pca_embeddings": _PCA_ORACLE,
         # distinct-value CDF == cume_dist by definition

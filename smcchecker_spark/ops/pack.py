@@ -63,12 +63,17 @@ def pack_sequences(
     num_ranges: int | None = None,
     bin_col: str = "bin_id",
     offset_col: str | None = "bin_offset",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Add ``bin_id`` (and the within-stream start ``bin_offset``) to
     every row — see module docstring for semantics and plan shape.
 
-    ``order_col`` must be numeric, non-null, and UNIQUE (ties make the
-    concatenation order — and thus the prefix sum — ambiguous).
+    ``order_col`` must be numeric and non-null, and UNIQUE unless
+    ``tiebreak_col`` (a second column making the order total) is given —
+    ties make the concatenation order, and thus the prefix sum,
+    ambiguous. Range assignment only ever reads ``order_col``, so tied
+    rows always share a range and the tiebreak affects the within-range
+    window order alone.
     ``size_col`` must be non-negative; nulls count as 0. Rows larger
     than ``capacity`` start in their natural bin and straddle as many
     bins as they need — the loader seam, not the packer, handles them.
@@ -111,9 +116,12 @@ def pack_sequences(
         acc += totals.get(i, 0)
 
     # pass 2: within-range exclusive running sum + literal offset
+    order_by = (
+        [order_col, tiebreak_col] if tiebreak_col else [order_col]
+    )
     w = (
         Window.partitionBy("_rid")
-        .orderBy(order_col)
+        .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offset_expr = reduce(

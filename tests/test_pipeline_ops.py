@@ -954,3 +954,105 @@ def test_rank_normalize_matches_cume_dist(spark):
     assert got[6] is None          # NULL key
     # row count preserved
     assert S.rank_normalize(df, ["k"], "v").count() == len(rows)
+
+
+# ---------------------------------------------------------------------------
+# Training-shard assembly (ops/shards.py)
+# ---------------------------------------------------------------------------
+
+from smcchecker_spark.ops import shards as SH
+
+
+def _shard_reference(rows, target, salt=""):
+    """Driver-side greedy reference of the documented semantics:
+    (md5 key, id) order -> exclusive cumsum -> floor(start / target)."""
+    import hashlib
+
+    keyed = sorted(
+        (int(hashlib.md5((salt + str(i)).encode()).hexdigest()[:15], 16), i, sz)
+        for i, sz in rows
+    )
+    out, acc = {}, 0
+    for _, i, sz in keyed:
+        out[i] = (acc // target, acc)
+        acc += sz or 0
+    return out
+
+
+def test_assign_shards_matches_reference(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = [(r["doc_id"], r["n_chars"]) for r in docs.select("doc_id", "n_chars").collect()]
+    got = {
+        r["doc_id"]: (r["shard_id"], r["off"])
+        for r in SH.assign_shards(
+            docs, "n_chars", 8192, salt="v1", offset_col="off", num_ranges=8
+        ).select("doc_id", "shard_id", "off").collect()
+    }
+    assert got == _shard_reference(rows, 8192, salt="v1")
+
+
+def test_assign_shards_range_invariance_and_budget(spark):
+    df = spark.range(0, 800).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 251 + 20).alias("nb")
+    )
+    ref = None
+    for p in (1, 4, 16):
+        a = SH.assign_shards(df, "nb", 2048, num_ranges=p)
+        got = sorted((r["doc_id"], r["shard_id"]) for r in a.collect())
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref
+    # manifest: every shard within one max row of target; rows conserved
+    man = SH.shard_manifest(
+        SH.assign_shards(df, "nb", 2048, num_ranges=4), "nb", target_bytes=2048
+    ).collect()
+    max_row = 251 + 20
+    assert sum(r["n_docs"] for r in man) == 800
+    for r in sorted(man, key=lambda r: r["shard_id"])[:-1]:  # last shard may be short
+        assert 2048 - max_row < r["total_size"] <= 2048 + max_row
+    with pytest.raises(ValueError):
+        SH.assign_shards(df, "nb", 0)
+
+
+def test_assign_shards_decorrelates_ingest_order(spark):
+    # 100 consecutive ids from one "source" must not own a shard: with
+    # ~8 shards, a correlated slice would put all 100 in 1-2 shards
+    df = spark.range(0, 800).select(
+        F.col("id").alias("doc_id"), F.lit(64).alias("nb")
+    )
+    a = SH.assign_shards(df, "nb", 6400, num_ranges=4)
+    touched = (
+        a.filter(F.col("doc_id") < 100)
+        .select("shard_id").distinct().count()
+    )
+    assert touched >= 4
+
+
+def test_assign_shards_caller_order_and_ties(spark):
+    # curated order column with ties: the id tiebreak keeps it total
+    rows = [(i, 1.0 if i < 6 else 2.0, 100) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, nb int")
+    a = SH.assign_shards(
+        df, "nb", 300, order_col="score", id_col="doc_id", offset_col="off"
+    )
+    got = {r["doc_id"]: (r["shard_id"], r["off"]) for r in a.collect()}
+    # order = (score, doc_id): ids 0..5 then 6..11; offsets 0,100,...,1100
+    for rank, i in enumerate(list(range(6)) + list(range(6, 12))):
+        assert got[i] == (rank * 100 // 300, rank * 100), i
+
+
+def test_write_shards_roundtrip(spark, tmp_path):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 50 + 10).alias("nb")
+    )
+    a = SH.assign_shards(df, "nb", 1024, num_ranges=4)
+    path = str(tmp_path / "shards")
+    SH.write_shards(a, path, order_col="doc_id")
+    back = spark.read.parquet(path)
+    assert sorted(
+        (r["doc_id"], r["shard_id"]) for r in back.collect()
+    ) == sorted((r["doc_id"], r["shard_id"]) for r in a.collect())
+    import os
+    dirs = [d for d in os.listdir(path) if d.startswith("shard_id=")]
+    assert len(dirs) == a.select("shard_id").distinct().count()
