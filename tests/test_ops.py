@@ -1043,3 +1043,62 @@ def test_transcode_lossy_target_phash_consistent(spark):
         part_id_col="part_id",
     )
     assert v.count() == 0
+
+
+def test_audio_feature_vector_analytic_signals():
+    """audio_feature_vector against signals with known answers: a pure
+    tone's centroid/peak/rolloff sit at its frequency, zcr at 2f/rate,
+    full-scale rms at 1/sqrt(2); silence is all-zero; white noise has a
+    flat spectrum whose centroid is ~nyquist/2."""
+    rate = 8000
+    n = rate  # 1 second
+    t = np.arange(n) / rate
+    tone = (np.sin(2 * np.pi * 1000 * t) * 32767).astype(np.int16)
+    dur, rms, zcr, cen, roll, peak = multimodal.audio_feature_vector(tone, rate)
+    assert abs(dur - 1.0) < 1e-9
+    assert abs(rms - 1 / np.sqrt(2)) < 0.01
+    assert abs(zcr - 2 * 1000 / rate) < 0.01
+    assert abs(peak - 1000) < 2.0       # within one bin
+    assert abs(cen - 1000) < 25.0       # leakage skews slightly
+    assert abs(roll - 1000) < 25.0
+
+    silent = np.zeros(4000, dtype=np.int16)
+    dur, rms, zcr, cen, roll, peak = multimodal.audio_feature_vector(silent, rate)
+    assert (rms, zcr, cen, roll, peak) == (0.0, 0.0, 0.0, 0.0, 0.0)
+    assert abs(dur - 0.5) < 1e-9
+
+    # stereo mean-mix: L = -R cancels to silence
+    l = (np.sin(2 * np.pi * 500 * t) * 20000).astype(np.int16)
+    st = np.stack([l, -l], axis=1)
+    _, rms, _, cen, _, _ = multimodal.audio_feature_vector(st, rate)
+    assert rms < 1e-4 and cen == 0.0
+
+    noise = (np.random.default_rng(7).integers(-20000, 20000, n)).astype(np.int16)
+    _, _, _, cen, roll, _ = multimodal.audio_feature_vector(noise, rate)
+    assert abs(cen - rate / 4) < rate * 0.03   # flat spectrum -> nyquist/2
+    assert roll > rate * 0.3                   # energy spread wide
+
+
+def test_audio_features_udf_end_to_end(spark):
+    """The Arrow UDF path: real WAV rows get features, garbage and
+    truncated payloads fail their row with an error string."""
+    from smcchecker_spark import wavcodec
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    tone = (np.sin(2 * np.pi * 440 * t) * 30000).astype(np.int16)
+    wav = wavcodec.encode_wav(tone, sample_rate=rate)
+    df = spark.createDataFrame(
+        [(0, wav), (1, b"\x00" * 40), (2, wav[:30]), (3, None)],
+        "id long, bytes binary",
+    )
+    out = {
+        r["id"]: r["audio_feat"]
+        for r in multimodal.with_audio_features(df).collect()
+    }
+    assert out[0]["ok"] and out[0]["sample_rate"] == rate
+    assert abs(out[0]["peak_hz"] - 440) < 2.0
+    assert abs(out[0]["zcr"] - 2 * 440 / rate) < 0.01
+    assert not out[1]["ok"] and out[1]["err"] == "not a WAV payload"
+    assert not out[2]["ok"] and "WAV" in out[2]["err"]
+    assert not out[3]["ok"]
