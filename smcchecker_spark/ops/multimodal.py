@@ -487,3 +487,89 @@ def video_frame_sample(
             )
 
     return df.select(id_col, bytes_col).mapInPandas(demux, out_schema)
+
+
+def majority_phash(phashes: "list[int] | np.ndarray") -> int:
+    """Per-bit majority vote over 64-bit frame phashes → one video
+    fingerprint (ties set the bit — deterministic). Robust where any
+    single frame's hash is not: a re-encode perturbs a few bits on a
+    few frames, and the vote absorbs it; temporal trims shift which
+    frames vote but most voters stay. The result is an ordinary stored
+    64-bit fingerprint, so video near-dup runs through the SAME
+    chunk-banded `dedup.hamming_near_dups` path as images — no new
+    shuffle machinery."""
+    ph = np.asarray(phashes, dtype=np.uint64)
+    if ph.size == 0:
+        raise ValueError("majority_phash needs at least one hash")
+    ones = (
+        (ph[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    ).sum(axis=0)
+    maj = (2 * ones >= ph.size).astype(np.uint64)
+    return int((maj << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
+
+
+def video_fingerprint(
+    df: DataFrame,
+    id_col: str = "video_id",
+    bytes_col: str = "video_bytes",
+    every_n: int = 10,
+) -> DataFrame:
+    """One row per video: decode-sampled frame phashes and the
+    majority-vote video fingerprint (see :func:`majority_phash`).
+    REAL for AVI-MJPEG via the engine's own demux + JPEG decode; FVID
+    stand-ins also work (frames are PNG). Corrupt frames are skipped;
+    a video with NO decodable sampled frame comes back ok=false with
+    the reason — a crafted payload fails its row, never the task.
+
+    Output: (id, ok, n_frames, n_sampled, video_phash, frame_phashes,
+    err). ``video_phash`` feeds `dedup.phash_near_dups` /
+    `incremental.save_phash_index` unchanged; ``frame_phashes`` (in
+    frame order) supports fine-grained verify of candidate pairs."""
+    out_schema = (
+        f"{id_col} string, ok boolean, n_frames int, n_sampled int, "
+        "video_phash long, frame_phashes array<long>, err string"
+    )
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from smcchecker_spark import avicodec, jpegcodec
+        from smcchecker_spark.imagecodec import decode_png, phash64_batch
+
+        cols = [
+            id_col, "ok", "n_frames", "n_sampled", "video_phash",
+            "frame_phashes", "err",
+        ]
+        for pdf in batches:
+            rows = []
+            for vid, b in zip(pdf[id_col].values, pdf[bytes_col].values):
+                try:
+                    b = bytes(b) if b is not None else b""
+                    if avicodec.sniff_avi(b):
+                        payloads, is_png = avicodec.demux_avi_mjpeg(b), False
+                    else:
+                        payloads, is_png = decode_fake_video(b), True
+                except ValueError as e:
+                    rows.append((vid, False, None, None, None, None, str(e)))
+                    continue
+                arrs = []
+                for i in range(0, len(payloads), every_n):
+                    try:
+                        arrs.append(
+                            decode_png(payloads[i]) if is_png
+                            else jpegcodec.decode_jpeg(payloads[i])
+                        )
+                    except ValueError:
+                        continue  # corrupt frame: skip, keep the video
+                if not arrs:
+                    rows.append((
+                        vid, False, len(payloads), 0, None, None,
+                        "no decodable sampled frames",
+                    ))
+                    continue
+                phs = [int(p) for p in phash64_batch(arrs)]
+                rows.append((
+                    vid, True, len(payloads), len(arrs),
+                    majority_phash(phs), phs, None,
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, bytes_col).mapInPandas(fp, out_schema)

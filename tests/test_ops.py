@@ -1102,3 +1102,68 @@ def test_audio_features_udf_end_to_end(spark):
     assert not out[1]["ok"] and out[1]["err"] == "not a WAV payload"
     assert not out[2]["ok"] and "WAV" in out[2]["err"]
     assert not out[3]["ok"]
+
+
+def test_majority_phash_votes_bits():
+    # 3 voters: bit set where >=2 agree; ties (2-of-4) set the bit
+    assert multimodal.majority_phash([0b1100, 0b1010, 0b1001]) == 0b1000
+    assert multimodal.majority_phash([0b1, 0b0]) == 0b1  # tie -> set
+    assert multimodal.majority_phash([7]) == 7
+    # sign bit roundtrips through the int64 output
+    top = 1 << 63
+    got = multimodal.majority_phash([top, top, 0])
+    assert got == -(1 << 63)
+    with pytest.raises(ValueError):
+        multimodal.majority_phash([])
+
+
+def test_video_fingerprint_dedups_reencodes(spark):
+    """A re-encoded video's majority phash stays within a few Hamming
+    bits of the original (frame hashes wobble, the vote absorbs it);
+    an unrelated video is far; corrupt payloads fail their row."""
+    from smcchecker_spark import avicodec, jpegcodec
+
+    rng = np.random.default_rng(11)
+    # structured frames (noise phashes are degenerate under re-encode)
+    y, x = np.mgrid[0:32, 0:32]
+    frames_px = [
+        np.clip(
+            np.stack([(x * 7 + y * 3 + 40 * k) % 256] * 3, -1)
+            + rng.integers(0, 16, (32, 32, 3)),
+            0, 255,
+        ).astype(np.uint8)
+        for k in range(8)
+    ]
+    other_px = [
+        rng.integers(0, 256, (32, 32, 3), dtype=np.uint8) for _ in range(8)
+    ]
+
+    def avi(frames, q):
+        return avicodec.encode_avi_mjpeg(
+            [jpegcodec.encode_jpeg(f, quality=q) for f in frames], 32, 32
+        )
+
+    df = spark.createDataFrame(
+        [
+            ("orig", avi(frames_px, 95)),
+            ("reenc", avi(frames_px, 80)),   # lossy re-encode
+            ("other", avi(other_px, 95)),
+            ("junk", b"not a video"),
+        ],
+        "video_id string, video_bytes binary",
+    )
+    out = {
+        r["video_id"]: r
+        for r in multimodal.video_fingerprint(df, every_n=2).collect()
+    }
+    assert out["orig"]["ok"] and out["orig"]["n_sampled"] == 4
+    assert len(out["orig"]["frame_phashes"]) == 4
+    assert not out["junk"]["ok"] and out["junk"]["err"]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    near = ham(out["orig"]["video_phash"], out["reenc"]["video_phash"])
+    far = ham(out["orig"]["video_phash"], out["other"]["video_phash"])
+    assert near <= 6, near
+    assert far >= 16, far
