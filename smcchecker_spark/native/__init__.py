@@ -154,6 +154,33 @@ def jpegrecon():
     return fn
 
 
+def vp8ltree():
+    """ctypes handle for the VP8L code-length read kernel, or None.
+
+    long read_code_lengths(data, nbits, p0, clc_lut, clc_mask,
+                           clc_single, lengths, alphabet_size,
+                           max_symbol, final_pos)
+    """
+    lib = _load("vp8ltree.c")
+    if lib is None:
+        return None
+    fn = lib.read_code_lengths
+    if not getattr(fn, "_smc_typed", False):
+        c_i64 = ctypes.c_longlong
+        fn.restype = ctypes.c_long
+        fn.argtypes = [
+            ctypes.c_char_p,                  # data
+            c_i64, c_i64,                     # nbits, p0
+            ctypes.c_void_p,                  # clc_lut (NULL if single)
+            ctypes.c_long, ctypes.c_long,     # clc_mask, clc_single
+            ctypes.c_void_p,                  # lengths (int32 out)
+            ctypes.c_long, ctypes.c_long,     # alphabet_size, max_symbol
+            ctypes.c_void_p,                  # final_pos (int64 out)
+        ]
+        fn._smc_typed = True
+    return fn
+
+
 def vp8lpix():
     """ctypes handle for the VP8L pixel-loop kernel, or None.
 

@@ -122,15 +122,28 @@ class _BitReader:
         return self.wv, self.lo, self.hi
 
     def read(self, nbits: int) -> int:
+        # direct byte math, no window slab: header/field reads are few
+        # (~80 per image once trees and pixels run in the C kernels),
+        # so materializing a slab list just for them cost more than
+        # every read combined. Slabs remain for the Python fallback
+        # hot loops, which call _slab explicitly. Widths are ≤ 16
+        # (fields ≤ 14; max_symbol's length field ≤ 16), so 3 bytes
+        # always cover nbits + the ≤7-bit intra-byte shift.
         p = self.pos
         if p + nbits > self.n:
             raise ValueError("truncated VP8L stream")
         if not nbits:
             return 0
-        if p >= self.hi:
-            self._slab(p)
+        d = self.data
+        i = p >> 3
+        n = len(d)
+        v = d[i]
+        if i + 1 < n:
+            v |= d[i + 1] << 8
+        if i + 2 < n:
+            v |= d[i + 2] << 16
         self.pos = p + nbits
-        return self.wv[p - self.lo] & ((1 << nbits) - 1)
+        return (v >> (p & 7)) & ((1 << nbits) - 1)
 
 
 class _BitWriter:
@@ -194,32 +207,36 @@ class _PrefixTree:
     __slots__ = ("_lut", "mask", "single", "arr")
 
     def __init__(self, lengths: list[int]):
-        nz = [(s, l) for s, l in enumerate(lengths) if l > 0]
-        if not nz:
+        la = np.asarray(lengths, dtype=np.int64)
+        syms_all = np.nonzero(la)[0]
+        if syms_all.size == 0:
             raise ValueError("corrupt VP8L: empty prefix code")
-        if len(nz) == 1:
+        if syms_all.size == 1:
             # degenerate: one symbol, zero bits consumed
-            self.single = nz[0][0]
+            self.single = int(syms_all[0])
             self._lut = None
             self.mask = 0
             self.arr = None
             return
         self.single = None
-        maxlen = max(l for _, l in nz)
+        ls = la[syms_all]
+        maxlen = int(ls.max())
         if maxlen > 15:
             raise ValueError("corrupt VP8L: code length > 15")
         # completeness check (kraft sum)
-        if sum(1 << (maxlen - l) for _, l in nz) != (1 << maxlen):
+        if int((np.int64(1) << (maxlen - ls)).sum()) != (1 << maxlen):
             raise ValueError("corrupt VP8L: over/under-subscribed code")
         size = 1 << maxlen
         # canonical order = consecutive ranges in MSB code space: repeat
         # each packed entry over its 2^(maxlen-len) slots, then permute
         # into LSB-window key space via bit reversal (the stream carries
-        # each code MSB-first while the window is little-endian)
-        by_canon = sorted((l, s) for s, l in nz)
-        lens = np.array([l for l, _ in by_canon], dtype=np.int64)
-        syms = np.array([s for _, s in by_canon], dtype=np.int64)
-        msb = np.repeat((syms << 5) | lens, 1 << (maxlen - lens))
+        # each code MSB-first while the window is little-endian).
+        # lexsort on (symbol, length): length-major, symbol tie-break —
+        # the canonical (l, s) order, all in numpy
+        order = np.lexsort((syms_all, ls))
+        lens = ls[order]
+        syms = syms_all[order]
+        msb = np.repeat((syms << 5) | lens, np.int64(1) << (maxlen - lens))
         packed = np.empty(size, dtype=np.int64)
         packed[_bitrev_perm(maxlen)] = msb
         self._lut = None  # list form built lazily — see the property
@@ -241,9 +258,41 @@ class _PrefixTree:
     # for per-symbol speed — lut/mask/single are the whole contract
 
 
+# decode tables cached by code-length content: corpora repeat tree
+# shapes heavily (an encoder's table choices, flat fallback codes, the
+# CLC trees), and table construction — canonical sort, slot repeat,
+# bit-reversal permute — costs ~100 µs while the key hash costs ~2.
+# Entries are immutable after construction (the lazy .lut list is
+# idempotent), so sharing across images is safe; the cap only guards a
+# hostile one-tree-per-image corpus.
+_TREE_CACHE: dict[tuple, _PrefixTree] = {}
+_TREE_CACHE_MAX = 2048
+
+
+def _tree_for(lengths: list[int]) -> _PrefixTree:
+    key = tuple(lengths)
+    t = _TREE_CACHE.get(key)
+    if t is None:
+        if len(_TREE_CACHE) >= _TREE_CACHE_MAX:
+            _TREE_CACHE.clear()
+        t = _PrefixTree(lengths)
+        _TREE_CACHE[key] = t
+    return t
+
+
+_TREE_NATIVE_ERRORS = {
+    -1: "corrupt VP8L: bad prefix code",
+    -2: "truncated VP8L stream",
+    -3: "corrupt VP8L: repeat overflow",
+}
+
+
 def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixTree:
     """One prefix code: simple (1-2 symbols) or normal (code-length-code
-    + run-length coded lengths). VP8L spec §6.2.2."""
+    + run-length coded lengths). VP8L spec §6.2.2. The run-length
+    symbol loop runs in native/vp8ltree.c when available (same
+    compile-on-demand + property-tested-fallback design as the pixel
+    kernel); the Python loop below is the reference."""
     simple = br.read(1)
     lengths = [0] * alphabet_size
     if simple:
@@ -258,20 +307,37 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixTree:
             if s1 >= alphabet_size:
                 raise ValueError("corrupt VP8L: simple-code symbol OOB")
             lengths[s1] = 1
-        return _PrefixTree(lengths)
+        return _tree_for(lengths)
     n_codes = br.read(4) + 4
     if n_codes > len(_CLC_ORDER):
         raise ValueError("corrupt VP8L: bad code-length-code count")
     clc_lengths = [0] * 19
     for i in range(n_codes):
         clc_lengths[_CLC_ORDER[i]] = br.read(3)
-    clc = _PrefixTree(clc_lengths)
+    clc = _tree_for(clc_lengths)
     # max_symbol: optional cap on coded symbols
     if br.read(1):
         length_nbits = 2 + 2 * br.read(3)
         max_symbol = 2 + br.read(length_nbits)
     else:
         max_symbol = alphabet_size
+    native = _native.vp8ltree()
+    if native is not None and (clc.single is not None or clc.arr is not None):
+        import ctypes
+
+        out = np.zeros(alphabet_size, dtype=np.int32)
+        finpos = np.zeros(1, dtype=np.int64)
+        rc = native(
+            br.data, br.n, br.pos,
+            None if clc.single is not None else clc.arr.ctypes.data,
+            clc.mask, -1 if clc.single is None else clc.single,
+            out.ctypes.data, alphabet_size, max_symbol,
+            finpos.ctypes.data,
+        )
+        if rc < 0:
+            raise ValueError(_TREE_NATIVE_ERRORS[rc])
+        br.pos = int(finpos[0])
+        return _tree_for(out.tolist())
     prev_len = 8
     i = 0
     # inlined window reads (same pattern as the pixel loop) — this runs
@@ -326,7 +392,7 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixTree:
             else:
                 i += rep
     br.pos = p
-    return _PrefixTree(lengths)
+    return _tree_for(lengths)
 
 
 # ---------------------------------------------------------------------------

@@ -328,3 +328,40 @@ def test_native_python_error_parity(monkeypatch):
     got_native = outcomes()
     monkeypatch.setitem(native._cache, "vp8lpix.c", False)
     assert outcomes() == got_native
+
+
+def test_native_python_tree_parity(monkeypatch):
+    """vp8ltree.c (the code-length read loop) must produce identical
+    decodes AND identical error texts to the Python loop — across the
+    hand-built RFC streams, real encodes, and corrupted mutants."""
+    from smcchecker_spark import native
+
+    if native.vp8ltree() is None:
+        import pytest
+
+        pytest.skip("no C compiler in this environment")
+    rng = np.random.default_rng(31)
+    streams = _collect_streams()
+    for i in range(6):
+        a = rng.integers(0, 256, (8 + i * 5, 8 + i * 3, 3), dtype=np.uint8)
+        streams.append(wc.encode_webp(a))
+    corrupted = []
+    for _ in range(40):
+        mut = bytearray(streams[-1])
+        for at in rng.integers(30, len(mut), size=2):
+            mut[at] ^= int(rng.integers(1, 256))
+        corrupted.append(bytes(mut))
+
+    def outcomes():
+        wc._TREE_CACHE.clear()  # force construction through each path
+        res = []
+        for s in streams + corrupted:
+            try:
+                res.append(wc.decode_webp(s).tobytes())
+            except ValueError as e:
+                res.append(str(e))
+        return res
+
+    got_native = outcomes()
+    monkeypatch.setitem(native._cache, "vp8ltree.c", False)
+    assert outcomes() == got_native
