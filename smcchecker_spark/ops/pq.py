@@ -179,7 +179,16 @@ def pq_topk(
         F.col(id_col).alias("neighbor_id"),
         adc_distance_expr(F.col(codes_col), lut).alias("adc_dist"),
     )
-    w = Window.orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    # single-group rank with an explicit derived-constant key:
+    # pmod(hash(id), 1) is always 0 but not foldable, so the optimizer
+    # cannot strip it back to an empty partition spec (a bare lit(0)
+    # IS stripped, and an empty spec makes WindowExec warn on every
+    # run and — worse — disables WindowGroupLimit's rank-filter
+    # pushdown, which with the key prunes each partition to its local
+    # top-k before the exchange)
+    w = Window.partitionBy(
+        F.pmod(F.hash("neighbor_id"), F.lit(1))
+    ).orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
@@ -209,7 +218,10 @@ def pq_topk_partial(
     pruned = scored.withColumn(
         "__pr", F.row_number().over(part)
     ).filter(F.col("__pr") <= k).drop("__pr")
-    w = Window.orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    # same derived-constant single-group key as pq_topk (see there)
+    w = Window.partitionBy(
+        F.pmod(F.hash("neighbor_id"), F.lit(1))
+    ).orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return pruned.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
