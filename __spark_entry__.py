@@ -3075,8 +3075,9 @@ FROM j WHERE lang IS DISTINCT FROM ref_lang
 
 def q_images_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full image+caption constraint suite (incl. the Arrow decode UDF) on
-    the deterministic synthetic fixture — per-check violation counts.
-    Not SQL-expressible (image decode) → rows-only check."""
+    the deterministic synthetic fixture — per-check violation counts,
+    value-checked against the planted-rule oracle (expected_flags is a
+    modular function of the row index)."""
     from smcchecker_spark import fixtures
     from smcchecker_spark.image import ImageConsistent
     from smcchecker_spark.package import ensure_shipped
@@ -3113,9 +3114,11 @@ def q_jpeg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (smcchecker_spark/jpegcodec.py — from-scratch DCT + Annex-K Huffman
     codec; fixtures.generate_jpeg_images plants dup/truncation/bitflip/
     w-off/phash-off/caption violations). Proves the engine's lossy path
-    on actual JPEG bitstreams, not the FAKE-LOSSY stand-in. Not
-    SQL-expressible (JPEG decode) → rows-only check; golden violation
-    counts are locked by tests/test_jpeg.py."""
+    on actual JPEG bitstreams, not the FAKE-LOSSY stand-in. The oracle
+    derives the planted per-check counts from the fixture's modular
+    index rules — no decode on the oracle side, real decode on ours —
+    so the row is value-checked; goldens also locked by
+    tests/test_jpeg.py."""
     from smcchecker_spark import fixtures
     from smcchecker_spark.image import ImageConsistent
     from smcchecker_spark.package import ensure_shipped
@@ -3145,8 +3148,9 @@ def q_webp_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint suite over REAL lossless WebP (VP8L) payloads
     (smcchecker_spark/webpcodec.py — from-scratch prefix-code/LZ77/
     transform codec; fixtures.generate_webp_images plants the same
-    violation classes as the JPEG fixture). Rows-only (WebP decode is
-    not SQL-expressible); goldens locked by tests/test_webp.py."""
+    violation classes as the JPEG fixture). Value-checked against the
+    planted-rule oracle (same derivation as jpeg_validate); goldens
+    also locked by tests/test_webp.py."""
     from smcchecker_spark import fixtures
     from smcchecker_spark.image import ImageConsistent
     from smcchecker_spark.package import ensure_shipped
@@ -3181,8 +3185,9 @@ def q_transcode_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_post_violations): undecodable inputs are flagged (never silently
     dropped) and every successfully transcoded row must validate clean —
     the self-consistency invariant a normalization stage owes its
-    downstream. Rows-only (image decode not SQL-expressible); exact
-    counts locked by tests/test_ops.py."""
+    downstream. Value-checked: the oracle derives (n_ok, n_err) from
+    the planted corruption rules and pins n_post_violations = 0; exact
+    counts also locked by tests/test_ops.py."""
     from smcchecker_spark import fixtures
     from smcchecker_spark.image import ImageConsistent
     from smcchecker_spark.ops import multimodal
@@ -3214,8 +3219,11 @@ def q_jpeg_psnr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (real JPEG q98, lossless PNG of the same pixels) pairs through the
     PsnrAtLeast(40 dB) gate. Every 11th pair is re-encoded at q30 —
     below the gate on noise pixels — so the violation set is non-empty
-    and index-computable. Rows-only (JPEG decode is not
-    SQL-expressible); goldens locked by tests/test_jpeg.py."""
+    and index-computable: the oracle derives the EXACT planted set
+    (i % 11 == 3) in SQL, making the whole decode → PSNR → gate chain
+    value-checked (a codec or PSNR regression flags extra/missing
+    rows and the match breaks). Goldens also locked by
+    tests/test_jpeg.py."""
     from smcchecker_spark.image import PsnrAtLeast
     from smcchecker_spark.package import ensure_shipped
 
@@ -3257,6 +3265,89 @@ def q_jpeg_psnr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = compile_suite(pairs, suite, row_id_col="image_id", part_id_col="part_id")
     return v.select("row_id", "check_name").orderBy("row_id")
+
+
+# Planted-violation oracles for the codec/engine fixture queries: the
+# fixtures plant every violation class as a pure modular function of
+# the row index (fixtures.expected_flags / expected_jpeg_flags), so the
+# EXPECTED per-check outcomes are SQL-derivable with no image decode —
+# the same epistemics as the engine_* planted-violation oracles. The
+# engine side must decode real bitstreams, compare metadata, count and
+# group; a codec / phash / suite regression flags extra or missing rows
+# and the value match breaks. (The decode itself is additionally
+# interop-locked by tests/vectors against javax.imageio.)
+
+_JPEG_VALIDATE_ORACLE = """
+WITH fl AS (
+  SELECT i,
+         (i % 31 = 5) AS caption_empty,
+         (i % 89 = 1 AND i > 0) AS dup,
+         ((i % 41 = 3) OR (i % 41 = 17) OR (i % 37 = 5) OR (i % 43 = 7))
+           AS img_bad
+  FROM range(600) t(i)
+)
+SELECT check_name, n_violations FROM (
+  SELECT 'imageconsistent_bytes' AS check_name,
+         CAST(count(*) FILTER (WHERE img_bad) AS BIGINT) AS n_violations
+  FROM fl
+  UNION ALL
+  SELECT 'notnull_caption',
+         CAST(count(*) FILTER (WHERE caption_empty) AS BIGINT) FROM fl
+  UNION ALL
+  SELECT 'unique_image_id',
+         CAST(2 * count(*) FILTER (WHERE dup) AS BIGINT) FROM fl
+) ORDER BY check_name
+"""
+
+_WEBP_VALIDATE_ORACLE = _JPEG_VALIDATE_ORACLE.replace("range(600)", "range(400)")
+
+_JPEG_PSNR_GATE_ORACLE = """
+SELECT 'pair' || lpad(CAST(i AS VARCHAR), 9, '0') AS row_id,
+       'psnr_bytes_ref_bytes' AS check_name
+FROM range(300) t(i)
+WHERE i % 11 = 3
+ORDER BY row_id
+"""
+
+_IMAGES_VALIDATE_ORACLE = """
+WITH fl AS (
+  SELECT i,
+         (i % 37 IN (5, 7)) AS caption_empty,
+         (i % 37 = 13) AS caption_long,
+         (i % 101 = 1 AND i > 0) AS dup,
+         (i % 43 IN (7, 9, 21)) AS fmt_bad,
+         ((i % 53 IN (3, 17)) OR (i % 47 IN (5, 23)) OR (i % 59 = 19)
+          OR (i % 43 IN (7, 9, 21))) AS img_bad
+  FROM range(2000) t(i)
+)
+SELECT check_name, n_violations FROM (
+  SELECT 'imageconsistent_bytes' AS check_name,
+         CAST(count(*) FILTER (WHERE img_bad) AS BIGINT) AS n_violations
+  FROM fl
+  UNION ALL
+  SELECT 'inlookup_fmt_lu_fmt',
+         CAST(count(*) FILTER (WHERE fmt_bad) AS BIGINT) FROM fl
+  UNION ALL
+  SELECT 'maxlength_caption',
+         CAST(count(*) FILTER (WHERE caption_long) AS BIGINT) FROM fl
+  UNION ALL
+  SELECT 'notnull_caption',
+         CAST(count(*) FILTER (WHERE caption_empty) AS BIGINT) FROM fl
+  UNION ALL
+  SELECT 'unique_image_id',
+         CAST(2 * count(*) FILTER (WHERE dup) AS BIGINT) FROM fl
+) ORDER BY check_name
+"""
+
+_TRANSCODE_ORACLE = """
+WITH fl AS (
+  SELECT i, (i % 53 IN (3, 17)) AS undecodable FROM range(2000) t(i)
+)
+SELECT CAST(count(*) FILTER (WHERE NOT undecodable) AS BIGINT) AS n_ok,
+       CAST(count(*) FILTER (WHERE undecodable) AS BIGINT) AS n_err,
+       CAST(0 AS BIGINT) AS n_post_violations
+FROM fl
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -5346,6 +5437,14 @@ def oracle_sql() -> dict[str, str]:
         "bigram_counts_docs": _BIGRAM_ORACLE,
         # byte-budget shards: md5 order + prefix-sum chop, all in SQL
         "shard_docs": _SHARD_ORACLE,
+        # planted-violation codec oracles: expected per-check outcomes
+        # are modular functions of the row index (no decode needed on
+        # the oracle side; the Spark side must decode real bitstreams)
+        "jpeg_validate": _JPEG_VALIDATE_ORACLE,
+        "webp_validate": _WEBP_VALIDATE_ORACLE,
+        "jpeg_psnr_gate": _JPEG_PSNR_GATE_ORACLE,
+        "images_validate": _IMAGES_VALIDATE_ORACLE,
+        "transcode_images": _TRANSCODE_ORACLE,
         # full-rank rotation invariance: proj norms == centered norms
         "pca_embeddings": _PCA_ORACLE,
         # distinct-value CDF == cume_dist by definition
