@@ -4104,6 +4104,140 @@ FROM cf FULL OUTER JOIN bf ON cf.part = bf.part
 """
 
 
+def q_audio_features_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio DSP through the engine (ops/multimodal.py
+    audio_features_udf over the from-scratch wavcodec): a deterministic
+    pure-tone WAV per sampled event id (f = 200 + (id % 37)·20 Hz, one
+    second at 16 kHz — integer cycle counts, so the rfft concentrates
+    at exactly bin f and peak_hz == f float-exact). The oracle derives
+    (ok, n_samples, sample_rate, duration_s, peak_hz) from the planted
+    frequencies with no decode — the Spark side must build the RIFF
+    container, decode it back, and run the spectral pass; an encode,
+    decode, mixing, or FFT-plumbing regression breaks the value match.
+    Float features with engine-specific arithmetic (rms/zcr/centroid)
+    are exercised by tests, not hashed here."""
+    from smcchecker_spark.package import ensure_shipped
+    from smcchecker_spark.ops import multimodal
+
+    ensure_shipped(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 199 == 0)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from smcchecker_spark import wavcodec
+
+        rate = 16000
+        t = np.arange(rate) / rate
+        for pdf in batches:
+            rows = []
+            for i in pdf["event_id"].tolist():
+                f = 200 + (int(i) % 37) * 20
+                tone = (np.sin(2 * np.pi * f * t) * 28000).astype(np.int16)
+                rows.append((int(i), wavcodec.encode_wav(tone, sample_rate=rate)))
+            yield pd.DataFrame(rows, columns=["event_id", "bytes"])
+
+    wavs = ev.select("event_id").mapInPandas(
+        gen, "event_id bigint, bytes binary"
+    )
+    out = multimodal.with_audio_features(wavs)
+    return out.select(
+        "event_id",
+        F.col("audio_feat.ok").alias("ok"),
+        F.col("audio_feat.n_samples").alias("n_samples"),
+        F.col("audio_feat.sample_rate").alias("sample_rate"),
+        F.col("audio_feat.duration_s").alias("duration_s"),
+        F.col("audio_feat.peak_hz").alias("peak_hz"),
+    ).orderBy("event_id")
+
+
+_AUDIO_FEATURES_ORACLE = """
+SELECT event_id,
+       TRUE AS ok,
+       CAST(16000 AS BIGINT) AS n_samples,
+       16000 AS sample_rate,
+       CAST(1.0 AS DOUBLE) AS duration_s,
+       CAST(200 + (event_id % 37) * 20 AS DOUBLE) AS peak_hz
+FROM events
+WHERE event_id % 199 = 0
+ORDER BY event_id
+"""
+
+
+def q_video_neardup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup end-to-end (ops/multimodal.py video_fingerprint →
+    ops/dedup.py hamming_near_dups): deterministic AVI-MJPEG clips per
+    sampled event id; every id with (id/199) % 10 == 1 is a LOSSY
+    RE-ENCODE (q78 vs q92) of the previous clip, so the planted
+    near-dup pairs are index-derivable while the engine must demux
+    both containers, JPEG-decode the frames, majority-vote the
+    fingerprints, and band-join them. A codec, phash, vote, or pairing
+    regression breaks the value match (re-encodes land within a few
+    Hamming bits; unrelated 64-bit fingerprints sit ~32 apart)."""
+    from smcchecker_spark.package import ensure_shipped
+    from smcchecker_spark.ops import dedup, multimodal
+
+    ensure_shipped(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 199 == 0)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from smcchecker_spark import avicodec, jpegcodec
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["event_id"].tolist():
+                k = int(i) // 199
+                src = k - 1 if k % 10 == 1 else k
+                rng = np.random.default_rng(4_700_003 + src)
+                jpegs = []
+                q = 78 if k % 10 == 1 else 92
+                for j in range(5):
+                    # random LOW-FREQUENCY content (4x4 blocks upsampled
+                    # 8x): phash-distinct across sources — a brightness-
+                    # shifted gradient is NOT (DCT AC signs ignore
+                    # constant offsets) — and robust under the q78
+                    # re-encode, so planted pairs stay within the
+                    # Hamming gate while unrelated clips sit ~32 apart
+                    base = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+                    fr = np.repeat(np.repeat(base, 8, 0), 8, 1)
+                    jpegs.append(jpegcodec.encode_jpeg(fr, quality=q))
+                rows.append(
+                    (str(int(i)), avicodec.encode_avi_mjpeg(jpegs, 32, 32))
+                )
+            yield pd.DataFrame(rows, columns=["video_id", "video_bytes"])
+
+    vids = ev.select("event_id").mapInPandas(
+        gen, "video_id string, video_bytes binary"
+    )
+    fp = multimodal.video_fingerprint(vids, every_n=1)
+    pairs = dedup.hamming_near_dups(
+        fp.filter("ok").select("video_id", "video_phash"),
+        id_col="video_id", hash_col="video_phash",
+        max_hamming=6, chunks=8,
+    )
+    a = F.col("id_a").cast("long")
+    b = F.col("id_b").cast("long")
+    # the pairing orders STRING ids; normalize to numeric (lo, hi)
+    return pairs.select(
+        F.least(a, b).alias("id_a"), F.greatest(a, b).alias("id_b")
+    ).orderBy("id_a", "id_b")
+
+
+_VIDEO_NEARDUP_ORACLE = """
+WITH sampled AS (
+  SELECT event_id, event_id // 199 AS k FROM events WHERE event_id % 199 = 0
+)
+SELECT CAST(least(a.event_id, b.event_id) AS BIGINT) AS id_a,
+       CAST(greatest(a.event_id, b.event_id) AS BIGINT) AS id_b
+FROM sampled a JOIN sampled b ON a.k % 10 = 1 AND b.k = a.k - 1
+ORDER BY id_a, id_b
+"""
+
+
 def q_crossmodal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal pair curation (ops/crossmodal.py): per-row
     boilerplate-caption / conflicting-image flags over an image+caption
@@ -5370,6 +5504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 additions past the driver's 50-entry window: rotate
         # forward next round
         "shard_docs": q_shard_docs,
+        "audio_features_events": q_audio_features_events,
+        "video_neardup_events": q_video_neardup_events,
     }
 
 
@@ -5445,6 +5581,9 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_psnr_gate": _JPEG_PSNR_GATE_ORACLE,
         "images_validate": _IMAGES_VALIDATE_ORACLE,
         "transcode_images": _TRANSCODE_ORACLE,
+        # planted-tone / planted-re-encode multimodal oracles
+        "audio_features_events": _AUDIO_FEATURES_ORACLE,
+        "video_neardup_events": _VIDEO_NEARDUP_ORACLE,
         # full-rank rotation invariance: proj norms == centered norms
         "pca_embeddings": _PCA_ORACLE,
         # distinct-value CDF == cume_dist by definition
