@@ -4213,10 +4213,17 @@ def q_video_neardup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     vids = ev.select("event_id").mapInPandas(
         gen, "video_id string, video_bytes binary"
     )
-    fp = multimodal.video_fingerprint(vids, every_n=1)
+    # materialize once: the banded pairing consumes the fingerprints
+    # from several branches, which would otherwise each re-run the
+    # clip-generation + demux + decode UDF chain
+    fp = (
+        multimodal.video_fingerprint(vids, every_n=1)
+        .filter("ok")
+        .select("video_id", "video_phash")
+        .localCheckpoint()
+    )
     pairs = dedup.hamming_near_dups(
-        fp.filter("ok").select("video_id", "video_phash"),
-        id_col="video_id", hash_col="video_phash",
+        fp, id_col="video_id", hash_col="video_phash",
         max_hamming=6, chunks=8,
     )
     a = F.col("id_a").cast("long")

@@ -151,6 +151,11 @@ HEADLINE = [
     "pq_encode_embeddings",
     "pq_topk_embeddings",
     "ivfpq_topk_exhaustive",
+    # round-3 session-2: byte-budget shard assembly + the planted-rule
+    # multimodal pipelines (WAV DSP, AVI fingerprint near-dup)
+    "shard_docs",
+    "audio_features_events",
+    "video_neardup_events",
 ]
 
 

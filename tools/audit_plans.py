@@ -111,6 +111,9 @@ AUDITED = [
     "pq_encode_embeddings",
     "pq_topk_embeddings",
     "ivfpq_topk_exhaustive",
+    "shard_docs",
+    "audio_features_events",
+    "video_neardup_events",
 ]
 
 JOIN_RE = re.compile(
