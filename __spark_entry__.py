@@ -4104,6 +4104,60 @@ FROM cf FULL OUTER JOIN bf ON cf.part = bf.part
 """
 
 
+def q_audio_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suite over REAL WAV payloads (smcchecker_spark/
+    audio.py AudioConsistent over the from-scratch wavcodec —
+    the audio-modality twin of images_validate): planted dup/
+    truncation/bitflip/metadata-off/caption violations, per-check
+    counts value-checked against the planted-rule oracle."""
+    from smcchecker_spark import fixtures
+    from smcchecker_spark.audio import AudioConsistent
+    from smcchecker_spark.package import ensure_shipped
+
+    ensure_shipped(spark)
+    df = fixtures.generate_wav_rows(
+        spark, n_rows=500, n_parts=8, seed=13
+    ).localCheckpoint()
+    suite = Suite(
+        name="audio_core",
+        table="audio",
+        constraints=[
+            NotNull("caption"),
+            Unique(["audio_id"]),
+            AudioConsistent(),
+        ],
+    )
+    v = compile_suite(df, suite, row_id_col="audio_id", part_id_col="part_id")
+    return (
+        v.groupBy("check_name")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .orderBy("check_name")
+    )
+
+
+_AUDIO_VALIDATE_ORACLE = """
+WITH fl AS (
+  SELECT i,
+         (i % 31 = 5) AS caption_empty,
+         (i % 89 = 1 AND i > 0) AS dup,
+         ((i % 41 = 3) OR (i % 41 = 17) OR (i % 37 = 5) OR (i % 43 = 7))
+           AS audio_bad
+  FROM range(500) t(i)
+)
+SELECT check_name, n_violations FROM (
+  SELECT 'audioconsistent_bytes' AS check_name,
+         CAST(count(*) FILTER (WHERE audio_bad) AS BIGINT) AS n_violations
+  FROM fl
+  UNION ALL
+  SELECT 'notnull_caption',
+         CAST(count(*) FILTER (WHERE caption_empty) AS BIGINT) FROM fl
+  UNION ALL
+  SELECT 'unique_audio_id',
+         CAST(2 * count(*) FILTER (WHERE dup) AS BIGINT) FROM fl
+) ORDER BY check_name
+"""
+
+
 def q_audio_features_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio DSP through the engine (ops/multimodal.py
     audio_features_udf over the from-scratch wavcodec): a deterministic
@@ -5513,6 +5567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_docs": q_shard_docs,
         "audio_features_events": q_audio_features_events,
         "video_neardup_events": q_video_neardup_events,
+        "audio_validate": q_audio_validate,
     }
 
 
@@ -5591,6 +5646,7 @@ def oracle_sql() -> dict[str, str]:
         # planted-tone / planted-re-encode multimodal oracles
         "audio_features_events": _AUDIO_FEATURES_ORACLE,
         "video_neardup_events": _VIDEO_NEARDUP_ORACLE,
+        "audio_validate": _AUDIO_VALIDATE_ORACLE,
         # full-rank rotation invariance: proj norms == centered norms
         "pca_embeddings": _PCA_ORACLE,
         # distinct-value CDF == cume_dist by definition

@@ -334,3 +334,88 @@ def generate_webp_images(
 
     rng_df = spark.range(0, n_rows, numPartitions=num_tasks or max(8, n_parts))
     return rng_df.mapInPandas(gen, IMAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio fixture: REAL RIFF/WAVE integer-PCM payloads (wavcodec) with
+# planted violations, for the AudioConsistent engine surface
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = (
+    "audio_id string, bytes binary, n_samples long, sample_rate int, "
+    "caption string, part_id int"
+)
+
+
+def expected_wav_flags(i: int) -> dict[str, bool]:
+    """Planted-violation rules for the WAV fixture (index i) — same
+    modular-index design as :func:`expected_jpeg_flags`, so expected
+    per-check outcomes are SQL-derivable without decoding."""
+    return {
+        "dup": i % 89 == 1 and i > 0,
+        # byte 30 cuts inside the data chunk → "truncated WAV chunk"
+        "truncated": i % 41 == 3,
+        # byte 1 breaks "RIFF" → not-a-WAV sniff failure
+        "bitflip": i % 41 == 17,
+        "n_off": i % 37 == 5,
+        "rate_off": i % 43 == 7,
+        "caption_empty": i % 31 == 5,
+    }
+
+
+def _make_wav_row(i: int, seed: int, n_parts: int, clean: bool) -> dict:
+    from smcchecker_spark import wavcodec
+
+    rng = np.random.default_rng(seed * 3_000_017 + i)
+    fl = (
+        {k: False for k in expected_wav_flags(0)}
+        if clean
+        else expected_wav_flags(i)
+    )
+    rate = (8000, 16000)[i % 2]
+    n = 1000 + int(rng.integers(0, 2000))
+    ch = 2 if i % 5 == 0 else 1
+    samples = rng.integers(-20000, 20000, (n, ch)).astype(np.int16)
+    payload = wavcodec.encode_wav(samples, sample_rate=rate)
+    if fl["truncated"]:
+        payload = payload[:30]
+    elif fl["bitflip"]:
+        ba = bytearray(payload)
+        ba[1] ^= 0xFF
+        payload = bytes(ba)
+    n_tok = int(rng.integers(2, 10))
+    caption = " ".join(rng.choice(_WORDS) for _ in range(n_tok))
+    if fl["caption_empty"]:
+        caption = ""
+    return {
+        "audio_id": f"wav{i - 1:09d}" if fl["dup"] else f"wav{i:09d}",
+        "bytes": payload,
+        "n_samples": (n + 1) if fl["n_off"] else n,
+        "sample_rate": (rate + 1) if fl["rate_off"] else rate,
+        "caption": caption,
+        "part_id": i % n_parts,
+    }
+
+
+def generate_wav_rows(
+    spark: SparkSession,
+    n_rows: int = 500,
+    n_parts: int = 8,
+    seed: int = 13,
+    clean: bool = False,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic audio table whose payloads are REAL
+    WAV bitstreams (16-bit PCM, mono and stereo, two sample rates)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    _make_wav_row(int(i), seed, n_parts, clean)
+                    for i in pdf["id"].tolist()
+                ]
+            )
+
+    rng_df = spark.range(0, n_rows, numPartitions=num_tasks or max(8, n_parts))
+    return rng_df.mapInPandas(gen, AUDIO_SCHEMA)
