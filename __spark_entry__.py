@@ -4158,6 +4158,61 @@ SELECT check_name, n_violations FROM (
 """
 
 
+def q_video_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suite over REAL AVI-MJPEG containers
+    (smcchecker_spark/video.py VideoConsistent — demux via avicodec,
+    first-frame decode via jpegcodec): planted dup/truncation/bitflip/
+    metadata-off/caption violations, per-check counts value-checked
+    against the planted-rule oracle. Completes the modality triple:
+    images_validate / audio_validate / video_validate."""
+    from smcchecker_spark import fixtures
+    from smcchecker_spark.package import ensure_shipped
+    from smcchecker_spark.video import VideoConsistent
+
+    ensure_shipped(spark)
+    df = fixtures.generate_avi_rows(
+        spark, n_rows=300, n_parts=8, seed=17
+    ).localCheckpoint()
+    suite = Suite(
+        name="video_core",
+        table="video",
+        constraints=[
+            NotNull("caption"),
+            Unique(["video_id"]),
+            VideoConsistent(),
+        ],
+    )
+    v = compile_suite(df, suite, row_id_col="video_id", part_id_col="part_id")
+    return (
+        v.groupBy("check_name")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .orderBy("check_name")
+    )
+
+
+_VIDEO_VALIDATE_ORACLE = """
+WITH fl AS (
+  SELECT i,
+         (i % 31 = 5) AS caption_empty,
+         (i % 89 = 1 AND i > 0) AS dup,
+         ((i % 41 = 3) OR (i % 41 = 17) OR (i % 37 = 5) OR (i % 43 = 7))
+           AS video_bad
+  FROM range(300) t(i)
+)
+SELECT check_name, n_violations FROM (
+  SELECT 'videoconsistent_bytes' AS check_name,
+         CAST(count(*) FILTER (WHERE video_bad) AS BIGINT) AS n_violations
+  FROM fl
+  UNION ALL
+  SELECT 'notnull_caption',
+         CAST(count(*) FILTER (WHERE caption_empty) AS BIGINT) FROM fl
+  UNION ALL
+  SELECT 'unique_video_id',
+         CAST(2 * count(*) FILTER (WHERE dup) AS BIGINT) FROM fl
+) ORDER BY check_name
+"""
+
+
 def q_audio_features_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio DSP through the engine (ops/multimodal.py
     audio_features_udf over the from-scratch wavcodec): a deterministic
@@ -5568,6 +5623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features_events": q_audio_features_events,
         "video_neardup_events": q_video_neardup_events,
         "audio_validate": q_audio_validate,
+        "video_validate": q_video_validate,
     }
 
 
@@ -5647,6 +5703,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features_events": _AUDIO_FEATURES_ORACLE,
         "video_neardup_events": _VIDEO_NEARDUP_ORACLE,
         "audio_validate": _AUDIO_VALIDATE_ORACLE,
+        "video_validate": _VIDEO_VALIDATE_ORACLE,
         # full-rank rotation invariance: proj norms == centered norms
         "pca_embeddings": _PCA_ORACLE,
         # distinct-value CDF == cume_dist by definition

@@ -419,3 +419,92 @@ def generate_wav_rows(
 
     rng_df = spark.range(0, n_rows, numPartitions=num_tasks or max(8, n_parts))
     return rng_df.mapInPandas(gen, AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video fixture: REAL AVI-MJPEG containers (avicodec + jpegcodec) with
+# planted violations, for the VideoConsistent engine surface
+# ---------------------------------------------------------------------------
+
+VIDEO_SCHEMA = (
+    "video_id string, bytes binary, n_frames int, w int, h int, "
+    "caption string, part_id int"
+)
+
+
+def expected_avi_flags(i: int) -> dict[str, bool]:
+    """Planted-violation rules for the AVI fixture (index i)."""
+    return {
+        "dup": i % 89 == 1 and i > 0,
+        # byte 40 cuts inside the header LIST → demux ValueError
+        "truncated": i % 41 == 3,
+        # byte 1 breaks "RIFF" → not-an-AVI sniff failure
+        "bitflip": i % 41 == 17,
+        "nframes_off": i % 37 == 5,
+        "w_off": i % 43 == 7,
+        "caption_empty": i % 31 == 5,
+    }
+
+
+def _make_avi_row(i: int, seed: int, n_parts: int, clean: bool) -> dict:
+    from smcchecker_spark import avicodec, jpegcodec
+
+    rng = np.random.default_rng(seed * 5_000_011 + i)
+    fl = (
+        {k: False for k in expected_avi_flags(0)}
+        if clean
+        else expected_avi_flags(i)
+    )
+    nf = 2 + i % 4
+    w = 8 * (1 + i % 3)
+    h = 8 * (1 + (i // 3) % 3)
+    jpegs = [
+        jpegcodec.encode_jpeg(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8), quality=95
+        )
+        for _ in range(nf)
+    ]
+    payload = avicodec.encode_avi_mjpeg(jpegs, w, h)
+    if fl["truncated"]:
+        payload = payload[:40]
+    elif fl["bitflip"]:
+        ba = bytearray(payload)
+        ba[1] ^= 0xFF
+        payload = bytes(ba)
+    n_tok = int(rng.integers(2, 10))
+    caption = " ".join(rng.choice(_WORDS) for _ in range(n_tok))
+    if fl["caption_empty"]:
+        caption = ""
+    return {
+        "video_id": f"avi{i - 1:09d}" if fl["dup"] else f"avi{i:09d}",
+        "bytes": payload,
+        "n_frames": (nf + 1) if fl["nframes_off"] else nf,
+        "w": (w + 1) if fl["w_off"] else w,
+        "h": h,
+        "caption": caption,
+        "part_id": i % n_parts,
+    }
+
+
+def generate_avi_rows(
+    spark: SparkSession,
+    n_rows: int = 300,
+    n_parts: int = 8,
+    seed: int = 17,
+    clean: bool = False,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic video table whose payloads are REAL
+    AVI-MJPEG containers (engine-encoded JPEG frames)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    _make_avi_row(int(i), seed, n_parts, clean)
+                    for i in pdf["id"].tolist()
+                ]
+            )
+
+    rng_df = spark.range(0, n_rows, numPartitions=num_tasks or max(8, n_parts))
+    return rng_df.mapInPandas(gen, VIDEO_SCHEMA)
