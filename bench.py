@@ -156,6 +156,8 @@ HEADLINE = [
     "shard_docs",
     "audio_features_events",
     "video_neardup_events",
+    "audio_validate",
+    "video_validate",
 ]
 
 

@@ -27,6 +27,8 @@ Suite JSON shape::
         {"type": "in_lookup", "column": "fmt", "lookup": "lu_fmt",
          "lookup_key": "fmt"},
         {"type": "image_consistent"},
+        {"type": "audio_consistent"},   # WAV payload columns
+        {"type": "video_consistent"},   # AVI-MJPEG payload columns
         {"type": "range", "column": "w", "lo": 1, "hi": 65535},
         {"type": "regex", "column": "image_id", "pattern": "^img"},
         {"type": "dtype", "column": "w", "dtype": "int"},
@@ -56,6 +58,8 @@ def build_constraint(spec: dict):
         MinResolution,
         PsnrAtLeast,
     )
+    from smcchecker_spark.audio import AudioConsistent
+    from smcchecker_spark.video import VideoConsistent
     from smcchecker_spark.vector import (
         VectorFinite,
         VectorNormRange,
@@ -81,6 +85,8 @@ def build_constraint(spec: dict):
         "not_in_existing": C.NotInExisting,
         "subset_of": C.SubsetOf,
         "image_consistent": ImageConsistent,
+        "audio_consistent": AudioConsistent,
+        "video_consistent": VideoConsistent,
         "psnr_at_least": PsnrAtLeast,
         "min_resolution": MinResolution,
         "aspect_ratio_range": AspectRatioRange,

@@ -229,3 +229,25 @@ def test_cli_suggest_image_table(spark, tmp_path):
     ])
     assert rc == 0
     assert spark.read.parquet(str(tmp_path / "out" / "violations")).count() == 0
+
+
+def test_cli_audio_video_constraint_specs():
+    """The JSON suite registry builds the new modality constraints with
+    per-spec column overrides."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "run_validation", "scripts/run_validation.py"
+    )
+    rv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rv)
+    from smcchecker_spark.audio import AudioConsistent
+    from smcchecker_spark.video import VideoConsistent
+
+    a = rv.build_constraint(
+        {"type": "audio_consistent", "column": "wav", "rate_col": "hz"}
+    )
+    assert isinstance(a, AudioConsistent)
+    assert a.column == "wav" and a.rate_col == "hz"
+    v = rv.build_constraint({"type": "video_consistent"})
+    assert isinstance(v, VideoConsistent) and v.column == "bytes"

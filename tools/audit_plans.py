@@ -114,6 +114,8 @@ AUDITED = [
     "shard_docs",
     "audio_features_events",
     "video_neardup_events",
+    "audio_validate",
+    "video_validate",
 ]
 
 JOIN_RE = re.compile(
