@@ -121,6 +121,25 @@ class _BitReader:
         self.wv, self.lo, self.hi = w.tolist(), 8 * b0, 8 * b1
         return self.wv, self.lo, self.hi
 
+    def read_fields(self, widths: list[int]) -> list[int]:
+        """Read several consecutive fixed-width fields with ONE bytes
+        window (int.from_bytes covers any total width) — the CLC header
+        is ~20 tiny reads per tree, which at 5 trees/image made the
+        per-call overhead of read() a top decode cost."""
+        total = sum(widths)
+        p = self.pos
+        if p + total > self.n:
+            raise ValueError("truncated VP8L stream")
+        i = p >> 3
+        nbytes = ((p & 7) + total + 7) >> 3
+        v = int.from_bytes(self.data[i : i + nbytes], "little") >> (p & 7)
+        out = []
+        for w in widths:
+            out.append(v & ((1 << w) - 1))
+            v >>= w
+        self.pos = p + total
+        return out
+
     def read(self, nbits: int) -> int:
         # direct byte math, no window slab: header/field reads are few
         # (~80 per image once trees and pixels run in the C kernels),
@@ -312,8 +331,8 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixTree:
     if n_codes > len(_CLC_ORDER):
         raise ValueError("corrupt VP8L: bad code-length-code count")
     clc_lengths = [0] * 19
-    for i in range(n_codes):
-        clc_lengths[_CLC_ORDER[i]] = br.read(3)
+    for i, v in enumerate(br.read_fields([3] * n_codes)):
+        clc_lengths[_CLC_ORDER[i]] = v
     clc = _tree_for(clc_lengths)
     # max_symbol: optional cap on coded symbols
     if br.read(1):
