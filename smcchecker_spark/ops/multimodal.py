@@ -103,6 +103,84 @@ def image_features_udf():
     return _UDFS["features"]
 
 
+IMAGE_QUALITY_SCHEMA = (
+    "ok boolean, blur double, luma_mean double, luma_std double, "
+    "colorfulness double, err string"
+)
+
+
+def image_quality_vector(arr: np.ndarray) -> tuple[float, float, float, float]:
+    """Decode-free-of-libraries image quality gates over decoded HxWx3
+    pixels — the standard curation signals:
+
+    - ``blur``: variance of the 4-neighbor Laplacian of the luma plane
+      (low → blurry/flat; screenshots of solid UI and defocused photos
+      score near 0, textured photos score high);
+    - ``luma_mean`` / ``luma_std``: exposure and contrast;
+    - ``colorfulness``: Hasler–Süsstrunk metric over the rg/yb opponent
+      channels (grayscale ≈ 0).
+
+    Pure numpy; thresholds belong to the caller's policy (these are
+    features, not verdicts). Sub-3x3 images have no Laplacian interior
+    → blur 0.0."""
+    lum = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    if lum.shape[0] >= 3 and lum.shape[1] >= 3:
+        lap = (
+            4.0 * lum[1:-1, 1:-1]
+            - lum[:-2, 1:-1]
+            - lum[2:, 1:-1]
+            - lum[1:-1, :-2]
+            - lum[1:-1, 2:]
+        )
+        blur = float(lap.var())
+    else:
+        blur = 0.0
+    r = arr[..., 0].astype(np.float64)
+    g = arr[..., 1].astype(np.float64)
+    b = arr[..., 2].astype(np.float64)
+    rg = r - g
+    yb = 0.5 * (r + g) - b
+    colorfulness = float(
+        np.sqrt(rg.std() ** 2 + yb.std() ** 2)
+        + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2)
+    )
+    return blur, float(lum.mean()), float(lum.std()), colorfulness
+
+
+def image_quality_udf():
+    """bytes → curation quality features (see
+    :func:`image_quality_vector`); undecodable payloads fail their
+    row with the decode error, never the task."""
+    if "image_quality" not in _UDFS:
+
+        @pandas_udf(IMAGE_QUALITY_SCHEMA)
+        def quality(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+            cols = ["ok", "blur", "luma_mean", "luma_std",
+                    "colorfulness", "err"]
+            for s in batches:
+                arrs, _, errs = ic.decode_image_batch(s.values)
+                rows = []
+                for arr, err in zip(arrs, errs):
+                    if arr is None:
+                        rows.append((False, None, None, None, None, err))
+                        continue
+                    blur, lm, ls, cf = image_quality_vector(arr)
+                    rows.append((
+                        True, round(blur, 4), round(lm, 4),
+                        round(ls, 4), round(cf, 4), None,
+                    ))
+                yield pd.DataFrame(rows, columns=cols)
+
+        _UDFS["image_quality"] = quality
+    return _UDFS["image_quality"]
+
+
+def with_image_quality(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    return df.withColumn(
+        "img_quality", image_quality_udf()(F.col(bytes_col))
+    )
+
+
 def image_resize_udf(out_w: int, out_h: int):
     """bytes → re-encoded PNG bytes at (out_w, out_h). Undecodable → NULL."""
     key = f"resize_{out_w}x{out_h}"

@@ -1167,3 +1167,55 @@ def test_video_fingerprint_dedups_reencodes(spark):
     far = ham(out["orig"]["video_phash"], out["other"]["video_phash"])
     assert near <= 6, near
     assert far >= 16, far
+
+
+def test_image_quality_vector_analytic():
+    """Quality features against constructions with known behavior."""
+    rng = np.random.default_rng(9)
+    noisy = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    # box-blur the noise: same content, interior contrast crushed
+    f = noisy.astype(np.float64)
+    blurred = f.copy()
+    for _ in range(4):
+        blurred[1:-1, 1:-1] = (
+            blurred[:-2, 1:-1] + blurred[2:, 1:-1]
+            + blurred[1:-1, :-2] + blurred[1:-1, 2:]
+            + blurred[1:-1, 1:-1]
+        ) / 5.0
+    blurred = np.clip(blurred, 0, 255).astype(np.uint8)
+    b_sharp, _, _, _ = multimodal.image_quality_vector(noisy)
+    b_soft, _, _, _ = multimodal.image_quality_vector(blurred)
+    assert b_sharp > 4 * b_soft > 0
+
+    solid = np.full((16, 16, 3), 77, np.uint8)
+    blur, lm, ls, cf = multimodal.image_quality_vector(solid)
+    assert blur == 0.0 and ls == 0.0 and cf == 0.0
+    assert abs(lm - 77.0) < 1e-9
+
+    gray = np.repeat(
+        rng.integers(0, 256, (20, 20, 1), dtype=np.uint8), 3, axis=2
+    )
+    colorful = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+    _, _, _, cf_gray = multimodal.image_quality_vector(gray)
+    _, _, _, cf_col = multimodal.image_quality_vector(colorful)
+    assert cf_gray < 1e-9 < 20 < cf_col
+
+    # sub-3x3: no Laplacian interior, defined as 0
+    tiny = rng.integers(0, 256, (2, 5, 3), dtype=np.uint8)
+    assert multimodal.image_quality_vector(tiny)[0] == 0.0
+
+
+def test_image_quality_udf_end_to_end(spark):
+    rng = np.random.default_rng(10)
+    arr = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(0, ic.encode_png(arr)), (1, b"garbage")], "id long, bytes binary"
+    )
+    out = {
+        r["id"]: r["img_quality"]
+        for r in multimodal.with_image_quality(df).collect()
+    }
+    blur, lm, ls, cf = multimodal.image_quality_vector(arr)
+    assert out[0]["ok"] and abs(out[0]["blur"] - round(blur, 4)) < 1e-9
+    assert abs(out[0]["colorfulness"] - round(cf, 4)) < 1e-9
+    assert not out[1]["ok"] and out[1]["err"]
