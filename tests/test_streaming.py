@@ -471,3 +471,43 @@ def test_phash_gate_splits_and_grows_index(spark, tmp_path):
     n_before = spark.read.parquet(gate.index_path + "/banded").count()
     gate.process_batch(b2, 2)
     assert spark.read.parquet(gate.index_path + "/banded").count() == n_before
+
+
+def test_streaming_audio_suite_matches_batch(spark, tmp_path):
+    """The validator is modality-generic: a decoded-payload constraint
+    (AudioConsistent over real WAV bytes) streams identically to its
+    batch run — nothing in the engine is image-specific."""
+    from smcchecker_spark.audio import AudioConsistent
+    from smcchecker_spark.compile import compile_suite
+    from smcchecker_spark.constraints import NotNull, Suite
+
+    src = str(tmp_path / "ain")
+    os.makedirs(src)
+    df = fixtures.generate_wav_rows(spark, n_rows=200, n_parts=4, seed=13)
+    df.filter(F.col("part_id") < 2).coalesce(1).write.parquet(src + "/d1.parquet")
+    df.filter(F.col("part_id") >= 2).coalesce(1).write.parquet(src + "/d2.parquet")
+    suite = Suite(
+        name="audio_stream",
+        table="audio",
+        constraints=[NotNull("caption"), AudioConsistent()],
+    )
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    v = StreamingValidator(
+        suite, violations_path=str(tmp_path / "aviol"),
+        verdicts_path=str(tmp_path / "averd"), row_id_col="audio_id",
+    )
+    q = v.start(stream, checkpoint_location=str(tmp_path / "ackpt"), trigger_once=True)
+    q.awaitTermination(120)
+    got = {
+        (r["row_id"], r["check_name"])
+        for r in spark.read.parquet(str(tmp_path / "aviol")).collect()
+    }
+    want = {
+        (r["row_id"], r["check_name"])
+        for r in compile_suite(df, suite, row_id_col="audio_id").collect()
+    }
+    assert got == want and len(got) > 0
