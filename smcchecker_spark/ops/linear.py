@@ -101,6 +101,10 @@ def train_logreg(
     )
     proj = proj.where(F.col("_y").isNotNull()).cache()
     try:
+        if proj.limit(1).count() == 0:
+            raise ValueError(
+                "train_logreg needs at least one row with a non-null label"
+            )
         d = len(feature_cols)
         w = np.zeros(d)
         b = 0.0

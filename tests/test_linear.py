@@ -88,3 +88,14 @@ def test_artifact_roundtrip_and_plan(spark, tmp_path):
     plan = linear.score_quality(df, m)._jdf.queryExecution().executedPlan().toString()
     # scoring is a pure projection: no exchange, no Python stage
     assert "Exchange" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_empty_or_unlabeled_input_raises_cleanly(spark):
+    df = spark.createDataFrame([], "f1 double, f2 double, label int")
+    with pytest.raises(ValueError, match="non-null label"):
+        linear.train_logreg(df, ["f1", "f2"], "label", iters=2)
+    df2 = spark.createDataFrame(
+        [(1.0, 2.0, None)], "f1 double, f2 double, label int"
+    )
+    with pytest.raises(ValueError, match="non-null label"):
+        linear.train_logreg(df2, ["f1", "f2"], "label", iters=2)
