@@ -5467,6 +5467,91 @@ _CURATE_ORACLE = _CURATE_ORACLE.replace("__PHONE__", clean.PII_PATTERNS["phone"]
 
 
 # ---------------------------------------------------------------------------
+# Profiling metrics: entropy / mutual information / correlation matrix
+# (Deequ-style column-profile metrics; one aggregation pass each —
+# see stats.column_entropy / mutual_information / correlation_matrix.)
+# ---------------------------------------------------------------------------
+
+
+def q_entropy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.column_entropy(
+        _t(spark, sf_dir, "events"), ["event_type", "user_id"]
+    )
+
+
+_ENTROPY_ORACLE = """
+WITH pairs AS (
+  SELECT 'event_type' AS "column", CAST(event_type AS VARCHAR) AS value FROM events
+  UNION ALL
+  SELECT 'user_id' AS "column", CAST(user_id AS VARCHAR) AS value FROM events
+),
+c AS (
+  SELECT "column", value, count(*) AS cnt
+  FROM pairs WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT "column", CAST(SUM(cnt) AS BIGINT) AS n_values, COUNT(*) AS ndv,
+       ROUND(LN(CAST(SUM(cnt) AS DOUBLE))
+             - SUM(cnt * LN(CAST(cnt AS DOUBLE))) / SUM(cnt), 9) AS entropy
+FROM c GROUP BY "column"
+"""
+
+
+def q_mutual_info_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_mod", (F.col("user_id") % 7).cast("string")
+    )
+    return stats.mutual_information(ev, "event_type", "user_mod")
+
+
+_MUTUAL_INFO_ORACLE = """
+WITH j AS (
+  SELECT CAST(event_type AS VARCHAR) AS a,
+         CAST(user_id % 7 AS VARCHAR) AS b, count(*) AS n_ab
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT n_ab,
+         SUM(n_ab) OVER (PARTITION BY a) AS n_a,
+         SUM(n_ab) OVER (PARTITION BY b) AS n_b,
+         SUM(n_ab) OVER () AS n
+  FROM j
+),
+t AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+         SUM(CAST(n_ab AS DOUBLE) / n
+             * LN(CAST(n_ab AS DOUBLE) * n / (CAST(n_a AS DOUBLE) * n_b))) AS mi,
+         LN(CAST(MAX(n) AS DOUBLE))
+           - SUM(n_ab * LN(CAST(n_a AS DOUBLE))) / MAX(n) AS h_a,
+         LN(CAST(MAX(n) AS DOUBLE))
+           - SUM(n_ab * LN(CAST(n_b AS DOUBLE))) / MAX(n) AS h_b
+  FROM m
+)
+SELECT 'event_type' AS col_a, 'user_mod' AS col_b, n_pairs,
+       ROUND(mi, 9) AS mi,
+       ROUND(CASE WHEN SQRT(h_a * h_b) > 0 THEN mi / SQRT(h_a * h_b) END, 9) AS nmi
+FROM t
+"""
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.correlation_matrix(_t(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
+_CORR_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+       count(*) FILTER (WHERE {a} IS NOT NULL AND {b} IS NOT NULL) AS n_pairs,
+       ROUND(corr(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)), 6) AS "corr"
+FROM lineitem"""
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -5624,6 +5709,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_neardup_events": q_video_neardup_events,
         "audio_validate": q_audio_validate,
         "video_validate": q_video_validate,
+        "entropy_events": q_entropy_events,
+        "mutual_info_events": q_mutual_info_events,
+        "corr_matrix_lineitem": q_corr_matrix_lineitem,
     }
 
 
@@ -5818,6 +5906,10 @@ def oracle_sql() -> dict[str, str]:
         "incremental_phash_events": _INCREMENTAL_PHASH_ORACLE,
         "snapshot_diff_events": _SNAPSHOT_DIFF_ORACLE,
         "crossmodal_events": _CROSSMODAL_ORACLE,
+        # profiling metrics: exact SQL re-derivations
+        "entropy_events": _ENTROPY_ORACLE,
+        "mutual_info_events": _MUTUAL_INFO_ORACLE,
+        "corr_matrix_lineitem": _CORR_ORACLE,
         # rows-only (approximate / non-SQL-expressible): column_stats_approx,
         #   lsh_topk_embeddings, simhash_neardup_docs, images_validate
     }

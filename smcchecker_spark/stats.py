@@ -1227,3 +1227,155 @@ def js_divergence(
         .collect()[0]
     )
     return float(row["v"] or 0.0)
+
+
+def column_entropy(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Shannon entropy (nats) of each column's non-null value
+    distribution — the Deequ-style profiling metric the reference's
+    metadata checks never had; low entropy flags near-constant columns,
+    near-``ln(ndv)`` entropy flags uniform ID-like ones.
+
+    Returns one row per column: (column, n_values, ndv, entropy), with
+    ``entropy = ln(n) - sum(cnt*ln(cnt))/n`` over exact value counts
+    (numerically stabler than ``-sum(p*ln p)`` and identical in exact
+    arithmetic). Rounded to 9 dp for cross-engine comparability.
+
+    Plan: the columns melt to (column, value) pairs map-side (k structs
+    per row, no extra scan per column), then ONE map-side-combined
+    count shuffle keyed by (column, value) and a |columns|-group final
+    agg — the same shape as ``heavy_hitters``, skew-bounded by the
+    biggest single value's frequency, never by data volume."""
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    counts = (
+        pairs.where(F.col("value").isNotNull())
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = F.sum("cnt")
+    return (
+        counts.groupBy("column")
+        .agg(
+            n.alias("n_values"),
+            F.count(F.lit(1)).alias("ndv"),
+            F.round(
+                F.log(n) - F.sum(F.col("cnt") * F.log("cnt")) / n, 9
+            ).alias("entropy"),
+        )
+    )
+
+
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns:
+    ``MI = sum_ab p(a,b) * ln(p(a,b) / (p(a) p(b)))`` over rows where
+    both are non-null. MI ≈ 0 means the columns are independent; MI
+    near ``min(H(a), H(b))`` means one determines the other — the soft,
+    profiled counterpart of the engine's hard FunctionalDep constraint
+    (and of ``suggest_fds``, which this metric ranks candidates for).
+
+    Returns ONE row (col_a, col_b, n_pairs, mi, nmi) — nmi is MI
+    normalized by ``sqrt(H(a)*H(b))`` (NULL when either entropy is 0).
+
+    Plan: the data shuffles ONCE into joint (a,b) counts; marginals are
+    window sums OVER THE JOINT TABLE (|ndv_a × ndv_b| rows, never data
+    rows) and the grand total attaches as a 1-row broadcast (the
+    ``categorical_drift`` pattern — no global window, no collect)."""
+    from pyspark.sql import Window
+
+    joint = (
+        df.select(
+            F.col(col_a).cast("string").alias("a"),
+            F.col(col_b).cast("string").alias("b"),
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    n_a = F.sum("n_ab").over(Window.partitionBy("a"))
+    n_b = F.sum("n_ab").over(Window.partitionBy("b"))
+    tot = joint.agg(F.coalesce(F.sum("n_ab"), F.lit(0)).alias("n"))
+    terms = joint.select(
+        "n_ab", n_a.alias("n_a"), n_b.alias("n_b")
+    ).join(F.broadcast(tot))
+    mi = F.sum(
+        F.col("n_ab")
+        / F.col("n")
+        * F.log(F.col("n_ab") * F.col("n") / (F.col("n_a") * F.col("n_b")))
+    )
+    # Marginal entropies from the same joint counts (no extra scan):
+    # H(a) = ln(n) - sum_ab n_ab*ln(n_a)/n  (each (a,b) cell contributes
+    # its n_ab weight to a's marginal term), likewise H(b).
+    h_a = F.log(F.first("n")) - F.sum(F.col("n_ab") * F.log("n_a")) / F.first("n")
+    h_b = F.log(F.first("n")) - F.sum(F.col("n_ab") * F.log("n_b")) / F.first("n")
+    denom = F.sqrt(h_a * h_b)
+    return terms.agg(
+        F.first("n").alias("n_pairs"),
+        F.round(mi, 9).alias("mi"),
+        F.round(F.when(denom > F.lit(0.0), mi / denom), 9).alias("nmi"),
+    ).select(
+        F.lit(col_a).alias("col_a"),
+        F.lit(col_b).alias("col_b"),
+        "n_pairs",
+        "mi",
+        "nmi",
+    )
+
+
+def correlation_matrix(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Pairwise-complete Pearson correlation for every column pair, in
+    ONE aggregation pass (``k*(k-1)/2`` ``corr`` aggregates + matching
+    pair counts, all map-side partials → one tiny final row; no
+    shuffle of data rows, no per-pair scans). Returns one row per
+    unordered pair i<j: (col_a, col_b, n_pairs, corr), corr rounded to
+    6 dp, NULL when a side is constant over the complete pairs.
+
+    Pairwise-complete is enforced by masking each side to rows where
+    BOTH are non-null, then ``corr = covar_samp / (stddev*stddev)``
+    over the masked pair — identical to SQL ``corr()`` (the sample /
+    population distinction cancels), but NULL-guarded for constant
+    sides, where Spark's ``corr`` divides by zero under ANSI mode."""
+    pairs = [
+        (columns[i], columns[j])
+        for i in range(len(columns))
+        for j in range(i + 1, len(columns))
+    ]
+    aggs: list[Column] = []
+    for a, b in pairs:
+        ca, cb = F.col(a).cast("double"), F.col(b).cast("double")
+        both = ca.isNotNull() & cb.isNotNull()
+        ma, mb = F.when(both, ca), F.when(both, cb)
+        sa, sb = F.stddev_samp(ma), F.stddev_samp(mb)
+        aggs.append(F.sum(both.cast("long")).alias(f"{a}__{b}__n"))
+        aggs.append(
+            F.round(
+                F.when(
+                    (sa > F.lit(0.0)) & (sb > F.lit(0.0)),
+                    F.covar_samp(ma, mb) / (sa * sb),
+                ),
+                6,
+            ).alias(f"{a}__{b}__corr")
+        )
+    row = df.agg(*aggs)
+    per_pair = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"{a}__{b}__n").alias("n_pairs"),
+            F.col(f"{a}__{b}__corr").alias("corr"),
+        )
+        for a, b in pairs
+    ]
+    return row.select(F.explode(F.array(*per_pair)).alias("s")).select("s.*")

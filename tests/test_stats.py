@@ -452,3 +452,72 @@ def test_suggest_fds_skips_self_and_approx_mode(spark):
     got = {(r.determinant, r.dependent): r.holds for r in out}
     assert got[("k", "c")] is True    # k -> k%5 holds (within HLL tolerance)
     assert got[("c", "k")] is False   # 5 values can't determine 200 keys
+
+
+def test_column_entropy_hand_computed(spark):
+    # 4 values of a: {x:2, y:1, z:1} -> H = ln4 - (2 ln2)/4 = 1.5 ln2 - ... compute directly
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("y", 1), ("z", None)], "a string, b int"
+    )
+    rows = {r["column"]: r for r in stats.column_entropy(df, ["a", "b"]).collect()}
+    n = 4
+    expected_a = math.log(n) - (2 * math.log(2) + 1 * math.log(1) + 1 * math.log(1)) / n
+    assert rows["a"]["n_values"] == 4
+    assert rows["a"]["ndv"] == 3
+    assert rows["a"]["entropy"] == pytest.approx(expected_a, abs=1e-8)
+    # b: three non-null 1s -> entropy 0 (constant column), nulls excluded
+    assert rows["b"]["n_values"] == 3
+    assert rows["b"]["ndv"] == 1
+    assert rows["b"]["entropy"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_column_entropy_uniform_is_ln_ndv(spark):
+    df = spark.createDataFrame([(i % 8,) for i in range(800)], "v int")
+    row = stats.column_entropy(df, ["v"]).collect()[0]
+    assert row["entropy"] == pytest.approx(math.log(8), abs=1e-8)
+
+
+def test_mutual_information_determined_and_independent(spark):
+    # b = f(a): MI == H(a) == H(b); nmi == 1
+    df = spark.createDataFrame(
+        [(i % 4, (i % 4) * 10) for i in range(400)], "a int, b int"
+    )
+    row = stats.mutual_information(df, "a", "b").collect()[0]
+    assert row["n_pairs"] == 400
+    assert row["mi"] == pytest.approx(math.log(4), abs=1e-8)
+    assert row["nmi"] == pytest.approx(1.0, abs=1e-8)
+
+    # independent uniform columns (complete cross product): MI == 0
+    ind = spark.createDataFrame(
+        [(i % 4, (i // 4) % 5) for i in range(400)], "a int, b int"
+    )
+    row2 = stats.mutual_information(ind, "a", "b").collect()[0]
+    assert row2["mi"] == pytest.approx(0.0, abs=1e-9)
+
+    # constant column: H == 0 -> nmi NULL, MI 0
+    const = spark.createDataFrame([(i % 4, 7) for i in range(40)], "a int, b int")
+    row3 = stats.mutual_information(const, "a", "b").collect()[0]
+    assert row3["mi"] == pytest.approx(0.0, abs=1e-9)
+    assert row3["nmi"] is None
+
+
+def test_correlation_matrix_exact_pairs(spark):
+    # y = 2x exactly -> corr 1; z = -x -> corr -1 with both; nulls pairwise-skipped
+    rows = [(float(i), 2.0 * i, -float(i)) for i in range(50)]
+    rows.append((None, 1.0, 2.0))
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {
+        (r["col_a"], r["col_b"]): r
+        for r in stats.correlation_matrix(df, ["x", "y", "z"]).collect()
+    }
+    assert set(out) == {("x", "y"), ("x", "z"), ("y", "z")}
+    assert out[("x", "y")]["n_pairs"] == 50  # null row skipped
+    assert out[("x", "y")]["corr"] == pytest.approx(1.0, abs=1e-6)
+    assert out[("x", "z")]["corr"] == pytest.approx(-1.0, abs=1e-6)
+    assert out[("y", "z")]["n_pairs"] == 51  # both non-null in the extra row
+
+
+def test_correlation_matrix_constant_is_null(spark):
+    df = spark.createDataFrame([(float(i), 3.0) for i in range(20)], "x double, c double")
+    row = stats.correlation_matrix(df, ["x", "c"]).collect()[0]
+    assert row["corr"] is None
