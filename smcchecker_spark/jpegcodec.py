@@ -13,11 +13,14 @@ ITU-T T.81 baseline sequential DCT from the public spec:
   (SOI/APP0/DQT/SOF0/DHT/SOS/EOI). Output is a spec-valid JPEG any
   external decoder can open.
 - **Decode**: marker walk, arbitrary quant/Huffman table slots,
-  baseline (SOF0/SOF1) frames with 1 or 3 components and sampling
-  factors up to 2×2 (so 4:4:4, 4:2:2, 4:4:0, 4:2:0 and grayscale all
-  decode), restart (DRI/RSTn) intervals, 2^16 Huffman LUT entropy
-  decode over a precomputed sliding 16-bit window, vectorized
-  dequantize + IDCT + upsample + color convert. Progressive (SOF2),
+  baseline (SOF0/SOF1) AND progressive (SOF2) frames with 1 or 3
+  components and sampling factors up to 2×2 (so 4:4:4, 4:2:2, 4:4:0,
+  4:2:0 and grayscale all decode), restart (DRI/RSTn) intervals, 2^16
+  Huffman LUT entropy decode over a precomputed sliding 16-bit window
+  (baseline) or a per-bit reader (progressive spectral-selection +
+  successive-approximation scans, T.81 G.2 — verified against
+  ImageIO-produced multi-scan files in tests/vectors/ext_prog_*),
+  vectorized dequantize + IDCT + upsample + color convert. Lossless /
   arithmetic coding and 12-bit precision raise ``ValueError`` — the
   validation engine reports those payloads as violations rather than
   mis-decoding them.
@@ -273,12 +276,15 @@ def _build_lut(bits: tuple[int, ...], vals: tuple[int, ...], is_dc: bool):
             if s == 0:
                 if is_dc:  # zero DC diff: combined, value 0
                     packed[lo:hi] = (1 << 22) | (2048 << 9) | length
-                elif sym == 0x00:
-                    packed[lo:hi] = (3 << 22) | length  # EOB
                 elif sym == 0xF0:
                     packed[lo:hi] = (4 << 22) | length  # ZRL
                 else:
-                    raise ValueError("corrupt JPEG: bad AC run/size symbol")
+                    # EOB (run 0) / EOBn (run 1..14, progressive AC
+                    # scans: EOB-run of (1<<run)+extra-bits(run) blocks).
+                    # The baseline scan loop ignores the run bits — a
+                    # sequential scan referencing an EOBn symbol is
+                    # spec-invalid and simply ends the block early.
+                    packed[lo:hi] = (3 << 22) | (run << 5) | length
             elif length + s <= 16:
                 idx = np.arange(lo, hi, dtype=np.int32)
                 mag = (idx >> (16 - length - s)) & ((1 << s) - 1)
@@ -721,7 +727,7 @@ _COMPACT_COEF_BLOCKS = 65536
 
 
 class _Frame:
-    __slots__ = ("h", "w", "comps")
+    __slots__ = ("h", "w", "comps", "progressive")
 
 
 # natural-order quant tables cached by DQT payload bytes: a corpus
@@ -799,7 +805,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError("corrupt JPEG: bad Huffman table class")
                 luts[(tc, th)] = _build_lut(bits, vals, is_dc=(tc == 0))
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             if frame is not None:
                 raise ValueError("corrupt JPEG: multiple SOF markers")
             prec, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
@@ -813,6 +819,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("JPEG dimensions exceed the decoded-size cap")
             frame = _Frame()
             frame.h, frame.w = fh, fw
+            frame.progressive = marker == 0xC2
             frame.comps = []
             for c in range(nc):
                 cid, hvs, tq = payload[6 + 3 * c : 9 + 3 * c]
@@ -820,9 +827,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise ValueError(f"unsupported sampling {hi}x{vi}")
                 frame.comps.append({"id": cid, "hi": hi, "vi": vi, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("progressive/arithmetic JPEG not supported")
+            raise ValueError(
+                "lossless/arithmetic/hierarchical JPEG not supported"
+            )
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(payload[:2], "big")
         elif marker == 0xDA:  # SOS
@@ -835,6 +844,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tt = payload[1 + 2 * c : 3 + 2 * c]
                 scan_list.append((cid, tt >> 4, tt & 15))
+            if len(payload) < 4 + 2 * ns:
+                raise ValueError("corrupt JPEG: short SOS header")
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
             # entropy data runs to the next non-RST/non-stuffed marker.
             # Unstuffing hops between 0xFF positions with bytes.find and
             # slice-copies the (overwhelmingly non-FF) runs in between —
@@ -862,7 +876,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     break
             segs.append(bytes(cur))
             pos = p
-            _decode_scan_into(frame, luts, scan_list, segs, restart, covered)
+            if frame.progressive:
+                _decode_prog_scan_into(
+                    frame, luts, scan_list, segs, restart, covered,
+                    ss, se, ah, al,
+                )
+            else:
+                _decode_scan_into(
+                    frame, luts, scan_list, segs, restart, covered
+                )
         # APPn/COM/other: skipped
     if frame is None or not covered:
         raise ValueError("corrupt JPEG: no decoded scan")
@@ -981,6 +1003,277 @@ def _decode_scan_into(frame, luts, scan_list, segs, restart, covered):
         else:
             _decode_segment_py(seg_bytes, mcu, seg_end, scan_mcux, tmpl)
         mcu = seg_end
+    if mcu < scan_total:
+        raise ValueError("corrupt JPEG: missing MCUs")
+
+
+class _SegReader:
+    """MSB-first bit reader over one unstuffed entropy segment for the
+    progressive path. The accumulator never holds more than ~24 bits
+    (Python ints, no windows) — progressive scans are decoded per-bit
+    anyway, so the baseline path's 16-bit window slabs buy nothing here.
+    Reads past the segment end see zero bits (byte-alignment padding);
+    more than 64 phantom bits means the stream truly underran."""
+
+    __slots__ = ("data", "n", "pos", "acc", "cnt", "pad")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.n = len(data)
+        self.pos = 0
+        self.acc = 0
+        self.cnt = 0
+        self.pad = 0
+
+    def _fill(self, k: int) -> None:
+        while self.cnt < k:
+            if self.pos < self.n:
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                self.acc <<= 8
+                self.pad += 8
+                if self.pad > 64:
+                    raise ValueError("corrupt JPEG: scan underrun")
+            self.cnt += 8
+
+    def peek16(self) -> int:
+        if self.cnt < 16:
+            self._fill(16)
+        return (self.acc >> (self.cnt - 16)) & 0xFFFF
+
+    def skip(self, k: int) -> None:  # only after peek16, so cnt >= 16 >= k
+        self.cnt -= k
+        self.acc &= (1 << self.cnt) - 1
+
+    def receive(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.cnt < k:
+            self._fill(k)
+        self.cnt -= k
+        v = (self.acc >> self.cnt) & ((1 << k) - 1)
+        self.acc &= (1 << self.cnt) - 1
+        return v
+
+
+def _decode_prog_scan_into(
+    frame, luts, scan_list, segs, restart, covered, ss, se, ah, al
+):
+    """Decode one PROGRESSIVE scan (T.81 G.2) into the shared
+    coefficient stores. Four scan kinds: DC first (Ss=0, Ah=0 —
+    Huffman-coded high-order DC bits, interleaved allowed), DC
+    refinement (Ah>0 — one appended bit per block), AC first (Ss>0,
+    Ah=0 — spectral band with EOB-run coding, single component only),
+    AC refinement (correction bits, libjpeg jdphuff-equivalent
+    algorithm). Always the Python path: progressive inputs are decoded
+    for validation parity, not bulk throughput (the native kernels
+    cover the baseline hot path); reconstruction still goes native."""
+    h, w = frame.h, frame.w
+    comps = frame.comps
+    byid = {c["id"]: c for c in comps}
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    _ensure_coef(
+        frame, mcux, mcuy,
+        force_compact=_native.jpegrecon() is not None,
+    )
+    if ss > se or se > 63 or al > 13 or (ah and ah != al + 1):
+        raise ValueError("corrupt JPEG: bad progressive scan header")
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("corrupt JPEG: bad progressive scan header")
+    if not is_dc and len(scan_list) > 1:
+        raise ValueError("corrupt JPEG: interleaved progressive AC scan")
+
+    interleaved = len(scan_list) > 1
+    tmpl = []  # (lut, coef, rowstep, colstep, offs)
+    scan_mcux, scan_total = mcux, mcux * mcuy
+    for cid, td, ta in scan_list:
+        c = byid.get(cid)
+        if c is None:
+            raise ValueError("corrupt JPEG: scan component not in frame")
+        if is_dc:
+            covered.add(cid)
+            lut = None
+            if ah == 0:  # DC refinement needs no Huffman table
+                pair = luts.get((0, td))
+                if pair is None:
+                    raise ValueError("corrupt JPEG: missing Huffman table")
+                lut = pair[0]
+        else:
+            pair = luts.get((1, ta))
+            if pair is None:
+                raise ValueError("corrupt JPEG: missing Huffman table")
+            lut = pair[0]
+        bw = c["bw"]
+        if interleaved:
+            hi_, vi_ = c["hi"], c["vi"]
+            offs = [by * bw + bx for by in range(vi_) for bx in range(hi_)]
+            tmpl.append((lut, c["coef"], vi_ * bw, hi_, offs))
+        else:
+            xi = -(-w * c["hi"] // hmax)  # T.81 A.1.1 component dims
+            yi = -(-h * c["vi"] // vmax)
+            scan_mcux = -(-xi // 8)
+            scan_total = scan_mcux * (-(-yi // 8))
+            tmpl.append((lut, c["coef"], bw, 1, [0]))
+
+    zz = ZIGZAG.tolist()
+    blocks_per_mcu = sum(len(t[4]) for t in tmpl)
+    per_seg = restart if restart else scan_total
+    p1, m1 = 1 << al, -1 << al
+    mcu = 0
+    for seg_bytes in segs:
+        if mcu >= scan_total:
+            break
+        seg_end = min(mcu + per_seg, scan_total)
+        if len(seg_bytes) > (seg_end - mcu) * blocks_per_mcu * \
+                _MAX_BYTES_PER_BLOCK + 64:
+            raise ValueError(
+                "corrupt JPEG: entropy segment exceeds worst-case budget"
+            )
+        rd = _SegReader(seg_bytes)
+        preds = [0] * len(tmpl)  # DC predictors reset at restart
+        eobrun = 0  # EOB run resets at restart
+        while mcu < seg_end:
+            my, mx = divmod(mcu, scan_mcux)
+            for ti, (lut, coef, rowstep, colstep, offs) in enumerate(tmpl):
+                base = my * rowstep + mx * colstep
+                for off in offs:
+                    blk = coef[base + off]
+                    if is_dc:
+                        if ah == 0:  # DC first scan
+                            e = lut[rd.peek16()]
+                            if e == 0:
+                                raise ValueError(
+                                    "corrupt JPEG: bad Huffman code"
+                                )
+                            rd.skip(e & 31)
+                            if e >> 22 == 1:
+                                d = ((e >> 9) & 8191) - 2048
+                            else:
+                                s = (e >> 5) & 15
+                                d = _extend(rd.receive(s), s)
+                            pred = preds[ti] + d
+                            if not (-32768 <= pred <= 32767):
+                                raise ValueError(
+                                    "corrupt JPEG: DC predictor overflow"
+                                )
+                            preds[ti] = pred
+                            blk[0] = pred << al
+                        else:  # DC refinement: append one bit
+                            if rd.receive(1):
+                                blk[0] = int(blk[0]) | p1
+                    elif ah == 0:  # AC first scan (spectral band)
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            e = lut[rd.peek16()]
+                            if e == 0:
+                                raise ValueError(
+                                    "corrupt JPEG: bad Huffman code"
+                                )
+                            op = e >> 22
+                            rd.skip(e & 31)
+                            if op == 1:  # combined run/value
+                                k += (e >> 5) & 15
+                                if k > se:
+                                    raise ValueError(
+                                        "corrupt JPEG: AC overrun"
+                                    )
+                                blk[zz[k]] = (
+                                    (((e >> 9) & 8191) - 2048) << al
+                                )
+                                k += 1
+                            elif op == 3:  # EOB / EOBn
+                                r = (e >> 5) & 15
+                                eobrun = (1 << r) - 1 + rd.receive(r)
+                                break
+                            elif op == 4:  # ZRL
+                                k += 16
+                            else:  # fallback: magnitude past window
+                                s = (e >> 5) & 15
+                                k += (e >> 9) & 15
+                                if k > se:
+                                    raise ValueError(
+                                        "corrupt JPEG: AC overrun"
+                                    )
+                                blk[zz[k]] = _extend(rd.receive(s), s) << al
+                                k += 1
+                    else:  # AC refinement (T.81 G.2.2 / jdphuff)
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                e = lut[rd.peek16()]
+                                if e == 0:
+                                    raise ValueError(
+                                        "corrupt JPEG: bad Huffman code"
+                                    )
+                                op = e >> 22
+                                rd.skip(e & 31)
+                                if op == 3:  # EOB / EOBn run begins
+                                    r = (e >> 5) & 15
+                                    eobrun = (1 << r) + rd.receive(r)
+                                    break
+                                if op == 4:  # ZRL: 16 zero-history slots
+                                    run, newval = 15, 0
+                                elif op == 1:
+                                    run = (e >> 5) & 15
+                                    v = ((e >> 9) & 8191) - 2048
+                                    if v not in (1, -1):
+                                        raise ValueError(
+                                            "corrupt JPEG: bad refinement "
+                                            "coefficient"
+                                        )
+                                    newval = p1 if v > 0 else m1
+                                else:  # fallback form of (run, s=1)
+                                    s = (e >> 5) & 15
+                                    run = (e >> 9) & 15
+                                    if s != 1:
+                                        raise ValueError(
+                                            "corrupt JPEG: bad refinement "
+                                            "coefficient"
+                                        )
+                                    newval = p1 if rd.receive(1) else m1
+                                # advance over `run` zero-history slots,
+                                # appending correction bits to nonzero ones
+                                while k <= se:
+                                    z = zz[k]
+                                    cur = int(blk[z])
+                                    if cur:
+                                        if rd.receive(1) and not (cur & p1):
+                                            blk[z] = cur + (
+                                                p1 if cur > 0 else m1
+                                            )
+                                    else:
+                                        if run == 0:
+                                            break
+                                        run -= 1
+                                    k += 1
+                                if op != 4:
+                                    if k > se:
+                                        raise ValueError(
+                                            "corrupt JPEG: AC overrun"
+                                        )
+                                    blk[zz[k]] = newval
+                                k += 1
+                        if eobrun:
+                            # EOB region: correction bits only
+                            while k <= se:
+                                z = zz[k]
+                                cur = int(blk[z])
+                                if cur:
+                                    if rd.receive(1) and not (cur & p1):
+                                        blk[z] = cur + (
+                                            p1 if cur > 0 else m1
+                                        )
+                                k += 1
+                            eobrun -= 1
+            mcu += 1
     if mcu < scan_total:
         raise ValueError("corrupt JPEG: missing MCUs")
 

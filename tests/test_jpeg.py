@@ -154,13 +154,26 @@ def test_bitflip_never_crashes():
             pass
 
 
-def test_progressive_rejected():
+def test_sof2_with_baseline_scan_rejected():
+    # flipping SOF0 -> SOF2 makes the baseline full-band interleaved
+    # scan header (Ss=0, Se=63) invalid for a progressive frame
     a = _noise(8, 8, seed=7)
     data = bytearray(jc.encode_jpeg(a))
     i = bytes(data).index(b"\xff\xc0")
     data[i + 1] = 0xC2  # SOF0 → SOF2 (progressive)
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="progressive scan header"):
         jc.decode_jpeg(bytes(data))
+
+
+def test_lossless_arithmetic_rejected():
+    a = _noise(8, 8, seed=7)
+    data = bytearray(jc.encode_jpeg(a))
+    i = bytes(data).index(b"\xff\xc0")
+    for sof in (0xC3, 0xC9, 0xCB):  # lossless / arithmetic variants
+        ba = bytearray(data)
+        ba[i + 1] = sof
+        with pytest.raises(ValueError, match="not supported"):
+            jc.decode_jpeg(bytes(ba))
 
 
 def test_oversize_header_rejected():
@@ -628,3 +641,48 @@ def test_recon_parity_extreme_coefficients(monkeypatch):
     monkeypatch.setitem(native._cache, "jpegrecon.c", False)
     for i, f in enumerate(frames):
         assert np.array_equal(jc._reconstruct(f, qts), out_native[i]), i
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decode
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_PROG_VEC = _os.path.join(
+    _os.path.dirname(__file__), "vectors", "ext_prog_24x17_q0.9.jpg"
+)
+
+
+def test_progressive_decodes_deterministically():
+    data = open(_PROG_VEC, "rb").read()
+    a = jc.decode_jpeg(data)
+    b = jc.decode_jpeg(data)
+    assert a.shape == (24, 17, 3)
+    assert np.array_equal(a, b)
+
+
+def test_progressive_truncation_never_crashes():
+    # every truncation point either decodes (severed tail scans may
+    # legitimately be absent mid-progression... no: missing component
+    # DC coverage or missing EOI raises) or raises ValueError — nothing
+    # else escapes to a Spark task
+    data = open(_PROG_VEC, "rb").read()
+    for cut in range(2, len(data), 5):
+        try:
+            out = jc.decode_jpeg(data[:cut])
+            assert out.ndim == 3
+        except ValueError:
+            pass
+
+
+def test_progressive_bitflips_never_crash():
+    data = open(_PROG_VEC, "rb").read()
+    for pos in range(0, len(data), 3):
+        ba = bytearray(data)
+        ba[pos] ^= 0xFF
+        try:
+            out = jc.decode_jpeg(bytes(ba))
+            assert out.ndim == 3
+        except (ValueError, IndexError, struct.error):
+            pass

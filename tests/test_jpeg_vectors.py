@@ -46,7 +46,9 @@ def _psnr(a, b):
 
 
 def _is_444(jpg: bytes) -> bool:
-    at = jpg.index(b"\xff\xc0")
+    at = jpg.find(b"\xff\xc0")
+    if at == -1:
+        at = jpg.index(b"\xff\xc2")  # progressive SOF
     n = jpg[at + 9]
     return all(jpg[at + 11 + 3 * c] == 0x11 for c in range(n))
 

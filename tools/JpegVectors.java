@@ -39,7 +39,7 @@ public class JpegVectors {
     }
 
     public static void main(String[] args) throws Exception {
-        if (args[0].equals("encode")) {
+        if (args[0].equals("encode") || args[0].equals("encodeprog")) {
             int h = Integer.parseInt(args[1]);
             int w = Integer.parseInt(args[2]);
             long seed = Long.parseLong(args[3]);
@@ -59,6 +59,8 @@ public class JpegVectors {
             ImageWriteParam p = wr.getDefaultWriteParam();
             p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
             p.setCompressionQuality(q);
+            if (args[0].equals("encodeprog"))
+                p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT);
             ByteArrayOutputStream bos = new ByteArrayOutputStream();
             wr.setOutput(new MemoryCacheImageOutputStream(bos));
             wr.write(null, new IIOImage(img, null, null), p);
