@@ -946,10 +946,18 @@ class Expectation:
     and 10"). ``column=None`` only for ``row_count``. Bounds are
     inclusive; None = unbounded on that side.
 
-    Metrics: row_count | null_rate | ndv | min | max | mean.
-    ``ndv`` is exact by default (a shuffle of distinct values); set
-    ``approx=True`` to use the HLL++ sketch — rsd ~2%, leave slack in
-    the bounds accordingly.
+    Metrics: row_count | null_rate | ndv | distinctness | min | max |
+    mean. ``ndv`` is exact by default (a shuffle of distinct values);
+    set ``approx=True`` to use the HLL++ sketch — rsd ~2%, leave slack
+    in the bounds accordingly. ``distinctness`` = ndv / rows (1.0 for a
+    key column, ~0 for a near-constant one — the Deequ metric of the
+    same name) and inherits the exact/approx choice.
+
+    Entropy / mutual-information / correlation bounds are deliberately
+    NOT expectations: they need grouped pre-aggregation, which would
+    break this class's one-aggregation-pass contract — profile them
+    with ``column_entropy`` / ``mutual_information`` /
+    ``correlation_matrix`` and gate on those outputs instead.
     """
 
     metric: str
@@ -959,7 +967,10 @@ class Expectation:
     approx: bool = False
 
     def __post_init__(self):
-        known = {"row_count", "null_rate", "ndv", "min", "max", "mean"}
+        known = {
+            "row_count", "null_rate", "ndv", "distinctness",
+            "min", "max", "mean",
+        }
         if self.metric not in known and self._quantile() is None:
             raise ValueError(
                 f"unknown metric {self.metric!r}; one of {sorted(known)} "
@@ -1006,6 +1017,13 @@ class Expectation:
                 if self.approx
                 else F.count_distinct(c)
             )
+        elif self.metric == "distinctness":
+            ndv = (
+                F.approx_count_distinct(c)
+                if self.approx
+                else F.count_distinct(c)
+            )
+            e = ndv / F.greatest(F.count(F.lit(1)), F.lit(1))
         elif self.metric == "min":
             e = F.min(c)
         elif self.metric == "max":

@@ -521,3 +521,28 @@ def test_correlation_matrix_constant_is_null(spark):
     df = spark.createDataFrame([(float(i), 3.0) for i in range(20)], "x double, c double")
     row = stats.correlation_matrix(df, ["x", "c"]).collect()[0]
     assert row["corr"] is None
+
+
+def test_expectation_distinctness(spark):
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(100)], "k int, c int"
+    )
+    out = {
+        r["check"]: r
+        for r in stats.check_expectations(
+            df,
+            [
+                stats.Expectation("distinctness", "k", lo=0.99),
+                stats.Expectation("distinctness", "c", hi=0.10),
+            ],
+        ).collect()
+    }
+    assert out["distinctness(k)"]["value"] == pytest.approx(1.0)
+    assert out["distinctness(k)"]["ok"] is True
+    assert out["distinctness(c)"]["value"] == pytest.approx(0.05)
+    assert out["distinctness(c)"]["ok"] is True
+    # failing bound: c is not key-like
+    bad = stats.check_expectations(
+        df, [stats.Expectation("distinctness", "c", lo=0.99)]
+    ).collect()[0]
+    assert bad["ok"] is False
