@@ -5552,6 +5552,74 @@ FROM lineitem"""
 
 
 # ---------------------------------------------------------------------------
+# Distributed k-means: full-corpus Lloyd's, one aggregation per iteration
+# (similarity.train_centroids_full). Exact-regime oracle: one update
+# iteration + final assignment unrolled in SQL over the same
+# deterministic lowest-k-ids init.
+# ---------------------------------------------------------------------------
+
+
+def q_kmeans_cells_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.train_centroids_full(emb, k=8, iters=1)
+    return similarity.assign_cells(emb, cents)
+
+
+_KMEANS_ORACLE = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+en AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)),
+                                             1e-12)) AS v
+  FROM e
+),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v
+  FROM (SELECT vec_id, v FROM en ORDER BY vec_id LIMIT 8)
+),
+a0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT en.vec_id, c0.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY en.vec_id
+             ORDER BY list_dot_product(en.v, c0.v) DESC, c0.cell ASC
+           ) AS rn
+    FROM en, c0
+  ) WHERE rn = 1
+),
+m1 AS (
+  SELECT a0.cell, d.range AS pos,
+         AVG(en.v[CAST(d.range + 1 AS INT)]) AS mv
+  FROM en JOIN a0 USING (vec_id), range(64) d
+  GROUP BY a0.cell, d.range
+),
+cm AS (SELECT cell, list(mv ORDER BY pos) AS l FROM m1 GROUP BY cell),
+c1 AS (
+  SELECT c0.cell,
+         COALESCE(
+           list_transform(cm.l,
+                          x -> x / greatest(sqrt(list_dot_product(cm.l,
+                                                                  cm.l)),
+                                            1e-12)),
+           c0.v) AS v
+  FROM c0 LEFT JOIN cm ON c0.cell = cm.cell
+)
+SELECT vec_id, CAST(cell AS INT) AS cell FROM (
+  SELECT en.vec_id, c1.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY en.vec_id
+           ORDER BY list_dot_product(en.v, c1.v) DESC, c1.cell ASC
+         ) AS rn
+  FROM en, c1
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -5712,6 +5780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_events": q_entropy_events,
         "mutual_info_events": q_mutual_info_events,
         "corr_matrix_lineitem": q_corr_matrix_lineitem,
+        "kmeans_cells_embeddings": q_kmeans_cells_embeddings,
     }
 
 
@@ -5910,6 +5979,8 @@ def oracle_sql() -> dict[str, str]:
         "entropy_events": _ENTROPY_ORACLE,
         "mutual_info_events": _MUTUAL_INFO_ORACLE,
         "corr_matrix_lineitem": _CORR_ORACLE,
+        # one Lloyd's iteration + assignment unrolled in SQL
+        "kmeans_cells_embeddings": _KMEANS_ORACLE,
         # rows-only (approximate / non-SQL-expressible): column_stats_approx,
         #   lsh_topk_embeddings, simhash_neardup_docs, images_validate
     }

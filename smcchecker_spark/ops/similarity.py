@@ -298,6 +298,86 @@ def train_centroids(
     return C
 
 
+def train_centroids_full(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 4,
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd's) over the FULL corpus —
+    the scale path next to the driver-side sampled ``train_centroids``
+    (which is fine for IVF coarse cells but trains on 2k vectors; this
+    trains on all of them when cluster quality matters, e.g. semantic
+    mixture analysis or cluster-balanced sampling).
+
+    Each iteration is ONE job, no per-row driver traffic: the Arrow
+    argmax assignment (the same ``_cell_udf`` used at probe time), a
+    ``posexplode`` to (cell, pos, value), and a map-side-combined
+    sum/count per (cell, pos) — the shuffle carries P·k·d partials,
+    never corpus rows — then a k·d-row collect updates centroids on
+    the driver (k·d scalars, corpus-size-independent). Vectors are
+    L2-normalized once into a cached narrow projection; assignment is
+    by dot product (≡ cosine on normalized data); empty cells keep
+    their previous centroid. Deterministic: init = the k lowest-id
+    vectors normalized, ties broken toward the lower cell index (the
+    np.argmax convention ``_cell_udf`` shares)."""
+    rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    if len(rows) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(rows)}")
+    C = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    d = C.shape[1]
+
+    vd = F.col(vec_col).cast("array<double>")
+    nrm = F.greatest(l2_norm(vd), F.lit(1e-12))
+    proj = df.select(
+        F.transform(vd, lambda x: x / nrm).alias("_vn")
+    ).cache()
+    try:
+        for _ in range(iters):
+            cell = _cell_udf(C)
+            parts = (
+                proj.select(cell(F.col("_vn")).alias("cell"), "_vn")
+                .select("cell", F.posexplode("_vn").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            sums = np.zeros((k, d))
+            counts = np.zeros(k)
+            for r in parts:
+                sums[r["cell"], r["pos"]] = r["s"]
+                counts[r["cell"]] = r["n"]
+            nonempty = counts > 0
+            C2 = C.copy()
+            C2[nonempty] = sums[nonempty] / counts[nonempty, None]
+            C2 /= np.maximum(
+                np.linalg.norm(C2, axis=1, keepdims=True), 1e-12
+            )
+            C = C2
+    finally:
+        proj.unpersist()
+    return C
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) for every vector — map-only Arrow argmax against the
+    broadcast centroid matrix (assignment is scale-invariant in the
+    vector, so raw embeddings work). The building block for
+    cluster-balanced sampling / mixture reporting over a trained
+    ``train_centroids_full`` model."""
+    cell = _cell_udf(centroids)
+    return df.select(
+        F.col(id_col), cell(F.col(vec_col)).cast("int").alias("cell")
+    )
+
+
 def _cell_udf(centroids: np.ndarray):
     C = centroids.T.copy()  # dim × k
 

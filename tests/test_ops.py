@@ -1219,3 +1219,60 @@ def test_image_quality_udf_end_to_end(spark):
     assert out[0]["ok"] and abs(out[0]["blur"] - round(blur, 4)) < 1e-9
     assert abs(out[0]["colorfulness"] - round(cf, 4)) < 1e-9
     assert not out[1]["ok"] and out[1]["err"]
+
+
+def test_train_centroids_full_matches_numpy(spark, vectors):
+    """The distributed Lloyd's loop (one aggregation per iteration)
+    reproduces the numpy reference exactly: same init (k lowest-id
+    vectors normalized), same argmax tie rule, same empty-cell
+    keep-old update."""
+    k, iters = 4, 3
+    C = similarity.train_centroids_full(
+        vectors, k=k, iters=iters
+    )
+    rows = vectors.orderBy("vec_id").collect()
+    X = np.array([list(r["embedding"]) for r in rows])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    Cr = Xn[:k].copy()
+    for _ in range(iters):
+        a = np.argmax(Xn @ Cr.T, axis=1)
+        C2 = Cr.copy()
+        for c in range(k):
+            m = Xn[a == c]
+            if len(m):
+                C2[c] = m.mean(axis=0)
+        C2 /= np.maximum(np.linalg.norm(C2, axis=1, keepdims=True), 1e-12)
+        Cr = C2
+    assert np.abs(C - Cr).max() < 1e-9
+    # assignments agree too, and the near-dup pairs co-cluster
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.assign_cells(vectors, C).collect()
+    }
+    ref = np.argmax(Xn @ Cr.T, axis=1)
+    assert all(got[i] == ref[i] for i in range(len(ref)))
+    assert got[20] == got[0] and got[21] == got[1]
+
+
+def test_train_centroids_full_feeds_ivf(spark, vectors):
+    """Full-corpus centroids drop into ivf_topk unchanged; probing all
+    cells stays exact."""
+    C = similarity.train_centroids_full(vectors, k=4, iters=2)
+    queries = vectors.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(vectors, queries, k=3, id_col="vec_id")
+    full = similarity.ivf_topk(
+        vectors, queries, C, k=3, n_probe=4, id_col="vec_id"
+    )
+    e = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
+    f = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in full.collect()}
+    assert e == f
+
+
+def test_train_centroids_full_needs_k_vectors(spark):
+    few = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="at least k"):
+        similarity.train_centroids_full(few, k=5, iters=1)
