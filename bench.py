@@ -158,6 +158,12 @@ HEADLINE = [
     "video_neardup_events",
     "audio_validate",
     "video_validate",
+    # round-3 session-3: profiling metrics (entropy / MI / correlation,
+    # each one aggregation pass) + full-corpus distributed k-means
+    "entropy_events",
+    "mutual_info_events",
+    "corr_matrix_lineitem",
+    "kmeans_cells_embeddings",
 ]
 
 
