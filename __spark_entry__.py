@@ -5551,6 +5551,63 @@ FROM lineitem"""
 )
 
 
+def q_metric_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection over a metric history: daily per-event_type row
+    counts scored against their trailing 5-point window (z > 2) plus a
+    100% relative-jump bound — stats.metric_anomalies."""
+    hist = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return stats.metric_anomalies(
+        hist,
+        value_col="n",
+        order_col="day",
+        series_cols=["event_type"],
+        window=5,
+        k=2.0,
+        max_rel_change=1.0,
+        min_history=3,
+    )
+
+
+_METRIC_ANOMALIES_ORACLE = """
+WITH h AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, day, n,
+         COUNT(n) OVER w AS trail_n,
+         AVG(n) OVER w AS m_raw,
+         STDDEV_SAMP(n) OVER w AS s_raw,
+         LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS prev
+  FROM h
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT *,
+         CASE WHEN trail_n >= 3 AND s_raw > 0
+              THEN (n - m_raw) / s_raw END AS z_raw,
+         CASE WHEN prev IS NOT NULL AND prev <> 0
+              THEN (n - prev) / abs(CAST(prev AS DOUBLE)) END AS r_raw
+  FROM s
+)
+SELECT event_type, day, n, trail_n,
+       ROUND(m_raw, 9) AS trail_mean,
+       ROUND(s_raw, 9) AS trail_std,
+       ROUND(z_raw, 9) AS zscore,
+       ROUND(r_raw, 9) AS rel_change,
+       (COALESCE(abs(z_raw) > 2.0, FALSE)
+        OR COALESCE(abs(r_raw) > 1.0, FALSE)) AS anomalous
+FROM z
+"""
+
+
 # ---------------------------------------------------------------------------
 # Distributed k-means: full-corpus Lloyd's, one aggregation per iteration
 # (similarity.train_centroids_full). Exact-regime oracle: one update
@@ -5781,6 +5838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info_events": q_mutual_info_events,
         "corr_matrix_lineitem": q_corr_matrix_lineitem,
         "kmeans_cells_embeddings": q_kmeans_cells_embeddings,
+        "metric_anomalies_events": q_metric_anomalies_events,
     }
 
 
@@ -5981,6 +6039,8 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _CORR_ORACLE,
         # one Lloyd's iteration + assignment unrolled in SQL
         "kmeans_cells_embeddings": _KMEANS_ORACLE,
+        # trailing-window z-score + relative change re-derived in SQL
+        "metric_anomalies_events": _METRIC_ANOMALIES_ORACLE,
         # rows-only (approximate / non-SQL-expressible): column_stats_approx,
         #   lsh_topk_embeddings, simhash_neardup_docs, images_validate
     }

@@ -1247,6 +1247,84 @@ def js_divergence(
     return float(row["v"] or 0.0)
 
 
+def metric_anomalies(
+    history: DataFrame,
+    value_col: str = "value",
+    order_col: str = "run_id",
+    series_cols: list[str] | None = None,
+    window: int = 7,
+    k: float = 3.0,
+    max_rel_change: float | None = None,
+    min_history: int = 3,
+) -> DataFrame:
+    """Anomaly detection over a metric HISTORY (the Deequ
+    anomaly-checker counterpart): each point is scored against its own
+    series' trailing window — z-score vs the mean/stddev of the
+    previous ``window`` points, plus an optional relative-change bound
+    vs the immediately preceding point. ``metrics_drift`` compares two
+    snapshots; this watches the whole checkpointed series (e.g. the
+    per-run row counts / null rates the wave-commit protocol already
+    stores) and flags the run where a metric jumped.
+
+    Output: the input rows + (trail_n, trail_mean, trail_std, zscore,
+    rel_change, anomalous). A point with fewer than ``min_history``
+    trailing points, or a zero-variance window, never z-flags (NULL
+    zscore) — cold starts are not anomalies. Doubles rounded to 9 dp.
+
+    Plan: ONE window pass per series partition (trailing frame, no
+    global window — series_cols partition the exchange); metric
+    histories are rows-per-run, so the shuffled volume is runs ×
+    series, never data."""
+    if not series_cols:
+        raise ValueError(
+            "series_cols must name the metric-series key columns "
+            "(a global window over an unpartitioned history would "
+            "funnel every row through one task)"
+        )
+    from pyspark.sql import Window
+
+    x = F.col(value_col).cast("double")
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(order_col)
+        .rowsBetween(-window, -1)
+    )
+    wo = Window.partitionBy(*series_cols).orderBy(order_col)
+    trail_n = F.count(x).over(w)
+    trail_mean = F.avg(x).over(w)
+    trail_std = F.stddev_samp(x).over(w)
+    prev = F.lag(x).over(wo)
+    out = history.select(
+        "*",
+        trail_n.alias("trail_n"),
+        F.round(trail_mean, 9).alias("trail_mean"),
+        F.round(trail_std, 9).alias("trail_std"),
+        F.round(
+            F.when(
+                (trail_n >= F.lit(min_history)) & (trail_std > F.lit(0.0)),
+                (x - trail_mean) / trail_std,
+            ),
+            9,
+        ).alias("zscore"),
+        F.round(
+            F.when(
+                prev.isNotNull() & (prev != F.lit(0.0)),
+                (x - prev) / F.abs(prev),
+            ),
+            9,
+        ).alias("rel_change"),
+    )
+    anom = F.coalesce(
+        F.abs(F.col("zscore")) > F.lit(float(k)), F.lit(False)
+    )
+    if max_rel_change is not None:
+        anom = anom | F.coalesce(
+            F.abs(F.col("rel_change")) > F.lit(float(max_rel_change)),
+            F.lit(False),
+        )
+    return out.withColumn("anomalous", anom)
+
+
 def column_entropy(df: DataFrame, columns: list[str]) -> DataFrame:
     """Shannon entropy (nats) of each column's non-null value
     distribution — the Deequ-style profiling metric the reference's

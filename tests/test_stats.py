@@ -546,3 +546,56 @@ def test_expectation_distinctness(spark):
         df, [stats.Expectation("distinctness", "c", lo=0.99)]
     ).collect()[0]
     assert bad["ok"] is False
+
+
+def test_metric_anomalies_flags_spike(spark):
+    # stable series 100±2, then a spike; z-flag fires only on the spike
+    rows = [("m", i, 100.0 + (i % 3)) for i in range(8)]
+    rows.append(("m", 8, 500.0))       # spike
+    rows.append(("m", 9, 101.0))       # back to normal
+    df = spark.createDataFrame(rows, "metric string, run int, value double")
+    out = {
+        r["run"]: r
+        for r in stats.metric_anomalies(
+            df, value_col="value", order_col="run",
+            series_cols=["metric"], window=5, k=3.0,
+        ).collect()
+    }
+    assert out[8]["anomalous"] is True
+    assert abs(out[8]["zscore"]) > 3.0
+    # cold start: first min_history points never z-flag
+    assert out[0]["zscore"] is None and out[0]["anomalous"] is False
+    assert out[1]["zscore"] is None
+    # normal points unflagged; post-spike point judged against a window
+    # that now CONTAINS the spike (std blew up) -> not flagged either
+    assert all(not out[i]["anomalous"] for i in range(8))
+    assert out[9]["anomalous"] is False
+
+
+def test_metric_anomalies_rel_change_and_zero_variance(spark):
+    # constant history: zero variance -> no z flag even on a jump,
+    # but the relative-change bound catches it
+    rows = [("m", i, 50.0) for i in range(6)] + [("m", 6, 200.0)]
+    df = spark.createDataFrame(rows, "metric string, run int, value double")
+    plain = stats.metric_anomalies(
+        df, value_col="value", order_col="run",
+        series_cols=["metric"], window=5, k=3.0,
+    ).collect()
+    assert all(r["zscore"] is None for r in plain)
+    assert all(r["anomalous"] is False for r in plain)
+    with_rel = {
+        r["run"]: r
+        for r in stats.metric_anomalies(
+            df, value_col="value", order_col="run",
+            series_cols=["metric"], window=5, k=3.0, max_rel_change=1.0,
+        ).collect()
+    }
+    assert with_rel[6]["anomalous"] is True
+    assert with_rel[6]["rel_change"] == pytest.approx(3.0)
+    assert all(not with_rel[i]["anomalous"] for i in range(6))
+
+
+def test_metric_anomalies_requires_series_cols(spark):
+    df = spark.createDataFrame([(0, 1.0)], "run int, value double")
+    with pytest.raises(ValueError, match="series_cols"):
+        stats.metric_anomalies(df, order_col="run", series_cols=None)

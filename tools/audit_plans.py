@@ -116,6 +116,11 @@ AUDITED = [
     "video_neardup_events",
     "audio_validate",
     "video_validate",
+    "entropy_events",
+    "mutual_info_events",
+    "corr_matrix_lineitem",
+    "kmeans_cells_embeddings",
+    "metric_anomalies_events",
 ]
 
 JOIN_RE = re.compile(
