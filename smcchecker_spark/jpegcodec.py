@@ -1078,7 +1078,10 @@ def _decode_prog_scan_into(
     mcuy = -(-h // (8 * vmax))
     _ensure_coef(
         frame, mcux, mcuy,
-        force_compact=_native.jpegrecon() is not None,
+        force_compact=(
+            _native.jpegprog() is not None
+            or _native.jpegrecon() is not None
+        ),
     )
     if ss > se or se > 63 or al > 13 or (ah and ah != al + 1):
         raise ValueError("corrupt JPEG: bad progressive scan header")
@@ -1089,39 +1092,47 @@ def _decode_prog_scan_into(
         raise ValueError("corrupt JPEG: interleaved progressive AC scan")
 
     interleaved = len(scan_list) > 1
-    tmpl = []  # (lut, coef, rowstep, colstep, offs)
+    tmpl = []  # (lut_list, lut_arr, coef, rowstep, colstep, offs, ptr)
     scan_mcux, scan_total = mcux, mcux * mcuy
     for cid, td, ta in scan_list:
         c = byid.get(cid)
         if c is None:
             raise ValueError("corrupt JPEG: scan component not in frame")
+        lut = lut_arr = None
         if is_dc:
             covered.add(cid)
-            lut = None
             if ah == 0:  # DC refinement needs no Huffman table
                 pair = luts.get((0, td))
                 if pair is None:
                     raise ValueError("corrupt JPEG: missing Huffman table")
-                lut = pair[0]
+                lut, lut_arr = pair
         else:
             pair = luts.get((1, ta))
             if pair is None:
                 raise ValueError("corrupt JPEG: missing Huffman table")
-            lut = pair[0]
+            lut, lut_arr = pair
         bw = c["bw"]
         if interleaved:
             hi_, vi_ = c["hi"], c["vi"]
             offs = [by * bw + bx for by in range(vi_) for bx in range(hi_)]
-            tmpl.append((lut, c["coef"], vi_ * bw, hi_, offs))
+            tmpl.append((lut, lut_arr, c["coef"], vi_ * bw, hi_, offs,
+                         c.get("coef_ptr")))
         else:
             xi = -(-w * c["hi"] // hmax)  # T.81 A.1.1 component dims
             yi = -(-h * c["vi"] // vmax)
             scan_mcux = -(-xi // 8)
             scan_total = scan_mcux * (-(-yi // 8))
-            tmpl.append((lut, c["coef"], bw, 1, [0]))
+            tmpl.append((lut, lut_arr, c["coef"], bw, 1, [0],
+                         c.get("coef_ptr")))
+
+    native = _native.jpegprog()
+    if native is not None and not isinstance(comps[0]["coef"], np.ndarray):
+        native = None
+    if native is not None:
+        call = _prog_native_call_args(native, tmpl, ss, se, ah, al, is_dc)
 
     zz = ZIGZAG.tolist()
-    blocks_per_mcu = sum(len(t[4]) for t in tmpl)
+    blocks_per_mcu = sum(len(t[5]) for t in tmpl)
     per_seg = restart if restart else scan_total
     p1, m1 = 1 << al, -1 << al
     mcu = 0
@@ -1134,12 +1145,21 @@ def _decode_prog_scan_into(
             raise ValueError(
                 "corrupt JPEG: entropy segment exceeds worst-case budget"
             )
+        if native is not None:
+            rc = call(seg_bytes, mcu, seg_end, scan_mcux)
+            if rc < 0:
+                raise ValueError(_NATIVE_ERRORS.get(
+                    rc, f"corrupt JPEG: native decode error {rc}"
+                ))
+            mcu = seg_end
+            continue
         rd = _SegReader(seg_bytes)
         preds = [0] * len(tmpl)  # DC predictors reset at restart
         eobrun = 0  # EOB run resets at restart
         while mcu < seg_end:
             my, mx = divmod(mcu, scan_mcux)
-            for ti, (lut, coef, rowstep, colstep, offs) in enumerate(tmpl):
+            for ti, (lut, _la, coef, rowstep, colstep, offs, _cp) \
+                    in enumerate(tmpl):
                 base = my * rowstep + mx * colstep
                 for off in offs:
                     blk = coef[base + off]
@@ -1284,7 +1304,69 @@ _NATIVE_ERRORS = {
     -3: "corrupt JPEG: AC overrun",
     -4: "corrupt JPEG: DC predictor overflow",
     -5: "corrupt JPEG: bad scan component count",
+    -6: "corrupt JPEG: bad refinement coefficient",
 }
+
+
+# progressive scan-structure cache: a corpus reuses one progression
+# script (same Huffman tables, geometry, and Ss/Se/Ah/Al per scan), so
+# the numpy/ctypes marshalling is paid once per distinct scan shape per
+# process — only the per-image coefficient-store pointers rebuild.
+_PROG_STRUCT_CACHE: dict[tuple, tuple] = {}
+
+
+def _prog_native_call_args(native, tmpl, ss, se, ah, al, is_dc):
+    """Marshal one progressive scan's template into a closure over the
+    native kernel (the progressive sibling of ``_native_call_args``)."""
+    import ctypes
+
+    global _ZIGZAG_U8
+    if _ZIGZAG_U8 is None:
+        _ZIGZAG_U8 = np.ascontiguousarray(ZIGZAG.astype(np.uint8))
+    n = len(tmpl)
+    key = (
+        tuple((id(t[1]), t[3], t[4], tuple(t[5])) for t in tmpl),
+        ss, se, ah, al, is_dc,
+    )
+    hit = _PROG_STRUCT_CACHE.get(key)
+    if hit is None:
+        lut_ptrs = (ctypes.c_void_p * n)(
+            *[(t[1].ctypes.data if t[1] is not None else None)
+              for t in tmpl]
+        )
+        rowstep = np.array([t[3] for t in tmpl], dtype=np.int64)
+        colstep = np.array([t[4] for t in tmpl], dtype=np.int64)
+        offs_flat = np.array(
+            [o for t in tmpl for o in t[5]], dtype=np.int64
+        )
+        noffs = np.array([len(t[5]) for t in tmpl], dtype=np.int64)
+        offbase = np.concatenate([[0], np.cumsum(noffs)[:-1]]).astype(
+            np.int64
+        )
+        hit = (
+            lut_ptrs,
+            rowstep.ctypes.data, colstep.ctypes.data,
+            offs_flat.ctypes.data, offbase.ctypes.data,
+            noffs.ctypes.data, _ZIGZAG_U8.ctypes.data,
+            # keep every referenced array alive with the cache entry
+            (rowstep, colstep, offs_flat, noffs, offbase, _ZIGZAG_U8,
+             [t[1] for t in tmpl]),
+        )
+        _PROG_STRUCT_CACHE[key] = hit
+    (lut_ptrs, p_rowstep, p_colstep, p_offs, p_offbase, p_noffs,
+     p_zz, _keep) = hit
+    coef_ptrs = (ctypes.c_void_p * n)(*[t[6] for t in tmpl])
+    dc_flag = 1 if is_dc else 0
+
+    def call(seg_bytes: bytes, mcu: int, seg_end: int, scan_mcux: int):
+        return native(
+            seg_bytes, len(seg_bytes), mcu, seg_end, scan_mcux, n,
+            lut_ptrs, coef_ptrs,
+            p_rowstep, p_colstep, p_offs, p_offbase, p_noffs, p_zz,
+            ss, se, ah, al, dc_flag,
+        )
+
+    return call
 
 _ZIGZAG_U8 = None  # built lazily: contiguous uint8 view for the kernel
 

@@ -154,6 +154,38 @@ def jpegrecon():
     return fn
 
 
+def jpegprog():
+    """ctypes handle for the progressive-JPEG scan kernel, or None.
+
+    long decode_prog_segment(seg, nbytes, mcu_start, mcu_end,
+                             scan_mcux, nslots, luts, coefs, rowstep,
+                             colstep, offs, offbase, noffs, zigzag,
+                             ss, se, ah, al, is_dc)
+    """
+    lib = _load("jpegprog.c")
+    if lib is None:
+        return None
+    fn = lib.decode_prog_segment
+    if not getattr(fn, "_smc_typed", False):
+        c_i64 = ctypes.c_longlong
+        fn.restype = ctypes.c_long
+        fn.argtypes = [
+            ctypes.c_char_p,                  # seg
+            c_i64, c_i64, c_i64, c_i64,       # nbytes, start, end, mcux
+            ctypes.c_long,                    # nslots
+            ctypes.POINTER(ctypes.c_void_p),  # luts
+            ctypes.POINTER(ctypes.c_void_p),  # coefs
+            ctypes.c_void_p, ctypes.c_void_p,  # rowstep, colstep
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # offs...
+            ctypes.c_void_p,                  # zigzag
+            ctypes.c_long, ctypes.c_long,     # ss, se
+            ctypes.c_long, ctypes.c_long,     # ah, al
+            ctypes.c_long,                    # is_dc
+        ]
+        fn._smc_typed = True
+    return fn
+
+
 def vp8ltree():
     """ctypes handle for the VP8L code-length read kernel, or None.
 

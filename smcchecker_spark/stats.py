@@ -1385,10 +1385,13 @@ def mutual_information(
     Returns ONE row (col_a, col_b, n_pairs, mi, nmi) — nmi is MI
     normalized by ``sqrt(H(a)*H(b))`` (NULL when either entropy is 0).
 
-    Plan: the data shuffles ONCE into joint (a,b) counts; marginals are
-    window sums OVER THE JOINT TABLE (|ndv_a × ndv_b| rows, never data
-    rows) and the grand total attaches as a 1-row broadcast (the
-    ``categorical_drift`` pattern — no global window, no collect)."""
+    Plan: the data shuffles ONCE into joint (a,b) counts (ONE scan);
+    marginals are window sums OVER THE JOINT TABLE (|ndv_a × ndv_b|
+    rows, never data rows); the grand total never needs to attach
+    per-row — the identity ``MI = ln n + (S_ab − S_a − S_b)/n`` with
+    ``S_x = Σ n_ab·ln(n_x)`` folds everything into the single final
+    aggregation (likewise ``H(x) = ln n − S_x/n`` for the NMI
+    denominator). No collect, no second scan, no global window."""
     from pyspark.sql import Window
 
     joint = (
@@ -1400,25 +1403,21 @@ def mutual_information(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
-    n_a = F.sum("n_ab").over(Window.partitionBy("a"))
-    n_b = F.sum("n_ab").over(Window.partitionBy("b"))
-    tot = joint.agg(F.coalesce(F.sum("n_ab"), F.lit(0)).alias("n"))
     terms = joint.select(
-        "n_ab", n_a.alias("n_a"), n_b.alias("n_b")
-    ).join(F.broadcast(tot))
-    mi = F.sum(
-        F.col("n_ab")
-        / F.col("n")
-        * F.log(F.col("n_ab") * F.col("n") / (F.col("n_a") * F.col("n_b")))
+        "n_ab",
+        F.sum("n_ab").over(Window.partitionBy("a")).alias("n_a"),
+        F.sum("n_ab").over(Window.partitionBy("b")).alias("n_b"),
     )
-    # Marginal entropies from the same joint counts (no extra scan):
-    # H(a) = ln(n) - sum_ab n_ab*ln(n_a)/n  (each (a,b) cell contributes
-    # its n_ab weight to a's marginal term), likewise H(b).
-    h_a = F.log(F.first("n")) - F.sum(F.col("n_ab") * F.log("n_a")) / F.first("n")
-    h_b = F.log(F.first("n")) - F.sum(F.col("n_ab") * F.log("n_b")) / F.first("n")
+    n = F.sum("n_ab")
+    s_ab = F.sum(F.col("n_ab") * F.log("n_ab"))
+    s_a = F.sum(F.col("n_ab") * F.log("n_a"))
+    s_b = F.sum(F.col("n_ab") * F.log("n_b"))
+    mi = F.log(n) + (s_ab - s_a - s_b) / n
+    h_a = F.log(n) - s_a / n
+    h_b = F.log(n) - s_b / n
     denom = F.sqrt(h_a * h_b)
     return terms.agg(
-        F.first("n").alias("n_pairs"),
+        n.alias("n_pairs"),
         F.round(mi, 9).alias("mi"),
         F.round(F.when(denom > F.lit(0.0), mi / denom), 9).alias("nmi"),
     ).select(

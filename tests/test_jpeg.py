@@ -686,3 +686,60 @@ def test_progressive_bitflips_never_crash():
             assert out.ndim == 3
         except (ValueError, IndexError, struct.error):
             pass
+
+
+def test_progressive_native_kernel_loads():
+    from smcchecker_spark import native
+
+    native._cache.pop("jpegprog.c", None)
+    assert native.jpegprog() is not None
+
+
+def test_progressive_native_python_pixel_parity(monkeypatch):
+    """Bit-exact decoded pixels across both paths for every committed
+    progressive vector (multi-scan spectral selection + successive
+    approximation, 4:2:0)."""
+    import glob as _glob
+
+    from smcchecker_spark import native
+
+    if native.jpegprog() is None:
+        pytest.skip("no C compiler in this environment")
+    cases = [
+        open(p, "rb").read()
+        for p in sorted(
+            _glob.glob(
+                _os.path.join(_os.path.dirname(__file__), "vectors",
+                              "ext_prog_*.jpg")
+            )
+        )
+    ]
+    assert cases
+    dec_native = [jc.decode_jpeg(p) for p in cases]
+    monkeypatch.setitem(native._cache, "jpegprog.c", False)
+    for i, p in enumerate(cases):
+        assert np.array_equal(jc.decode_jpeg(p), dec_native[i]), i
+
+
+def test_progressive_native_error_parity(monkeypatch):
+    """Truncations raise ValueError on both paths (the kernel's error
+    codes map back to the same texts)."""
+    from smcchecker_spark import native
+
+    if native.jpegprog() is None:
+        pytest.skip("no C compiler in this environment")
+    data = open(_PROG_VEC, "rb").read()
+    cuts = list(range(len(data) // 2, len(data) - 2, 11))
+    native_out = []
+    for cut in cuts:
+        try:
+            native_out.append(("ok", jc.decode_jpeg(data[:cut]).tobytes()))
+        except ValueError as ex:
+            native_out.append(("err", str(ex)))
+    monkeypatch.setitem(native._cache, "jpegprog.c", False)
+    for i, cut in enumerate(cuts):
+        try:
+            got = ("ok", jc.decode_jpeg(data[:cut]).tobytes())
+        except ValueError as ex:
+            got = ("err", str(ex))
+        assert got == native_out[i], cut
