@@ -5551,6 +5551,41 @@ FROM lineitem"""
 )
 
 
+def q_exif_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExifSane over the planted-EXIF JPEG fixture: corrupt APP1 TIFF
+    directories, out-of-range Orientation, malformed DateTime literals
+    (smcchecker_spark/exif.py — from-scratch TIFF 6.0/EXIF 2.3 parse).
+    The oracle reproduces the fixture's first-match-wins modular rules;
+    goldens also locked by tests/test_image.py."""
+    from smcchecker_spark import fixtures
+    from smcchecker_spark.image import ExifSane
+    from smcchecker_spark.package import ensure_shipped
+
+    ensure_shipped(spark)
+    df = fixtures.generate_exif_images(
+        spark, n_rows=500, n_parts=8, seed=13
+    ).localCheckpoint()
+    suite = Suite(
+        name="images_exif", table="images", constraints=[ExifSane()]
+    )
+    v = compile_suite(df, suite, row_id_col="image_id", part_id_col="part_id")
+    return (
+        v.groupBy("check_name")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .orderBy("check_name")
+    )
+
+
+_EXIF_VALIDATE_ORACLE = """
+SELECT 'exifsane_bytes' AS check_name,
+       CAST(count(*) FILTER (WHERE (i % 37 = 9)
+              OR (i % 37 <> 9 AND i % 29 = 6)
+              OR (i % 37 <> 9 AND i % 29 <> 6 AND i % 31 = 8)) AS BIGINT)
+         AS n_violations
+FROM range(500) t(i)
+"""
+
+
 def q_metric_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anomaly detection over a metric history: daily per-event_type row
     counts scored against their trailing 5-point window (z > 2) plus a
@@ -5839,6 +5874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix_lineitem": q_corr_matrix_lineitem,
         "kmeans_cells_embeddings": q_kmeans_cells_embeddings,
         "metric_anomalies_events": q_metric_anomalies_events,
+        "exif_validate": q_exif_validate,
     }
 
 
@@ -6041,6 +6077,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_cells_embeddings": _KMEANS_ORACLE,
         # trailing-window z-score + relative change re-derived in SQL
         "metric_anomalies_events": _METRIC_ANOMALIES_ORACLE,
+        # planted first-match-wins EXIF rules re-derived over range()
+        "exif_validate": _EXIF_VALIDATE_ORACLE,
         # rows-only (approximate / non-SQL-expressible): column_stats_approx,
         #   lsh_topk_embeddings, simhash_neardup_docs, images_validate
     }

@@ -508,3 +508,110 @@ def generate_avi_rows(
 
     rng_df = spark.range(0, n_rows, numPartitions=num_tasks or max(8, n_parts))
     return rng_df.mapInPandas(gen, VIDEO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# EXIF-tagged JPEG fixture (planted metadata violations)
+# ---------------------------------------------------------------------------
+
+
+def expected_exif_kind(i: int) -> str:
+    """Planted-EXIF rule for index i — FIRST matching rule wins (the
+    oracle reproduces the same priority): corrupt APP1 > out-of-range
+    orientation > malformed DateTime > valid rot90 tag > untagged >
+    valid tagged."""
+    if i % 37 == 9:
+        return "corrupt"
+    if i % 29 == 6:
+        return "bad_orientation"
+    if i % 31 == 8:
+        return "bad_datetime"
+    if i % 23 == 4:
+        return "rot90"
+    if i % 2 == 0:
+        return "plain"
+    return "tagged"
+
+
+def _make_exif_row(i: int, seed: int, n_parts: int) -> dict:
+    import struct
+
+    from smcchecker_spark import exif as ex
+    from smcchecker_spark import jpegcodec as jc
+
+    rng = np.random.default_rng(seed * 3_000_017 + i)
+    h = int(rng.integers(8, 25))
+    w = int(rng.integers(8, 25))
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    payload = jc.encode_jpeg(arr, quality=98)
+    phash = ic.phash64(jc.decode_jpeg(payload))
+    kind = expected_exif_kind(i)
+    if kind == "corrupt":
+        app1 = ex.build_exif_app1(orientation=1, make="ACME")
+        ba = bytearray(app1)
+        # IFD0 entry-count bomb (offset: marker+len=4, Exif\0\0=6, hdr=8)
+        ba[18:20] = struct.pack("<H", 0xFFFF)
+        payload = ex.inject_app1(payload, bytes(ba))
+    elif kind == "bad_orientation":
+        payload = ex.inject_app1(payload, ex.build_exif_app1(orientation=0))
+    elif kind == "bad_datetime":
+        payload = ex.inject_app1(
+            payload,
+            ex.build_exif_app1(
+                orientation=1, datetime_original="2024-05-01 10:00:00"
+            ),
+        )
+    elif kind == "rot90":
+        payload = ex.inject_app1(
+            payload,
+            ex.build_exif_app1(
+                orientation=6, datetime_original="2024:05:01 10:00:00"
+            ),
+        )
+    elif kind == "tagged":
+        payload = ex.inject_app1(
+            payload,
+            ex.build_exif_app1(
+                orientation=1,
+                make="ACME",
+                model="Cam 9000",
+                datetime="2024:05:02 01:02:03",
+            ),
+        )
+    caption = " ".join(
+        rng.choice(_WORDS) for _ in range(int(rng.integers(2, 8)))
+    )
+    return {
+        "image_id": f"exf{i:09d}",
+        "bytes": payload,
+        "w": w,
+        "h": h,
+        "fmt": ic.FMT_JPEG,
+        "caption": caption,
+        "phash": int(phash),
+        "part_id": i % n_parts,
+    }
+
+
+def generate_exif_images(
+    spark: SparkSession,
+    n_rows: int = 500,
+    n_parts: int = 8,
+    seed: int = 13,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic images table whose JPEG payloads carry
+    planted EXIF metadata per :func:`expected_exif_kind` (input_hint
+    schema; decoded pixels are unaffected — APP1 is metadata only)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    _make_exif_row(int(i), seed, n_parts)
+                    for i in pdf["id"].tolist()
+                ]
+            )
+
+    rng_df = spark.range(0, n_rows, numPartitions=num_tasks or max(8, n_parts))
+    return rng_df.mapInPandas(gen, IMAGES_SCHEMA)

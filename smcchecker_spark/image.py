@@ -328,6 +328,126 @@ class PsnrAtLeast(Constraint):
 ERR_POLICY = "Image Policy Violation"
 
 
+EXIF_STRUCT = (
+    "has_exif boolean, ok boolean, orientation int, dt_ok boolean, "
+    "err string"
+)
+
+
+def exif_facts_batches(
+    batches: Iterator[pd.Series],
+) -> Iterator[pd.DataFrame]:
+    """Header-only EXIF facts per payload (no pixel decode — the APP1
+    walk touches a few hundred bytes regardless of payload size):
+    has_exif, structural ok, orientation (default 1 when untagged),
+    dt_ok (both DateTime fields, when present, match the spec's
+    "YYYY:MM:DD HH:MM:SS" literal — the reference's timestamp-regex
+    check transplanted to payload metadata)."""
+    from smcchecker_spark import exif as ex
+
+    for series in batches:
+        rows = []
+        for payload in series:
+            if payload is None:
+                rows.append((False, True, 1, True, None))
+                continue
+            try:
+                tags = ex.parse_exif(bytes(payload))
+            except ValueError as e:
+                rows.append((True, False, 1, True, str(e)))
+                continue
+            if not tags:
+                rows.append((False, True, 1, True, None))
+                continue
+            dt_ok = all(
+                ex.EXIF_DATETIME_RE.match(tags[k]) is not None
+                for k in ("datetime", "datetime_original")
+                if k in tags
+            )
+            rows.append(
+                (True, True, int(tags.get("orientation", 1)), dt_ok, None)
+            )
+        yield pd.DataFrame(
+            rows, columns=["has_exif", "ok", "orientation", "dt_ok", "err"]
+        )
+
+
+def exif_facts_udf():
+    if "exif_facts" not in _UDF_CACHE:
+
+        @pandas_udf(EXIF_STRUCT)
+        def exif_facts(
+            batches: Iterator[pd.Series],
+        ) -> Iterator[pd.DataFrame]:
+            yield from exif_facts_batches(batches)
+
+        _UDF_CACHE["exif_facts"] = exif_facts
+    return _UDF_CACHE["exif_facts"]
+
+
+@dataclass(frozen=True)
+class ExifSane(Constraint):
+    """EXIF metadata, when present, must be structurally valid: the
+    APP1 TIFF directory parses, Orientation is in 1..8, and DateTime /
+    DateTimeOriginal match the spec literal "YYYY:MM:DD HH:MM:SS".
+    Untagged payloads always pass — this is a metadata-quality gate,
+    not a requirement to carry EXIF. Header-only (no pixel decode), so
+    it composes with the decode-free policy gates; one Arrow stage."""
+
+    column: str = "bytes"
+    severity: str = ERROR
+
+    @property
+    def name(self) -> str:
+        return "exifsane_" + self.column
+
+    @property
+    def error_type(self) -> str:
+        return ERR_IMAGE
+
+    def _facts(self, df: DataFrame) -> Column:
+        return exif_facts_udf()(df[self.column])
+
+    def violation_expr(self, df: DataFrame) -> Column:
+        d = self._facts(df)
+        bad_orient = ~d.getField("orientation").between(1, 8)
+        return ~d.getField("ok") | (
+            d.getField("has_exif") & (bad_orient | ~d.getField("dt_ok"))
+        )
+
+    def message_expr(self, df: DataFrame) -> Column:
+        d = self._facts(df)
+        parts = [
+            F.when(
+                ~d.getField("ok"),
+                F.concat(
+                    F.lit("corrupt EXIF: "),
+                    F.coalesce(d.getField("err"), F.lit("?")),
+                ),
+            ),
+            F.when(
+                d.getField("ok")
+                & ~d.getField("orientation").between(1, 8),
+                F.concat(
+                    F.lit("orientation out of range: "),
+                    d.getField("orientation").cast("string"),
+                ),
+            ),
+            F.when(
+                d.getField("ok") & ~d.getField("dt_ok"),
+                F.lit("malformed EXIF DateTime"),
+            ),
+        ]
+        return F.concat(
+            F.lit("EXIF metadata invalid ("),
+            F.array_join(F.array_compact(F.array(*parts)), "; "),
+            F.lit(")"),
+        )
+
+    def message(self) -> str:
+        return "EXIF metadata invalid"
+
+
 @dataclass(frozen=True)
 class MinResolution(Constraint):
     """Stored dims must be at least min_w x min_h (tiny thumbnails,
