@@ -164,6 +164,8 @@ HEADLINE = [
     "mutual_info_events",
     "corr_matrix_lineitem",
     "kmeans_cells_embeddings",
+    "metric_anomalies_events",
+    "exif_validate",
 ]
 
 

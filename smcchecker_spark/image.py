@@ -213,6 +213,14 @@ class ImageConsistent(Constraint):
     Compiles into the fused row pass like any other constraint — the
     decode UDF struct is a single ArrowEvalPython stage feeding plain
     comparisons.
+
+    ``orientation_aware=True`` accepts stored (w, h) that match the
+    DISPLAY dimensions when the payload carries an EXIF orientation of
+    5-8 (transposed) — real corpora store viewer-facing dims for
+    rotated captures. Raw dims stay accepted either way; this only
+    widens the w/h check, never the fmt/phash ones (phash is computed
+    on raw decoded pixels by contract). Adds the header-only EXIF
+    facts stage next to the decode stage.
     """
 
     column: str = "bytes"
@@ -221,6 +229,7 @@ class ImageConsistent(Constraint):
     fmt_col: str = "fmt"
     phash_col: str = "phash"
     phash_tolerance: int = 0
+    orientation_aware: bool = False
     severity: str = ERROR
 
     @property
@@ -245,9 +254,22 @@ class ImageConsistent(Constraint):
         ph_dist = F.bit_count(
             d.getField("phash").bitwiseXOR(df[self.phash_col].cast("bigint"))
         )
+        w_bad = d.getField("w") != df[self.w_col]
+        h_bad = d.getField("h") != df[self.h_col]
+        if self.orientation_aware:
+            # transposed stored dims are ALSO fine when EXIF says 5-8
+            e = exif_facts_udf()(df[self.column])
+            transposed = e.getField("ok") & e.getField(
+                "orientation"
+            ).isin(5, 6, 7, 8)
+            swap_ok = transposed & (
+                d.getField("w") == df[self.h_col]
+            ) & (d.getField("h") == df[self.w_col])
+            w_bad = w_bad & ~swap_ok
+            h_bad = h_bad & ~swap_ok
         return [
-            ("width", df[self.w_col].isNull() | (d.getField("w") != df[self.w_col])),
-            ("height", df[self.h_col].isNull() | (d.getField("h") != df[self.h_col])),
+            ("width", df[self.w_col].isNull() | w_bad),
+            ("height", df[self.h_col].isNull() | h_bad),
             ("format", df[self.fmt_col].isNull() | (d.getField("fmt") != df[self.fmt_col])),
             ("phash", df[self.phash_col].isNull() | (ph_dist > F.lit(self.phash_tolerance))),
         ]

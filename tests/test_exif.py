@@ -147,3 +147,40 @@ def test_exifsane_untagged_and_valid_pass(spark):
     assert bad == ["c"]
     msg = v.collect()[0]["error_message"]
     assert "orientation out of range: 9" in msg
+
+
+def test_imageconsistent_orientation_aware(spark):
+    from smcchecker_spark.compile import compile_suite
+    from smcchecker_spark.constraints import Suite
+    from smcchecker_spark import imagecodec as ic
+    from smcchecker_spark.image import ImageConsistent
+
+    a = np.random.default_rng(4).integers(0, 256, (12, 20, 3), dtype=np.uint8)
+    raw = jc.encode_jpeg(a, quality=98)
+    phash = int(ic.phash64(jc.decode_jpeg(raw)))
+    rot = ex.inject_app1(raw, ex.build_exif_app1(orientation=6))
+    rows = [
+        # raw dims stored: always fine
+        ("raw", raw, 20, 12, "jpeg", phash),
+        # display (transposed) dims + orientation 6 tag
+        ("disp", rot, 12, 20, "jpeg", phash),
+        # transposed dims WITHOUT an orientation tag: genuinely wrong
+        ("wrong", raw, 12, 20, "jpeg", phash),
+    ]
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "phash long"
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    strict = compile_suite(
+        df, Suite("s", "images", [ImageConsistent()]), row_id_col="image_id"
+    )
+    assert sorted({r["row_id"] for r in strict.collect()}) == ["disp", "wrong"]
+
+    aware = compile_suite(
+        df,
+        Suite("s", "images", [ImageConsistent(orientation_aware=True)]),
+        row_id_col="image_id",
+    )
+    assert sorted({r["row_id"] for r in aware.collect()}) == ["wrong"]

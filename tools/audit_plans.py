@@ -121,6 +121,7 @@ AUDITED = [
     "corr_matrix_lineitem",
     "kmeans_cells_embeddings",
     "metric_anomalies_events",
+    "exif_validate",
 ]
 
 JOIN_RE = re.compile(
