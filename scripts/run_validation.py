@@ -54,6 +54,7 @@ def build_constraint(spec: dict):
     from smcchecker_spark.image import (
         AspectRatioRange,
         BytesPerPixelRange,
+        ExifSane,
         ImageConsistent,
         MinResolution,
         PsnrAtLeast,
@@ -85,6 +86,7 @@ def build_constraint(spec: dict):
         "not_in_existing": C.NotInExisting,
         "subset_of": C.SubsetOf,
         "image_consistent": ImageConsistent,
+        "exif_sane": ExifSane,
         "audio_consistent": AudioConsistent,
         "video_consistent": VideoConsistent,
         "psnr_at_least": PsnrAtLeast,

@@ -511,3 +511,38 @@ def test_streaming_audio_suite_matches_batch(spark, tmp_path):
         for r in compile_suite(df, suite, row_id_col="audio_id").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_exif_suite_matches_batch(spark, tmp_path):
+    """ExifSane (header-only APP1 metadata gate) streams identically to
+    its batch run over the planted-EXIF JPEG fixture."""
+    from smcchecker_spark.compile import compile_suite
+    from smcchecker_spark.constraints import Suite
+    from smcchecker_spark.image import ExifSane
+
+    src = str(tmp_path / "ein")
+    os.makedirs(src)
+    df = fixtures.generate_exif_images(spark, n_rows=150, n_parts=4, seed=13)
+    df.filter(F.col("part_id") < 2).coalesce(1).write.parquet(src + "/d1.parquet")
+    df.filter(F.col("part_id") >= 2).coalesce(1).write.parquet(src + "/d2.parquet")
+    suite = Suite(name="exif_stream", table="images", constraints=[ExifSane()])
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    v = StreamingValidator(
+        suite, violations_path=str(tmp_path / "eviol"),
+        verdicts_path=str(tmp_path / "everd"), row_id_col="image_id",
+    )
+    q = v.start(stream, checkpoint_location=str(tmp_path / "eckpt"), trigger_once=True)
+    q.awaitTermination(120)
+    got = {
+        (r["row_id"], r["check_name"])
+        for r in spark.read.parquet(str(tmp_path / "eviol")).collect()
+    }
+    want = {
+        (r["row_id"], r["check_name"])
+        for r in compile_suite(df, suite, row_id_col="image_id").collect()
+    }
+    assert got == want and len(got) > 0
