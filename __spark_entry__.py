@@ -5551,6 +5551,38 @@ FROM lineitem"""
 )
 
 
+def q_jpeg_prog_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full constraint suite over REAL PROGRESSIVE (SOF2) JPEG payloads
+    (jpegcodec.encode_jpeg_progressive — spectral-selection multi-scan
+    bitstreams decoded by the progressive scan path / native
+    jpegprog.c). Same planted rules and oracle shape as jpeg_validate;
+    proves the multi-scan decode path under the driver gate, not just
+    pytest vectors."""
+    from smcchecker_spark import fixtures
+    from smcchecker_spark.image import ImageConsistent
+    from smcchecker_spark.package import ensure_shipped
+
+    ensure_shipped(spark)
+    df = fixtures.generate_progressive_images(
+        spark, n_rows=400, n_parts=8, seed=19
+    ).localCheckpoint()
+    suite = Suite(
+        name="images_jpeg_prog",
+        table="images",
+        constraints=[
+            NotNull("caption"),
+            Unique(["image_id"]),
+            ImageConsistent(),
+        ],
+    )
+    v = compile_suite(df, suite, row_id_col="image_id", part_id_col="part_id")
+    return (
+        v.groupBy("check_name")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .orderBy("check_name")
+    )
+
+
 def q_exif_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExifSane over the planted-EXIF JPEG fixture: corrupt APP1 TIFF
     directories, out-of-range Orientation, malformed DateTime literals
@@ -5877,6 +5909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cells_embeddings": q_kmeans_cells_embeddings,
         "metric_anomalies_events": q_metric_anomalies_events,
         "exif_validate": q_exif_validate,
+        "jpeg_prog_validate": q_jpeg_prog_validate,
     }
 
 
@@ -6081,6 +6114,10 @@ def oracle_sql() -> dict[str, str]:
         "metric_anomalies_events": _METRIC_ANOMALIES_ORACLE,
         # planted first-match-wins EXIF rules re-derived over range()
         "exif_validate": _EXIF_VALIDATE_ORACLE,
+        # same planted-count oracle as jpeg_validate at n=400
+        "jpeg_prog_validate": _JPEG_VALIDATE_ORACLE.replace(
+            "range(600)", "range(400)"
+        ),
         # rows-only (approximate / non-SQL-expressible): column_stats_approx,
         #   lsh_topk_embeddings, simhash_neardup_docs, images_validate
     }

@@ -166,6 +166,7 @@ HEADLINE = [
     "kmeans_cells_embeddings",
     "metric_anomalies_events",
     "exif_validate",
+    "jpeg_prog_validate",
 ]
 
 

@@ -249,6 +249,16 @@ def _make_jpeg_row(
         payload = wc.encode_webp(arr)
         phash = ic.phash64(wc.decode_webp(payload))
         fmt = ic.FMT_WEBP
+    elif codec == "jpeg_prog":
+        from smcchecker_spark import jpegcodec as jc
+
+        # PROGRESSIVE (SOF2) spectral-selection bitstreams; same DCT /
+        # quantization as baseline 4:4:4, so planted rules and the
+        # stored phash behave identically (byte 25 still cuts mid-DQT,
+        # byte 2 is still APP0's leading 0xFF)
+        payload = jc.encode_jpeg_progressive(arr, quality=98)
+        phash = ic.phash64(jc.decode_jpeg(payload))
+        fmt = ic.FMT_JPEG
     else:
         from smcchecker_spark import jpegcodec as jc
 
@@ -609,6 +619,35 @@ def generate_exif_images(
             yield pd.DataFrame(
                 [
                     _make_exif_row(int(i), seed, n_parts)
+                    for i in pdf["id"].tolist()
+                ]
+            )
+
+    rng_df = spark.range(0, n_rows, numPartitions=num_tasks or max(8, n_parts))
+    return rng_df.mapInPandas(gen, IMAGES_SCHEMA)
+
+
+def generate_progressive_images(
+    spark: SparkSession,
+    n_rows: int = 400,
+    n_parts: int = 8,
+    seed: int = 19,
+    clean: bool = False,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic images table whose lossy payloads are
+    REAL progressive (SOF2) JPEG bitstreams — spectral-selection multi-
+    scan files from :func:`jpegcodec.encode_jpeg_progressive`, planted
+    violations per :func:`expected_jpeg_flags` (same rules as the
+    baseline fixture)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    _make_jpeg_row(
+                        int(i), seed, n_parts, clean, codec="jpeg_prog"
+                    )
                     for i in pdf["id"].tolist()
                 ]
             )

@@ -640,6 +640,170 @@ def encode_jpeg(
     )
 
 
+def _dc_scan_tokens(
+    zz_per_comp: list[np.ndarray], classes: list[int]
+) -> tuple[np.ndarray, np.ndarray]:
+    """DC-only token stream for a progressive DC first scan (Ss=0,
+    Se=0, Ah=Al=0): per-component differential coding, blocks
+    interleaved per MCU (4:4:4 — all grids equal, one block per
+    component per MCU)."""
+    tabs = _code_arrays()
+    vals_all, lens_all = [], []
+    for c, zz in enumerate(zz_per_comp):
+        diff = np.diff(zz[:, 0], prepend=0)
+        s, mag = _size_mag(diff)
+        tab = tabs[classes[c]]
+        vals_all.append(
+            (tab[0][s].astype(np.uint64) << s.astype(np.uint64))
+            | mag.astype(np.uint64)
+        )
+        lens_all.append(tab[1][s] + s)
+    V = np.stack(vals_all, axis=1).reshape(-1)
+    L = np.stack(lens_all, axis=1).reshape(-1)
+    return V, L
+
+
+def _ac_scan_tokens(
+    zz: np.ndarray, cls: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """AC-only token stream for one component's progressive spectral
+    scan over the full 1..63 band (Ah=Al=0): identical run-length /
+    ZRL / EOB coding as the baseline AC part (an all-zero tail is a
+    plain EOB — an EOB-run of one block), blocks in raster order."""
+    tabs = _code_arrays()
+    tab = tabs[cls]
+    N = zz.shape[0]
+    AC = zz[:, 1:]
+    nzb, nzk = np.nonzero(AC)
+    if len(nzb):
+        v = AC[nzb, nzk]
+        prev = np.concatenate([[np.int64(-1)], nzk[:-1]])
+        first = np.concatenate([[True], nzb[1:] != nzb[:-1]])
+        prev[first] = -1
+        run = nzk - prev - 1
+        zrl_n = run >> 4
+        s_ac, mag_ac = _size_mag(v)
+        sym = ((run & 15) << 4) | s_ac
+        ac_vals = (tab[2][sym].astype(np.uint64) << s_ac.astype(np.uint64)) \
+            | mag_ac.astype(np.uint64)
+        ac_lens = tab[3][sym] + s_ac
+        zrl_rows = np.repeat(nzb, zrl_n)
+        zrl_keys = np.repeat(nzk, zrl_n)
+        zrl_vals = np.full(len(zrl_rows), tab[2][0xF0], dtype=np.uint64)
+        zrl_lens = np.full(len(zrl_rows), tab[3][0xF0], dtype=np.int64)
+        last_k = np.full(N, -1, dtype=np.int64)
+        last_k[nzb] = nzk
+    else:
+        nzb = nzk = np.empty(0, dtype=np.int64)
+        ac_vals = np.empty(0, dtype=np.uint64)
+        ac_lens = zrl_rows = zrl_keys = np.empty(0, dtype=np.int64)
+        zrl_vals = np.empty(0, dtype=np.uint64)
+        zrl_lens = np.empty(0, dtype=np.int64)
+        last_k = np.full(N, -1, dtype=np.int64)
+    eob_rows = np.nonzero(last_k < 62)[0]
+    eob_vals = np.full(len(eob_rows), tab[2][0], dtype=np.uint64)
+    eob_lens = np.full(len(eob_rows), tab[3][0], dtype=np.int64)
+    rows = np.concatenate([zrl_rows, nzb, eob_rows])
+    keys = np.concatenate(
+        [zrl_keys, nzk, np.full(len(eob_rows), 63, dtype=np.int64)]
+    )
+    subs = np.concatenate(
+        [
+            np.zeros(len(zrl_rows), dtype=np.int64),
+            np.ones(len(nzb), dtype=np.int64),
+            np.ones(len(eob_rows), dtype=np.int64),
+        ]
+    )
+    vals = np.concatenate([zrl_vals, ac_vals, eob_vals])
+    lens = np.concatenate([zrl_lens, ac_lens, eob_lens])
+    o = np.lexsort((subs, keys, rows))
+    return vals[o], lens[o]
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 95) -> bytes:
+    """8-bit RGB HxWx3 → PROGRESSIVE (SOF2) JFIF JPEG, 4:4:4, using the
+    simplest spec-valid spectral-selection script: one interleaved DC
+    first scan (Ss=0, Se=0) then one full-band AC scan per component
+    (Ss=1, Se=63), no successive approximation. Same DCT / Annex-K
+    quantization as the baseline encoder, so decoded pixels equal the
+    baseline encoder's bit-for-bit (the progression only reorders the
+    entropy stream — asserted in tests). External decoders (ImageIO)
+    open the output; see tests/test_jpeg_vectors.py."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 uint8, got {arr.shape}")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("JPEG has zero-pixel dimensions")
+    rgb = arr.astype(np.float64)
+    y = rgb @ _RGB2Y
+    cb = rgb @ _RGB2CB + 128.0
+    cr = rgb @ _RGB2CR + 128.0
+    lum_qt, chm_qt = quality_tables(quality)
+    bh, bw = -(-h // 8), -(-w // 8)
+    zz_per_comp = []
+    for plane, qt in ((y, lum_qt), (cb, chm_qt), (cr, chm_qt)):
+        padded = np.pad(
+            plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+        )
+        blocks = _to_blocks(padded) - 128.0
+        q = np.rint((_DCT @ blocks @ _DCT.T) / qt.reshape(8, 8)).astype(
+            np.int64
+        )
+        zz_per_comp.append(q.reshape(-1, 64)[:, ZIGZAG])
+
+    classes = [0, 1, 1]
+    scans = [_pack_bits(*_dc_scan_tokens(zz_per_comp, classes))]
+    for c in range(3):
+        scans.append(
+            _pack_bits(*_ac_scan_tokens(zz_per_comp[c], classes[c]))
+        )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    app0 = seg(
+        0xFFE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    )
+    dqt = seg(
+        0xFFDB,
+        b"\x00"
+        + bytes(lum_qt.astype(np.uint8)[ZIGZAG])
+        + b"\x01"
+        + bytes(chm_qt.astype(np.uint8)[ZIGZAG]),
+    )
+    sof_comps = b""
+    for cid in (1, 2, 3):
+        sof_comps += struct.pack(">BBB", cid, 0x11, 0 if cid == 1 else 1)
+    sof2 = seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xFFC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    dhts = (
+        dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+        + dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+        + dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        + dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    )
+    sos_dc = seg(
+        0xFFDA,
+        b"\x03"
+        + struct.pack(">BB", 1, 0x00)
+        + struct.pack(">BB", 2, 0x11)
+        + struct.pack(">BB", 3, 0x11)
+        + b"\x00\x00\x00",
+    )
+    out = b"\xff\xd8" + app0 + dqt + sof2 + dhts + sos_dc + scans[0]
+    for c in range(3):
+        ta = 0 if c == 0 else 1
+        out += seg(
+            0xFFDA,
+            b"\x01" + struct.pack(">BB", c + 1, ta) + b"\x01\x3f\x00",
+        ) + scans[c + 1]
+    return out + b"\xff\xd9"
+
+
 def encode_jpeg_gray(arr: np.ndarray, quality: int = 95) -> bytes:
     """8-bit grayscale HxW array → single-component baseline JFIF JPEG.
     Web corpora carry grayscale JPEGs; the engine decodes them through

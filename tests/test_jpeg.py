@@ -743,3 +743,46 @@ def test_progressive_native_error_parity(monkeypatch):
         except ValueError as ex:
             got = ("err", str(ex))
         assert got == native_out[i], cut
+
+
+def test_progressive_encoder_pixel_parity_with_baseline():
+    """The progressive encoder reorders the entropy stream only — same
+    DCT/quant — so decoded pixels equal the baseline 4:4:4 encoder's
+    bit-for-bit, at every size including sub-block."""
+    for shape in [(8, 8), (17, 23), (32, 32), (9, 40), (1, 1), (7, 9)]:
+        a = _noise(*shape, seed=sum(shape))
+        dp = jc.decode_jpeg(jc.encode_jpeg_progressive(a, quality=95))
+        db = jc.decode_jpeg(jc.encode_jpeg(a, quality=95, subsampling="444"))
+        assert np.array_equal(dp, db), shape
+
+
+def test_progressive_encoder_structure():
+    a = _noise(16, 16, seed=3)
+    data = jc.encode_jpeg_progressive(a, quality=90)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    assert data.count(b"\xff\xda") == 4  # DC + 3 AC scans
+    # DC scan header: 3 components, Ss=0 Se=0
+    i = data.index(b"\xff\xda")
+    assert data[i + 4] == 3 and data[i + 11] == 0 and data[i + 12] == 0
+
+
+def test_progressive_fixture_suite_golden(spark):
+    from smcchecker_spark import fixtures
+    import __spark_entry__ as entry
+
+    n = 400
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in entry.q_jpeg_prog_validate(spark, "").collect()
+    }
+    flags = [fixtures.expected_jpeg_flags(i) for i in range(n)]
+    exp = {
+        "notnull_caption": sum(f["caption_empty"] for f in flags),
+        "unique_image_id": 2 * sum(f["dup"] for f in flags),
+        "imageconsistent_bytes": sum(
+            f["truncated"] or f["bitflip"] or f["w_off"] or f["phash_off"]
+            for f in flags
+        ),
+    }
+    assert got == exp

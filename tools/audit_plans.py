@@ -122,6 +122,7 @@ AUDITED = [
     "kmeans_cells_embeddings",
     "metric_anomalies_events",
     "exif_validate",
+    "jpeg_prog_validate",
 ]
 
 JOIN_RE = re.compile(
