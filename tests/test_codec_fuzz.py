@@ -208,3 +208,37 @@ def test_size_mag_matches_scalar_reference(v):
     s, mag = jc._magnitude(v)
     sv, magv = jc._size_mag(np.array([v], dtype=np.int64))
     assert (int(sv[0]), int(magv[0])) == (s, mag)
+
+
+@settings(max_examples=40, deadline=None)
+@given(h=dims, w=dims, seed=st.integers(0, 2**31), q=st.integers(30, 100))
+def test_progressive_roundtrip_equals_baseline(h, w, seed, q):
+    """Progressive encode → decode equals baseline-444 encode → decode
+    bit-for-bit at any size/quality (the progression only reorders the
+    entropy stream)."""
+    from smcchecker_spark import jpegcodec as jc
+
+    a = _arr(h, w, seed)
+    dp = jc.decode_jpeg(jc.encode_jpeg_progressive(a, quality=q))
+    db = jc.decode_jpeg(jc.encode_jpeg(a, quality=q, subsampling="444"))
+    assert np.array_equal(dp, db)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 24), w=st.integers(1, 24),
+    seed=st.integers(0, 2**31),
+    pos=st.integers(0, 10**6), flip=st.integers(1, 255),
+)
+def test_progressive_bitflip_contract(h, w, seed, pos, flip):
+    """Arbitrary single-byte corruption of a progressive bitstream
+    either decodes or raises ValueError — nothing else."""
+    from smcchecker_spark import jpegcodec as jc
+
+    data = bytearray(jc.encode_jpeg_progressive(_arr(h, w, seed)))
+    data[pos % len(data)] ^= flip
+    try:
+        out = jc.decode_jpeg(bytes(data))
+        assert out.ndim == 3
+    except ValueError:
+        pass
