@@ -641,16 +641,29 @@ def encode_jpeg(
 
 
 def _dc_scan_tokens(
-    zz_per_comp: list[np.ndarray], classes: list[int]
+    zz_per_comp: list[np.ndarray],
+    grids: list[tuple[int, int]],
+    sampling: list[tuple[int, int]],
+    classes: list[int],
+    mcux: int,
 ) -> tuple[np.ndarray, np.ndarray]:
     """DC-only token stream for a progressive DC first scan (Ss=0,
-    Se=0, Ah=Al=0): per-component differential coding, blocks
-    interleaved per MCU (4:4:4 — all grids equal, one block per
-    component per MCU)."""
+    Se=0, Ah=Al=0): blocks interleaved per MCU via the same slot math
+    as ``_entropy_tokens`` (so any sampling layout works), each
+    component's differential sequence following its own scan order."""
     tabs = _code_arrays()
-    vals_all, lens_all = [], []
-    for c, zz in enumerate(zz_per_comp):
-        diff = np.diff(zz[:, 0], prepend=0)
+    slots_per_mcu = sum(hi * vi for hi, vi in sampling)
+    vals_all, lens_all, slots_all = [], [], []
+    offset = 0
+    for c, (zz, (bh, bw), (hi, vi)) in enumerate(
+        zip(zz_per_comp, grids, sampling)
+    ):
+        byg, bxg = np.divmod(np.arange(bh * bw, dtype=np.int64), bw)
+        mcu_id = (byg // vi) * mcux + (bxg // hi)
+        ordinal = offset + (byg % vi) * hi + (bxg % hi)
+        slot = mcu_id * slots_per_mcu + ordinal
+        order = np.argsort(slot, kind="stable")
+        diff = np.diff(zz[:, 0][order], prepend=0)
         s, mag = _size_mag(diff)
         tab = tabs[classes[c]]
         vals_all.append(
@@ -658,9 +671,11 @@ def _dc_scan_tokens(
             | mag.astype(np.uint64)
         )
         lens_all.append(tab[1][s] + s)
-    V = np.stack(vals_all, axis=1).reshape(-1)
-    L = np.stack(lens_all, axis=1).reshape(-1)
-    return V, L
+        slots_all.append(slot[order])
+        offset += hi * vi
+    slots = np.concatenate(slots_all)
+    o = np.argsort(slots, kind="stable")
+    return np.concatenate(vals_all)[o], np.concatenate(lens_all)[o]
 
 
 def _ac_scan_tokens(
@@ -720,43 +735,84 @@ def _ac_scan_tokens(
     return vals[o], lens[o]
 
 
-def encode_jpeg_progressive(arr: np.ndarray, quality: int = 95) -> bytes:
-    """8-bit RGB HxWx3 → PROGRESSIVE (SOF2) JFIF JPEG, 4:4:4, using the
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 95, subsampling: str = "444"
+) -> bytes:
+    """8-bit RGB HxWx3 → PROGRESSIVE (SOF2) JFIF JPEG using the
     simplest spec-valid spectral-selection script: one interleaved DC
     first scan (Ss=0, Se=0) then one full-band AC scan per component
-    (Ss=1, Se=63), no successive approximation. Same DCT / Annex-K
+    (Ss=1, Se=63, non-interleaved over the component's own T.81 A.2
+    grid), no successive approximation. Same DCT / Annex-K
     quantization as the baseline encoder, so decoded pixels equal the
-    baseline encoder's bit-for-bit (the progression only reorders the
-    entropy stream — asserted in tests). External decoders (ImageIO)
-    open the output; see tests/test_jpeg_vectors.py."""
+    baseline encoder's (same subsampling) bit-for-bit — the
+    progression only reorders the entropy stream (asserted in tests).
+    External decoders (ImageIO) open the output; see
+    tests/test_jpeg_vectors.py."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError(f"expected HxWx3 uint8, got {arr.shape}")
     h, w = arr.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("JPEG has zero-pixel dimensions")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hmax, vmax = (2, 2) if subsampling == "420" else (1, 1)
     rgb = arr.astype(np.float64)
     y = rgb @ _RGB2Y
     cb = rgb @ _RGB2CB + 128.0
     cr = rgb @ _RGB2CR + 128.0
+    if subsampling == "420":
+        ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+        cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+        cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
     lum_qt, chm_qt = quality_tables(quality)
-    bh, bw = -(-h // 8), -(-w // 8)
-    zz_per_comp = []
-    for plane, qt in ((y, lum_qt), (cb, chm_qt), (cr, chm_qt)):
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comps = [
+        (y, (hmax, vmax), lum_qt),
+        (cb, (1, 1), chm_qt),
+        (cr, (1, 1), chm_qt),
+    ]
+    zz_per_comp, grids = [], []
+    for plane, (hi, vi), qt in comps:
+        gw, gh = mcux * hi, mcuy * vi
         padded = np.pad(
-            plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+            plane,
+            ((0, gh * 8 - plane.shape[0]), (0, gw * 8 - plane.shape[1])),
+            mode="edge",
         )
         blocks = _to_blocks(padded) - 128.0
         q = np.rint((_DCT @ blocks @ _DCT.T) / qt.reshape(8, 8)).astype(
             np.int64
         )
         zz_per_comp.append(q.reshape(-1, 64)[:, ZIGZAG])
+        grids.append((gh, gw))
 
     classes = [0, 1, 1]
-    scans = [_pack_bits(*_dc_scan_tokens(zz_per_comp, classes))]
+    sampling = [(hmax, vmax), (1, 1), (1, 1)]
+    scans = [
+        _pack_bits(
+            *_dc_scan_tokens(zz_per_comp, grids, sampling, classes, mcux)
+        )
+    ]
     for c in range(3):
+        # non-interleaved AC scan: the component's OWN ceil(dims/8)
+        # grid in raster order (pad-only MCU blocks are not coded)
+        hi, vi = sampling[c]
+        xi = -(-w * hi // hmax)
+        yi = -(-h * vi // vmax)
+        gw_s, gh_s = -(-xi // 8), -(-yi // 8)
+        bw = grids[c][1]
+        sel = (
+            np.arange(gh_s, dtype=np.int64)[:, None] * bw
+            + np.arange(gw_s, dtype=np.int64)[None, :]
+        ).reshape(-1)
         scans.append(
-            _pack_bits(*_ac_scan_tokens(zz_per_comp[c], classes[c]))
+            _pack_bits(
+                *_ac_scan_tokens(zz_per_comp[c][sel], classes[c])
+            )
         )
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -773,8 +829,10 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 95) -> bytes:
         + bytes(chm_qt.astype(np.uint8)[ZIGZAG]),
     )
     sof_comps = b""
-    for cid in (1, 2, 3):
-        sof_comps += struct.pack(">BBB", cid, 0x11, 0 if cid == 1 else 1)
+    for cid, (hi, vi) in zip((1, 2, 3), sampling):
+        sof_comps += struct.pack(
+            ">BBB", cid, (hi << 4) | vi, 0 if cid == 1 else 1
+        )
     sof2 = seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
 
     def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:

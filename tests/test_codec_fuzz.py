@@ -219,9 +219,12 @@ def test_progressive_roundtrip_equals_baseline(h, w, seed, q):
     from smcchecker_spark import jpegcodec as jc
 
     a = _arr(h, w, seed)
-    dp = jc.decode_jpeg(jc.encode_jpeg_progressive(a, quality=q))
-    db = jc.decode_jpeg(jc.encode_jpeg(a, quality=q, subsampling="444"))
-    assert np.array_equal(dp, db)
+    for sub in ("444", "420"):
+        dp = jc.decode_jpeg(
+            jc.encode_jpeg_progressive(a, quality=q, subsampling=sub)
+        )
+        db = jc.decode_jpeg(jc.encode_jpeg(a, quality=q, subsampling=sub))
+        assert np.array_equal(dp, db), sub
 
 
 @settings(max_examples=60, deadline=None)

@@ -751,9 +751,14 @@ def test_progressive_encoder_pixel_parity_with_baseline():
     bit-for-bit, at every size including sub-block."""
     for shape in [(8, 8), (17, 23), (32, 32), (9, 40), (1, 1), (7, 9)]:
         a = _noise(*shape, seed=sum(shape))
-        dp = jc.decode_jpeg(jc.encode_jpeg_progressive(a, quality=95))
-        db = jc.decode_jpeg(jc.encode_jpeg(a, quality=95, subsampling="444"))
-        assert np.array_equal(dp, db), shape
+        for sub in ("444", "420"):
+            dp = jc.decode_jpeg(
+                jc.encode_jpeg_progressive(a, quality=95, subsampling=sub)
+            )
+            db = jc.decode_jpeg(
+                jc.encode_jpeg(a, quality=95, subsampling=sub)
+            )
+            assert np.array_equal(dp, db), (shape, sub)
 
 
 def test_progressive_encoder_structure():
