@@ -355,18 +355,22 @@ def q_ivfpq_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pq_trained_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ with TRAINED codebooks (driver k-means on a bounded
-    id-ordered sample, centroids rounded to ints): corpus-level
-    reconstruction-error summary. k-means is not SQL-expressible, so
-    this is a rows-only check — the encode/ADC machinery itself is
-    value-checked by the formula-codebook siblings above."""
+    """PQ trained-codebook pipeline in its EXACT regime: iters=0 makes
+    train_pq_codebooks' k-means init (the 16 lowest-vec_id sampled
+    rows' subvectors, rounded to ints — already ints here) the
+    codebook, so the whole train → encode → reconstruction-error chain
+    is SQL-expressible and value-checked: the oracle rebuilds the same
+    sample-init codebooks from the table and re-derives every argmin
+    and squared error in int64. The 10-iteration Lloyd's path shares
+    all of this machinery and is locked by tests/test_pq.py (it is not
+    SQL-expressible, so it stays out of the driver window)."""
     from smcchecker_spark.ops import pq, quant
 
     emb = _t(spark, sf_dir, "embeddings")
     q = quant.quantize_embeddings(emb).select(
         "vec_id", F.col("q").cast("array<int>").alias("q")
     )
-    books = pq.train_pq_codebooks(q, sample=512)
+    books = pq.train_pq_codebooks(q, sample=512, iters=0)
     enc = pq.pq_encode(q, books)
     err = pq.reconstruction_error(enc, books)
     return err.agg(
@@ -374,6 +378,53 @@ def q_pq_trained_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pq_sq_err").alias("total_sq_err"),
         F.max("pq_sq_err").alias("max_sq_err"),
     )
+
+
+_PQ_TRAINED_RECON_ORACLE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         greatest(
+           list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) / 127.0,
+           1e-12) AS sc
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) / sc)
+                                  AS BIGINT)) AS qv
+  FROM s
+),
+cb AS (
+  SELECT j.range AS j, init.c AS c, d.range AS d,
+         init.qv[CAST(j.range*8 + d.range + 1 AS INT)] AS val
+  FROM range(8) j,
+       (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, qv
+        FROM q ORDER BY vec_id LIMIT 16) init,
+       range(8) d
+),
+dist AS (
+  SELECT q.vec_id, cb.j, cb.c,
+         SUM( (q.qv[CAST(cb.j*8 + cb.d + 1 AS INT)] - cb.val)
+            * (q.qv[CAST(cb.j*8 + cb.d + 1 AS INT)] - cb.val) ) AS d2
+  FROM q, cb
+  GROUP BY q.vec_id, cb.j, cb.c
+),
+best AS (
+  SELECT vec_id, j, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                            ORDER BY d2 ASC, c ASC) AS rn
+  FROM dist
+),
+rowerr AS (
+  SELECT vec_id, SUM(d2) AS sq_err FROM best WHERE rn = 1 GROUP BY vec_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(sq_err) AS BIGINT) AS total_sq_err,
+       CAST(MAX(sq_err) AS BIGINT) AS max_sq_err
+FROM rowerr
+"""
 
 
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3075,9 +3126,12 @@ FROM j WHERE lang IS DISTINCT FROM ref_lang
 
 def q_images_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full image+caption constraint suite (incl. the Arrow decode UDF) on
-    the deterministic synthetic fixture — per-check violation counts,
-    value-checked against the planted-rule oracle (expected_flags is a
-    modular function of the row index)."""
+    the deterministic synthetic fixture — ROW-LEVEL (row_id, check_name)
+    violation rows, value-checked against the planted-rule oracle
+    (expected_flags is a modular function of the row index, so the
+    exact violation SET — not just its size — is SQL-derivable; a
+    decode regression that flags the right number of wrong rows still
+    breaks the match)."""
     from smcchecker_spark import fixtures
     from smcchecker_spark.image import ImageConsistent
     from smcchecker_spark.package import ensure_shipped
@@ -3102,11 +3156,7 @@ def q_images_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ctx = ValidationContext(lookups={"lu_fmt": fixtures.lu_fmt(spark)})
     v = compile_suite(df, suite, ctx, row_id_col="image_id", part_id_col="part_id")
-    return (
-        v.groupBy("check_name")
-        .agg(F.count(F.lit(1)).alias("n_violations"))
-        .orderBy("check_name")
-    )
+    return v.select("row_id", "check_name").orderBy("row_id", "check_name")
 
 
 def q_jpeg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3114,10 +3164,10 @@ def q_jpeg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (smcchecker_spark/jpegcodec.py — from-scratch DCT + Annex-K Huffman
     codec; fixtures.generate_jpeg_images plants dup/truncation/bitflip/
     w-off/phash-off/caption violations). Proves the engine's lossy path
-    on actual JPEG bitstreams, not the FAKE-LOSSY stand-in. The oracle
-    derives the planted per-check counts from the fixture's modular
-    index rules — no decode on the oracle side, real decode on ours —
-    so the row is value-checked; goldens also locked by
+    on actual JPEG bitstreams, not the FAKE-LOSSY stand-in. ROW-LEVEL:
+    the oracle derives the exact planted (row_id, check_name) violation
+    set from the fixture's modular index rules — no decode on the
+    oracle side, real decode on ours; goldens also locked by
     tests/test_jpeg.py."""
     from smcchecker_spark import fixtures
     from smcchecker_spark.image import ImageConsistent
@@ -3137,20 +3187,16 @@ def q_jpeg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     v = compile_suite(df, suite, row_id_col="image_id", part_id_col="part_id")
-    return (
-        v.groupBy("check_name")
-        .agg(F.count(F.lit(1)).alias("n_violations"))
-        .orderBy("check_name")
-    )
+    return v.select("row_id", "check_name").orderBy("row_id", "check_name")
 
 
 def q_webp_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint suite over REAL lossless WebP (VP8L) payloads
     (smcchecker_spark/webpcodec.py — from-scratch prefix-code/LZ77/
     transform codec; fixtures.generate_webp_images plants the same
-    violation classes as the JPEG fixture). Value-checked against the
-    planted-rule oracle (same derivation as jpeg_validate); goldens
-    also locked by tests/test_webp.py."""
+    violation classes as the JPEG fixture). ROW-LEVEL violation rows,
+    value-checked against the planted-rule oracle (same derivation as
+    jpeg_validate); goldens also locked by tests/test_webp.py."""
     from smcchecker_spark import fixtures
     from smcchecker_spark.image import ImageConsistent
     from smcchecker_spark.package import ensure_shipped
@@ -3169,11 +3215,7 @@ def q_webp_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     v = compile_suite(df, suite, row_id_col="image_id", part_id_col="part_id")
-    return (
-        v.groupBy("check_name")
-        .agg(F.count(F.lit(1)).alias("n_violations"))
-        .orderBy("check_name")
-    )
+    return v.select("row_id", "check_name").orderBy("row_id", "check_name")
 
 
 def q_transcode_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3277,29 +3319,47 @@ def q_jpeg_psnr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the value match breaks. (The decode itself is additionally
 # interop-locked by tests/vectors against javax.imageio.)
 
-_JPEG_VALIDATE_ORACLE = """
+# Row-level planted-violation oracle shared by every codec fixture that
+# uses the expected_jpeg_flags / expected_wav_flags / expected_avi_flags
+# modular rules (identical moduli by design — fixtures.py): emits the
+# EXACT (row_id, check_name) violation set. A dup pair (row i dups row
+# i-1's id) yields two identical unique_* rows — one per offending
+# physical row, matching the engine's per-row violation granularity.
+_CODEC_VALIDATE_ORACLE_T = """
 WITH fl AS (
   SELECT i,
+         CASE WHEN i % 89 = 1 AND i > 0
+              THEN '{pre}' || lpad(CAST(i - 1 AS VARCHAR), 9, '0')
+              ELSE '{pre}' || lpad(CAST(i AS VARCHAR), 9, '0') END AS row_id,
          (i % 31 = 5) AS caption_empty,
          (i % 89 = 1 AND i > 0) AS dup,
+         (i % 89 = 0 AND i + 1 < {n}) AS dup_target,
          ((i % 41 = 3) OR (i % 41 = 17) OR (i % 37 = 5) OR (i % 43 = 7))
-           AS img_bad
-  FROM range(600) t(i)
+           AS payload_bad
+  FROM range({n}) t(i)
 )
-SELECT check_name, n_violations FROM (
-  SELECT 'imageconsistent_bytes' AS check_name,
-         CAST(count(*) FILTER (WHERE img_bad) AS BIGINT) AS n_violations
-  FROM fl
+SELECT row_id, check_name FROM (
+  SELECT row_id, '{consistent}' AS check_name FROM fl WHERE payload_bad
   UNION ALL
-  SELECT 'notnull_caption',
-         CAST(count(*) FILTER (WHERE caption_empty) AS BIGINT) FROM fl
+  SELECT row_id, 'notnull_caption' FROM fl WHERE caption_empty
   UNION ALL
-  SELECT 'unique_image_id',
-         CAST(2 * count(*) FILTER (WHERE dup) AS BIGINT) FROM fl
-) ORDER BY check_name
+  SELECT row_id, 'unique_{idcol}' FROM fl WHERE dup
+  UNION ALL
+  SELECT row_id, 'unique_{idcol}' FROM fl WHERE dup_target
+) ORDER BY row_id, check_name
 """
 
-_WEBP_VALIDATE_ORACLE = _JPEG_VALIDATE_ORACLE.replace("range(600)", "range(400)")
+_JPEG_VALIDATE_ORACLE = _CODEC_VALIDATE_ORACLE_T.format(
+    pre="jpg", n=600, consistent="imageconsistent_bytes", idcol="image_id"
+)
+
+_WEBP_VALIDATE_ORACLE = _CODEC_VALIDATE_ORACLE_T.format(
+    pre="wbp", n=400, consistent="imageconsistent_bytes", idcol="image_id"
+)
+
+_JPEG_PROG_VALIDATE_ORACLE = _CODEC_VALIDATE_ORACLE_T.format(
+    pre="jpg", n=400, consistent="imageconsistent_bytes", idcol="image_id"
+)
 
 _JPEG_PSNR_GATE_ORACLE = """
 SELECT 'pair' || lpad(CAST(i AS VARCHAR), 9, '0') AS row_id,
@@ -3312,31 +3372,31 @@ ORDER BY row_id
 _IMAGES_VALIDATE_ORACLE = """
 WITH fl AS (
   SELECT i,
+         CASE WHEN i % 101 = 1 AND i > 0
+              THEN 'img' || lpad(CAST(i - 1 AS VARCHAR), 12, '0')
+              ELSE 'img' || lpad(CAST(i AS VARCHAR), 12, '0') END AS row_id,
          (i % 37 IN (5, 7)) AS caption_empty,
          (i % 37 = 13) AS caption_long,
          (i % 101 = 1 AND i > 0) AS dup,
+         (i % 101 = 0 AND i + 1 < 2000) AS dup_target,
          (i % 43 IN (7, 9, 21)) AS fmt_bad,
          ((i % 53 IN (3, 17)) OR (i % 47 IN (5, 23)) OR (i % 59 = 19)
           OR (i % 43 IN (7, 9, 21))) AS img_bad
   FROM range(2000) t(i)
 )
-SELECT check_name, n_violations FROM (
-  SELECT 'imageconsistent_bytes' AS check_name,
-         CAST(count(*) FILTER (WHERE img_bad) AS BIGINT) AS n_violations
-  FROM fl
+SELECT row_id, check_name FROM (
+  SELECT row_id, 'imageconsistent_bytes' AS check_name FROM fl WHERE img_bad
   UNION ALL
-  SELECT 'inlookup_fmt_lu_fmt',
-         CAST(count(*) FILTER (WHERE fmt_bad) AS BIGINT) FROM fl
+  SELECT row_id, 'inlookup_fmt_lu_fmt' FROM fl WHERE fmt_bad
   UNION ALL
-  SELECT 'maxlength_caption',
-         CAST(count(*) FILTER (WHERE caption_long) AS BIGINT) FROM fl
+  SELECT row_id, 'maxlength_caption' FROM fl WHERE caption_long
   UNION ALL
-  SELECT 'notnull_caption',
-         CAST(count(*) FILTER (WHERE caption_empty) AS BIGINT) FROM fl
+  SELECT row_id, 'notnull_caption' FROM fl WHERE caption_empty
   UNION ALL
-  SELECT 'unique_image_id',
-         CAST(2 * count(*) FILTER (WHERE dup) AS BIGINT) FROM fl
-) ORDER BY check_name
+  SELECT row_id, 'unique_image_id' FROM fl WHERE dup
+  UNION ALL
+  SELECT row_id, 'unique_image_id' FROM fl WHERE dup_target
+) ORDER BY row_id, check_name
 """
 
 _TRANSCODE_ORACLE = """
@@ -4128,34 +4188,12 @@ def q_audio_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     v = compile_suite(df, suite, row_id_col="audio_id", part_id_col="part_id")
-    return (
-        v.groupBy("check_name")
-        .agg(F.count(F.lit(1)).alias("n_violations"))
-        .orderBy("check_name")
-    )
+    return v.select("row_id", "check_name").orderBy("row_id", "check_name")
 
 
-_AUDIO_VALIDATE_ORACLE = """
-WITH fl AS (
-  SELECT i,
-         (i % 31 = 5) AS caption_empty,
-         (i % 89 = 1 AND i > 0) AS dup,
-         ((i % 41 = 3) OR (i % 41 = 17) OR (i % 37 = 5) OR (i % 43 = 7))
-           AS audio_bad
-  FROM range(500) t(i)
+_AUDIO_VALIDATE_ORACLE = _CODEC_VALIDATE_ORACLE_T.format(
+    pre="wav", n=500, consistent="audioconsistent_bytes", idcol="audio_id"
 )
-SELECT check_name, n_violations FROM (
-  SELECT 'audioconsistent_bytes' AS check_name,
-         CAST(count(*) FILTER (WHERE audio_bad) AS BIGINT) AS n_violations
-  FROM fl
-  UNION ALL
-  SELECT 'notnull_caption',
-         CAST(count(*) FILTER (WHERE caption_empty) AS BIGINT) FROM fl
-  UNION ALL
-  SELECT 'unique_audio_id',
-         CAST(2 * count(*) FILTER (WHERE dup) AS BIGINT) FROM fl
-) ORDER BY check_name
-"""
 
 
 def q_video_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4183,34 +4221,12 @@ def q_video_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     v = compile_suite(df, suite, row_id_col="video_id", part_id_col="part_id")
-    return (
-        v.groupBy("check_name")
-        .agg(F.count(F.lit(1)).alias("n_violations"))
-        .orderBy("check_name")
-    )
+    return v.select("row_id", "check_name").orderBy("row_id", "check_name")
 
 
-_VIDEO_VALIDATE_ORACLE = """
-WITH fl AS (
-  SELECT i,
-         (i % 31 = 5) AS caption_empty,
-         (i % 89 = 1 AND i > 0) AS dup,
-         ((i % 41 = 3) OR (i % 41 = 17) OR (i % 37 = 5) OR (i % 43 = 7))
-           AS video_bad
-  FROM range(300) t(i)
+_VIDEO_VALIDATE_ORACLE = _CODEC_VALIDATE_ORACLE_T.format(
+    pre="avi", n=300, consistent="videoconsistent_bytes", idcol="video_id"
 )
-SELECT check_name, n_violations FROM (
-  SELECT 'videoconsistent_bytes' AS check_name,
-         CAST(count(*) FILTER (WHERE video_bad) AS BIGINT) AS n_violations
-  FROM fl
-  UNION ALL
-  SELECT 'notnull_caption',
-         CAST(count(*) FILTER (WHERE caption_empty) AS BIGINT) FROM fl
-  UNION ALL
-  SELECT 'unique_video_id',
-         CAST(2 * count(*) FILTER (WHERE dup) AS BIGINT) FROM fl
-) ORDER BY check_name
-"""
 
 
 def q_audio_features_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5555,9 +5571,9 @@ def q_jpeg_prog_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full constraint suite over REAL PROGRESSIVE (SOF2) JPEG payloads
     (jpegcodec.encode_jpeg_progressive — spectral-selection multi-scan
     bitstreams decoded by the progressive scan path / native
-    jpegprog.c). Same planted rules and oracle shape as jpeg_validate;
-    proves the multi-scan decode path under the driver gate, not just
-    pytest vectors."""
+    jpegprog.c). Same planted rules and ROW-LEVEL oracle shape as
+    jpeg_validate; proves the multi-scan decode path under the driver
+    gate, not just pytest vectors."""
     from smcchecker_spark import fixtures
     from smcchecker_spark.image import ImageConsistent
     from smcchecker_spark.package import ensure_shipped
@@ -5576,19 +5592,16 @@ def q_jpeg_prog_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     v = compile_suite(df, suite, row_id_col="image_id", part_id_col="part_id")
-    return (
-        v.groupBy("check_name")
-        .agg(F.count(F.lit(1)).alias("n_violations"))
-        .orderBy("check_name")
-    )
+    return v.select("row_id", "check_name").orderBy("row_id", "check_name")
 
 
 def q_exif_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExifSane over the planted-EXIF JPEG fixture: corrupt APP1 TIFF
     directories, out-of-range Orientation, malformed DateTime literals
     (smcchecker_spark/exif.py — from-scratch TIFF 6.0/EXIF 2.3 parse).
-    The oracle reproduces the fixture's first-match-wins modular rules;
-    goldens also locked by tests/test_image.py."""
+    ROW-LEVEL: the oracle reproduces the fixture's first-match-wins
+    modular rules as the exact planted violation-id set; goldens also
+    locked by tests/test_image.py."""
     from smcchecker_spark import fixtures
     from smcchecker_spark.image import ExifSane
     from smcchecker_spark.package import ensure_shipped
@@ -5601,20 +5614,17 @@ def q_exif_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         name="images_exif", table="images", constraints=[ExifSane()]
     )
     v = compile_suite(df, suite, row_id_col="image_id", part_id_col="part_id")
-    return (
-        v.groupBy("check_name")
-        .agg(F.count(F.lit(1)).alias("n_violations"))
-        .orderBy("check_name")
-    )
+    return v.select("row_id", "check_name").orderBy("row_id", "check_name")
 
 
 _EXIF_VALIDATE_ORACLE = """
-SELECT 'exifsane_bytes' AS check_name,
-       CAST(count(*) FILTER (WHERE (i % 37 = 9)
-              OR (i % 37 <> 9 AND i % 29 = 6)
-              OR (i % 37 <> 9 AND i % 29 <> 6 AND i % 31 = 8)) AS BIGINT)
-         AS n_violations
+SELECT 'exf' || lpad(CAST(i AS VARCHAR), 9, '0') AS row_id,
+       'exifsane_bytes' AS check_name
 FROM range(500) t(i)
+WHERE (i % 37 = 9)
+   OR (i % 37 <> 9 AND i % 29 = 6)
+   OR (i % 37 <> 9 AND i % 29 <> 6 AND i % 31 = 8)
+ORDER BY row_id
 """
 
 
@@ -5755,26 +5765,121 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the correctness driver samples the
-    FIRST 50 entries each round. Round-3 window = the brand-new PQ/IVFPQ
-    queries, the red round-2 row (quantize_embeddings, output
-    canonicalization fixed), then the highest-priority
-    never-driver-checked queries (codecs, semdedup, incremental indexes,
-    pipeline/curation ops). Entries from position 51 onward have prior
-    green driver rows (r1/r2), are within-family variants of an
-    in-window sibling, or were spot-checked via tools/check_entry this
-    round — all locked by pytest goldens. Additions made after the
-    window was frozen (shard_docs) sit at the very end so they cannot
-    displace a never-checked entry; they carry check_entry spot-checks
-    at sf0.001 AND sf0.01 and rotate into the window next round."""
+    FIRST 50 entries each round. Round-4 window = the 24 entries that
+    had never had a driver row (everything the round-3 verdict listed:
+    codec/modality validators, profiling metrics, k-means, shards,
+    drift variants, as-of/window/unpivot siblings — all spot-checked
+    green via tools/check_entry at sf0.01 before rotation), then the
+    queries whose output contract CHANGED this round (the 7 *_validate
+    fixtures now emit row-level (row_id, check_name) violation rows,
+    and pq_trained_recon runs its exact iters=0 regime with a full SQL
+    oracle — the in-window ones are covered by the 24; jpeg_validate /
+    webp_validate / images_validate / pq_trained_recon are re-windowed
+    here), then the OLDEST prior greens (round-1 block, then the front
+    of the round-2 block) to refresh their rows. After this window
+    lands, every registry entry has had at least one green driver row.
+    Entries past position 50 are ordered newest-green-last (round-3
+    window greens at the tail — they were checked most recently)."""
     return {
-        # -- round-3 driver window: red row first, then never-checked --
+        # -- round-4 window: the 24 never-driver-checked entries first --
+        "shard_docs": q_shard_docs,
+        "audio_validate": q_audio_validate,
+        "video_validate": q_video_validate,
+        "audio_features_events": q_audio_features_events,
+        "video_neardup_events": q_video_neardup_events,
+        "entropy_events": q_entropy_events,
+        "mutual_info_events": q_mutual_info_events,
+        "corr_matrix_lineitem": q_corr_matrix_lineitem,
+        "kmeans_cells_embeddings": q_kmeans_cells_embeddings,
+        "metric_anomalies_events": q_metric_anomalies_events,
+        "exif_validate": q_exif_validate,
+        "jpeg_prog_validate": q_jpeg_prog_validate,
+        "jpeg_psnr_gate": q_jpeg_psnr_gate,
+        "semdedup_clustered": q_semdedup_clustered,
+        "phash_dedup_resolve_events": q_phash_dedup_resolve_events,
+        "dataset_card_docs": q_dataset_card_docs,
+        "embedding_drift": q_embedding_drift,
+        "cat_drift_events": q_cat_drift_events,
+        "image_decontaminate_events": q_image_decontaminate_events,
+        "asof_next_purchase_events": q_asof_next_purchase_events,
+        "impute_mode_events": q_impute_mode_events,
+        "topk_cosine_partial": q_topk_cosine_partial,
+        "sliding_window_events": q_sliding_window_events,
+        "unpivot_lineitem": q_unpivot_lineitem,
+        # -- output contract changed this round: re-window --
+        "jpeg_validate": q_jpeg_validate,
+        "webp_validate": q_webp_validate,
+        "images_validate": q_images_validate,
+        "pq_trained_recon": q_pq_trained_recon,
+        # -- oldest prior greens (round 1) --
+        "engine_caption_parity": q_engine_caption_parity,
+        "exact_dups_docs": q_exact_dups_docs,
+        "minhash_neardup_docs": q_minhash_neardup_docs,
+        "neardup_components_docs": q_neardup_components_docs,
+        "dedup_resolve_docs": q_dedup_resolve_docs,
+        "topk_cosine": q_topk_cosine,
+        "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
+        "embedding_neardup": q_embedding_neardup,
+        # -- green in round 2 --
+        "engine_suite_documents": q_engine_suite_documents,
+        "engine_conditional_docs": q_engine_conditional_docs,
+        "engine_monotonic_events": q_engine_monotonic_events,
+        "engine_fd_events": q_engine_fd_events,
+        "engine_json_events": q_engine_json_events,
+        "fd_discovery_events": q_fd_discovery_events,
+        "quantized_topk": q_quantized_topk,
+        "heavy_hitters_events": q_heavy_hitters_events,
+        "union_evolution_events": q_union_evolution_events,
+        "violations_sampled_docs": q_violations_sampled_docs,
+        "messages_per_row": q_messages_per_row,
+        "engine_intrange_part": q_engine_intrange_part,
+        "engine_dtype_orders": q_engine_dtype_orders,
+        "engine_precision_scale": q_engine_precision_scale,
+        # rows-only r1 entries deferred past the window so value-checked
+        # queries fill it (their r1 rows stand; pytest goldens lock them)
+        "simhash_neardup_docs": q_simhash_neardup_docs,
+        "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "engine_robust_outliers": q_engine_robust_outliers,
+        "engine_outliers_per_key": q_engine_outliers_per_key,
+        "engine_custom_gated": q_engine_custom_gated,
+        "engine_dup_production": q_engine_dup_production,
+        "engine_subset_logic": q_engine_subset_logic,
+        "engine_embedding_suite": q_engine_embedding_suite,
+        "engine_image_policy": q_engine_image_policy,
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "tdigest_exact_quantiles": q_tdigest_exact_quantiles,
+        "clean_fix_case": q_clean_fix_case,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_region": q_revenue_by_region,
+        "lookup_anti_events": q_lookup_anti_events,
+        "semi_join_orders": q_semi_join_orders,
+        "window_topk_orders": q_window_topk_orders,
+        "group_concat_langs": q_group_concat_langs,
+        "union_distinct_flags": q_union_distinct_flags,
+        "stats_exact_lineitem": q_stats_exact_lineitem,
+        "column_stats_approx": q_column_stats_approx,
+        "column_stats_smallndv": q_column_stats_smallndv,
+        "hll_ndv_events": q_hll_ndv_events,
+        "histogram_value": q_histogram_value,
+        "psi_value_drift": q_psi_value_drift,
+        "audit_load_columns": q_audit_load_columns,
+        "ks_drift": q_ks_drift,
+        "drift_check_events": q_drift_check_events,
+        "salted_count_events": q_salted_count_events,
+        "metrics_drift": q_metrics_drift,
+        "text_features_docs": q_text_features_docs,
+        "vocab_docs": q_vocab_docs,
+        "tfidf_keywords_docs": q_tfidf_keywords_docs,
+        "token_entropy_docs": q_token_entropy_docs,
+        "boilerplate_docs": q_boilerplate_docs,
+        "url_features_docs": q_url_features_docs,
+        "bigram_counts_docs": q_bigram_counts_docs,
+        # -- round-3 window greens (checked most recently → tail) --
         "pq_encode_embeddings": q_pq_encode_embeddings,
         "pq_topk_embeddings": q_pq_topk_embeddings,
         "ivfpq_topk_exhaustive": q_ivfpq_topk_exhaustive,
-        "pq_trained_recon": q_pq_trained_recon,
         "quantize_embeddings": q_quantize_embeddings,
-        "jpeg_validate": q_jpeg_validate,
-        "webp_validate": q_webp_validate,
         "transcode_images": q_transcode_images,
         "semdedup_embeddings": q_semdedup_embeddings,
         "incremental_neardup_docs": q_incremental_neardup_docs,
@@ -5818,98 +5923,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_resolve_quality_docs": q_dedup_resolve_quality_docs,
         "pivot_user_events": q_pivot_user_events,
         "except_intersect_docs": q_except_intersect_docs,
-        "dataset_card_docs": q_dataset_card_docs,
-        "embedding_drift": q_embedding_drift,
-        "cat_drift_events": q_cat_drift_events,
-        "image_decontaminate_events": q_image_decontaminate_events,
-        # -- position 51+: within-family variants of in-window siblings --
-        "jpeg_psnr_gate": q_jpeg_psnr_gate,
-        "semdedup_clustered": q_semdedup_clustered,
-        "phash_dedup_resolve_events": q_phash_dedup_resolve_events,
-        "asof_next_purchase_events": q_asof_next_purchase_events,
-        "impute_mode_events": q_impute_mode_events,
-        "topk_cosine_partial": q_topk_cosine_partial,
-        "sliding_window_events": q_sliding_window_events,
-        "unpivot_lineitem": q_unpivot_lineitem,
-        # -- green in round 1 --
-        "images_validate": q_images_validate,
-        "engine_caption_parity": q_engine_caption_parity,
-        "exact_dups_docs": q_exact_dups_docs,
-        "minhash_neardup_docs": q_minhash_neardup_docs,
-        "neardup_components_docs": q_neardup_components_docs,
-        "dedup_resolve_docs": q_dedup_resolve_docs,
-        "simhash_neardup_docs": q_simhash_neardup_docs,
-        "topk_cosine": q_topk_cosine,
-        "lsh_topk_embeddings": q_lsh_topk_embeddings,
-        "ivf_topk_embeddings": q_ivf_topk_embeddings,
-        "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
-        "embedding_neardup": q_embedding_neardup,
-        # -- green in round 2 --
-        "engine_suite_documents": q_engine_suite_documents,
-        "engine_conditional_docs": q_engine_conditional_docs,
-        "engine_monotonic_events": q_engine_monotonic_events,
-        "engine_fd_events": q_engine_fd_events,
-        "engine_json_events": q_engine_json_events,
-        "fd_discovery_events": q_fd_discovery_events,
-        "quantized_topk": q_quantized_topk,
-        "heavy_hitters_events": q_heavy_hitters_events,
-        "union_evolution_events": q_union_evolution_events,
-        "violations_sampled_docs": q_violations_sampled_docs,
-        "messages_per_row": q_messages_per_row,
-        "engine_intrange_part": q_engine_intrange_part,
-        "engine_dtype_orders": q_engine_dtype_orders,
-        "engine_precision_scale": q_engine_precision_scale,
-        "engine_robust_outliers": q_engine_robust_outliers,
-        "engine_outliers_per_key": q_engine_outliers_per_key,
-        "engine_custom_gated": q_engine_custom_gated,
-        "engine_dup_production": q_engine_dup_production,
-        "engine_subset_logic": q_engine_subset_logic,
-        "engine_embedding_suite": q_engine_embedding_suite,
-        "engine_image_policy": q_engine_image_policy,
-        "tdigest_quantiles": q_tdigest_quantiles,
-        "tdigest_exact_quantiles": q_tdigest_exact_quantiles,
-        "clean_fix_case": q_clean_fix_case,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_region": q_revenue_by_region,
-        "lookup_anti_events": q_lookup_anti_events,
-        "semi_join_orders": q_semi_join_orders,
-        "window_topk_orders": q_window_topk_orders,
-        "group_concat_langs": q_group_concat_langs,
-        "union_distinct_flags": q_union_distinct_flags,
-        "stats_exact_lineitem": q_stats_exact_lineitem,
-        "column_stats_approx": q_column_stats_approx,
-        "column_stats_smallndv": q_column_stats_smallndv,
-        "hll_ndv_events": q_hll_ndv_events,
-        "histogram_value": q_histogram_value,
-        "psi_value_drift": q_psi_value_drift,
-        "audit_load_columns": q_audit_load_columns,
-        "ks_drift": q_ks_drift,
-        "drift_check_events": q_drift_check_events,
-        "salted_count_events": q_salted_count_events,
-        "metrics_drift": q_metrics_drift,
-        "text_features_docs": q_text_features_docs,
-        "vocab_docs": q_vocab_docs,
-        "tfidf_keywords_docs": q_tfidf_keywords_docs,
-        "token_entropy_docs": q_token_entropy_docs,
-        "boilerplate_docs": q_boilerplate_docs,
-        "url_features_docs": q_url_features_docs,
-        "bigram_counts_docs": q_bigram_counts_docs,
-        # round-3 additions past the driver's 50-entry window: rotate
-        # forward next round (all spot-checked by the full
-        # tools/check_entry sweep at sf0.01 — 134/134 ok this session —
-        # and locked by pytest goldens meanwhile)
-        "shard_docs": q_shard_docs,
-        "audio_features_events": q_audio_features_events,
-        "video_neardup_events": q_video_neardup_events,
-        "audio_validate": q_audio_validate,
-        "video_validate": q_video_validate,
-        "entropy_events": q_entropy_events,
-        "mutual_info_events": q_mutual_info_events,
-        "corr_matrix_lineitem": q_corr_matrix_lineitem,
-        "kmeans_cells_embeddings": q_kmeans_cells_embeddings,
-        "metric_anomalies_events": q_metric_anomalies_events,
-        "exif_validate": q_exif_validate,
-        "jpeg_prog_validate": q_jpeg_prog_validate,
     }
 
 
@@ -5927,6 +5940,9 @@ def oracle_sql() -> dict[str, str]:
         # micro-units; reconstruction bound as an expected-TRUE boolean
         "pq_encode_embeddings": _PQ_ENCODE_ORACLE,
         "pq_topk_embeddings": _PQ_TOPK_ORACLE,
+        # exact regime (iters=0 sample-init codebooks): train → encode →
+        # reconstruction error fully re-derived in int64 SQL
+        "pq_trained_recon": _PQ_TRAINED_RECON_ORACLE,
         "ivfpq_topk_exhaustive": _PQ_TOPK_ORACLE,
         "quantize_embeddings": _QUANTIZE_ORACLE,
         # int-dot scoring: the ONLY ANN path whose scores are exactly
@@ -6114,10 +6130,8 @@ def oracle_sql() -> dict[str, str]:
         "metric_anomalies_events": _METRIC_ANOMALIES_ORACLE,
         # planted first-match-wins EXIF rules re-derived over range()
         "exif_validate": _EXIF_VALIDATE_ORACLE,
-        # same planted-count oracle as jpeg_validate at n=400
-        "jpeg_prog_validate": _JPEG_VALIDATE_ORACLE.replace(
-            "range(600)", "range(400)"
-        ),
+        # same planted row-level oracle shape as jpeg_validate at n=400
+        "jpeg_prog_validate": _JPEG_PROG_VALIDATE_ORACLE,
         # rows-only (approximate / non-SQL-expressible): column_stats_approx,
-        #   lsh_topk_embeddings, simhash_neardup_docs, images_validate
+        #   lsh_topk_embeddings, simhash_neardup_docs
     }

@@ -29,24 +29,18 @@ def test_audio_facts_core():
 
 
 def test_audio_fixture_suite_golden(spark):
+    from tests.test_jpeg import expected_codec_violation_rows
     import __spark_entry__ as entry
 
-    n = 500
-    got = {
-        r["check_name"]: r["n_violations"]
+    got = sorted(
+        (r["row_id"], r["check_name"])
         for r in entry.q_audio_validate(spark, "").collect()
-    }
-    flags = [fixtures.expected_wav_flags(i) for i in range(n)]
-    exp_caption = sum(f["caption_empty"] for f in flags)
-    exp_unique = 2 * sum(f["dup"] for f in flags)
-    exp_audio = sum(
-        1
-        for f in flags
-        if f["truncated"] or f["bitflip"] or f["n_off"] or f["rate_off"]
     )
-    assert got.get("notnull_caption", 0) == exp_caption
-    assert got.get("unique_audio_id", 0) == exp_unique
-    assert got.get("audioconsistent_bytes", 0) == exp_audio
+    assert got == expected_codec_violation_rows(
+        500, "wav", "audioconsistent_bytes", "audio_id",
+        fixtures.expected_wav_flags,
+        ("truncated", "bitflip", "n_off", "rate_off"),
+    )
 
 
 def test_audio_violation_messages(spark):

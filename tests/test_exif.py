@@ -115,15 +115,17 @@ def test_exifsane_fixture_golden(spark):
     from smcchecker_spark import fixtures
     import __spark_entry__ as entry
 
-    got = {
-        r["check_name"]: r["n_violations"]
+    got = sorted(
+        (r["row_id"], r["check_name"])
         for r in entry.q_exif_validate(spark, "").collect()
-    }
-    kinds = [fixtures.expected_exif_kind(i) for i in range(500)]
-    exp = sum(
-        k in ("corrupt", "bad_orientation", "bad_datetime") for k in kinds
     )
-    assert got == {"exifsane_bytes": exp}
+    kinds = [fixtures.expected_exif_kind(i) for i in range(500)]
+    exp = sorted(
+        (f"exf{i:09d}", "exifsane_bytes")
+        for i, k in enumerate(kinds)
+        if k in ("corrupt", "bad_orientation", "bad_datetime")
+    )
+    assert got == exp
     # the fixture actually exercises every kind
     assert {"corrupt", "bad_orientation", "bad_datetime", "rot90",
             "plain", "tagged"} <= set(kinds)

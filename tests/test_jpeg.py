@@ -190,32 +190,40 @@ def test_oversize_header_rejected():
 # ---------------------------------------------------------------------------
 
 
+def expected_codec_violation_rows(n, pre, consistent, idcol, flags_fn,
+                                  bad_keys):
+    """Exact (row_id, check_name) multiset a codec fixture suite must
+    emit — ROW-LEVEL goldens recomputed from the planted modular rules
+    (shared by the jpeg/prog/webp/audio/video suite tests). Unique
+    flags EVERY physical row of a duplicated id (dup row + its victim),
+    both carrying the duplicated id as row_id."""
+    rows = []
+    for i in range(n):
+        f = flags_fn(i)
+        rid = f"{pre}{i - 1:09d}" if f["dup"] else f"{pre}{i:09d}"
+        if any(f[k] for k in bad_keys):
+            rows.append((rid, consistent))
+        if f["caption_empty"]:
+            rows.append((rid, "notnull_caption"))
+        if f["dup"]:
+            rows.append((rid, f"unique_{idcol}"))
+            rows.append((f"{pre}{i - 1:09d}", f"unique_{idcol}"))
+    return sorted(rows)
+
+
 def test_jpeg_fixture_suite_golden(spark):
     from smcchecker_spark import fixtures
     import __spark_entry__ as entry
 
-    n = 600
-    got = {
-        r["check_name"]: r["n_violations"]
+    got = sorted(
+        (r["row_id"], r["check_name"])
         for r in entry.q_jpeg_validate(spark, "").collect()
-    }
-    flags = [fixtures.expected_jpeg_flags(i) for i in range(n)]
-    exp_caption = sum(f["caption_empty"] for f in flags)
-    # Unique flags EVERY row of a duplicated id (dup row + its victim),
-    # unless the victim index never exists (i=0 has no i-1)
-    dup_pairs = sum(f["dup"] for f in flags)
-    exp_unique = 2 * dup_pairs
-    # ImageConsistent: one violation row per inconsistent image —
-    # truncated/bitflip (decode fail), w_off, phash_off; overlaps
-    # possible only if moduli collide (41 vs 37 vs 43 — compute exactly)
-    exp_img = sum(
-        1
-        for i, f in enumerate(flags)
-        if f["truncated"] or f["bitflip"] or f["w_off"] or f["phash_off"]
     )
-    assert got.get("notnull_caption", 0) == exp_caption
-    assert got.get("unique_image_id", 0) == exp_unique
-    assert got.get("imageconsistent_bytes", 0) == exp_img
+    assert got == expected_codec_violation_rows(
+        600, "jpg", "imageconsistent_bytes", "image_id",
+        fixtures.expected_jpeg_flags,
+        ("truncated", "bitflip", "w_off", "phash_off"),
+    )
 
 
 def test_jpeg_psnr_gate_golden(spark):
@@ -776,18 +784,12 @@ def test_progressive_fixture_suite_golden(spark):
     from smcchecker_spark import fixtures
     import __spark_entry__ as entry
 
-    n = 400
-    got = {
-        r["check_name"]: r["n_violations"]
+    got = sorted(
+        (r["row_id"], r["check_name"])
         for r in entry.q_jpeg_prog_validate(spark, "").collect()
-    }
-    flags = [fixtures.expected_jpeg_flags(i) for i in range(n)]
-    exp = {
-        "notnull_caption": sum(f["caption_empty"] for f in flags),
-        "unique_image_id": 2 * sum(f["dup"] for f in flags),
-        "imageconsistent_bytes": sum(
-            f["truncated"] or f["bitflip"] or f["w_off"] or f["phash_off"]
-            for f in flags
-        ),
-    }
-    assert got == exp
+    )
+    assert got == expected_codec_violation_rows(
+        400, "jpg", "imageconsistent_bytes", "image_id",
+        fixtures.expected_jpeg_flags,
+        ("truncated", "bitflip", "w_off", "phash_off"),
+    )

@@ -49,22 +49,17 @@ def test_video_corrupt_first_frame_falls_through():
 
 
 def test_video_fixture_suite_golden(spark):
+    from tests.test_jpeg import expected_codec_violation_rows
     import __spark_entry__ as entry
 
-    n = 300
-    got = {
-        r["check_name"]: r["n_violations"]
+    got = sorted(
+        (r["row_id"], r["check_name"])
         for r in entry.q_video_validate(spark, "").collect()
-    }
-    flags = [fixtures.expected_avi_flags(i) for i in range(n)]
-    assert got.get("notnull_caption", 0) == sum(
-        f["caption_empty"] for f in flags
     )
-    assert got.get("unique_video_id", 0) == 2 * sum(f["dup"] for f in flags)
-    assert got.get("videoconsistent_bytes", 0) == sum(
-        1
-        for f in flags
-        if f["truncated"] or f["bitflip"] or f["nframes_off"] or f["w_off"]
+    assert got == expected_codec_violation_rows(
+        300, "avi", "videoconsistent_bytes", "video_id",
+        fixtures.expected_avi_flags,
+        ("truncated", "bitflip", "nframes_off", "w_off"),
     )
 
 

@@ -342,24 +342,18 @@ def test_engine_dispatch():
 
 def test_webp_fixture_suite_golden(spark):
     from smcchecker_spark import fixtures
+    from tests.test_jpeg import expected_codec_violation_rows
     import __spark_entry__ as entry
 
-    n = 400
-    got = {
-        r["check_name"]: r["n_violations"]
+    got = sorted(
+        (r["row_id"], r["check_name"])
         for r in entry.q_webp_validate(spark, "").collect()
-    }
-    flags = [fixtures.expected_jpeg_flags(i) for i in range(n)]
-    exp_caption = sum(f["caption_empty"] for f in flags)
-    exp_unique = 2 * sum(f["dup"] for f in flags)
-    exp_img = sum(
-        1
-        for f in flags
-        if f["truncated"] or f["bitflip"] or f["w_off"] or f["phash_off"]
     )
-    assert got.get("notnull_caption", 0) == exp_caption
-    assert got.get("unique_image_id", 0) == exp_unique
-    assert got.get("imageconsistent_bytes", 0) == exp_img
+    assert got == expected_codec_violation_rows(
+        400, "wbp", "imageconsistent_bytes", "image_id",
+        fixtures.expected_jpeg_flags,
+        ("truncated", "bitflip", "w_off", "phash_off"),
+    )
 
 
 def test_meta_prefix_codes_two_groups():
