@@ -233,9 +233,15 @@ def _prepare_real_codec_images(cores: int, spark) -> None:
         os.rename(path + ".tmp", path)
 
 
-def _real_codec_throughput(spark, path: str, n: int) -> float:
-    """Full-suite validation img/s over real-codec payloads (best-of-2,
-    warmed the same way as the headline corpus)."""
+def _real_codec_throughput(
+    spark, path: str, n: int, repeats: int = 3
+) -> tuple[float, list[dict]]:
+    """Full-suite validation img/s over real-codec payloads, with the
+    SAME quiet-window protocol fields as the headline scaling block
+    (per-run steal rate + quiet flag) so the real-codec legs are
+    auditable, trackable series rather than single spot readings:
+    returns (best quiet img/s — falling back to overall best if no run
+    was quiet — and the per-run records for the sidecar)."""
     from smcchecker_spark.compile import compile_suite
     from smcchecker_spark.constraints import NotNull, Suite, Unique
     from smcchecker_spark.image import ImageConsistent
@@ -252,16 +258,25 @@ def _real_codec_throughput(spark, path: str, n: int) -> float:
         row_id_col="image_id", part_id_col="part_id",
     )
     _materialize(warm)
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
+    runs: list[dict] = []
+    for _ in range(repeats):
+        s0, t0 = _steal_jiffies(), time.time()
         _materialize(
             compile_suite(
                 df, suite, row_id_col="image_id", part_id_col="part_id"
             )
         )
-        best = min(best, time.time() - t0)
-    return n / best
+        secs = time.time() - t0
+        steal_rate = (_steal_jiffies() - s0) / max(secs, 1e-9)
+        runs.append({
+            "images_per_sec": round(n / secs, 1),
+            "secs": round(secs, 3),
+            "steal_rate": round(steal_rate, 1),
+            "quiet": steal_rate < QUIET_STEAL_RATE,
+        })
+    quiet = [r["images_per_sec"] for r in runs if r["quiet"]]
+    best = max(quiet) if quiet else max(r["images_per_sec"] for r in runs)
+    return best, runs
 
 
 def _validate_images_throughput(cores: int, repeats: int) -> float:
@@ -469,8 +484,8 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     _prepare_real_codec_images(cpus, spark)
-    jpeg_thr = _real_codec_throughput(spark, JPEG_DIR, N_JPEG)
-    webp_thr = _real_codec_throughput(spark, WEBP_DIR, N_WEBP)
+    jpeg_thr, jpeg_runs = _real_codec_throughput(spark, JPEG_DIR, N_JPEG)
+    webp_thr, webp_runs = _real_codec_throughput(spark, WEBP_DIR, N_WEBP)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     summary = {
@@ -488,14 +503,20 @@ def main() -> None:
             max(r["images_per_sec_4n"] for r in round_info), 1
         ),
         "n_images": N_IMAGES,
-        # real-JPEG secondary metric: same suite over actual
-        # baseline JFIF bitstreams (jpegcodec) — decode-bound by
-        # the per-symbol Huffman loop, reported separately so
-        # the headline engine series stays comparable
+        # real-JPEG HEADLINE metric (tracked round over round at fixed
+        # corpus N_JPEG/method): same suite over actual baseline JFIF
+        # bitstreams (jpegcodec + native kernels) — best quiet-window
+        # reading of 3 timed runs; per-run steal/quiet detail rides in
+        # bench_full.json. Reported separately from the synthetic-corpus
+        # series so both stay comparable across rounds.
         "jpeg_real_images_per_sec": round(jpeg_thr, 1),
         "n_jpeg_images": N_JPEG,
+        "jpeg_real_quiet_runs": sum(r["quiet"] for r in jpeg_runs),
+        "jpeg_real_total_runs": len(jpeg_runs),
         "webp_real_images_per_sec": round(webp_thr, 1),
         "n_webp_images": N_WEBP,
+        "webp_real_quiet_runs": sum(r["quiet"] for r in webp_runs),
+        "webp_real_total_runs": len(webp_runs),
         "scaling": {
             "cores_n": SCALE_N,
             "cores_4n": SCALE_N * 4,
@@ -528,6 +549,8 @@ def main() -> None:
     # keep the machine-parsed line compact.
     full = dict(summary)
     full["scaling"] = dict(summary["scaling"], rounds=round_info)
+    full["jpeg_real_runs"] = jpeg_runs
+    full["webp_real_runs"] = webp_runs
     with open("bench_full.json", "w") as fh:
         json.dump(full, fh, indent=1)
     spark.stop()
