@@ -3061,22 +3061,130 @@ WHERE c.id IS NULL OR c.component = b.vec_id
 def q_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup at its deployment shape — k=8 spherical-k-means cells,
     paper keep-rule (drop the cluster members MOST similar to their
-    centroid, keep the least prototypical one). Cell assignment is a
-    k-means UDF → rows-only here; the k=1 sibling above value-checks
-    the machinery, and the k-monotonicity property (k=1 survivors ⊆ k>1
-    survivors) is pytest-locked."""
+    centroid, keep the least prototypical one, id-ascending ties).
+    Centroids come from the deterministic distributed-k-means regime
+    (``train_centroids_full`` k=8, ONE Lloyd iteration from the
+    lowest-8-id init — the exact construction ``_KMEANS_ORACLE``
+    re-derives in SQL), so the WHOLE clustered pipeline is
+    value-checked: cell assignment, within-cell pairing, closure, and
+    the centroid-cosine keep rule are all reproduced by the oracle.
+    The k-monotonicity property (k=1 survivors ⊆ k>1 survivors) stays
+    pytest-locked."""
     from smcchecker_spark.package import ensure_shipped
 
     ensure_shipped(spark)
     base = _semdedup_base(spark, sf_dir)
+    cents = similarity.train_centroids_full(
+        base, id_col="vec_id", vec_col="embedding", k=8, iters=1
+    )
     return similarity.semantic_dedup(
         base,
+        centroids=cents,
         k=8,
         id_col="vec_id",
         vec_col="embedding",
         threshold=0.95,
         keep="far_from_centroid",
     ).select("vec_id")
+
+
+# Clustered-SemDeDup oracle: the augmented base and closure of the k=1
+# oracle, plus the one-Lloyd-iteration centroid derivation of
+# _KMEANS_ORACLE (lowest-8-id normalized init -> assign -> normalized
+# mean -> final assignment), within-cell pairing only, and the
+# far-from-centroid keep rule (min cent_cos, id-ascending ties).
+_SEMDEDUP_CLUSTERED_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id - 100000, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT e.vec_id + 200000,
+         list_transform(CAST(e.embedding AS DOUBLE[]),
+                        (x, i) -> 0.9 * x + 0.1 * CAST(n.embedding AS DOUBLE[])[i]) AS v
+  FROM embeddings e JOIN embeddings n ON n.vec_id = e.vec_id + 1
+  WHERE e.vec_id % 20 = 0
+),
+en AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)),
+                                             1e-12)) AS vn
+  FROM base
+),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, vn AS cv
+  FROM (SELECT vec_id, vn FROM en ORDER BY vec_id LIMIT 8)
+),
+a0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT en.vec_id, c0.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY en.vec_id
+             ORDER BY list_dot_product(en.vn, c0.cv) DESC, c0.cell ASC
+           ) AS rn
+    FROM en, c0
+  ) WHERE rn = 1
+),
+m1 AS (
+  SELECT a0.cell, d.range AS pos,
+         AVG(en.vn[CAST(d.range + 1 AS INT)]) AS mv
+  FROM en JOIN a0 USING (vec_id), range(64) d
+  GROUP BY a0.cell, d.range
+),
+cm AS (SELECT cell, list(mv ORDER BY pos) AS l FROM m1 GROUP BY cell),
+c1 AS (
+  SELECT c0.cell,
+         COALESCE(
+           list_transform(cm.l,
+                          x -> x / greatest(sqrt(list_dot_product(cm.l,
+                                                                  cm.l)),
+                                            1e-12)),
+           c0.cv) AS cv
+  FROM c0 LEFT JOIN cm ON c0.cell = cm.cell
+),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT en.vec_id, c1.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY en.vec_id
+             ORDER BY list_dot_product(en.vn, c1.cv) DESC, c1.cell ASC
+           ) AS rn
+    FROM en, c1
+  ) WHERE rn = 1
+),
+cc AS (
+  SELECT en.vec_id, MAX(list_dot_product(en.vn, c1.cv)) AS cent_cos
+  FROM en, c1 GROUP BY en.vec_id
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM en a JOIN a1 aa ON a.vec_id = aa.vec_id
+       JOIN a1 ab ON ab.cell = aa.cell
+       JOIN en b ON b.vec_id = ab.vec_id AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION SELECT id_b, id_a FROM p),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+keepers AS (
+  SELECT id FROM (
+    SELECT comp.id,
+           ROW_NUMBER() OVER (
+             PARTITION BY comp.component
+             ORDER BY cc.cent_cos ASC, comp.id ASC
+           ) AS rk
+    FROM comp JOIN cc ON cc.vec_id = comp.id
+  ) WHERE rk = 1
+)
+SELECT b.vec_id FROM base b LEFT JOIN comp c ON b.vec_id = c.id
+WHERE c.id IS NULL OR c.id IN (SELECT id FROM keepers)
+"""
 
 
 def q_engine_caption_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6054,6 +6162,10 @@ def oracle_sql() -> dict[str, str]:
         # oracle (brute-force cosine pairs + recursive-CTE closure);
         # the clustered k=8 variant is rows-only by nature
         "semdedup_embeddings": _SEMDEDUP_ORACLE,
+        # clustered regime: deterministic one-iteration k-means centroids
+        # (same construction as _KMEANS_ORACLE) -> cells, pairing, keep
+        # rule all re-derived in SQL
+        "semdedup_clustered": _SEMDEDUP_CLUSTERED_ORACLE,
         # derived-fingerprint variant of the image phash near-dedup —
         # deterministic bitwise mix both engines compute identically,
         # so the banded pairing is brute-force value-checked
