@@ -2452,6 +2452,66 @@ JOIN (SELECT fingerprint, count(*) AS group_size FROM fp
 """
 
 
+def q_dedup_substrings_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (ops/substrings.py — the Lee et al.
+    2107.06499 operator, distributed as fixed-window hashing): every
+    8-token window whose exact text recurs anywhere in the corpus,
+    minus the globally (doc_id, pos)-first occurrence per distinct
+    text, merged into maximal per-doc token spans. The documents
+    generator's phrase reuse yields a natural non-trivial dup
+    structure (~1k duplicated windows at sf0.01). Fully value-checked:
+    the oracle re-derives windows, keeper ranking, and the island
+    merge in SQL — hash prefilter vs text-keyed oracle can't diverge
+    because text equality decides on both sides."""
+    from smcchecker_spark.ops import substrings
+
+    docs = _t(spark, sf_dir, "documents")
+    return substrings.duplicate_substring_spans(
+        docs, id_col="doc_id", text_col="text", window=8
+    ).orderBy("doc_id", "span_start")
+
+
+_DEDUP_SUBSTRINGS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+w AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         array_to_string(
+           list_slice(toks, CAST(u.i + 1 AS INT), CAST(u.i + 8 AS INT)),
+           ' ') AS wtext
+  FROM t, UNNEST(range(len(toks) - 7)) AS u(i)
+  WHERE len(toks) >= 8
+),
+g AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY wtext ORDER BY doc_id, pos) AS rk,
+         COUNT(*) OVER (PARTITION BY wtext) AS cnt
+  FROM w
+),
+dropped AS (SELECT DISTINCT doc_id, pos FROM g WHERE cnt >= 2 AND rk >= 2),
+m AS (
+  SELECT doc_id, pos,
+         MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max
+  FROM dropped
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev_max IS NULL OR pos > prev_max
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM m
+)
+SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) + 8 AS INT) AS span_end
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
 def q_minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH blocking → exact shingle-Jaccard ≥ 0.8. The oracle is
     the TRUE all-pairs answer (exact Jaccard over word-3-shingles); 16
@@ -5919,6 +5979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webp_validate": q_webp_validate,
         "images_validate": q_images_validate,
         "pq_trained_recon": q_pq_trained_recon,
+        # -- new in round 4 (never checked -> straight into the window) --
+        "dedup_substrings_docs": q_dedup_substrings_docs,
         # -- oldest prior greens (round 1) --
         "engine_caption_parity": q_engine_caption_parity,
         "exact_dups_docs": q_exact_dups_docs,
@@ -5942,6 +6004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "messages_per_row": q_messages_per_row,
         "engine_intrange_part": q_engine_intrange_part,
         "engine_dtype_orders": q_engine_dtype_orders,
+        # displaced to position 51 by dedup_substrings_docs (green r2 row)
         "engine_precision_scale": q_engine_precision_scale,
         # rows-only r1 entries deferred past the window so value-checked
         # queries fill it (their r1 rows stand; pytest goldens lock them)
@@ -6166,6 +6229,9 @@ def oracle_sql() -> dict[str, str]:
         # (same construction as _KMEANS_ORACLE) -> cells, pairing, keep
         # rule all re-derived in SQL
         "semdedup_clustered": _SEMDEDUP_CLUSTERED_ORACLE,
+        # Lee et al. substring-span dedup: windows, keeper rank, island
+        # merge re-derived in SQL (text equality decides on both sides)
+        "dedup_substrings_docs": _DEDUP_SUBSTRINGS_ORACLE,
         # derived-fingerprint variant of the image phash near-dedup —
         # deterministic bitwise mix both engines compute identically,
         # so the banded pairing is brute-force value-checked
