@@ -49,6 +49,14 @@ IMG_DIR = f"/tmp/bench_images_v2_{N_IMAGES}.parquet"
 # no longer match the current decoder.
 N_JPEG = int(os.environ.get("BENCH_JPEG_IMAGES", "30000"))
 JPEG_DIR = f"/tmp/bench_jpeg_images_v2_{N_JPEG}.parquet"
+# Steady-state real-JPEG point (r4+): at 30k images ~60% of the wall is
+# per-query fixed cost (stage scheduling, Python worker spin-up, the
+# Unique shuffle), so the series number understates the engine's
+# sustained rate by ~2.4x (measured 12.1k vs 29.5k img/s on identical
+# code). The 4x corpus keeps its own fixed size so BOTH series stay
+# comparable round over round.
+N_JPEG_STEADY = int(os.environ.get("BENCH_JPEG_STEADY_IMAGES", "120000"))
+JPEG_STEADY_DIR = f"/tmp/bench_jpeg_images_v2_{N_JPEG_STEADY}.parquet"
 N_WEBP = int(os.environ.get("BENCH_WEBP_IMAGES", "20000"))
 WEBP_DIR = f"/tmp/bench_webp_images_v1_{N_WEBP}.parquet"
 
@@ -221,6 +229,7 @@ def _prepare_real_codec_images(cores: int, spark) -> None:
 
     for path, gen, n, seed in (
         (JPEG_DIR, fixtures.generate_jpeg_images, N_JPEG, 7),
+        (JPEG_STEADY_DIR, fixtures.generate_jpeg_images, N_JPEG_STEADY, 7),
         (WEBP_DIR, fixtures.generate_webp_images, N_WEBP, 11),
     ):
         if os.path.isdir(path):
@@ -485,6 +494,9 @@ def main() -> None:
 
     _prepare_real_codec_images(cpus, spark)
     jpeg_thr, jpeg_runs = _real_codec_throughput(spark, JPEG_DIR, N_JPEG)
+    jpeg_sthr, jpeg_sruns = _real_codec_throughput(
+        spark, JPEG_STEADY_DIR, N_JPEG_STEADY
+    )
     webp_thr, webp_runs = _real_codec_throughput(spark, WEBP_DIR, N_WEBP)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -513,6 +525,10 @@ def main() -> None:
         "n_jpeg_images": N_JPEG,
         "jpeg_real_quiet_runs": sum(r["quiet"] for r in jpeg_runs),
         "jpeg_real_total_runs": len(jpeg_runs),
+        # sustained rate at 4x the corpus (fixed costs amortized)
+        "jpeg_real_steady_images_per_sec": round(jpeg_sthr, 1),
+        "n_jpeg_steady_images": N_JPEG_STEADY,
+        "jpeg_real_steady_quiet_runs": sum(r["quiet"] for r in jpeg_sruns),
         "webp_real_images_per_sec": round(webp_thr, 1),
         "n_webp_images": N_WEBP,
         "webp_real_quiet_runs": sum(r["quiet"] for r in webp_runs),
@@ -550,6 +566,7 @@ def main() -> None:
     full = dict(summary)
     full["scaling"] = dict(summary["scaling"], rounds=round_info)
     full["jpeg_real_runs"] = jpeg_runs
+    full["jpeg_real_steady_runs"] = jpeg_sruns
     full["webp_real_runs"] = webp_runs
     with open("bench_full.json", "w") as fh:
         json.dump(full, fh, indent=1)
