@@ -366,3 +366,27 @@ def test_bucketed_bucketed_join_zero_exchanges(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_buck_a")
         spark.sql("DROP TABLE IF EXISTS t_buck_b")
+
+
+def test_substring_spans_no_python_stage(spark, tmp_path_factory):
+    """The Lee-et-al substring-span operator is entirely JVM-side: the
+    window-hash projection, candidate grouping, exact-text confirm, and
+    island merge compile to zero Python/Arrow eval stages (the hash
+    phase shuffles (hash, id, pos) only — asserted indirectly: no
+    Python stage means no per-window Python cost at 10^12 positions)."""
+    from smcchecker_spark.ops import substrings
+
+    path = str(tmp_path_factory.mktemp("ss") / "docs.parquet")
+    spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit("w"), ((F.col("id") + F.lit(i)) % 7)
+                       .cast("string")) for i in range(12)],
+        ).alias("text"),
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    plan = _plan(
+        substrings.duplicate_substring_spans(df, window=8)
+    )
+    assert "EvalPython" not in plan, plan  # no Batch/ArrowEvalPython

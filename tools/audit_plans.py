@@ -40,6 +40,7 @@ AUDITED = [
     "column_stats_approx",
     "psi_value_drift",
     "exact_dups_docs",
+    "dedup_substrings_docs",
     "minhash_neardup_docs",
     "topk_cosine",
     "topk_cosine_partial",
