@@ -52,6 +52,21 @@ def test_registry_window_prioritizes_unchecked():
     assert len(names) >= 50
 
 
+def test_driver_window_fully_oracle_backed():
+    """Every entry in the driver's 50-entry window must carry a value
+    oracle (round 4 closed the last rows-only window rows —
+    pq_trained_recon via the iters=0 exact regime, semdedup_clustered
+    via deterministic centroids). A window slot without an oracle
+    wastes the strongest per-round signal; park rows-only variants
+    past position 50 next to their value-checked siblings."""
+    names = list(entry_mod.queries())[:50]
+    oracles = entry_mod.oracle_sql()
+    missing = [n for n in names if n not in oracles]
+    assert missing == [], (
+        f"driver-window entries without oracle_sql: {missing}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
 def test_query_output_schema_is_scalar_only(spark, sf_dir, name):
     fn = entry_mod.queries()[name]
