@@ -2932,8 +2932,13 @@ FROM s QUALIFY rank <= 10
 
 
 def q_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (the scale path) — approximate by design,
-    rows-only check."""
+    """Random-hyperplane LSH ANN (the scale path). Approximate in
+    RECALL, but fully deterministic: the planes come from a fixed seed,
+    so the bucket partition — and therefore the exact result set — is a
+    pure function of the data. The oracle (r4) bakes the same plane
+    constants into SQL and re-derives signatures, bucket-equijoin, and
+    within-bucket ranking, making this a VALUE-checked row (the
+    recall-vs-brute-force property stays pytest-locked)."""
     emb = _emb_double(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -2941,6 +2946,53 @@ def q_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(
         emb, queries, k=10, dim=64, n_planes=6, id_col="vec_id", vec_col="embedding"
     ).select("query_id", "neighbor_id", "rank")
+
+
+def _lsh_topk_oracle() -> str:
+    """SQL oracle for q_lsh_topk_embeddings: the seeded hyperplanes are
+    deterministic module data, so their float values are baked into the
+    query as literals (full repr precision — DuckDB parses them back to
+    the identical doubles). Signature = fold of sign bits, bucket
+    equijoin, round(cosine,6)-then-id ranking — the exact lsh_topk
+    semantics."""
+    from smcchecker_spark.ops.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 6, 42)
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            j, ", ".join(repr(float(x)) for x in p)
+        )
+        for j, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pl(j, p) AS (SELECT * FROM (VALUES {rows})),
+sig AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, pl.p) >= 0
+                       THEN 1 ELSE 0 END * (1 << (5 - pl.j)))
+              AS BIGINT) AS bucket
+  FROM e, pl GROUP BY e.vec_id
+),
+q AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, sig.bucket
+  FROM e JOIN sig USING (vec_id) WHERE e.vec_id < 8
+),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, e.v) /
+               (greatest(sqrt(list_dot_product(q.qv, q.qv)), 1e-12) *
+                greatest(sqrt(list_dot_product(e.v, e.v)), 1e-12)), 6)
+           AS score
+  FROM q JOIN sig cs ON cs.bucket = q.bucket
+       JOIN e ON e.vec_id = cs.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS INT)
+         AS rank
+FROM s QUALIFY rank <= 10
+"""
 
 
 def q_topk_cosine_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2978,20 +3030,105 @@ def q_lsh_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (coarse-quantizer cells + n_probe search) — the second
-    scale path next to hyperplane LSH. Approximate + UDF-based →
-    rows-only check."""
+    """IVF ANN (coarse-quantizer cells + n_probe=4 pruned search) — the
+    second scale path next to hyperplane LSH. r4: centroids come from
+    the deterministic one-Lloyd-iteration full-corpus regime (the
+    _KMEANS_ORACLE construction at k=16), so the PRUNED search path —
+    cell assignment, per-query 4-cell probe list, within-probe scoring
+    and ranking — is a pure function of the data and fully
+    value-checked (recall-vs-exhaustive stays pytest-locked; the
+    all-cells probe has its own brute-force oracle above)."""
     from smcchecker_spark.package import ensure_shipped
 
     ensure_shipped(spark)
     emb = _emb_double(spark, sf_dir)
-    centroids = similarity.train_centroids(emb, "vec_id", "embedding", k=16)
+    centroids = similarity.train_centroids_full(
+        emb, "vec_id", "embedding", k=16, iters=1
+    )
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivf_topk(
         emb, queries, centroids, k=10, n_probe=4, id_col="vec_id"
     ).select("query_id", "neighbor_id", "rank")
+
+
+_IVF_TOPK_PRUNED_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+en AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)),
+                                             1e-12)) AS vn
+  FROM e
+),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, vn AS cv
+  FROM (SELECT vec_id, vn FROM en ORDER BY vec_id LIMIT 16)
+),
+a0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT en.vec_id, c0.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY en.vec_id
+             ORDER BY list_dot_product(en.vn, c0.cv) DESC, c0.cell ASC
+           ) AS rn
+    FROM en, c0
+  ) WHERE rn = 1
+),
+m1 AS (
+  SELECT a0.cell, d.range AS pos,
+         AVG(en.vn[CAST(d.range + 1 AS INT)]) AS mv
+  FROM en JOIN a0 USING (vec_id), range(64) d
+  GROUP BY a0.cell, d.range
+),
+cm AS (SELECT cell, list(mv ORDER BY pos) AS l FROM m1 GROUP BY cell),
+c1 AS (
+  SELECT c0.cell,
+         COALESCE(
+           list_transform(cm.l,
+                          x -> x / greatest(sqrt(list_dot_product(cm.l,
+                                                                  cm.l)),
+                                            1e-12)),
+           c0.cv) AS cv
+  FROM c0 LEFT JOIN cm ON c0.cell = cm.cell
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT en.vec_id, c1.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY en.vec_id
+             ORDER BY list_dot_product(en.vn, c1.cv) DESC, c1.cell ASC
+           ) AS rn
+    FROM en, c1
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v, vn FROM en WHERE vec_id < 8),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c1.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.vn, c1.cv) DESC, c1.cell ASC
+           ) AS rn
+    FROM q, c1
+  ) WHERE rn <= 4
+),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, e.v) /
+               (greatest(sqrt(list_dot_product(q.v, q.v)), 1e-12) *
+                greatest(sqrt(list_dot_product(e.v, e.v)), 1e-12)), 6)
+           AS score
+  FROM probe p JOIN q USING (query_id)
+       JOIN cells ce ON ce.cell = p.cell
+       JOIN e ON e.vec_id = ce.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS INT)
+         AS rank
+FROM s QUALIFY rank <= 10
+"""
 
 
 def q_ivf_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5981,6 +6118,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_trained_recon": q_pq_trained_recon,
         # -- new in round 4 (never checked -> straight into the window) --
         "dedup_substrings_docs": q_dedup_substrings_docs,
+        # -- r4 deterministic-regime upgrades: pruned ANN paths now
+        #    value-checked (planes baked into SQL / one-iter centroids) --
+        "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         # -- oldest prior greens (round 1) --
         "engine_caption_parity": q_engine_caption_parity,
         "exact_dups_docs": q_exact_dups_docs,
@@ -6006,11 +6147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_dtype_orders": q_engine_dtype_orders,
         # displaced to position 51 by dedup_substrings_docs (green r2 row)
         "engine_precision_scale": q_engine_precision_scale,
-        # rows-only r1 entries deferred past the window so value-checked
-        # queries fill it (their r1 rows stand; pytest goldens lock them)
+        # rows-only r1 entry deferred past the window so value-checked
+        # queries fill it (its r1 row stands; pytest goldens lock it)
         "simhash_neardup_docs": q_simhash_neardup_docs,
-        "lsh_topk_embeddings": q_lsh_topk_embeddings,
-        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "engine_robust_outliers": q_engine_robust_outliers,
         "engine_outliers_per_key": q_engine_outliers_per_key,
         "engine_custom_gated": q_engine_custom_gated,
@@ -6206,6 +6345,12 @@ def oracle_sql() -> dict[str, str]:
         # is a true value oracle for both ANN paths
         "ivf_topk_exhaustive": _TOPK_COSINE_ORACLE,
         "lsh_topk_exhaustive": _TOPK_COSINE_ORACLE,
+        # r4: the PRUNED regimes are value-checked too — deterministic
+        # seeded planes (baked into the SQL as literals) / deterministic
+        # one-iteration k=16 centroids make the approximate result a
+        # pure function of the data
+        "lsh_topk_embeddings": _lsh_topk_oracle(),
+        "ivf_topk_embeddings": _IVF_TOPK_PRUNED_ORACLE,
         # small-NDV columns: the HLL++ sketch is exact, so the exact-SQL
         # stats are a true value oracle for the sketch pipeline
         "column_stats_smallndv": _SMALLNDV_ORACLE,
