@@ -2707,8 +2707,11 @@ WHERE c.id IS NULL OR c.component = u.doc_id
 
 def q_simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups (Hamming <= 3, chunk-blocked — exact by
-    pigeonhole). The FNV-1a/simhash fingerprint is not SQL-expressible,
-    so this is a rows-only check."""
+    pigeonhole) in the FNV-1a production hash mode. r4: value-checked —
+    FNV-1a is a per-byte fold that DuckDB reproduces bit-exactly
+    (hex-decoded UTF-8 bytes + HUGEINT mul-mod-2^64 list_reduce), so
+    the oracle brute-forces the same fingerprints and all-pairs
+    Hamming; md5 mode keeps its own oracle next door."""
     from smcchecker_spark.package import ensure_shipped
 
     ensure_shipped(spark)
@@ -2781,6 +2784,36 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM allfp a JOIN allfp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.f, b.f)) <= 3
 """
+
+# FNV-1a production-mode oracle (r4): identical vote/sign/pairing SQL,
+# with the per-token hash swapped for a bit-exact FNV-1a fold — UTF-8
+# bytes via hex(encode(tok)), offset basis prepended, (h XOR b) * prime
+# mod 2^64 in HUGEINT per byte (prototype-verified == dedup.hash64_py).
+_SIMHASH_FNV_ORACLE = _SIMHASH_EXACT_ORACLE.replace(
+    """-- per-token 64-bit hash = first 8 bytes of md5, big-endian (identical
+-- to the Arrow UDF's md5 mode); '' from splitting empty text is not a
+-- token (python str.split() drops it)
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv
+  FROM tok WHERE tok <> ''
+),""",
+    """-- per-token 64-bit hash = FNV-1a over UTF-8 bytes (identical to
+-- dedup.hash64_py); '' from splitting empty text is not a token
+h AS (
+  SELECT doc_id,
+         list_reduce(
+           list_concat([14695981039346656037::UBIGINT],
+             list_transform(range(octet_length(encode(tok))),
+               i -> ('0x' || substr(hex(encode(tok)),
+                                    CAST(2 * i + 1 AS INT), 2))::UBIGINT)),
+           (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
+                          % 18446744073709551616 AS UBIGINT)
+         ) AS hv
+  FROM tok WHERE tok <> ''
+),""",
+)
+assert "FNV-1a" in _SIMHASH_FNV_ORACLE and "md5(tok)" not in \
+    _SIMHASH_FNV_ORACLE  # replacement must not silently no-op
 
 
 # Derived deterministic "phash" for the image-near-dedup oracle: pure
@@ -6118,10 +6151,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_trained_recon": q_pq_trained_recon,
         # -- new in round 4 (never checked -> straight into the window) --
         "dedup_substrings_docs": q_dedup_substrings_docs,
-        # -- r4 deterministic-regime upgrades: pruned ANN paths now
-        #    value-checked (planes baked into SQL / one-iter centroids) --
+        # -- r4 deterministic-regime upgrades: pruned ANN paths + the
+        #    FNV-1a simhash mode now value-checked (planes / FNV fold
+        #    baked into SQL, one-iter centroids) --
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "simhash_neardup_docs": q_simhash_neardup_docs,
         # -- oldest prior greens (round 1) --
         "engine_caption_parity": q_engine_caption_parity,
         "exact_dups_docs": q_exact_dups_docs,
@@ -6147,9 +6182,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_dtype_orders": q_engine_dtype_orders,
         # displaced to position 51 by dedup_substrings_docs (green r2 row)
         "engine_precision_scale": q_engine_precision_scale,
-        # rows-only r1 entry deferred past the window so value-checked
-        # queries fill it (its r1 row stands; pytest goldens lock it)
-        "simhash_neardup_docs": q_simhash_neardup_docs,
         "engine_robust_outliers": q_engine_robust_outliers,
         "engine_outliers_per_key": q_engine_outliers_per_key,
         "engine_custom_gated": q_engine_custom_gated,
@@ -6366,6 +6398,9 @@ def oracle_sql() -> dict[str, str]:
         # against brute-force all-pairs bit_count(xor()); the FNV
         # sibling stays rows-only (hash not SQL-expressible)
         "simhash_neardup_exact": _SIMHASH_EXACT_ORACLE,
+        # r4: production FNV-1a mode value-checked too (byte-fold FNV
+        # reproduced in SQL — see _SIMHASH_FNV_ORACLE)
+        "simhash_neardup_docs": _SIMHASH_FNV_ORACLE,
         # SemDeDup in the exhaustive single-cell regime — true value
         # oracle (brute-force cosine pairs + recursive-CTE closure);
         # the clustered k=8 variant is rows-only by nature
