@@ -6113,9 +6113,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and pq_trained_recon runs its exact iters=0 regime with a full SQL
     oracle — the in-window ones are covered by the 24; jpeg_validate /
     webp_validate / images_validate / pq_trained_recon are re-windowed
-    here), then the OLDEST prior greens (round-1 block, then the front
-    of the round-2 block) to refresh their rows. After this window
-    lands, every registry entry has had at least one green driver row.
+    here), then the round-4 additions and deterministic-regime
+    upgrades (dedup_substrings_docs; lsh/ivf pruned ANN and FNV
+    simhash, all newly value-checked), then the OLDEST prior greens
+    (round-1 block, then the front of the round-2 block) to refresh
+    their rows. After this window lands, every registry entry except
+    the handful of displaced round-2 greens (engine_intrange_part
+    onward — green r2 rows stand) has a current-era driver row, and
+    EVERY window entry carries a value oracle (test_entry locks this).
     Entries past position 50 are ordered newest-green-last (round-3
     window greens at the tail — they were checked most recently)."""
     return {
