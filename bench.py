@@ -175,6 +175,9 @@ HEADLINE = [
     "metric_anomalies_events",
     "exif_validate",
     "jpeg_prog_validate",
+    # round-4 addition: Lee-et-al exact substring-span dedup (zero
+    # Python stages; hash-prefilter + text-confirm candidate pattern)
+    "dedup_substrings_docs",
 ]
 
 
