@@ -21,14 +21,20 @@ structure; this is the distributed equivalent for a fixed window):
    corpus. Exact recall: text-equal windows always hash equal.
 3. **Exact-text confirmation on the sliver.** Candidate occurrences
    re-derive their window text (join back on doc_id — ids-only
-   semi-join, then one slice per surviving position) and group by the
-   TEXT itself, so an xxhash64 collision can never merge two distinct
-   substrings: hashing only prunes, equality decides.
+   semi-join, then one slice per surviving position) for a per-hash
+   min/max-text AUDIT that collapses map-side, so an xxhash64
+   collision can never merge two distinct substrings — hashing only
+   prunes, equality decides — and window text never rides a wide
+   shuffle (one partial row per (hash, partition), even when an
+   adversarial corpus duplicates every window).
 4. **Keeper + span merge.** Per distinct window text, the (doc_id,
-   pos)-smallest occurrence survives; every other occurrence becomes
-   a [pos, pos+W) interval, merged per document with the classic
-   running-max island pass (two window functions over the per-doc
-   sliver — no self-join).
+   pos)-smallest occurrence survives — computed as a min-struct
+   AGGREGATION per hash (partial-combinable: a boilerplate window
+   with 10^9 occurrences reduces map-side instead of landing on one
+   row_number task); rare colliding hashes fall to an exact per-text
+   rank. Every other occurrence becomes a [pos, pos+W) interval,
+   merged per document with the classic running-max island pass (two
+   window functions over the per-doc sliver — no self-join).
 
 ``remove_duplicate_substrings`` applies the spans: tokens whose
 position falls in any span are dropped and the text is rebuilt — one
@@ -82,30 +88,69 @@ def duplicate_substring_spans(
     dup_h = wins.groupBy("h").agg(F.count(F.lit(1)).alias("_n")).filter(
         F.col("_n") >= 2
     )
-    cand = wins.join(dup_h.select("h"), "h")
-    # sliver-side exact-text confirmation: re-slice only candidate docs
-    toks = df.select(
-        F.col(id_col), T.tokens(F.col(text_col)).alias("_toks")
-    ).join(cand.select(id_col).distinct(), id_col)
-    occ = (
-        cand.join(toks, id_col)
-        .select(
-            id_col,
-            "pos",
+    # checkpoint the CANDIDATE OCCURRENCES as (id, pos, h) only — ~24
+    # bytes/row even when an adversarial corpus duplicates every window;
+    # window TEXT never enters the checkpoint or any wide shuffle
+    cand = wins.join(dup_h.select("h"), "h").localCheckpoint()
+
+    def _with_text(c: DataFrame) -> DataFrame:
+        """Re-slice window text for a candidate subset (the exact-text
+        evidence pass — text stays partition-local until the map-side
+        combine below)."""
+        toks = df.select(
+            F.col(id_col), T.tokens(F.col(text_col)).alias("_toks")
+        ).join(c.select(id_col).distinct(), id_col)
+        return c.join(toks, id_col).select(
+            id_col, "pos", "h",
             F.concat_ws(
                 " ", F.slice("_toks", F.col("pos") + F.lit(1), window)
             ).alias("wtext"),
         )
+
+    # Collision audit per hash — ONE map-side-combined aggregation
+    # (min/max text collapse per partition before the shuffle, so the
+    # shuffle ships a few texts per (hash, partition), never one per
+    # occurrence). A hash whose min == max text holds exactly one
+    # window string: hashing decided nothing, text equality did.
+    # Colliding hashes (distinct texts sharing an xxhash64 — ~0 in
+    # practice) fall to an exact per-text path below, so collisions can
+    # only prune, never merge.
+    audit = _with_text(cand).groupBy("h").agg(
+        F.min("wtext").alias("_lo"), F.max("wtext").alias("_hi")
     )
+    clean_h = audit.filter(F.col("_lo") == F.col("_hi")).select("h")
+    coll_h = audit.filter(F.col("_lo") != F.col("_hi")).select("h")
+    # Text-uniform hashes: keeper = min (id, pos) struct per hash — a
+    # partial-aggregable reduction (tiny shuffle: one row per hash), so
+    # a boilerplate window with 10^9 occurrences combines map-side
+    # instead of landing on one row_number task (the skew cliff the
+    # text-keyed window form would have).
+    occ_clean = cand.join(clean_h, "h")
+    if keep_first:
+        keep_clean = occ_clean.groupBy("h").agg(
+            F.min(F.struct(id_col, "pos")).alias("_k")
+        ).select("h", F.col(f"_k.{id_col}").alias("_kid"),
+                 F.col("_k.pos").alias("_kpos"))
+        dropped_clean = (
+            occ_clean.join(keep_clean, "h")
+            .filter(~((F.col(id_col) == F.col("_kid"))
+                      & (F.col("pos") == F.col("_kpos"))))
+            .select(id_col, "pos")
+        )
+    else:
+        dropped_clean = occ_clean.select(id_col, "pos")
+    # Colliding hashes (sliver): exact per-text count + keeper rank.
+    occ_coll = _with_text(cand.join(coll_h, "h"))
     wtxt = Window.partitionBy("wtext")
-    grp = occ.withColumn(
+    grp = occ_coll.withColumn(
         "_rk",
         F.row_number().over(wtxt.orderBy(F.asc(id_col), F.asc("pos"))),
     ).withColumn("_cnt", F.count(F.lit(1)).over(wtxt))
-    dropped = grp.filter(
+    dropped_coll = grp.filter(
         (F.col("_cnt") >= 2)
         & (F.col("_rk") >= (2 if keep_first else 1))
     ).select(id_col, "pos")
+    dropped = dropped_clean.unionByName(dropped_coll)
     # island merge: spans [pos, pos+W) per doc, overlap-or-adjacent
     wdoc = Window.partitionBy(id_col).orderBy("pos")
     marked = (

@@ -386,6 +386,15 @@ def test_substring_spans_no_python_stage(spark, tmp_path_factory):
         ).alias("text"),
     ).write.parquet(path)
     df = spark.read.parquet(path)
+    # the full-corpus stage (window hashing → per-hash counts): one
+    # scan, no Python, and the shuffle carries (h, id, pos) only
+    hashes = substrings._window_hashes(df, "doc_id", "text", 8)
+    hplan = _plan(
+        hashes.groupBy("h").count()
+    )
+    assert "EvalPython" not in hplan, hplan
+    assert len(re.findall(r"\(\d+\) Scan parquet", hplan)) == 1, hplan
+    # end-to-end (post-candidate stages run from a checkpointed sliver)
     plan = _plan(
         substrings.duplicate_substring_spans(df, window=8)
     )

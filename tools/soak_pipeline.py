@@ -126,6 +126,18 @@ def main() -> None:
             budget=2e8,
         ).count()
     })
+    # round-4: exact substring-span dedup in its ADVERSARIAL regime —
+    # the phrase-assembled corpus duplicates essentially every 8-token
+    # window (64 phrase interiors + ~28k straddle texts across 114M
+    # positions), so the candidate "sliver" is the whole corpus and the
+    # text-confirm + keeper-rank stages run at full width. Real corpora
+    # sit far below this dup rate; this bounds the worst case.
+    timed("dedup_substring_spans", lambda: {
+        "spanned_docs": __import__(
+            "smcchecker_spark.ops.substrings", fromlist=["x"]
+        ).duplicate_substring_spans(docs, window=8)
+        .select("doc_id").distinct().count()
+    })
     # --- round-2 additions: chunking, capping, weighted sampling,
     # map-side top-k, bloom prefilter — all at the full 2M scale ---
     timed("chunk_documents", lambda: {
