@@ -2512,6 +2512,135 @@ ORDER BY doc_id, span_start
 """
 
 
+def q_dedup_substrings_long_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length near-exact passage dedup (ops/substrings.py
+    long_duplicate_spans — seed-and-extend, the round-4 verdict's
+    Lee et al. ≥min_len-maximal-span gap): docs ≥60 tokens with
+    doc_id % 3 == 0 get a planted copy (id+200000) whose every 7th
+    token is mutated — a passage that provably carries ZERO exact
+    8-token windows (the fixed-W op finds nothing for these pairs,
+    locked in tests/test_substrings.py) yet chains densely at
+    seed_window=4 on one alignment diagonal. Fully deterministic: the
+    oracle re-derives seeds (by window TEXT — hashing only prunes),
+    pair diagonals, LAG-gap chaining, the length/seed-count filters,
+    b-side projection, and the interval merge in SQL."""
+    from smcchecker_spark.ops import substrings
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = text_ops.tokens(F.col("text"))
+    copies = (
+        docs.filter((F.size(toks) >= 60) & (F.col("doc_id") % 3 == 0))
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    toks,
+                    lambda t, i: F.when(
+                        i % 7 == 0,
+                        F.concat(F.lit("mut"), i.cast("string")),
+                    ).otherwise(t),
+                ),
+            ).alias("text"),
+        )
+    )
+    return substrings.long_duplicate_spans(
+        docs.unionByName(copies),
+        id_col="doc_id",
+        text_col="text",
+        seed_window=4,
+        min_len=40,
+        max_gap=8,
+        min_seeds=8,
+    ).orderBy("doc_id", "span_start")
+
+
+_DEDUP_SUBSTRINGS_LONG_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+mut AS (
+  SELECT doc_id + 200000 AS doc_id,
+         string_agg(
+           CASE WHEN u.i % 7 = 0 THEN 'mut' || CAST(u.i AS VARCHAR)
+                ELSE toks[CAST(u.i + 1 AS INT)] END,
+           ' ' ORDER BY u.i) AS text
+  FROM t, UNNEST(range(len(toks))) AS u(i)
+  WHERE len(toks) >= 60 AND doc_id % 3 = 0
+  GROUP BY doc_id
+),
+corpus AS (
+  SELECT doc_id, toks FROM t
+  UNION ALL
+  SELECT doc_id, string_split_regex(trim(text), '\s+') FROM mut
+),
+w AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         array_to_string(
+           list_slice(toks, CAST(u.i + 1 AS INT), CAST(u.i + 4 AS INT)),
+           ' ') AS wtext
+  FROM corpus, UNNEST(range(len(toks) - 3)) AS u(i)
+  WHERE len(toks) >= 4
+),
+keep AS (
+  SELECT wtext FROM w GROUP BY wtext
+  HAVING COUNT(*) BETWEEN 2 AND 64
+),
+p AS (
+  SELECT w1.doc_id AS id_a, w1.pos AS pos_a,
+         w2.doc_id AS id_b, w2.pos AS pos_b,
+         w1.pos - w2.pos AS diag
+  FROM w w1
+  JOIN w w2 ON w1.wtext = w2.wtext
+           AND (w1.doc_id, w1.pos) < (w2.doc_id, w2.pos)
+  JOIN keep k ON w1.wtext = k.wtext
+),
+c AS (
+  SELECT id_a, id_b, diag, pos_a,
+         CASE WHEN LAG(pos_a) OVER ch IS NULL
+                OR pos_a - LAG(pos_a) OVER ch > 12
+              THEN 1 ELSE 0 END AS newc
+  FROM p
+  WINDOW ch AS (PARTITION BY id_a, id_b, diag ORDER BY pos_a)
+),
+chains AS (
+  SELECT id_a, id_b, diag, pos_a,
+         SUM(newc) OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a)
+           AS chain
+  FROM c
+),
+spans AS (
+  SELECT id_b AS doc_id,
+         MIN(pos_a) - diag AS span_start,
+         MAX(pos_a) + 4 - diag AS span_end
+  FROM chains
+  GROUP BY id_a, id_b, diag, chain
+  HAVING MAX(pos_a) + 4 - MIN(pos_a) >= 40 AND COUNT(*) >= 8
+),
+ds AS (SELECT DISTINCT doc_id, span_start, span_end FROM spans),
+m AS (
+  SELECT doc_id, span_start, span_end,
+         MAX(span_end) OVER (PARTITION BY doc_id ORDER BY span_start,
+                             span_end ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev_max
+  FROM ds
+),
+isl AS (
+  SELECT doc_id, span_start, span_end,
+         SUM(CASE WHEN prev_max IS NULL OR span_start > prev_max
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY span_start, span_end)
+           AS island
+  FROM m
+)
+SELECT doc_id, CAST(MIN(span_start) AS INT) AS span_start,
+       CAST(MAX(span_end) AS INT) AS span_end
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
 def q_minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH blocking → exact shingle-Jaccard ≥ 0.8. The oracle is
     the TRUE all-pairs answer (exact Jaccard over word-3-shingles); 16
@@ -6156,6 +6285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_trained_recon": q_pq_trained_recon,
         # -- new in round 4 (never checked -> straight into the window) --
         "dedup_substrings_docs": q_dedup_substrings_docs,
+        "dedup_substrings_long_docs": q_dedup_substrings_long_docs,
         # -- r4 deterministic-regime upgrades: pruned ANN paths + the
         #    FNV-1a simhash mode now value-checked (planes / FNV fold
         #    baked into SQL, one-iter centroids) --
@@ -6417,6 +6547,7 @@ def oracle_sql() -> dict[str, str]:
         # Lee et al. substring-span dedup: windows, keeper rank, island
         # merge re-derived in SQL (text equality decides on both sides)
         "dedup_substrings_docs": _DEDUP_SUBSTRINGS_ORACLE,
+        "dedup_substrings_long_docs": _DEDUP_SUBSTRINGS_LONG_ORACLE,
         # derived-fingerprint variant of the image phash near-dedup —
         # deterministic bitwise mix both engines compute identically,
         # so the banded pairing is brute-force value-checked

@@ -178,6 +178,149 @@ def duplicate_substring_spans(
     )
 
 
+def long_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed_window: int = 4,
+    min_len: int = 50,
+    max_gap: int = 8,
+    min_seeds: int = 8,
+    max_occ: int = 64,
+) -> DataFrame:
+    """Variable-length NEAR-exact duplicated passages ≥ ``min_len``
+    tokens — the seed-and-extend complement to the fixed-window op,
+    approximating Lee et al.'s ≥50-token maximal spans for passages
+    whose exact-window structure is broken by sparse edits (a 400-token
+    shared passage with one token changed every 7 evades EVERY 8-token
+    exact window; its unchanged runs still carry 4-token seeds).
+
+    BLAST-style, all DataFrame ops:
+
+    1. **Seeds.** Exact ``seed_window``-token window matches, via the
+       same map-only hashing as the fixed-W pass. Hashes kept when
+       2 ≤ occurrences ≤ ``max_occ``: singletons pair nothing; hotter
+       windows are stop-phrase boilerplate whose pairs are quadratic
+       noise (the fixed-W pass already handles exact boilerplate), so
+       the cap is a documented precision/cost guard, not a correctness
+       hole for the long-passage target.
+    2. **Pairs.** Occurrences self-paired per hash through
+       ``dedup.bucketed_pairs`` (members are (id, pos) structs —
+       ids-only shuffle, hot-hash chunking for free; buckets partition
+       the occurrences so ``dedup_pairs=False`` skips the cross-bucket
+       shuffle). Struct order gives (id_a, pos_a) < (id_b, pos_b).
+    3. **Diagonal chaining.** A shared passage puts ALL its seed pairs
+       on one alignment diagonal ``diag = pos_a − pos_b`` of one doc
+       pair. groupBy-free: the classic island pass over ``pos_a``
+       within (id_a, id_b, diag), seeds chaining while start-gaps ≤
+       ``seed_window + max_gap`` (consecutive surviving seeds in the
+       mutated-passage case are ≤ edit-period apart). Chains must span
+       ≥ ``min_len`` tokens with ≥ ``min_seeds`` seeds — an xxhash64
+       seed collision (or a chance shared 4-gram) can contribute ONE
+       spurious seed, never ``min_seeds`` of them on one diagonal, so
+       collisions/coincidences cannot fabricate a span.
+    4. **Keeper + merge.** The a-side (globally earlier occurrence) is
+       the keeper; the b-side projects through the diagonal
+       (``pos_b = pos_a − diag``) and overlapping b-spans merge per doc
+       with the running-max interval pass.
+
+    Output: (id, span_start, span_end), one row per maximal merged
+    near-duplicate passage on the dropped side. Scale: every shuffle
+    after tokenization carries (hash|ids, positions) only; pair volume
+    is bounded by ``max_occ``²/2 per hash; chaining shuffles pairs once
+    on (id_a, id_b, diag). No text ever rides a wide shuffle.
+    """
+    from smcchecker_spark.ops.dedup import bucketed_pairs
+
+    seeds = _window_hashes(df, id_col, text_col, seed_window)
+    keep_h = (
+        seeds.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_occ))
+        .select("h")
+    )
+    occ = seeds.join(keep_h, "h").select(
+        "h", F.struct(F.col(id_col).alias("id"), "pos").alias("m")
+    )
+    pairs = bucketed_pairs(
+        occ, ["h"], member_col="m", dedup_pairs=False
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("a.pos").alias("pos_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("b.pos").alias("pos_b"),
+    )
+    # A (doc pair, diagonal) can repeat a (pos_a, pos_b) seed only if
+    # two distinct window texts collided in xxhash64 at the same spot —
+    # impossible (one window text per (id, pos)); pairs are distinct by
+    # construction, so chain stats need no dedup.
+    diag = pairs.withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    wchain = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    chained = (
+        diag.withColumn(
+            "_prev",
+            F.max("pos_a").over(
+                wchain.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev").isNull()
+                | (F.col("pos_a") - F.col("_prev")
+                   > seed_window + max_gap)
+            ).cast("int"),
+        )
+        .withColumn("_chain", F.sum("_new").over(wchain))
+    )
+    chains = (
+        chained.groupBy("id_a", "id_b", "diag", "_chain")
+        .agg(
+            F.min("pos_a").alias("a_start"),
+            (F.max("pos_a") + seed_window).alias("a_end"),
+            F.count(F.lit(1)).alias("n_seeds"),
+        )
+        .filter(
+            (F.col("a_end") - F.col("a_start") >= min_len)
+            & (F.col("n_seeds") >= min_seeds)
+        )
+    )
+    b_spans = chains.select(
+        F.col("id_b").alias(id_col),
+        (F.col("a_start") - F.col("diag")).alias("span_start"),
+        (F.col("a_end") - F.col("diag")).alias("span_end"),
+    )
+    # interval merge per doc (spans vary in length, unlike the fixed-W
+    # island pass): running max of span_end over earlier spans; a span
+    # starting past it opens a new merged interval
+    wdoc = Window.partitionBy(id_col).orderBy("span_start", "span_end")
+    marked = (
+        b_spans.distinct()
+        .withColumn(
+            "_prev_max",
+            F.max("span_end").over(
+                wdoc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev_max").isNull()
+                | (F.col("span_start") > F.col("_prev_max"))
+            ).cast("int"),
+        )
+        .withColumn("_island", F.sum("_new").over(wdoc))
+    )
+    return (
+        marked.groupBy(id_col, "_island")
+        .agg(
+            F.min("span_start").alias("span_start"),
+            F.max("span_end").alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
 def remove_duplicate_substrings(
     df: DataFrame,
     id_col: str = "doc_id",
