@@ -1523,6 +1523,203 @@ JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
 
+def q_phab_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHAB-parity flagship ETL (reference proj/utils/phab.py:111-188,
+    proj/utils/sql/field.sql:1-48): the 11-13 relation star join —
+    fact chain + broadcast lookup fan, a per-sample group-concat
+    ("personnel") attached to every result row, two branches (field /
+    habitat) that rename/assign constants and UNION ALL, then a LEFT
+    join to a derived geometry table. Re-expressed Spark-first over the
+    driver tables:
+
+    - fact spine: lineitem ⋈ orders (the FieldResult ⋈ FieldCollection
+      analogue — the ONE non-broadcast join; at production scale both
+      sides shuffle on orderkey and everything downstream reuses it)
+    - broadcast dims: customer, nation, region (customer geo chain =
+      Project→ParentProject lookups), part (Analyte/Fraction/Method
+      lookups), supplier (+ its own nation/region aliases = Matrix/
+      Unit lookups) — 8 broadcast relation instances
+    - personnel analogue: per-order sorted group-concat of distinct
+      return flags via a window over the join's own orderkey
+      partitioning (no extra shuffle — reference joins a groupby'd
+      Personnel_Entry at phab.py:108)
+    - field branch = even line numbers (real depth/calibration cols);
+      habitat branch = odd line numbers with the reference's constant
+      assigns (collectiondepth=-88, unitcollectiondepth='',
+      calibrationdate=1950-01-01 — phab.py:161); UNION ALL
+    - geometry: customer⋈nation⋈region derived table, LEFT-joined on
+      stationcode (phab.py:179-186 rename actual_latitude/longitude)
+
+    The reference joins each branch's fact separately; here the spine
+    joins ONCE and branches as post-join slices — identical rows,
+    half the shuffles (the Spark-first rewrite PLANS.md documents)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    snation = nation.select(
+        F.col("n_nationkey").alias("sn_nationkey"),
+        F.col("n_name").alias("sn_name"),
+        F.col("n_regionkey").alias("sn_regionkey"),
+    )
+    sregion = region.select(
+        F.col("r_regionkey").alias("sr_regionkey"),
+        F.col("r_name").alias("sr_name"),
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(snation), supp.s_nationkey == F.col("sn_nationkey"))
+        .join(
+            F.broadcast(sregion), F.col("sn_regionkey") == F.col("sr_regionkey")
+        )
+        .withColumn(
+            "personnelcode",
+            F.concat_ws(
+                ", ",
+                F.sort_array(
+                    F.collect_set("l_returnflag").over(
+                        Window.partitionBy("l_orderkey")
+                    )
+                ),
+            ),
+        )
+    )
+    shared = [
+        F.col("c_name").alias("stationcode"),
+        F.col("o_orderdate").alias("sampledate"),
+        F.col("c_mktsegment").alias("sampleagencycode"),
+        F.col("o_orderstatus").alias("eventcode"),
+        F.col("o_orderpriority").alias("protocolcode"),
+        F.col("n_name").alias("projectcode"),
+        F.col("r_name").alias("parentprojectcode"),
+        F.col("l_linenumber").alias("locationcode"),
+        F.col("l_shipdate").alias("collectiontime"),
+        F.col("l_returnflag").alias("collectionmethodcode"),
+        F.col("s_name").alias("collectiondevicedescr"),
+        F.col("l_linenumber").alias("replicate"),
+        F.col("p_name").alias("analytename"),
+        F.col("p_brand").alias("fractionname"),
+        F.col("p_type").alias("methodname"),
+        F.col("sn_name").alias("matrixname"),
+        F.col("sr_name").alias("unitdescr"),
+        # exact integer micro-units (price-cents × discount-basis-points
+        # complement) — double round() tie-breaks diverge across engines
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("result"),
+        F.col("l_linestatus").alias("resqualcode"),
+        F.col("personnelcode"),
+    ]
+    field = joined.filter(F.col("l_linenumber") % 2 == 0).select(
+        *shared,
+        F.col("l_quantity").alias("collectiondepth"),
+        F.lit("kg").alias("unitcollectiondepth"),
+        F.col("o_orderdate").alias("calibrationdate"),
+        F.lit("").alias("variableresult"),
+    )
+    habitat = joined.filter(F.col("l_linenumber") % 2 == 1).select(
+        *shared,
+        F.lit(-88.0).alias("collectiondepth"),
+        F.lit("").alias("unitcollectiondepth"),
+        F.lit("1950-01-01 00:00:00").cast("timestamp").alias(
+            "calibrationdate"
+        ),
+        F.concat(F.lit("hab:"), F.col("l_linestatus")).alias(
+            "variableresult"
+        ),
+    )
+    geom = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("c_name").alias("stationcode"),
+            F.round(F.col("c_acctbal") / 100.0, 4).alias("actual_latitude"),
+            (F.col("c_custkey") % 360 - 180).cast("double").alias(
+                "actual_longitude"
+            ),
+            F.col("r_name").alias("datum"),
+        )
+    )
+    return field.unionByName(habitat).join(
+        F.broadcast(geom), "stationcode", "left"
+    )
+
+
+_PHAB_STAR_ORACLE = """
+WITH personnel AS (
+  SELECT l_orderkey AS pk_orderkey,
+         string_agg(DISTINCT l_returnflag, ', ' ORDER BY l_returnflag)
+           AS personnelcode
+  FROM lineitem GROUP BY l_orderkey
+),
+joined AS (
+  SELECT c_name AS stationcode, o_orderdate AS sampledate,
+         c_mktsegment AS sampleagencycode, o_orderstatus AS eventcode,
+         o_orderpriority AS protocolcode, n.n_name AS projectcode,
+         r.r_name AS parentprojectcode, l_linenumber AS locationcode,
+         l_shipdate AS collectiontime, l_returnflag AS collectionmethodcode,
+         s_name AS collectiondevicedescr, l_linenumber AS replicate,
+         p_name AS analytename, p_brand AS fractionname,
+         p_type AS methodname, sn.n_name AS matrixname,
+         sr.r_name AS unitdescr,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS result,
+         l_linestatus AS resqualcode, personnelcode,
+         l_linenumber, l_quantity, o_orderdate, l_linestatus
+  FROM lineitem
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN nation n  ON c_nationkey = n.n_nationkey
+  JOIN region r  ON n.n_regionkey = r.r_regionkey
+  JOIN part      ON l_partkey = p_partkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+  JOIN personnel ON l_orderkey = pk_orderkey
+),
+phab AS (
+  SELECT stationcode, sampledate, sampleagencycode, eventcode,
+         protocolcode, projectcode, parentprojectcode, locationcode,
+         collectiontime, collectionmethodcode, collectiondevicedescr,
+         replicate, analytename, fractionname, methodname, matrixname,
+         unitdescr, result, resqualcode, personnelcode,
+         l_quantity AS collectiondepth, 'kg' AS unitcollectiondepth,
+         o_orderdate AS calibrationdate, '' AS variableresult
+  FROM joined WHERE l_linenumber % 2 = 0
+  UNION ALL
+  SELECT stationcode, sampledate, sampleagencycode, eventcode,
+         protocolcode, projectcode, parentprojectcode, locationcode,
+         collectiontime, collectionmethodcode, collectiondevicedescr,
+         replicate, analytename, fractionname, methodname, matrixname,
+         unitdescr, result, resqualcode, personnelcode,
+         -88.0 AS collectiondepth, '' AS unitcollectiondepth,
+         TIMESTAMP '1950-01-01 00:00:00' AS calibrationdate,
+         'hab:' || l_linestatus AS variableresult
+  FROM joined WHERE l_linenumber % 2 = 1
+),
+geom AS (
+  SELECT c_name AS stationcode,
+         round(c_acctbal / 100.0, 4) AS actual_latitude,
+         CAST(c_custkey % 360 - 180 AS DOUBLE) AS actual_longitude,
+         r_name AS datum
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+)
+SELECT phab.*, actual_latitude, actual_longitude, datum
+FROM phab LEFT JOIN geom USING (stationcode)
+"""
+
+
 _EVENT_LU = ["click", "purchase", "signup", "view"]
 
 
@@ -6286,6 +6483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 (never checked -> straight into the window) --
         "dedup_substrings_docs": q_dedup_substrings_docs,
         "dedup_substrings_long_docs": q_dedup_substrings_long_docs,
+        "phab_star_join": q_phab_star_join,
         # -- r4 deterministic-regime upgrades: pruned ANN paths + the
         #    FNV-1a simhash mode now value-checked (planes / FNV fold
         #    baked into SQL, one-iter centroids) --
@@ -6548,6 +6746,7 @@ def oracle_sql() -> dict[str, str]:
         # merge re-derived in SQL (text equality decides on both sides)
         "dedup_substrings_docs": _DEDUP_SUBSTRINGS_ORACLE,
         "dedup_substrings_long_docs": _DEDUP_SUBSTRINGS_LONG_ORACLE,
+        "phab_star_join": _PHAB_STAR_ORACLE,
         # derived-fingerprint variant of the image phash near-dedup —
         # deterministic bitwise mix both engines compute identically,
         # so the banded pairing is brute-force value-checked

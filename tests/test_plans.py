@@ -399,3 +399,48 @@ def test_substring_spans_no_python_stage(spark, tmp_path_factory):
         substrings.duplicate_substring_spans(df, window=8)
     )
     assert "EvalPython" not in plan, plan  # no Batch/ArrowEvalPython
+
+
+def test_long_substring_spans_no_python_stage(spark, tmp_path_factory):
+    """Seed-and-extend long-passage dedup is JVM-side end to end: seed
+    hashing, bucketed pairing, diagonal chaining, and the interval
+    merge compile to zero Python/Arrow stages, and the seed shuffle
+    carries (h, id, pos) only (no text columns in the exchange)."""
+    from smcchecker_spark.ops import substrings
+
+    path = str(tmp_path_factory.mktemp("ls") / "docs.parquet")
+    passage = " ".join(f"p{i}" for i in range(80))
+    spark.createDataFrame(
+        [(1, "intro " + passage), (2, passage + " outro"),
+         (3, "unrelated text entirely " * 10)],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    plan = _plan(
+        substrings.long_duplicate_spans(df, seed_window=4, min_len=40)
+    )
+    assert "EvalPython" not in plan, plan
+    # pair/chain shuffles must never carry the text column
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_phab_star_join_plan_shape(spark):
+    """The PHAB flagship star (verdict item 4): executed plan has ALL
+    dimension joins broadcast (incl. the supplier-side nation/region
+    aliases and the geometry LEFT join) and at most 2 shuffle
+    exchanges — the per-branch personnel-concat windows on the join's
+    own orderkey. Zero Python stages."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_phab_star_join(spark, "/root/testdata/sf0.001")
+    assert df.count() > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 10, plan
+    shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert shuffles <= 2, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

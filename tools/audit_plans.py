@@ -41,6 +41,8 @@ AUDITED = [
     "psi_value_drift",
     "exact_dups_docs",
     "dedup_substrings_docs",
+    "dedup_substrings_long_docs",
+    "phab_star_join",
     "minhash_neardup_docs",
     "topk_cosine",
     "topk_cosine_partial",
@@ -157,6 +159,25 @@ NOTES = {
         "EXECUTED plan reuses one exchange — zero Python stages, 1 "
         "scan + ReusedExchange, asserted in "
         "tests/test_plans.py::test_phash_near_dups_no_udf_single_scan"
+    ),
+    "phab_star_join": (
+        "the PHAB flagship 11-13 relation star (verdict item 4): ALL "
+        "dims broadcast (19 BroadcastHashJoin instances incl. the "
+        "supplier-side nation/region aliases and the geometry LEFT "
+        "join), fact spine joins once per branch; EXECUTED plan has "
+        "exactly 2 shuffle exchanges — one personnel-concat window "
+        "per branch, partitioned on the join's own orderkey. The "
+        "static double-printed join tree is the field/habitat UNION "
+        "ALL: in the reference these are two DIFFERENT fact tables "
+        "(FieldResult/HabitatResult), each scanned once — the shared "
+        "lineitem stand-in double-scans only because one table plays "
+        "both roles. Locked in tests/test_plans.py"
+    ),
+    "dedup_substrings_long_docs": (
+        "seed-and-extend long-passage dedup: seeds pair through the "
+        "same bucketed_pairs exchange-reuse discipline as the banded "
+        "dedups; every post-tokenize shuffle carries (hash|ids, "
+        "positions) only — window text never rides a shuffle"
     ),
     "semdedup_clustered": (
         "static plan re-expands the 3-branch union base into every "
