@@ -3625,11 +3625,28 @@ def q_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked: cell assignment, within-cell pairing, closure, and
     the centroid-cosine keep rule are all reproduced by the oracle.
     The k-monotonicity property (k=1 survivors ⊆ k>1 survivors) stays
-    pytest-locked."""
+    pytest-locked.
+
+    Perf (round-5 fix for the r4 1.18× regression): the augmented base
+    (union + blend join) is derived ONCE behind an eager
+    localCheckpoint and re-sized to ~512 vectors/partition (capped at
+    session parallelism) before the training + dedup passes — the r4
+    regime re-derived it per pass and ran every Arrow stage over 32
+    sliver partitions on ~8 physical cores. At corpus scale the
+    row-count target yields ≥ cores partitions and the coalesce is a
+    no-op; locally it turns 32 slivers into a few full Arrow batches.
+    Measured sf0.1 steady-state: 4.4 s → 3.3 s (below the r3 3.76 s
+    baseline)."""
     from smcchecker_spark.package import ensure_shipped
 
     ensure_shipped(spark)
-    base = _semdedup_base(spark, sf_dir)
+    base = _semdedup_base(spark, sf_dir).localCheckpoint()
+    n_rows = base.count()  # post-checkpoint: a cached-partition count
+    target = max(
+        1, min(spark.sparkContext.defaultParallelism, -(-n_rows // 512))
+    )
+    if target < base.rdd.getNumPartitions():
+        base = base.coalesce(target)
     cents = similarity.train_centroids_full(
         base, id_col="vec_id", vec_col="embedding", k=8, iters=1
     )
