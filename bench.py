@@ -178,7 +178,79 @@ HEADLINE = [
     # round-4 addition: Lee-et-al exact substring-span dedup (zero
     # Python stages; hash-prefilter + text-confirm candidate pattern)
     "dedup_substrings_docs",
+    # round-5 additions: seed-and-extend long-passage dedup and the
+    # PHAB-parity 11-13 relation star join (verdict items 3 + 4)
+    "dedup_substrings_long_docs",
+    "phab_star_join",
 ]
+
+
+def _lazy_F():
+    from pyspark.sql import functions as F
+
+    return F
+
+
+def _ann_recall(spark, sf_dir: str) -> dict:
+    """Measured recall@10-vs-exhaustive for the PRUNED ANN regimes
+    (round-4 verdict item 7): IVF across n_probe ∈ {1,2,4,8} (16
+    deterministic one-Lloyd-iteration cells — the same regime the
+    value-checked registry query runs) and multi-probe hyperplane LSH
+    across probe_hamming ∈ {0,1,2} (n_planes=6, seeded planes). Ground
+    truth is brute_force_topk over the same corpus/queries, so ANN
+    quality is a tracked NUMBER per round, not just a pytest predicate.
+    Each config also records its wall seconds — the recall/cost curve."""
+    import __spark_entry__ as entry_mod
+    from smcchecker_spark.ops import similarity
+
+    F = _lazy_F()
+    emb = entry_mod._emb_double(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 10
+    exact = {}
+    for r in similarity.brute_force_topk(
+        emb, queries, k=k, id_col="vec_id"
+    ).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    n_q = len(exact)
+
+    def recall(df) -> float:
+        got: dict = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return round(
+            sum(
+                len(got.get(q, set()) & exact[q]) / k for q in exact
+            ) / max(n_q, 1),
+            4,
+        )
+
+    out: dict = {"k": k, "n_queries": n_q, "ivf": {}, "lsh": {}}
+    cents = similarity.train_centroids_full(
+        emb, "vec_id", "embedding", k=16, iters=1
+    )
+    for n_probe in (1, 2, 4, 8):
+        t0 = time.time()
+        df = similarity.ivf_topk(
+            emb, queries, cents, k=k, n_probe=n_probe, id_col="vec_id"
+        )
+        rec = recall(df)
+        out["ivf"][f"n_probe_{n_probe}"] = {
+            "recall_at_10": rec, "secs": round(time.time() - t0, 3)
+        }
+    for h in (0, 1, 2):
+        t0 = time.time()
+        df = similarity.lsh_topk(
+            emb, queries, k=k, dim=64, n_planes=6, id_col="vec_id",
+            probe_hamming=h,
+        )
+        rec = recall(df)
+        out["lsh"][f"hamming_{h}"] = {
+            "recall_at_10": rec, "secs": round(time.time() - t0, 3)
+        }
+    return out
 
 
 def _materialize(df) -> None:
@@ -495,6 +567,8 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    ann_recall = _ann_recall(spark, sf_dir)
+
     _prepare_real_codec_images(cpus, spark)
     jpeg_thr, jpeg_runs = _real_codec_throughput(spark, JPEG_DIR, N_JPEG)
     jpeg_sthr, jpeg_sruns = _real_codec_throughput(
@@ -532,6 +606,10 @@ def main() -> None:
         "jpeg_real_steady_images_per_sec": round(jpeg_sthr, 1),
         "n_jpeg_steady_images": N_JPEG_STEADY,
         "jpeg_real_steady_quiet_runs": sum(r["quiet"] for r in jpeg_sruns),
+        # measured recall@10-vs-exhaustive curves for the pruned ANN
+        # regimes (IVF n_probe sweep, multi-probe LSH) — quality as a
+        # tracked number per round (r4 verdict item 7)
+        "ann_recall": ann_recall,
         "webp_real_images_per_sec": round(webp_thr, 1),
         "n_webp_images": N_WEBP,
         "webp_real_quiet_runs": sum(r["quiet"] for r in webp_runs),
