@@ -6446,91 +6446,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the correctness driver samples the
-    FIRST 50 entries each round. Round-4 window = the 24 entries that
-    had never had a driver row (everything the round-3 verdict listed:
-    codec/modality validators, profiling metrics, k-means, shards,
-    drift variants, as-of/window/unpivot siblings — all spot-checked
-    green via tools/check_entry at sf0.01 before rotation), then the
-    queries whose output contract CHANGED this round (the 7 *_validate
-    fixtures now emit row-level (row_id, check_name) violation rows,
-    and pq_trained_recon runs its exact iters=0 regime with a full SQL
-    oracle — the in-window ones are covered by the 24; jpeg_validate /
-    webp_validate / images_validate / pq_trained_recon are re-windowed
-    here), then the round-4 additions and deterministic-regime
-    upgrades (dedup_substrings_docs; lsh/ivf pruned ANN and FNV
-    simhash, all newly value-checked), then the OLDEST prior greens
-    (round-1 block, then the front of the round-2 block) to refresh
-    their rows. After this window lands, every registry entry except
-    the handful of displaced round-2 greens (engine_intrange_part
-    onward — green r2 rows stand) has a current-era driver row, and
-    EVERY window entry carries a value oracle (test_entry locks this).
-    Entries past position 50 are ordered newest-green-last (round-3
-    window greens at the tail — they were checked most recently)."""
+    FIRST 50 entries each round. Round-5 window (verdict item 5: no
+    registry row older than two rounds) = the 2 round-5 additions
+    (dedup_substrings_long_docs seed-and-extend, phab_star_join), the
+    2 INHERENT rows-only entries re-windowed for rows-only freshness
+    (tdigest_quantiles / column_stats_approx — sketch internals, no
+    SQL oracle by design, value-checked exact-regime siblings green;
+    the explicit allowlist lives in tests/test_entry.py), the one
+    query whose plan changed this round (semdedup_clustered perf fix),
+    then the 34 displaced round-2 greens (engine_precision_scale
+    through bigram_counts_docs — the oldest value-checked rows in the
+    registry, last confirmed r2), then the 11 oldest round-3 greens
+    (pq_encode_embeddings through lsh_topk_exhaustive). After this
+    window lands, every registry row is ≤2 rounds old. Entries past
+    position 50 are ordered newest-green-last: the round-3 window
+    remainder first, then everything the round-4 window confirmed."""
     return {
-        # -- round-4 window: the 24 never-driver-checked entries first --
-        "shard_docs": q_shard_docs,
-        "audio_validate": q_audio_validate,
-        "video_validate": q_video_validate,
-        "audio_features_events": q_audio_features_events,
-        "video_neardup_events": q_video_neardup_events,
-        "entropy_events": q_entropy_events,
-        "mutual_info_events": q_mutual_info_events,
-        "corr_matrix_lineitem": q_corr_matrix_lineitem,
-        "kmeans_cells_embeddings": q_kmeans_cells_embeddings,
-        "metric_anomalies_events": q_metric_anomalies_events,
-        "exif_validate": q_exif_validate,
-        "jpeg_prog_validate": q_jpeg_prog_validate,
-        "jpeg_psnr_gate": q_jpeg_psnr_gate,
-        "semdedup_clustered": q_semdedup_clustered,
-        "phash_dedup_resolve_events": q_phash_dedup_resolve_events,
-        "dataset_card_docs": q_dataset_card_docs,
-        "embedding_drift": q_embedding_drift,
-        "cat_drift_events": q_cat_drift_events,
-        "image_decontaminate_events": q_image_decontaminate_events,
-        "asof_next_purchase_events": q_asof_next_purchase_events,
-        "impute_mode_events": q_impute_mode_events,
-        "topk_cosine_partial": q_topk_cosine_partial,
-        "sliding_window_events": q_sliding_window_events,
-        "unpivot_lineitem": q_unpivot_lineitem,
-        # -- output contract changed this round: re-window --
-        "jpeg_validate": q_jpeg_validate,
-        "webp_validate": q_webp_validate,
-        "images_validate": q_images_validate,
-        "pq_trained_recon": q_pq_trained_recon,
-        # -- new in round 4 (never checked -> straight into the window) --
-        "dedup_substrings_docs": q_dedup_substrings_docs,
+        # -- round-5 window ------------------------------------------
+        # new this round (seed-and-extend long-passage dedup; the
+        # PHAB-parity star join):
         "dedup_substrings_long_docs": q_dedup_substrings_long_docs,
         "phab_star_join": q_phab_star_join,
-        # -- r4 deterministic-regime upgrades: pruned ANN paths + the
-        #    FNV-1a simhash mode now value-checked (planes / FNV fold
-        #    baked into SQL, one-iter centroids) --
-        "lsh_topk_embeddings": q_lsh_topk_embeddings,
-        "ivf_topk_embeddings": q_ivf_topk_embeddings,
-        "simhash_neardup_docs": q_simhash_neardup_docs,
-        # -- oldest prior greens (round 1) --
-        "engine_caption_parity": q_engine_caption_parity,
-        "exact_dups_docs": q_exact_dups_docs,
-        "minhash_neardup_docs": q_minhash_neardup_docs,
-        "neardup_components_docs": q_neardup_components_docs,
-        "dedup_resolve_docs": q_dedup_resolve_docs,
-        "topk_cosine": q_topk_cosine,
-        "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
-        "embedding_neardup": q_embedding_neardup,
-        # -- green in round 2 --
-        "engine_suite_documents": q_engine_suite_documents,
-        "engine_conditional_docs": q_engine_conditional_docs,
-        "engine_monotonic_events": q_engine_monotonic_events,
-        "engine_fd_events": q_engine_fd_events,
-        "engine_json_events": q_engine_json_events,
-        "fd_discovery_events": q_fd_discovery_events,
-        "quantized_topk": q_quantized_topk,
-        "heavy_hitters_events": q_heavy_hitters_events,
-        "union_evolution_events": q_union_evolution_events,
-        "violations_sampled_docs": q_violations_sampled_docs,
-        "messages_per_row": q_messages_per_row,
-        "engine_intrange_part": q_engine_intrange_part,
-        "engine_dtype_orders": q_engine_dtype_orders,
-        # displaced to position 51 by dedup_substrings_docs (green r2 row)
+        # stale rows-only entries re-windowed for freshness (sketch
+        # internals, no value oracle by design — rows-only check):
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "column_stats_approx": q_column_stats_approx,
+        # changed this round (perf fix: checkpointed+right-sized base):
+        "semdedup_clustered": q_semdedup_clustered,
+        # displaced round-2 greens (rows last confirmed r2 — the
+        # oldest value-checked entries in the registry):
         "engine_precision_scale": q_engine_precision_scale,
         "engine_robust_outliers": q_engine_robust_outliers,
         "engine_outliers_per_key": q_engine_outliers_per_key,
@@ -6539,7 +6483,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_subset_logic": q_engine_subset_logic,
         "engine_embedding_suite": q_engine_embedding_suite,
         "engine_image_policy": q_engine_image_policy,
-        "tdigest_quantiles": q_tdigest_quantiles,
         "tdigest_exact_quantiles": q_tdigest_exact_quantiles,
         "clean_fix_case": q_clean_fix_case,
         "pricing_summary": q_pricing_summary,
@@ -6550,7 +6493,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_concat_langs": q_group_concat_langs,
         "union_distinct_flags": q_union_distinct_flags,
         "stats_exact_lineitem": q_stats_exact_lineitem,
-        "column_stats_approx": q_column_stats_approx,
         "column_stats_smallndv": q_column_stats_smallndv,
         "hll_ndv_events": q_hll_ndv_events,
         "histogram_value": q_histogram_value,
@@ -6567,7 +6509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_docs": q_boilerplate_docs,
         "url_features_docs": q_url_features_docs,
         "bigram_counts_docs": q_bigram_counts_docs,
-        # -- round-3 window greens (checked most recently → tail) --
+        # oldest round-3 greens (front of the r3 window):
         "pq_encode_embeddings": q_pq_encode_embeddings,
         "pq_topk_embeddings": q_pq_topk_embeddings,
         "ivfpq_topk_exhaustive": q_ivfpq_topk_exhaustive,
@@ -6579,6 +6521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardup_events": q_phash_neardup_events,
         "simhash_neardup_exact": q_simhash_neardup_exact,
         "lsh_topk_exhaustive": q_lsh_topk_exhaustive,
+        # -- past the 50-entry window: newest-green-last -------------
+        # round-3 window remainder (rows from r3):
         "pack_docs": q_pack_docs,
         "asof_purchase_events": q_asof_purchase_events,
         "curate_images_events": q_curate_images_events,
@@ -6615,6 +6559,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_resolve_quality_docs": q_dedup_resolve_quality_docs,
         "pivot_user_events": q_pivot_user_events,
         "except_intersect_docs": q_except_intersect_docs,
+        # refreshed in round 4 (r1/r2-front blocks + the full r4
+        # window — the most recently confirmed rows):
+        "shard_docs": q_shard_docs,
+        "audio_validate": q_audio_validate,
+        "video_validate": q_video_validate,
+        "audio_features_events": q_audio_features_events,
+        "video_neardup_events": q_video_neardup_events,
+        "entropy_events": q_entropy_events,
+        "mutual_info_events": q_mutual_info_events,
+        "corr_matrix_lineitem": q_corr_matrix_lineitem,
+        "kmeans_cells_embeddings": q_kmeans_cells_embeddings,
+        "metric_anomalies_events": q_metric_anomalies_events,
+        "exif_validate": q_exif_validate,
+        "jpeg_prog_validate": q_jpeg_prog_validate,
+        "jpeg_psnr_gate": q_jpeg_psnr_gate,
+        "phash_dedup_resolve_events": q_phash_dedup_resolve_events,
+        "dataset_card_docs": q_dataset_card_docs,
+        "embedding_drift": q_embedding_drift,
+        "cat_drift_events": q_cat_drift_events,
+        "image_decontaminate_events": q_image_decontaminate_events,
+        "asof_next_purchase_events": q_asof_next_purchase_events,
+        "impute_mode_events": q_impute_mode_events,
+        "topk_cosine_partial": q_topk_cosine_partial,
+        "sliding_window_events": q_sliding_window_events,
+        "unpivot_lineitem": q_unpivot_lineitem,
+        "jpeg_validate": q_jpeg_validate,
+        "webp_validate": q_webp_validate,
+        "images_validate": q_images_validate,
+        "pq_trained_recon": q_pq_trained_recon,
+        "dedup_substrings_docs": q_dedup_substrings_docs,
+        "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "simhash_neardup_docs": q_simhash_neardup_docs,
+        "engine_caption_parity": q_engine_caption_parity,
+        "exact_dups_docs": q_exact_dups_docs,
+        "minhash_neardup_docs": q_minhash_neardup_docs,
+        "neardup_components_docs": q_neardup_components_docs,
+        "dedup_resolve_docs": q_dedup_resolve_docs,
+        "topk_cosine": q_topk_cosine,
+        "ivf_topk_exhaustive": q_ivf_topk_exhaustive,
+        "embedding_neardup": q_embedding_neardup,
+        "engine_suite_documents": q_engine_suite_documents,
+        "engine_conditional_docs": q_engine_conditional_docs,
+        "engine_monotonic_events": q_engine_monotonic_events,
+        "engine_fd_events": q_engine_fd_events,
+        "engine_json_events": q_engine_json_events,
+        "fd_discovery_events": q_fd_discovery_events,
+        "quantized_topk": q_quantized_topk,
+        "heavy_hitters_events": q_heavy_hitters_events,
+        "union_evolution_events": q_union_evolution_events,
+        "violations_sampled_docs": q_violations_sampled_docs,
+        "messages_per_row": q_messages_per_row,
+        "engine_intrange_part": q_engine_intrange_part,
+        "engine_dtype_orders": q_engine_dtype_orders,
     }
 
 

@@ -52,19 +52,32 @@ def test_registry_window_prioritizes_unchecked():
     assert len(names) >= 50
 
 
+#: The only registry entries allowed in the driver window WITHOUT a
+#: value oracle: sketch internals (t-digest centroid merges, HLL
+#: registers) that are genuinely not SQL-expressible. Both have green
+#: exact-regime value-checked siblings (tdigest_exact_quantiles,
+#: column_stats_smallndv) and property tests; the round-4 verdict asks
+#: them INTO the r5 window so their rows-only freshness is re-confirmed
+#: (no registry row older than two rounds). Anything else in the window
+#: without an oracle is a hygiene failure.
+INHERENT_ROWS_ONLY = {"tdigest_quantiles", "column_stats_approx"}
+
+
 def test_driver_window_fully_oracle_backed():
     """Every entry in the driver's 50-entry window must carry a value
-    oracle (round 4 closed the last rows-only window rows —
-    pq_trained_recon via the iters=0 exact regime, semdedup_clustered
-    via deterministic centroids). A window slot without an oracle
-    wastes the strongest per-round signal; park rows-only variants
-    past position 50 next to their value-checked siblings."""
+    oracle, except the explicit INHERENT_ROWS_ONLY allowlist (re-windowed
+    per the round-4 verdict for rows-only freshness). A window slot
+    without an oracle otherwise wastes the strongest per-round signal."""
     names = list(entry_mod.queries())[:50]
     oracles = entry_mod.oracle_sql()
-    missing = [n for n in names if n not in oracles]
+    missing = [
+        n for n in names if n not in oracles and n not in INHERENT_ROWS_ONLY
+    ]
     assert missing == [], (
         f"driver-window entries without oracle_sql: {missing}"
     )
+    # the allowlist is for window freshness — it must actually be there
+    assert INHERENT_ROWS_ONLY <= set(names)
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
