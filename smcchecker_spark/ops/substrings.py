@@ -333,6 +333,37 @@ def remove_duplicate_substrings(
     sliver) into an array, then one JVM filter over token positions —
     map-side after the span join, no Python stage."""
     spans = duplicate_substring_spans(df, id_col, text_col, window)
+    return apply_span_removal(df, spans, id_col, text_col, out_col)
+
+
+def remove_long_duplicate_substrings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "dedup_text",
+    **span_kwargs,
+) -> DataFrame:
+    """Apply-side of :func:`long_duplicate_spans`: rebuild each doc with
+    its near-exact ≥min_len duplicated passages removed (keeper side
+    untouched). ``span_kwargs`` pass through (seed_window, min_len,
+    max_gap, min_seeds, max_occ). Same map-side span application as the
+    fixed-W removal."""
+    spans = long_duplicate_spans(df, id_col, text_col, **span_kwargs)
+    return apply_span_removal(df, spans, id_col, text_col, out_col)
+
+
+def apply_span_removal(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "dedup_text",
+) -> DataFrame:
+    """Drop every token whose position falls inside any of the doc's
+    [span_start, span_end) intervals and rebuild the text. The spans
+    side is the duplicated sliver (grouped to one array row per
+    affected doc); the corpus side stays map-only after the left
+    join — no Python stage, no corpus shuffle."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )

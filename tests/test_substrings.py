@@ -339,3 +339,38 @@ def test_removal_then_respans_is_clean_or_smaller(spark):
     ).select("doc_id", substrings.F.col("dedup_text").alias("text"))
     again = substrings.duplicate_substring_spans(cleaned, window=8)
     assert again.count() == 0
+
+
+def test_remove_long_duplicate_substrings(spark):
+    """Apply-side of the seed-and-extend pass: the later/mutated copy
+    of a long shared passage is excised (keeper doc untouched,
+    unrelated docs untouched), and the removal matches the span set
+    exactly (brute-checked token filter)."""
+    passage = " ".join(f"p{i}" for i in range(120))
+    rows = [
+        (1, "intro " + passage + " outro"),
+        (2, "lead " + _mutate_every(passage, 7, "mm") + " tail"),
+        (3, "unrelated " + " ".join(f"u{i}" for i in range(30))),
+    ]
+    kw = dict(seed_window=4, min_len=40, max_gap=8, min_seeds=8)
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in substrings.long_duplicate_spans(
+            _df(spark, rows), **kw
+        ).collect()
+    }
+    out = {
+        r["doc_id"]: r["dedup_text"]
+        for r in substrings.remove_long_duplicate_substrings(
+            _df(spark, rows), **kw
+        ).collect()
+    }
+    assert out[1] == rows[0][1]  # keeper untouched
+    assert out[3] == rows[2][1]  # unrelated untouched
+    toks2 = rows[1][1].split()
+    s, e = spans[2]
+    expect = " ".join(
+        t for i, t in enumerate(toks2) if not (s <= i < e)
+    )
+    assert out[2] == expect
+    assert len(out[2].split()) < len(toks2) - 80  # bulk actually removed
