@@ -888,6 +888,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = 500_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (id, component) where
     component = the smallest id in the component. The step AFTER pair
@@ -912,6 +913,20 @@ def connected_components(
 
     Only ids appearing in ``pairs`` are returned; isolated docs are
     trivially their own component.
+
+    Hybrid execution (round 5): the edge set is ALREADY a bounded
+    sliver — it's the verified near-dup pairs, orders of magnitude
+    smaller than the corpus — and its exact size is known for free
+    right after the eager checkpoint. At or below ``driver_max_edges``
+    (default 500k edges ≈ a few MB of id pairs) the component labels
+    come from a driver-side union-find: identical labels (component =
+    min id — the star-forest fixpoint computes exactly this), zero of
+    the ~15 tiny shuffle stages the iterative loop schedules (measured
+    ~1.5-2 s of pure stage overhead on an 821-edge graph). Web-crawl
+    dup graphs past the bound (billions of edges at 10^12 rows) take
+    the distributed large/small-star path unchanged — the driver path
+    is the small-regime fast lane, not a scale ceiling. Equivalence is
+    property-tested against the distributed path on random graphs.
     """
 
     def star(edges: DataFrame, large: bool) -> DataFrame:
@@ -962,6 +977,44 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # checkpointed → count scans cached partitions, no recompute
+    if edges.count() <= driver_max_edges:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            u, v = r["u"], r["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # min-id root so labels match the star-forest fixpoint
+                # without a second normalization pass
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        out = [(x, find(x)) for x in parent]
+        spark = edges.sparkSession
+        utype = edges.schema["u"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        return spark.createDataFrame(
+            out,
+            StructType(
+                [
+                    StructField("id", utype, False),
+                    StructField("component", utype, False),
+                ]
+            ),
+        )
     fp = fingerprint(edges)
     for _ in range(max_iter):
         # ONE large/small round per checkpoint: each star() references its

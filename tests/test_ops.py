@@ -707,9 +707,15 @@ def test_video_fake_demux(spark):
 
 
 @pytest.mark.parametrize("seed", [7, 99])
-def test_connected_components_random_graph_vs_union_find(spark, seed):
+@pytest.mark.parametrize("driver_max_edges", [500_000, 0])
+def test_connected_components_random_graph_vs_union_find(
+    spark, seed, driver_max_edges
+):
     """Seeded random sparse graphs (mix of clusters, chains, isolated
-    pairs) checked against a plain union-find oracle."""
+    pairs) checked against a plain union-find oracle — BOTH execution
+    paths (driver-side union-find for bounded slivers, and the
+    distributed large/small-star loop forced via driver_max_edges=0)
+    must produce identical min-id labels."""
     rng = np.random.default_rng(seed)
     n = 200
     edges = [(int(a), int(b))
@@ -732,19 +738,25 @@ def test_connected_components_random_graph_vs_union_find(spark, seed):
 
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["id"]: r["component"]
-           for r in dedup.connected_components(df).collect()}
+           for r in dedup.connected_components(
+               df, driver_max_edges=driver_max_edges
+           ).collect()}
     assert got == want
 
 
-def test_connected_components_string_ids(spark):
+@pytest.mark.parametrize("driver_max_edges", [500_000, 0])
+def test_connected_components_string_ids(spark, driver_max_edges):
     """input_hint ids are strings (image_id) — the algorithm needs only a
-    total order, never a numeric cast (ANSI cast of 'img-…' would throw)."""
+    total order, never a numeric cast (ANSI cast of 'img-…' would throw).
+    Both execution paths."""
     pairs = spark.createDataFrame(
         [("img-b", "img-a"), ("img-b", "img-c"), ("img-x", "img-y")],
         "id_a string, id_b string",
     )
     got = {r["id"]: r["component"]
-           for r in dedup.connected_components(pairs).collect()}
+           for r in dedup.connected_components(
+               pairs, driver_max_edges=driver_max_edges
+           ).collect()}
     assert got == {"img-a": "img-a", "img-b": "img-a", "img-c": "img-a",
                    "img-x": "img-x", "img-y": "img-x"}
 
